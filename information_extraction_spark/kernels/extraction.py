@@ -1,0 +1,348 @@
+"""Deterministic extraction kernels reproducing the reference's
+pre/post-processing semantics.
+
+Each function documents the reference behavior it reproduces with a
+file:line citation into /root/reference. The implementations are
+written fresh against those semantics (this module is the contract the
+pytest goldens in tests/test_kernels.py pin down, including the two
+worked examples embedded in the reference at labeling/tagging.py:65-85).
+
+The "model" is a knowledge base of (subject, predicate, object)
+entries: stage 1 predicts a predicate for a sentence iff some KB entry
+for that predicate has both its subject and object occurring in the
+sentence; stage 2 tags the spans of exactly those entries. A real
+fine-tuned model can be swapped in behind the same batch signatures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Iterable, Mapping
+
+# ---------------------------------------------------------------------------
+# Substring search
+# ---------------------------------------------------------------------------
+
+
+def find_occurrences(needle: str, haystack: str) -> list[int]:
+    """All non-overlapping, case-insensitive match offsets of ``needle``
+    in ``haystack``.
+
+    Semantics of reference labeling/tagging.py:4-6 (``re.finditer`` over
+    ``re.escape(sub)`` with ``re.I``): matches never overlap and the
+    needle is treated literally.
+    """
+    if not needle:
+        return []
+    pattern = re.compile(re.escape(needle), re.IGNORECASE)
+    return [m.start() for m in pattern.finditer(haystack)]
+
+
+# ---------------------------------------------------------------------------
+# Stage 1 — predicate classification (deterministic kernel)
+# ---------------------------------------------------------------------------
+
+
+def _pseudo_score(text: str, predicate: str) -> float:
+    """Deterministic pseudo-probability in (0, 0.5) for non-matching
+    predicates, used only to rank the top-k fallback (reference takes
+    the 10 highest sigmoid scores when nothing clears the threshold,
+    prepare_data_for_labeling_infer.py:23-33). Derived from a stable
+    digest so results are partition-order independent.
+    """
+    h = hashlib.md5(f"{text}\x00{predicate}".encode()).digest()
+    return (int.from_bytes(h[:4], "big") / 2**32) * 0.5
+
+
+def classify_predicates(
+    text: str,
+    kb_by_predicate: Mapping[str, list[tuple[str, str]]],
+    threshold: float = 0.5,
+    fallback_k: int = 10,
+) -> tuple[list[str], list[float]]:
+    """Predict which relations a sentence expresses.
+
+    A predicate scores 1.0 when at least one KB (subject, object) pair
+    for it occurs in the sentence (both sides, case-insensitive),
+    else a deterministic pseudo-score < 0.5. Predicted set = scores
+    above ``threshold`` (reference sigmoid threshold 0.5,
+    run_predicate_classification.py:796-798); when empty, fall back to
+    the ``fallback_k`` highest-scoring relations
+    (prepare_data_for_labeling_infer.py:23-33,66-69).
+
+    Returns (predicates, scores) sorted by (-score, predicate) so the
+    output is deterministic under any partitioning.
+    """
+    scored: list[tuple[str, float]] = []
+    for predicate, pairs in kb_by_predicate.items():
+        hit = any(
+            find_occurrences(s, text) and find_occurrences(o, text)
+            for s, o in pairs
+        )
+        score = 1.0 if hit else _pseudo_score(text, predicate)
+        scored.append((predicate, score))
+    scored.sort(key=lambda kv: (-kv[1], kv[0]))
+    above = [(p, s) for p, s in scored if s > threshold]
+    if not above:
+        above = scored[:fallback_k]
+    return [p for p, _ in above], [s for _, s in above]
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 — BIESO span tagging
+# ---------------------------------------------------------------------------
+
+
+def _mark_span(tags: list[str], start: int, length: int, kind: str) -> None:
+    """Write one BIESO span of ``kind`` ('SUB'/'OBJ') into ``tags``.
+
+    Length-1 entities get 'S-', length-2 'B-'+'E-', longer
+    'B-' + 'I-'*k + 'E-' (reference labeling/tagging.py:28-49).
+    """
+    if length == 1:
+        tags[start] = f"S-{kind}"
+        return
+    tags[start] = f"B-{kind}"
+    tags[start + length - 1] = f"E-{kind}"
+    for i in range(start + 1, start + length - 1):
+        tags[i] = f"I-{kind}"
+
+
+def bieso_tags(text: str, pairs: Iterable[tuple[str, str]]) -> list[str]:
+    """Per-character BIESO subject/object tags for a (sentence,
+    predicate) work unit.
+
+    Reproduces reference labeling/tagging.py:9-51:
+
+    * every case-insensitive occurrence of each subject/object is
+      tagged (all offsets from :func:`find_occurrences`),
+    * when subject == object, the object takes the odd-indexed
+      occurrences of the shared string while the subject still tags
+      every occurrence first (tagging.py:25-26) — objects then
+      overwrite the odd ones because the object loop runs second,
+    * pairs are applied in order; later writes overwrite earlier tags.
+
+    ``pairs`` is the KB (subject, object) list for this predicate —
+    the analog of the reference's spo_list filtered to one spo_concat
+    key (tagging.py:18-19).
+    """
+    tags = ["O"] * len(text)
+    for subject, obj in pairs:
+        s_offsets = find_occurrences(subject, text)
+        o_offsets = find_occurrences(obj, text)
+        if subject == obj:
+            o_offsets = [off for i, off in enumerate(s_offsets) if i % 2 == 1]
+        for off in s_offsets:
+            _mark_span(tags, off, len(subject), "SUB")
+        for off in o_offsets:
+            _mark_span(tags, off, len(obj), "OBJ")
+    return tags
+
+
+# ---------------------------------------------------------------------------
+# Span decoding
+# ---------------------------------------------------------------------------
+
+
+def decode_bieso(tags: list[str], text: str) -> tuple[list[str], list[str]]:
+    """Decode a BIESO tag sequence back into subject/object strings.
+
+    Reproduces reference labeling/predict.py:50-71: 'S-*' emits the
+    single character; 'B-*' records a start; 'E-*' emits
+    text[start:end+1]. A stray 'E-*' with no live start is skipped
+    (the reference would reuse a stale index; our tagger never
+    produces that shape, and skipping keeps the kernel total).
+    """
+    subjects: list[str] = []
+    objects: list[str] = []
+    start: int | None = None
+    for i, tag in enumerate(tags):
+        if tag == "O":
+            continue
+        head = tag[0]
+        if head == "S":
+            (subjects if tag.endswith("SUB") else objects).append(text[i])
+        elif head == "B":
+            start = i
+        elif head == "E":
+            if start is None:
+                continue
+            span = text[start : i + 1]
+            (subjects if tag.endswith("SUB") else objects).append(span)
+            start = None
+    return subjects, objects
+
+
+def decode_bio_tokens(
+    tokens: list[str], labels: list[str]
+) -> list[tuple[str, str]]:
+    """Decode BIO labels over (WordPiece) tokens into
+    (kind, entity) tuples, merging '##' continuation pieces.
+
+    Reproduces the legacy path produce_submit_json_file.py:185-234 +
+    the WordPiece merge at :153-171: a leading '[CLS]' label is
+    dropped, labels are truncated to the token count, 'O' flushes the
+    open entity, 'B-*' flushes then opens, 'I-*'/'[##WordPiece]'
+    extends an open entity, '[SEP]' stops decoding, and the last open
+    entity is flushed at end of sequence.
+    """
+    if labels and labels[0] == "[CLS]":
+        labels = labels[1:]
+    labels = labels[: len(tokens)]
+    entities: list[tuple[str, str]] = []
+    kind: str | None = None
+    parts: list[str] = []
+
+    def flush() -> None:
+        nonlocal kind, parts
+        if kind is not None and parts:
+            merged = "".join(
+                p[2:] if p.startswith("##") else p for p in parts
+            )
+            if merged:
+                entities.append((kind, merged))
+        kind, parts = None, []
+
+    for token, label in zip(tokens, labels):
+        if label == "[SEP]":
+            break
+        if label == "O":
+            flush()
+        elif label.startswith("B-"):
+            flush()
+            kind = label[2:]
+            parts = [token]
+        elif (label.startswith("I-") or label == "[##WordPiece]") and kind is not None:
+            parts.append(token)
+    flush()
+    return entities
+
+
+# ---------------------------------------------------------------------------
+# Indexed knowledge base (fast path for the batch kernels)
+# ---------------------------------------------------------------------------
+
+
+class KnowledgeBase:
+    """Entity-prefiltered view of the (predicate, subject, object) KB.
+
+    Semantically identical to :func:`classify_predicates` over the same
+    entries, but O(|entities|) per sentence instead of O(|KB|): one
+    lowercase-substring pass finds which entities occur, then pair
+    membership is a set lookup. This is what the Arrow-batched Spark
+    kernels and the golden generator use; tests assert parity with the
+    direct implementation.
+    """
+
+    def __init__(self, entries: Iterable[tuple[str, str, str]]):
+        """``entries`` are (predicate, subject, object) rows."""
+        self.by_predicate: dict[str, list[tuple[str, str]]] = {}
+        seen: set[tuple[str, str, str]] = set()
+        for predicate, subject, obj in entries:
+            key = (predicate, subject, obj)
+            if key in seen:
+                continue
+            seen.add(key)
+            self.by_predicate.setdefault(predicate, []).append((subject, obj))
+        self.predicates = sorted(self.by_predicate)
+        entity_set = {
+            e for pairs in self.by_predicate.values() for p in pairs for e in p
+        }
+        # Longest-first so prefilter cost is stable; lowercase once.
+        self.entities = sorted(entity_set)
+        self._entities_lower = [(e, e.lower()) for e in self.entities]
+        self._pair_keys: dict[str, list[tuple[str, str]]] = {
+            pred: [(s.lower(), o.lower()) for s, o in pairs]
+            for pred, pairs in self.by_predicate.items()
+        }
+
+    def entities_present(self, text: str) -> set[str]:
+        """Lowercased entities occurring (case-insensitively) in text."""
+        low = text.lower()
+        return {el for _, el in self._entities_lower if el in low}
+
+    def classify(
+        self, text: str, threshold: float = 0.5, fallback_k: int = 10
+    ) -> tuple[list[str], list[float]]:
+        """Same contract as :func:`classify_predicates` (threshold-0.5
+        prediction + top-k fallback) via the entity prefilter."""
+        present = self.entities_present(text)
+        scored: list[tuple[str, float]] = []
+        for predicate in self.predicates:
+            hit = any(
+                s in present and o in present
+                for s, o in self._pair_keys[predicate]
+            )
+            score = 1.0 if hit else _pseudo_score(text, predicate)
+            scored.append((predicate, score))
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        above = [(p, s) for p, s in scored if s > threshold]
+        if not above:
+            above = scored[:fallback_k]
+        return [p for p, _ in above], [s for _, s in above]
+
+    def pairs_for(self, predicate: str) -> list[tuple[str, str]]:
+        return self.by_predicate.get(predicate, [])
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python end-to-end reference extractor (parity oracle)
+# ---------------------------------------------------------------------------
+
+
+def assemble_entities(
+    subjects: list[str], objects: list[str], min_len: int = 2
+) -> tuple[list[str], list[str]]:
+    """Dedup + length-filter decoded entities.
+
+    Reference produce_submit_json_file.py:276-281: subjects/objects are
+    set-deduped and entities shorter than 2 characters are dropped.
+    Returned sorted for deterministic output (the reference's set()
+    order is interpreter-dependent; triples are a set anyway).
+    """
+    subs = sorted({s for s in subjects if len(s) >= min_len})
+    objs = sorted({o for o in objects if len(o) >= min_len})
+    return subs, objs
+
+
+def reference_extract(
+    text: str,
+    kb_by_predicate: Mapping[str, list[tuple[str, str]]],
+    schema_types: Mapping[str, tuple[str, str]],
+    threshold: float = 0.5,
+    fallback_k: int = 10,
+) -> list[tuple[str, str, str, str, str]]:
+    """Full single-sentence pipeline: classify → fan out → tag →
+    decode → dedup/filter → cartesian SUB×OBJ → attach types.
+
+    This is the driver for golden-fixture generation and the parity
+    oracle the Spark pipeline must match exactly. The cartesian product
+    per (sentence, predicate) and first-listed (subject_type,
+    object_type) follow produce_submit_json_file.py:275,284-288.
+
+    Returns sorted (subject, predicate, object, subject_type,
+    object_type) tuples, set-deduped.
+    """
+    if isinstance(kb_by_predicate, KnowledgeBase):
+        kb = kb_by_predicate
+        predicates, _ = kb.classify(text, threshold=threshold, fallback_k=fallback_k)
+        get_pairs = kb.pairs_for
+    else:
+        predicates, _ = classify_predicates(
+            text, kb_by_predicate, threshold=threshold, fallback_k=fallback_k
+        )
+        get_pairs = lambda p: kb_by_predicate.get(p, [])  # noqa: E731
+    triples: set[tuple[str, str, str, str, str]] = set()
+    for predicate in predicates:
+        pairs = get_pairs(predicate)
+        tags = bieso_tags(text, pairs)
+        subjects, objects = decode_bieso(tags, text)
+        subjects, objects = assemble_entities(subjects, objects)
+        if not subjects or not objects:
+            continue
+        subject_type, object_type = schema_types.get(predicate, ("", ""))
+        for s in subjects:
+            for o in objects:
+                triples.add((s, predicate, o, subject_type, object_type))
+    return sorted(triples)
