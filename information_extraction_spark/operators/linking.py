@@ -1,0 +1,120 @@
+"""Entity linking & canonicalization (north rule: "entity linking and
+canonicalization with a salted broadcast/hash-join alias dictionary
+plus connected-components merge").
+
+The reference's alias dictionary is only consulted at evaluation time
+(calc_pr.py:141-161); our engine promotes it to a first-class linking
+stage: alias rows form an undirected surface-form graph, hash-min
+connected components assign every surface form a canonical id (the
+lexicographically smallest member of its component — covering chains
+a→b→c the flat dict cannot), and triples are canonicalized through a
+broadcast join on both endpoints.
+
+Scale: the alias dim is broadcast (no shuffle on the skewed fact
+side); the CC loop shuffles only the node/edge tables (tiny vs the
+fact table) and cuts lineage with localCheckpoint per iteration.
+Iterations are bounded by the graph diameter, which for alias chains
+is small; ``max_iter`` guards pathological inputs. If the alias dim
+ever outgrows broadcast range, functions.skew.salted_join is the
+drop-in replacement for the two endpoint joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from information_extraction_spark.operators.evaluation import normalize_entity
+
+
+def alias_edges(alias_df: DataFrame) -> DataFrame:
+    """Undirected edges from (canonical, alias) rows, lowercased."""
+    return (
+        alias_df.select(
+            F.lower("canonical").alias("src"), F.lower("alias").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Hash-min label propagation: every node converges to the minimum
+    node id in its component. Returns (node, component).
+
+    DataFrame loop with localCheckpoint per iteration to cut lineage
+    (SURVEY §4: the one genuinely custom iterative operator — no
+    GraphFrames in this environment).
+    """
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_labels = sym.join(
+            labels, sym.src == labels.node, "inner"
+        ).select(F.col("dst").alias("node"), "component")
+        proposals = labels.select("node", "component").unionByName(
+            neighbor_labels
+        )
+        new_labels = proposals.groupBy("node").agg(
+            F.min("component").alias("component")
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_mapping(alias_df: DataFrame) -> DataFrame:
+    """(surface, canonical_id): every surface form in the alias graph
+    mapped to its component's minimum member."""
+    comps = connected_components(alias_edges(alias_df))
+    return comps.select(
+        F.col("node").alias("surface"), F.col("component").alias("canonical_id")
+    )
+
+
+def canonicalize_triples(
+    triples: DataFrame, alias_df: DataFrame
+) -> DataFrame:
+    """Attach canonical subject/object ids via broadcast joins on the
+    normalized surface forms. Surfaces outside the alias graph are
+    their own canonical id (coalesce to self)."""
+    mapping = canonical_mapping(alias_df)
+    s_map = F.broadcast(
+        mapping.select(
+            F.col("surface").alias("_s_key"),
+            F.col("canonical_id").alias("subject_canonical"),
+        )
+    )
+    o_map = F.broadcast(
+        mapping.select(
+            F.col("surface").alias("_o_key"),
+            F.col("canonical_id").alias("object_canonical"),
+        )
+    )
+    out = (
+        triples.withColumn("_s_key", normalize_entity(F.col("subject")))
+        .withColumn("_o_key", normalize_entity(F.col("object")))
+        .join(s_map, "_s_key", "left")
+        .join(o_map, "_o_key", "left")
+        .withColumn(
+            "subject_canonical", F.coalesce("subject_canonical", F.col("_s_key"))
+        )
+        .withColumn(
+            "object_canonical", F.coalesce("object_canonical", F.col("_o_key"))
+        )
+        .drop("_s_key", "_o_key")
+    )
+    return out

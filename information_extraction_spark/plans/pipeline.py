@@ -1,0 +1,62 @@
+"""The end-to-end KG-construction pipeline.
+
+read transcripts → stable ordering → classify (pandas UDF) →
+explode(predicates) → tag (pandas UDF) → span decode → dedup/filter →
+cartesian SUB×OBJ → broadcast-join schema dim → triples.
+
+This is the Spark shape of the reference's six-process legacy
+pipeline (SURVEY.md §3.1); every process boundary that used to be a
+line-aligned text file is either fused into the DAG or an explicit
+Parquet checkpoint with a lineage manifest (operators/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from information_extraction_spark.operators.extract import (
+    FALLBACK_K,
+    THRESHOLD,
+    assemble_triples,
+    broadcast_kb,
+    classify_stage,
+    decode_stage,
+    fanout_predicates,
+    ordered_transcripts,
+    tag_stage,
+)
+
+
+def extract_triples(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    kb: DataFrame,
+    schemas: DataFrame,
+    threshold: float = THRESHOLD,
+    fallback_k: int = FALLBACK_K,
+    checkpointer=None,
+) -> DataFrame:
+    """Run the full extraction DAG; returns the triples DataFrame.
+
+    ``checkpointer`` (operators.checkpoint.CheckpointManager) makes
+    each stage resumable; None fuses everything into one DAG (fastest
+    when no resume is needed — Catalyst pipelines the narrow stages
+    into a single pass over the data).
+    """
+    kb_bc = broadcast_kb(spark, kb)
+
+    ordered = ordered_transcripts(transcripts)
+    classified = classify_stage(
+        ordered, kb_bc, threshold=threshold, fallback_k=fallback_k
+    )
+    if checkpointer is not None:
+        classified = checkpointer.stage(classified, "classified")
+    fanned = fanout_predicates(classified)
+    tagged = tag_stage(fanned, kb_bc)
+    if checkpointer is not None:
+        tagged = checkpointer.stage(tagged, "tagged")
+    decoded = decode_stage(tagged)
+    triples = assemble_triples(decoded, schemas)
+    if checkpointer is not None:
+        triples = checkpointer.stage(triples, "triples")
+    return triples

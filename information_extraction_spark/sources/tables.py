@@ -1,0 +1,85 @@
+"""Sources and sinks.
+
+The reference reads JSON-lines + TSV dicts + pickle checkpoints
+(SURVEY.md §2.1 S1-S8); here every table is Parquet with an explicit
+schema. An Iceberg catalog would slot in by swapping
+``read.parquet``/``write.parquet`` for ``read.table``/``writeTo`` —
+the runtime jar is not in this image, so the writer keeps a plain
+partitioned-Parquet layout with the same partition spec the Iceberg
+table would use (Spark-first fallback noted in SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from information_extraction_spark import schemas as S
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(S.TRANSCRIPTS).parquet(path)
+
+
+def read_schemas(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(S.RELATION_SCHEMAS).parquet(path)
+
+
+def read_kb(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(S.KNOWLEDGE_BASE).parquet(path)
+
+
+def read_alias_dict(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(S.ALIAS_DICT).parquet(path)
+
+
+def read_alias_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """Reference TSV dict format: ``key \\t alias1 \\t alias2 ...``
+    (calc_pr.py:122-138) — lowercased, exploded one row per alias."""
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    return (
+        raw.select(
+            F.lower(F.element_at(parts, 1)).alias("canonical"),
+            F.slice(parts, 2, 10_000).alias("aliases"),
+        )
+        .select("canonical", F.explode("aliases").alias("alias"))
+        .select("canonical", F.lower("alias").alias("alias"))
+        .filter(F.length("alias") > 0)
+    )
+
+
+def write_graph(
+    triples: DataFrame,
+    path: str,
+    predicate_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the triples graph table, partitioned by a stable
+    predicate bucket (north-rule "partitioned Iceberg graph tables").
+
+    Hash-bucketing the predicate instead of partitioning by raw
+    predicate bounds the partition count at 100 TB (50 predicates here,
+    but open-world predicates in general) while still pruning scans
+    for single-predicate queries via bucket = hash(pred) % n.
+    """
+    (
+        triples.withColumn(
+            "pred_bucket",
+            F.pmod(F.xxhash64("predicate"), F.lit(predicate_buckets)).cast("int"),
+        )
+        .repartition("pred_bucket")
+        .write.mode(mode)
+        .partitionBy("pred_bucket")
+        .parquet(path)
+    )
+
+
+def write_spo_json(spo_lists: DataFrame, path: str, keep_empty: bool = False) -> None:
+    """JSON-lines result sink matching the reference output shape
+    ``{text, spo_list}`` (produce_submit_json_file.py:298-313, S7).
+    ``keep_empty`` mirrors the keep_empty_spo_list flag (:289-309)."""
+    df = spo_lists
+    if not keep_empty:
+        df = df.filter(F.size("spo_list") > 0)
+    df.write.mode("overwrite").json(path)

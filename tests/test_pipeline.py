@@ -1,0 +1,91 @@
+"""End-to-end Spark pipeline tests: exact parity with the pure-Python
+reference extractor, order invariance, and the per-turn text-equality
+invariant (BASELINE.json input_hint)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from information_extraction_spark import schemas as S
+from information_extraction_spark.plans.pipeline import extract_triples
+
+TRIPLE_KEY = ["conv_id", "turn_idx", "predicate", "subject", "object"]
+
+
+def _spark_triples(spark, world, transcripts_pdf) -> pd.DataFrame:
+    tdf = spark.createDataFrame(transcripts_pdf, schema=S.TRANSCRIPTS)
+    kb = spark.createDataFrame(world.kb_clean, schema=S.KNOWLEDGE_BASE)
+    sch = spark.createDataFrame(world.schemas, schema=S.RELATION_SCHEMAS)
+    out = extract_triples(spark, tdf, kb, sch)
+    return out.toPandas()
+
+
+def _key_set(pdf: pd.DataFrame) -> set[tuple]:
+    return set(
+        pdf[
+            TRIPLE_KEY + ["subject_type", "object_type"]
+        ].itertuples(index=False, name=None)
+    )
+
+
+def test_pipeline_matches_reference_oracle_exactly(
+    spark, world, transcripts_pdf, golden_pdf
+):
+    """Clean-KB Spark run must equal the pure-Python reference
+    extractor output triple-for-triple (P = R = 1.0)."""
+    got = _spark_triples(spark, world, transcripts_pdf)
+    assert len(got) == len(got.drop_duplicates(TRIPLE_KEY))
+    assert _key_set(got) == _key_set(golden_pdf)
+
+
+def test_pipeline_output_invariant_to_input_order(
+    spark, world, transcripts_pdf
+):
+    """The reference relied on file order; we must not. A differently
+    shuffled/partitioned input yields the identical triple set."""
+    reshuffled = transcripts_pdf.sample(frac=1.0, random_state=7).reset_index(
+        drop=True
+    )
+    a = _key_set(_spark_triples(spark, world, transcripts_pdf))
+    tdf = spark.createDataFrame(reshuffled, schema=S.TRANSCRIPTS).repartition(13)
+    kb = spark.createDataFrame(world.kb_clean, schema=S.KNOWLEDGE_BASE)
+    sch = spark.createDataFrame(world.schemas, schema=S.RELATION_SCHEMAS)
+    b = _key_set(extract_triples(spark, tdf, kb, sch).toPandas())
+    assert a == b
+
+
+def test_per_turn_text_equality_invariant(spark, world, transcripts_pdf):
+    """Every output row's text must byte-equal the source turn's text
+    under the (conv_id, turn_idx) key (north-rule per-turn invariant;
+    reference analog: postag-concat == text,
+    pytorch/analysis/check_composition.py:7-16)."""
+    tdf = spark.createDataFrame(transcripts_pdf, schema=S.TRANSCRIPTS)
+    kb = spark.createDataFrame(world.kb_clean, schema=S.KNOWLEDGE_BASE)
+    sch = spark.createDataFrame(world.schemas, schema=S.RELATION_SCHEMAS)
+    triples = extract_triples(spark, tdf, kb, sch)
+    src = tdf.select("conv_id", "turn_idx", F.col("text").alias("src_text"))
+    joined = triples.join(src, ["conv_id", "turn_idx"], "left")
+    mismatches = joined.filter(
+        F.col("src_text").isNull() | (F.col("text") != F.col("src_text"))
+    ).count()
+    assert mismatches == 0
+
+
+def test_entities_are_substrings_of_text(spark, world, transcripts_pdf):
+    """Emitted entities must occur in the turn text
+    (pytorch/analysis/check_composition.py:21-29)."""
+    got = _spark_triples(spark, world, transcripts_pdf)
+    assert len(got) > 0
+    for row in got.itertuples():
+        assert row.subject.lower() in row.text.lower()
+        assert row.object.lower() in row.text.lower()
+
+
+def test_dual_schema_predicate_first_listed_wins(spark, world, transcripts_pdf):
+    """成立日期 carries two schema rows; emitted triples must use the
+    first-listed subject_type (produce_submit_json_file.py:275)."""
+    got = _spark_triples(spark, world, transcripts_pdf)
+    dual = got[got.predicate == "成立日期"]
+    assert len(dual) > 0
+    assert set(dual.subject_type) == {"机构"}
