@@ -1,0 +1,107 @@
+"""Benchmark harness.
+
+Runs the headline KG-extraction pipeline plus representative operator
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
+
+  {"metric": "e2e_kg_extract_triples_per_sec", "value": N,
+   "unit": "triples/sec", "queries": {...per-query seconds...},
+   "sf": 0.1, ...}
+
+Flags:
+  --master local[N]   override parallelism (used by tools/scale_bench.py)
+  --replicate R       corpus replication factor for the pipeline input
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--master", default=None)
+    parser.add_argument("--replicate", type=int, default=2)
+    parser.add_argument("--sf-dir", default=None)
+    args = parser.parse_args()
+
+    sf_dir = args.sf_dir or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from information_extraction_spark.driver_queries import QUERIES
+    from information_extraction_spark.plans.pipeline import extract_triples
+    from information_extraction_spark.session import get_spark
+    from information_extraction_spark.sources.from_documents import (
+        kb_from_documents,
+        transcripts_from_documents,
+    )
+
+    spark = get_spark(app_name="ie-spark-bench", master=args.master)
+
+    timings: dict[str, float] = {}
+
+    # Headline: end-to-end extraction over replicated derived corpus.
+    t0 = time.time()
+    transcripts = transcripts_from_documents(
+        spark, sf_dir, replicate=args.replicate
+    )
+    kb, schemas = kb_from_documents(spark, sf_dir)
+    n_turns = transcripts.count()
+    prep_sec = time.time() - t0
+
+    t0 = time.time()
+    triples = extract_triples(spark, transcripts, kb, schemas)
+    n_triples = triples.count()
+    e2e_sec = time.time() - t0
+    timings["kg_extract_e2e"] = round(e2e_sec, 3)
+
+    # Representative operator queries (forced with count()).
+    bench_queries = [
+        "kg_classify",
+        "dd_minhash_lsh",
+        "dd_simhash",
+        "dd_ngram_jaccard",
+        "dd_embedding_cosine",
+        "ann_cosine_topk",
+        "w1_stable_turn_order",
+        "w2_sessionize",
+        "j1_broadcast_dim_join",
+        "j6_cartesian_pairs",
+        "a1_micro_prf1",
+        "ta_quality",
+        "ta_fingerprint",
+    ]
+    for name in bench_queries:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "e2e_kg_extract_triples_per_sec",
+        "value": round(n_triples / e2e_sec, 1),
+        "unit": "triples/sec",
+        "queries": timings,
+        "sf": sf,
+        "n_turns": n_turns,
+        "n_triples": n_triples,
+        "turns_per_sec": round(n_turns / e2e_sec, 1),
+        "prep_sec": round(prep_sec, 3),
+        "replicate": args.replicate,
+        "master": args.master
+        or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]",
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,142 @@
+"""KG-construction queries over the driver test tables.
+
+``kg_classify`` is the oracle-checked one: the stage-1 classification
+kernel (mapInPandas over the broadcast KB) against a full DuckDB SQL
+reimplementation of the same KB derivation + substring semantics —
+this proves the Python kernel agrees with a declarative engine on the
+classification contract. The remaining pipeline stages (tagging span
+offsets, overwrite semantics, BIESO decode) are not faithfully
+SQL-expressible, so they ship as rows-only queries and are instead
+pinned by the pytest parity suite against the pure-Python reference
+extractor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from information_extraction_spark.operators.extract import (
+    broadcast_kb,
+    classify_stage,
+    fanout_predicates,
+)
+from information_extraction_spark.operators.linking import canonical_mapping
+from information_extraction_spark.plans.pipeline import extract_triples
+from information_extraction_spark.sources.from_documents import (
+    kb_from_documents,
+    read_documents,
+    transcripts_from_documents,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_KG_CLASSIFY_ORACLE = """
+WITH words AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w, CAST(row_number() OVER (ORDER BY w) - 1 AS BIGINT) AS idx
+  FROM words WHERE length(w) >= 2
+), vc AS (SELECT count(*) AS v FROM vocab),
+toks AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT unnest(
+    list_filter(
+      list_transform(list_zip(ws, ws[2:]),
+                     p -> CASE WHEN p[2] IS NULL THEN NULL
+                               ELSE p[1] || ' ' || p[2] END),
+      x -> x IS NOT NULL)) AS bigram
+  FROM toks
+), bgc AS (
+  SELECT bigram, count(*) AS c FROM bg GROUP BY bigram
+), bigrams AS (
+  SELECT bigram,
+         CAST(row_number() OVER (ORDER BY c DESC, bigram) - 1 AS BIGINT) AS idx
+  FROM bgc QUALIFY idx < 200
+), bc AS (SELECT count(*) AS b FROM bigrams),
+kb AS (
+  SELECT DISTINCT printf('rel%02d', k) AS predicate, v.w AS s, bgm.bigram AS o
+  FROM generate_series(0, 49) gk(k)
+  CROSS JOIN generate_series(0, 11) gi(i)
+  CROSS JOIN vc CROSS JOIN bc
+  JOIN vocab v ON v.idx = (7 * k + 3 * i) % vc.v
+  JOIN bigrams bgm ON bgm.idx = (11 * k + 5 * i + 1) % bc.b
+)
+SELECT d.doc_id, kb.predicate
+FROM documents d
+JOIN kb ON contains(lower(d.text), lower(kb.s))
+       AND contains(lower(d.text), lower(kb.o))
+GROUP BY d.doc_id, kb.predicate
+"""
+
+
+@_q("kg_classify", _KG_CLASSIFY_ORACLE)
+def kg_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-1 predicate classification kernel, oracle-checked: fired
+    predicates (score 1.0) per document."""
+    docs = read_documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "text",
+    )
+    kb, _ = kb_from_documents(spark, sf_dir)
+    classified = classify_stage(docs, broadcast_kb(spark, kb))
+    fired = fanout_predicates(classified).filter(F.col("score") >= 0.999)
+    return fired.select(
+        F.col("conv_id").cast("long").alias("doc_id"), "predicate"
+    )
+
+
+@_q("kg_extract_triples")  # rows-only: span semantics not SQL-expressible
+def kg_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction pipeline over transcripts derived from the
+    documents table (classify → fan out → tag → decode → assemble)."""
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    kb, schemas = kb_from_documents(spark, sf_dir)
+    return extract_triples(spark, transcripts, kb, schemas)
+
+
+@_q("kg_spo_lists")  # rows-only
+def kg_spo_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn spo_list JSON rows (the reference's output shape,
+    produce_submit_json_file.py:298-313)."""
+    from information_extraction_spark.operators.extract import (
+        collect_spo_lists,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    return collect_spo_lists(triples).select(
+        "conv_id", "turn_idx", F.to_json("spo_list").alias("spo_json")
+    )
+
+
+@_q("kg_entity_linking")  # rows-only: iterative CC not SQL-expressible
+def kg_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components canonicalization over a deterministic
+    alias graph synthesized from the corpus vocabulary (chains
+    word[i] → word[i+1] for every third word)."""
+    from information_extraction_spark.sources.from_documents import (
+        vocabulary,
+    )
+
+    vocab = vocabulary(spark, sf_dir)
+    pairs = [
+        (vocab[i], vocab[i + 1])
+        for i in range(len(vocab) - 1)
+        if i % 3 != 2  # break every third edge → several components
+    ]
+    alias_df = spark.createDataFrame(pairs, "canonical string, alias string")
+    return canonical_mapping(alias_df).orderBy("surface")

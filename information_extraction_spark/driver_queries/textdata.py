@@ -1,0 +1,407 @@
+"""Training-data pipeline operators over ``documents`` /
+``embeddings``: deduplication (exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine), similarity search (brute-force cosine
+top-k), and text analysis (language-ID heuristic, quality scoring,
+token counting, fingerprinting). Each has a DuckDB oracle.
+
+Portability rules: hashes are md5 hex (identical in both engines);
+float aggregates are computed in DOUBLE and rounded to 4 decimals;
+ranks use explicit deterministic tie-breaks.
+
+Scale notes: every dedup here is a shuffle on a short key (bucket /
+band hash / blocking key) after a narrow per-row signature pass —
+the LSH band join is the scale path (candidates only), with the
+all-pairs variants restricted by blocking keys exactly as one would
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- MinHash + LSH near-dup candidates ---------------------------------------
+
+_MINHASH_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                               i -> substring(text, i, 5))) AS shingle
+  FROM documents
+), mh AS (
+  SELECT doc_id,
+         min(md5(shingle || '#1')) AS h1,
+         min(md5(shingle || '#2')) AS h2
+  FROM sh GROUP BY doc_id
+)
+SELECT a.doc_id AS da, b.doc_id AS db
+FROM mh a JOIN mh b
+  ON a.doc_id < b.doc_id AND (a.h1 = b.h1 OR a.h2 = b.h2)
+"""
+
+
+@_q("dd_minhash_lsh", _MINHASH_ORACLE)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    positions = F.when(
+        F.length("text") >= 5, F.sequence(F.lit(1), F.length("text") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (
+        d.withColumn("pos", F.explode(positions))
+        .select("doc_id", F.expr("substring(text, pos, 5)").alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+    mh = sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.concat("shingle", F.lit("#1")))).alias("h1"),
+        F.min(F.md5(F.concat("shingle", F.lit("#2")))).alias("h2"),
+    )
+    a, b = mh.alias("a"), mh.alias("b")
+    return a.join(
+        b,
+        (F.col("a.doc_id") < F.col("b.doc_id"))
+        & ((F.col("a.h1") == F.col("b.h1")) | (F.col("a.h2") == F.col("b.h2"))),
+    ).select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+
+
+# --- SimHash (16-bit) ---------------------------------------------------------
+
+_SIMHASH_ORACLE = """
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), v AS (
+  SELECT doc_id, word,
+         (strpos('0123456789abcdef', substring(md5(word), 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substring(md5(word), 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substring(md5(word), 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substring(md5(word), 4, 1)) - 1) AS v16
+  FROM w
+), bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (v16 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM v CROSS JOIN generate_series(0, 15) g(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+@_q("dd_simhash", _SIMHASH_ORACLE)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).dropDuplicates(["doc_id", "word"])
+    hexpos = (
+        "(locate(substring(md5(word), {k}, 1), '0123456789abcdef') - 1)"
+    )
+    v16 = F.expr(
+        f"{hexpos.format(k=1)} * 4096 + {hexpos.format(k=2)} * 256 + "
+        f"{hexpos.format(k=3)} * 16 + {hexpos.format(k=4)}"
+    )
+    bits_df = spark.range(0, 16).select(F.col("id").cast("int").alias("b"))
+    bits = (
+        w.withColumn("v16", v16)
+        .crossJoin(F.broadcast(bits_df))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(v16 >> b) & 1 = 1"), 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(0))
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+# --- n-gram Jaccard near-dup (blocked all-pairs) ------------------------------
+
+_JACCARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(string_split(text, ' ')) AS ws
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         len(list_intersect(a.ws, b.ws)) AS i,
+         len(a.ws) AS na, len(b.ws) AS nb
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 20
+)
+SELECT da, db, round(i * 1.0 / (na + nb - i), 4) AS jaccard
+FROM p WHERE i * 1.0 / (na + nb - i) >= 0.8
+"""
+
+
+@_q("dd_ngram_jaccard", _JACCARD_ORACLE)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.array_distinct(F.split("text", " ")).alias("ws"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20
+        ),
+    ).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.size(F.array_intersect("a.ws", "b.ws")).alias("i"),
+        F.size("a.ws").alias("na"),
+        F.size("b.ws").alias("nb"),
+    )
+    jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+    return pairs.filter(jac >= 0.8).select(
+        "da", "db", F.round(jac, 4).alias("jaccard")
+    )
+
+
+# --- Embedding-cosine near-dup (label-blocked) --------------------------------
+
+_EMB_COS_ORACLE = """
+WITH p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+), u AS (
+  SELECT va, vb, CAST(unnest(ea) AS DOUBLE) AS xa,
+         CAST(unnest(eb) AS DOUBLE) AS xb
+  FROM p
+), c AS (
+  SELECT va, vb,
+         sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))) AS cos
+  FROM u GROUP BY va, vb
+)
+SELECT va, vb, round(cos, 4) AS cos4 FROM c WHERE round(cos, 4) >= 0.3
+"""
+
+
+def _dot(x, y):
+    prod = F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+
+
+@_q("dd_embedding_cosine", _EMB_COS_ORACLE)
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        F.col("a.embedding").alias("ea"),
+        F.col("b.embedding").alias("eb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        pairs.withColumn("cos4", F.round(cos, 4))
+        .filter(F.col("cos4") >= 0.3)
+        .select("va", "vb", "cos4")
+    )
+
+
+# --- Brute-force cosine top-k (ANN baseline) ----------------------------------
+
+_ANN_ORACLE = """
+WITH q AS (
+  SELECT embedding AS qe FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+), p AS (
+  SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qe) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+), c AS (
+  SELECT vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cos6
+  FROM p GROUP BY vec_id
+)
+SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, round(cos6, 4) AS cos4 FROM (
+  SELECT vec_id, cos6,
+         row_number() OVER (ORDER BY cos6 DESC, vec_id) AS rnk
+  FROM c) t
+WHERE rnk <= 10
+"""
+
+
+@_q("ann_cosine_topk", _ANN_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    qrow = e.orderBy("vec_id").limit(1).collect()[0]
+    qvec = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
+    qid = qrow["vec_id"]
+    cos = _dot(F.col("embedding"), qvec) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(qvec, qvec))
+    )
+    scored = (
+        e.filter(F.col("vec_id") != qid)
+        .withColumn("cos6", F.round(cos, 6))
+        .select("vec_id", "cos6")
+    )
+    w = Window.orderBy(F.col("cos6").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("vec_id", "rnk", F.round("cos6", 4).alias("cos4"))
+    )
+
+
+# --- Text analysis ------------------------------------------------------------
+
+_STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+_LANGID_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), r AS (
+  SELECT doc_id,
+         sum(CASE WHEN word IN {_STOPWORDS} THEN 1 ELSE 0 END) * 1.0
+           / count(*) AS ratio
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang,
+       round(ratio, 4) AS stop_ratio
+FROM r
+"""
+
+
+@_q("ta_langid", _LANGID_ORACLE)
+def ta_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    stop = ["the", "a", "of", "and", "to", "in", "is"]
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    r = w.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("word").isin(stop), 1).otherwise(0))
+            * 1.0
+            / F.count("*")
+        ).alias("ratio")
+    )
+    return r.select(
+        "doc_id",
+        F.when(F.col("ratio") >= 0.08, "en").otherwise("other").alias(
+            "pred_lang"
+        ),
+        F.round("ratio", 4).alias("stop_ratio"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT word) AS BIGINT) AS n_distinct,
+         round(avg(length(word)), 4) AS avg_word_len,
+         round(sum(CASE WHEN word IN {_STOPWORDS} THEN 1 ELSE 0 END) * 1.0
+               / count(*), 4) AS stop_ratio,
+         round(count(DISTINCT word) * 1.0 / count(*), 4) AS distinct_ratio
+  FROM w GROUP BY doc_id)
+SELECT * FROM s
+"""
+
+
+@_q("ta_quality", _QUALITY_ORACLE)
+def ta_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    stop = ["the", "a", "of", "and", "to", "in", "is"]
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return w.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("word").alias("n_distinct"),
+        F.round(F.avg(F.length("word")), 4).alias("avg_word_len"),
+        F.round(
+            F.sum(F.when(F.col("word").isin(stop), 1).otherwise(0))
+            * 1.0
+            / F.count("*"),
+            4,
+        ).alias("stop_ratio"),
+        F.round(F.countDistinct("word") * 1.0 / F.count("*"), 4).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+_TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+         AS re_tokens
+FROM documents
+"""
+
+
+@_q("ta_token_count", _TOKEN_COUNT_ORACLE)
+def ta_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0))
+        .cast("long")
+        .alias("re_tokens"),
+    )
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                           ' ')) AS fingerprint
+FROM documents
+"""
+
+
+@_q("ta_fingerprint", _FINGERPRINT_ORACLE)
+def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+        ).alias("fingerprint"),
+    )

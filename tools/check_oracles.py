@@ -1,0 +1,102 @@
+"""Local mimic of the driver's correctness gate: run every
+queries()/oracle_sql() pair at a given sf dir, compare row count,
+schema (sorted column names), and order-insensitive values.
+
+Usage: python tools/check_oracles.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(pdf: pd.DataFrame) -> list[tuple]:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+
+    def conv(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        if isinstance(v, float):
+            return round(v, 9)
+        if hasattr(v, "item"):
+            v = v.item()
+            if isinstance(v, float):
+                return round(v, 9)
+        return v
+
+    rows = [tuple(conv(v) for v in row) for row in pdf.itertuples(index=False)]
+    return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+
+    from information_extraction_spark.driver_queries import ORACLES, QUERIES
+    from information_extraction_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check", master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = 0
+    for name, fn in sorted(QUERIES.items()):
+        if filters and not any(f in name for f in filters):
+            continue
+        oracle = ORACLES.get(name)
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if oracle is None:
+            print(f"ok   {name}: rows-only ({len(got)} rows)")
+            continue
+        try:
+            exp = con.execute(oracle).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0]}")
+            failures += 1
+            continue
+        problems = []
+        if len(got) != len(exp):
+            problems.append(f"row count {len(got)} vs {len(exp)}")
+        if sorted(got.columns) != sorted(exp.columns):
+            problems.append(
+                f"columns {sorted(got.columns)} vs {sorted(exp.columns)}"
+            )
+        if not problems:
+            g, e = _canon(got), _canon(exp)
+            if g != e:
+                diff = [
+                    (a, b) for a, b in zip(g, e) if a != b
+                ][:3]
+                problems.append(f"values differ, e.g. {diff}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            failures += 1
+        else:
+            print(f"ok   {name}: {len(got)} rows match oracle")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
