@@ -23,6 +23,7 @@ from information_extraction_spark.operators.extract import (
     decode_stage,
     fanout_predicates,
     ordered_transcripts,
+    tag_decode_stage,
     tag_stage,
 )
 
@@ -52,10 +53,13 @@ def extract_triples(
     if checkpointer is not None:
         classified = checkpointer.stage(classified, "classified")
     fanned = fanout_predicates(classified)
-    tagged = tag_stage(fanned, kb_bc)
     if checkpointer is not None:
-        tagged = checkpointer.stage(tagged, "tagged")
-    decoded = decode_stage(tagged)
+        # Resumable variant: materialize the tag stage separately.
+        tagged = checkpointer.stage(tag_stage(fanned, kb_bc), "tagged")
+        decoded = decode_stage(tagged)
+    else:
+        # Fused fast path (one Arrow round-trip for tag+decode).
+        decoded = tag_decode_stage(fanned, kb_bc)
     triples = assemble_triples(decoded, schemas)
     if checkpointer is not None:
         triples = checkpointer.stage(triples, "triples")

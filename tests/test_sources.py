@@ -1,0 +1,85 @@
+"""Sources and sinks: partitioned graph write + bucket pruning, the
+reference TSV alias dict format, and the spo_list JSON sink."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from information_extraction_spark import schemas as S
+from information_extraction_spark.operators.extract import collect_spo_lists
+from information_extraction_spark.plans.pipeline import extract_triples
+from information_extraction_spark.sources.tables import (
+    read_alias_tsv,
+    write_graph,
+    write_spo_json,
+)
+
+
+def _triples(spark, world, transcripts_pdf):
+    tdf = spark.createDataFrame(transcripts_pdf, schema=S.TRANSCRIPTS)
+    kb = spark.createDataFrame(world.kb_clean, schema=S.KNOWLEDGE_BASE)
+    sch = spark.createDataFrame(world.schemas, schema=S.RELATION_SCHEMAS)
+    return extract_triples(spark, tdf, kb, sch)
+
+
+def test_write_graph_partitioned_and_prunable(
+    spark, world, transcripts_pdf, tmp_dir
+):
+    out = os.path.join(tmp_dir, "graph")
+    triples = _triples(spark, world, transcripts_pdf)
+    write_graph(triples, out, predicate_buckets=8)
+    back = spark.read.parquet(out)
+    assert back.count() == triples.count()
+    # Partition layout exists and a single-predicate read prunes to
+    # one bucket directory (partition pruning at the source).
+    buckets = [d for d in os.listdir(out) if d.startswith("pred_bucket=")]
+    assert 1 < len(buckets) <= 8
+    one = back.filter(
+        F.col("pred_bucket")
+        == F.pmod(F.xxhash64(F.lit("作者")), F.lit(8)).cast("int")
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "pred_bucket" in plan  # pruned partition filter reached the scan
+
+
+def test_read_alias_tsv_reference_format(spark, tmp_dir):
+    """calc_pr.py:122-138: key \\t alias1 \\t alias2, lowercased."""
+    path = os.path.join(tmp_dir, "alias.tsv")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("石碑\t碑\tSTONE Tablet\n")
+        f.write("acme\tACME Corp\n")
+    got = {
+        (r["canonical"], r["alias"])
+        for r in read_alias_tsv(spark, path).collect()
+    }
+    assert got == {
+        ("石碑", "碑"),
+        ("石碑", "stone tablet"),
+        ("acme", "acme corp"),
+    }
+
+
+def test_write_spo_json_shape_and_keep_empty(
+    spark, world, transcripts_pdf, tmp_dir
+):
+    triples = _triples(spark, world, transcripts_pdf)
+    spo = collect_spo_lists(triples)
+    out = os.path.join(tmp_dir, "spo_json")
+    write_spo_json(spo, out)
+    files = [f for f in os.listdir(out) if f.endswith(".json")]
+    assert files
+    line = None
+    with open(os.path.join(out, files[0]), encoding="utf-8") as f:
+        line = f.readline()
+    row = json.loads(line)
+    assert set(row) == {"conv_id", "turn_idx", "text", "spo_list"}
+    assert row["spo_list"] and {
+        "predicate",
+        "subject",
+        "object",
+        "subject_type",
+        "object_type",
+    } == set(row["spo_list"][0])
