@@ -4,10 +4,10 @@ stages). Aggregated registry consumed by __spark_entry__.py."""
 
 from __future__ import annotations
 
-from information_extraction_spark.driver_queries import core, kg, textdata
+from information_extraction_spark.driver_queries import core, core2, kg, textdata
 
 QUERIES = {}
 ORACLES = {}
-for mod in (core, kg, textdata):
+for mod in (core, core2, kg, textdata):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

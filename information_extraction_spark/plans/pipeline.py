@@ -36,6 +36,7 @@ def extract_triples(
     threshold: float = THRESHOLD,
     fallback_k: int = FALLBACK_K,
     checkpointer=None,
+    kernel_partitions: int | None = None,
 ) -> DataFrame:
     """Run the full extraction DAG; returns the triples DataFrame.
 
@@ -43,9 +44,29 @@ def extract_triples(
     each stage resumable; None fuses everything into one DAG (fastest
     when no resume is needed — Catalyst pipelines the narrow stages
     into a single pass over the data).
+
+    ``kernel_partitions``: explicit partition count for the Python
+    kernel stages. The kernels are CPU-bound, so their parallelism
+    must track cores, not bytes — AQE's byte-based coalescing would
+    otherwise squeeze a small-byte/high-cost stage onto a couple of
+    cores (observed: 50k turns coalesced to 2 partitions). Default
+    3x defaultParallelism; the explicit repartition count is exempt
+    from AQE coalescing. 0 disables the repartition (use when the
+    upstream partitioning is already right, e.g. a bucketed table).
     """
     kb_bc = broadcast_kb(spark, kb)
 
+    if kernel_partitions is None:
+        kernel_partitions = spark.sparkContext.defaultParallelism * 3
+    if kernel_partitions:
+        # Repartition BEFORE the dedup window: the window's
+        # partitionBy(conv_id, turn_idx) is satisfied by this exact
+        # hash partitioning, so the whole pre-kernel path costs ONE
+        # shuffle and the kernels inherit the explicit (AQE-exempt)
+        # partition count.
+        transcripts = transcripts.repartition(
+            kernel_partitions, "conv_id", "turn_idx"
+        )
     ordered = ordered_transcripts(transcripts)
     classified = classify_stage(
         ordered, kb_bc, threshold=threshold, fallback_k=fallback_k

@@ -36,6 +36,12 @@ def transcripts_from_documents(
     from doc_id/turn_idx. ``replicate`` scales the corpus for bench
     runs (each replica is an independent conversation)."""
     docs = read_documents(spark, sf_dir)
+    # The documents table arrives as a single small parquet split; the
+    # turn fan-out below multiplies it ~50x, so spread the source rows
+    # across cores BEFORE exploding or the derivation runs serially.
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     if replicate > 1:
         docs = docs.withColumn(
             "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
