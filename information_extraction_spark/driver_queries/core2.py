@@ -69,6 +69,53 @@ def a3_multiset_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multiset_span_f1(pred, gold, keys=["k"], item_cols=["item"])
 
 
+# --- A2: multi-label classification micro F1 over a (probs, labels)
+# matrix (classification/utils.py:57-81) — the label space is the
+# event_type vocabulary per user; prob = avg(value)/100, gold = the
+# user produced that event type more than twice ---------------------------------
+
+
+@_q(
+    "a2_multilabel_f1",
+    """
+    WITH m AS (
+      SELECT user_id, event_type,
+             avg(value) / 100.0 AS prob,
+             CASE WHEN count(*) > 2 THEN 1 ELSE 0 END AS gold
+      FROM events GROUP BY user_id, event_type
+    ), f AS (
+      SELECT CASE WHEN prob > 0.5 THEN 1 ELSE 0 END AS pred, gold FROM m
+    ), s AS (
+      SELECT CAST(sum(pred * gold) AS BIGINT) AS tp,
+             CAST(sum(pred * (1 - gold)) AS BIGINT) AS fp,
+             CAST(sum((1 - pred) * gold) AS BIGINT) AS fn
+      FROM f)
+    SELECT tp, fp, fn,
+           round(tp * 1.0 / (tp + fp), 4) AS precision_,
+           round(tp * 1.0 / (tp + fn), 4) AS recall_,
+           round(2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
+                 / ((tp * 1.0 / (tp + fp)) + (tp * 1.0 / (tp + fn))), 4)
+             AS f1
+    FROM s
+    """,
+)
+def a2_multilabel_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.operators.metrics import multilabel_f1
+
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("user_id", "event_type").agg(
+        (F.avg("value") / 100.0).alias("prob"),
+        F.when(F.count("*") > 2, 1).otherwise(0).alias("gold"),
+    )
+    # Pack into per-user prob/label vectors to exercise the actual
+    # matrix-shaped operator, then let it unroll them again.
+    vecs = m.groupBy("user_id").agg(
+        F.collect_list("prob").alias("probs"),
+        F.collect_list("gold").alias("labels"),
+    )
+    return multilabel_f1(vecs)
+
+
 # --- P7: vocabulary build (distinct + stable index,
 # classification/dataset.py:56-62) ---------------------------------------------
 
