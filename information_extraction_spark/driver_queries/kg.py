@@ -87,10 +87,14 @@ GROUP BY d.doc_id, kb.predicate
 def kg_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-1 predicate classification kernel, oracle-checked: fired
     predicates (score 1.0) per document."""
-    docs = read_documents(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("conv_id"),
-        F.lit(0).alias("turn_idx"),
-        "text",
+    docs = (
+        read_documents(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
+        .select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            "text",
+        )
     )
     kb, _ = kb_from_documents(spark, sf_dir)
     classified = classify_stage(docs, broadcast_kb(spark, kb))

@@ -34,6 +34,14 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+def _spread(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
+    """The test tables arrive as one small parquet split; per-row-heavy
+    operators (signatures, self-joins) need the rows spread across
+    cores first (partition count must track cores for CPU-bound work,
+    not bytes)."""
+    return df.repartition(spark.sparkContext.defaultParallelism * 2, key)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -64,7 +72,7 @@ FROM mh a JOIN mh b
 
 @_q("dd_minhash_lsh", _MINHASH_ORACLE)
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _spread(spark, _docs(spark, sf_dir), "doc_id")
     positions = F.when(
         F.length("text") >= 5, F.sequence(F.lit(1), F.length("text") - 4)
     ).otherwise(F.array().cast("array<int>"))
@@ -112,7 +120,7 @@ FROM bits GROUP BY doc_id
 
 @_q("dd_simhash", _SIMHASH_ORACLE)
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _spread(spark, _docs(spark, sf_dir), "doc_id")
     w = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).dropDuplicates(["doc_id", "word"])
@@ -155,6 +163,9 @@ WITH t AS (
   FROM t a JOIN t b
     ON a.lang = b.lang AND a.doc_id < b.doc_id
    AND abs(a.n_chars - b.n_chars) <= 20
+   -- implied by jaccard >= 0.8 (m/M >= 0.8), prunes before intersect
+   AND least(len(a.ws), len(b.ws)) * 1.0
+       / greatest(len(a.ws), len(b.ws)) >= 0.8
 )
 SELECT da, db, round(i * 1.0 / (na + nb - i), 4) AS jaccard
 FROM p WHERE i * 1.0 / (na + nb - i) >= 0.8
@@ -169,23 +180,34 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.array_distinct(F.split("text", " ")).alias("ws"),
     )
+    d = d.withColumn("nw", F.size("ws"))
+    d = _spread(spark, d, "doc_id")  # one parquet split → 1 join task otherwise
     a, b = d.alias("a"), d.alias("b")
+    size_ratio = (
+        F.least(F.col("a.nw"), F.col("b.nw"))
+        * 1.0
+        / F.greatest(F.col("a.nw"), F.col("b.nw"))
+    )
     pairs = a.join(
-        b,
+        F.broadcast(b),
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (
-            F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20
-        ),
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20)
+        # implied by jaccard >= 0.8 (m/M >= 0.8) — prunes cheaply
+        & (size_ratio >= 0.8),
     ).select(
         F.col("a.doc_id").alias("da"),
         F.col("b.doc_id").alias("db"),
         F.size(F.array_intersect("a.ws", "b.ws")).alias("i"),
-        F.size("a.ws").alias("na"),
-        F.size("b.ws").alias("nb"),
+        F.col("a.nw").alias("na"),
+        F.col("b.nw").alias("nb"),
     )
     jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
-    return pairs.filter(jac >= 0.8).select(
+    # rand() >= -1 is constant-true but nondeterministic: it stops
+    # Catalyst pushing the expensive jaccard filter into the join
+    # condition, where array_intersect would run (twice) on every
+    # candidate pair instead of only on survivors of the cheap prunes.
+    return pairs.filter((F.rand() >= -1.0) & (jac >= 0.8)).select(
         "da", "db", F.round(jac, 4).alias("jaccard")
     )
 
@@ -217,7 +239,7 @@ def _dot(x, y):
 
 @_q("dd_embedding_cosine", _EMB_COS_ORACLE)
 def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
+    e = _spread(spark, _emb(spark, sf_dir), "vec_id")
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
         b,

@@ -285,6 +285,62 @@ class KnowledgeBase:
     def pairs_for(self, predicate: str) -> list[tuple[str, str]]:
         return self.by_predicate.get(predicate, [])
 
+    def classify_batch(
+        self,
+        texts,
+        threshold: float = 0.5,
+        fallback_k: int = 10,
+    ) -> tuple[list[list[str]], list[list[float]]]:
+        """Vectorized :meth:`classify` over a batch of texts.
+
+        Entity presence is computed with Arrow's C++ substring kernel
+        over the whole lowered batch (one pass per entity instead of a
+        Python loop per row), predicate firing is boolean algebra over
+        the presence matrix, and only fallback rows (nothing fired)
+        drop back to the per-row pseudo-score path. Output is
+        element-wise identical to :meth:`classify` (parity-tested).
+        """
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(list(texts), type=pa.string())
+        low = pc.utf8_lower(arr)
+        n = len(arr)
+        present: dict[str, "np.ndarray"] = {}
+        for _, el in self._entities_lower:
+            mask = pc.match_substring(low, el).to_numpy(
+                zero_copy_only=False
+            )
+            present[el] = np.nan_to_num(mask).astype(bool)
+        preds_out: list[list[str]] = [[] for _ in range(n)]
+        scores_out: list[list[float]] = [[] for _ in range(n)]
+        for predicate in self.predicates:
+            acc = None
+            for s, o in self._pair_keys[predicate]:
+                m = present[s] & present[o]
+                acc = m if acc is None else acc | m
+            if acc is None:
+                continue
+            for i in np.flatnonzero(acc):
+                preds_out[i].append(predicate)
+                scores_out[i].append(1.0)
+        # self.predicates is sorted, so fired lists are already in
+        # (-score, predicate) order (all scores 1.0). Fallback rows:
+        texts_list = arr.to_pylist()
+        for i in range(n):
+            if not preds_out[i]:
+                scored = sorted(
+                    (
+                        (p, _pseudo_score(texts_list[i] or "", p))
+                        for p in self.predicates
+                    ),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[:fallback_k]
+                preds_out[i] = [p for p, _ in scored]
+                scores_out[i] = [s for _, s in scored]
+        return preds_out, scores_out
+
 
 # ---------------------------------------------------------------------------
 # Pure-Python end-to-end reference extractor (parity oracle)

@@ -116,14 +116,20 @@ def classify_stage(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kb = _kb_from_broadcast(kb_broadcast)
+        vectorized = threshold < 1.0  # batch path assumes fired(1.0) > threshold
         for pdf in batches:
-            preds_col, scores_col = [], []
-            for text in pdf["text"]:
-                preds, scores = kb.classify(
-                    text, threshold=threshold, fallback_k=fallback_k
+            if vectorized:
+                preds_col, scores_col = kb.classify_batch(
+                    pdf["text"], threshold=threshold, fallback_k=fallback_k
                 )
-                preds_col.append(preds)
-                scores_col.append(scores)
+            else:
+                preds_col, scores_col = [], []
+                for text in pdf["text"]:
+                    preds, scores = kb.classify(
+                        text, threshold=threshold, fallback_k=fallback_k
+                    )
+                    preds_col.append(preds)
+                    scores_col.append(scores)
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
@@ -353,13 +359,28 @@ def assemble_triples(
     )
 
 
-def collect_spo_lists(triples: DataFrame) -> DataFrame:
+def collect_spo_lists(
+    triples: DataFrame, all_turns: DataFrame | None = None
+) -> DataFrame:
     """Group triples back into per-turn spo_list rows — the JSON output
     shape of produce_submit_json_file.py:298-313 (A7), keyed by
-    (conv_id, turn_idx) instead of raw text."""
+    (conv_id, turn_idx) instead of raw text.
+
+    Passing ``all_turns`` (a transcripts DataFrame) reproduces the
+    keep_empty_spo_list behavior (:289-309): turns that produced no
+    triples appear with an empty spo_list."""
     spo = F.struct(
         "predicate", "subject", "object", "subject_type", "object_type"
     )
-    return triples.groupBy("conv_id", "turn_idx", "text").agg(
+    grouped = triples.groupBy("conv_id", "turn_idx", "text").agg(
         F.array_sort(F.collect_list(spo)).alias("spo_list")
+    )
+    if all_turns is None:
+        return grouped
+    base = all_turns.select("conv_id", "turn_idx", "text")
+    return base.join(
+        grouped.drop("text"), ["conv_id", "turn_idx"], "left"
+    ).withColumn(
+        "spo_list",
+        F.coalesce("spo_list", F.array().cast(grouped.schema["spo_list"].dataType)),
     )

@@ -165,3 +165,31 @@ def test_reference_extract_end_to_end():
     assert ("端脑", "改编自", "端脑", "影视作品", "作品") in triples
     # 碑 is a 1-char subject → its work unit yields no triples.
     assert not [t for t in triples if t[1] == "作者"]
+
+
+def test_classify_batch_parity_with_loop():
+    """Vectorized Arrow-compute classification must equal the per-row
+    path element-wise, including fallback rows and empty strings."""
+    entries = [
+        ("主演", "端脑", "朱元冰"),
+        ("主演", "端脑", "蒋依依"),
+        ("作者", "碑", "维克多·谢阁兰"),
+        ("改编自", "端脑", "端脑"),
+        ("出版社", "碑", "上海人民出版社"),
+        ("relx", "ab", "cd ef"),
+    ]
+    kbase = KnowledgeBase(entries)
+    texts = [
+        DUANNAO_TEXT,
+        BEI_TEXT,
+        "nothing matching here",
+        "",
+        "ab and cd ef together",
+        "AB with CD EF uppercase",
+        DUANNAO_TEXT,  # duplicate row
+    ]
+    bp, bs = kbase.classify_batch(texts)
+    for i, t in enumerate(texts):
+        lp, ls = kbase.classify(t)
+        assert bp[i] == lp, f"row {i}"
+        assert bs[i] == ls, f"row {i}"

@@ -83,3 +83,15 @@ def test_write_spo_json_shape_and_keep_empty(
         "subject_type",
         "object_type",
     } == set(row["spo_list"][0])
+
+
+def test_collect_spo_lists_keep_empty(spark, world, transcripts_pdf):
+    """keep_empty_spo_list parity (produce_submit_json_file.py:289-309):
+    with all_turns provided, every turn appears, empty ones with []."""
+    tdf = spark.createDataFrame(transcripts_pdf, schema=S.TRANSCRIPTS)
+    triples = _triples(spark, world, transcripts_pdf)
+    spo = collect_spo_lists(triples, all_turns=tdf)
+    assert spo.count() == len(transcripts_pdf)
+    empties = spo.filter(F.size("spo_list") == 0).count()
+    with_triples = triples.select("conv_id", "turn_idx").distinct().count()
+    assert empties == len(transcripts_pdf) - with_triples
