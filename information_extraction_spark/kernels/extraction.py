@@ -25,6 +25,17 @@ from collections.abc import Iterable, Mapping
 # ---------------------------------------------------------------------------
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
+def _entity_pattern(needle: str) -> re.Pattern:
+    # The stdlib re module's internal cache holds only 512 patterns;
+    # a KB has thousands of entities, so cache compiled patterns here
+    # (once per Python worker).
+    return re.compile(re.escape(needle), re.IGNORECASE)
+
+
 def find_occurrences(needle: str, haystack: str) -> list[int]:
     """All non-overlapping, case-insensitive match offsets of ``needle``
     in ``haystack``.
@@ -35,8 +46,7 @@ def find_occurrences(needle: str, haystack: str) -> list[int]:
     """
     if not needle:
         return []
-    pattern = re.compile(re.escape(needle), re.IGNORECASE)
-    return [m.start() for m in pattern.finditer(haystack)]
+    return [m.start() for m in _entity_pattern(needle).finditer(haystack)]
 
 
 # ---------------------------------------------------------------------------
@@ -284,6 +294,35 @@ class KnowledgeBase:
 
     def pairs_for(self, predicate: str) -> list[tuple[str, str]]:
         return self.by_predicate.get(predicate, [])
+
+    def bieso_tags_fast(self, text: str, predicate: str) -> list[str]:
+        """Semantically identical to
+        ``bieso_tags(text, self.pairs_for(predicate))`` (parity-tested)
+        but prefilters each pair with a C-speed lowercase substring
+        check before running the regex scans — most pairs of a fired
+        predicate match nothing and skip both finditer calls."""
+        tags = ["O"] * len(text)
+        pairs = self.by_predicate.get(predicate)
+        if not pairs:
+            return tags
+        low = text.lower()
+        for (subject, obj), (sl, ol) in zip(pairs, self._pair_keys[predicate]):
+            s_in = sl in low
+            o_in = ol in low
+            if not s_in and not o_in:
+                continue
+            s_offsets = find_occurrences(subject, text) if s_in else []
+            if subject == obj:
+                o_offsets = [
+                    off for i, off in enumerate(s_offsets) if i % 2 == 1
+                ]
+            else:
+                o_offsets = find_occurrences(obj, text) if o_in else []
+            for off in s_offsets:
+                _mark_span(tags, off, len(subject), "SUB")
+            for off in o_offsets:
+                _mark_span(tags, off, len(obj), "OBJ")
+        return tags
 
     def classify_batch(
         self,

@@ -255,14 +255,12 @@ def tag_decode_stage(fanned: DataFrame, kb_broadcast) -> DataFrame:
     both sides of the emptiness filter — one Python round-trip per
     work unit instead of three.
     """
-    from information_extraction_spark.kernels.extraction import bieso_tags
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kb = _kb_from_broadcast(kb_broadcast)
         for pdf in batches:
             subs_col, objs_col = [], []
             for text, pred in zip(pdf["text"], pdf["predicate"]):
-                tags = bieso_tags(text, kb.pairs_for(pred))
+                tags = kb.bieso_tags_fast(text, pred)
                 subs, objs = decode_bieso(tags, text)
                 subs_col.append(subs)
                 objs_col.append(objs)

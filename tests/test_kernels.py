@@ -193,3 +193,22 @@ def test_classify_batch_parity_with_loop():
         lp, ls = kbase.classify(t)
         assert bp[i] == lp, f"row {i}"
         assert bs[i] == ls, f"row {i}"
+
+
+def test_bieso_tags_fast_parity():
+    """Prefiltered tagging must equal the reference-semantics tagger
+    for every (text, predicate), including sub==obj and misses."""
+    entries = [
+        ("主演", "端脑", "朱元冰"),
+        ("主演", "端脑", "蒋依依"),
+        ("主演", "不在", "也不在"),
+        ("改编自", "端脑", "端脑"),
+        ("作者", "碑", "维克多·谢阁兰"),
+        ("作者", "碑", "不存在的人"),
+    ]
+    kbase = KnowledgeBase(entries)
+    for text in (DUANNAO_TEXT, BEI_TEXT, "no match", ""):
+        for pred in ("主演", "改编自", "作者", "缺席"):
+            assert kbase.bieso_tags_fast(text, pred) == bieso_tags(
+                text, kbase.pairs_for(pred)
+            ), (text[:10], pred)
