@@ -29,6 +29,12 @@ def main() -> int:
     parser.add_argument("--master", default=None)
     parser.add_argument("--replicate", type=int, default=2)
     parser.add_argument("--sf-dir", default=None)
+    parser.add_argument(
+        "--skip-queries",
+        action="store_true",
+        help="only the e2e pipeline (scale_bench's small-N run needs "
+        "nothing else)",
+    )
     args = parser.parse_args()
 
     sf_dir = args.sf_dir or os.environ.get(
@@ -97,6 +103,8 @@ def main() -> int:
         "ta_quality",
         "ta_fingerprint",
     ]
+    if args.skip_queries:
+        bench_queries = []
     for name in bench_queries:
         fn = QUERIES[name]
         t0 = time.time()

@@ -60,13 +60,13 @@ WITH sh AS (
   FROM documents
 ), mh AS (
   SELECT doc_id,
-         min(md5(shingle || '#1')) AS h1,
-         min(md5(shingle || '#2')) AS h2
+         min(md5(shingle || '#1')) || min(md5(shingle || '#2')) AS k1,
+         min(md5(shingle || '#3')) || min(md5(shingle || '#4')) AS k2
   FROM sh GROUP BY doc_id
 )
 SELECT a.doc_id AS da, b.doc_id AS db
 FROM mh a JOIN mh b
-  ON a.doc_id < b.doc_id AND (a.h1 = b.h1 OR a.h2 = b.h2)
+  ON a.doc_id < b.doc_id AND (a.k1 = b.k1 OR a.k2 = b.k2)
 """
 
 
@@ -81,15 +81,50 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr("substring(text, pos, 5)").alias("shingle"))
         .dropDuplicates(["doc_id", "shingle"])
     )
+    def minhash(i: int):
+        return F.min(F.md5(F.concat("shingle", F.lit(f"#{i}"))))
+
+    # 2 bands × r=2 rows: the band key is the CONCATENATION of two
+    # min-hashes, so a bucket holds only docs agreeing on both — bucket
+    # width shrinks exponentially with r (the standard LSH S-curve).
     mh = sh.groupBy("doc_id").agg(
-        F.min(F.md5(F.concat("shingle", F.lit("#1")))).alias("h1"),
-        F.min(F.md5(F.concat("shingle", F.lit("#2")))).alias("h2"),
+        F.concat(minhash(1), minhash(2)).alias("k1"),
+        F.concat(minhash(3), minhash(4)).alias("k2"),
     )
-    a, b = mh.alias("a"), mh.alias("b")
+    # LSH banding proper: unpivot the signature to (band, key) rows and
+    # equi-join on the band bucket. A direct `k1=k1 OR k2=k2` join
+    # cannot hash (OR of equalities) and plans as a nested-loop —
+    # quadratic at scale. Real corpora have monster buckets (this test
+    # corpus has a ~2k-doc near-dup cluster), so the self-join is
+    # SALTED (functions/skew.py pattern): the probe side keeps one
+    # deterministic salt, the build side replicates to every salt, and
+    # one hot bucket's pair generation spreads over n_salt tasks.
+    # Pairs colliding in both bands dedup via first-band-wins (band 2
+    # additionally requires k1 mismatch) — no distinct shuffle.
+    bands = mh.select(
+        "doc_id",
+        "k1",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("band"), F.col("k1").alias("key")),
+                F.struct(F.lit(2).alias("band"), F.col("k2").alias("key")),
+            )
+        ).alias("bh"),
+    ).select("doc_id", "k1", "bh.band", "bh.key")
+    n_salt = spark.sparkContext.defaultParallelism
+    a = bands.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("int")
+    ).alias("a")
+    b = bands.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).alias("b")
     return a.join(
         b,
-        (F.col("a.doc_id") < F.col("b.doc_id"))
-        & ((F.col("a.h1") == F.col("b.h1")) | (F.col("a.h2") == F.col("b.h2"))),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & ((F.col("a.band") == 1) | (F.col("a.k1") != F.col("b.k1"))),
     ).select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
 
 
@@ -182,15 +217,27 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = d.withColumn("nw", F.size("ws"))
     d = _spread(spark, d, "doc_id")  # one parquet split → 1 join task otherwise
-    a, b = d.alias("a"), d.alias("b")
+    # Blocking: |n_chars diff| <= 20 implies floor(n_chars/20) buckets
+    # differ by at most 1, so probing each row against buckets
+    # {b-1, b, b+1} is lossless. This turns a per-language quadratic
+    # nested-loop join (lang is the only equi key, ~O(n²/|langs|)) into
+    # a fine-grained equi-join on (lang, bucket) — the shape that holds
+    # at 100 TB, where each (lang, 20-char-band) block is small and the
+    # shuffle partitions by block key.
+    bucket = F.floor(F.col("n_chars") / 20)
+    a = d.withColumn(
+        "bkt", F.explode(F.array(bucket - 1, bucket, bucket + 1))
+    ).alias("a")
+    b = d.withColumn("bkt", bucket).alias("b")
     size_ratio = (
         F.least(F.col("a.nw"), F.col("b.nw"))
         * 1.0
         / F.greatest(F.col("a.nw"), F.col("b.nw"))
     )
     pairs = a.join(
-        F.broadcast(b),
+        b,
         (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.bkt") == F.col("b.bkt"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20)
         # implied by jaccard >= 0.8 (m/M >= 0.8) — prunes cheaply
