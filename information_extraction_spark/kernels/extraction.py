@@ -324,6 +324,113 @@ class KnowledgeBase:
                 _mark_span(tags, off, len(obj), "OBJ")
         return tags
 
+    def extract_batch(
+        self,
+        texts,
+        threshold: float = 0.5,
+        fallback_k: int = 10,
+    ) -> list[list[tuple[str, list[str], list[str]]]]:
+        """Fused classify → tag → decode over a batch of texts.
+
+        Returns, per input text, the list of (predicate, subjects,
+        objects) work units whose decoded spans are non-empty on BOTH
+        sides — the only units that can produce triples
+        (produce_submit_json_file.py:284-288 needs one subject and one
+        object). Element-wise parity with the staged path
+        ``decode_bieso(bieso_tags_fast(text, p))`` for every predicate
+        ``classify`` would emit, including fallback predicates: a
+        non-fired predicate can still yield triples when one pair
+        matches only its subject and another pair only its object
+        (cross-pair mixing in the shared tag array), so fallback units
+        are tagged too, not skipped.
+
+        Fusion wins over classify_stage → explode → tag_decode_stage:
+        one Arrow round-trip instead of two, the batch presence matrix
+        is reused for pair prefiltering instead of per-row substring
+        scans, and entity match offsets are memoized per text across
+        all its predicates (KB entities recur across pairs).
+        """
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(list(texts), type=pa.string())
+        low = pc.utf8_lower(arr)
+        n = len(arr)
+        present: dict[str, "np.ndarray"] = {}
+        for _, el in self._entities_lower:
+            mask = pc.match_substring(low, el).to_numpy(zero_copy_only=False)
+            present[el] = np.nan_to_num(mask).astype(bool)
+        fired: list[list[str]] = [[] for _ in range(n)]
+        for predicate in self.predicates:
+            acc = None
+            for s, o in self._pair_keys[predicate]:
+                m = present[s] & present[o]
+                acc = m if acc is None else acc | m
+            if acc is None:
+                continue
+            for i in np.flatnonzero(acc):
+                fired[i].append(predicate)
+        texts_list = arr.to_pylist()
+        out: list[list[tuple[str, list[str], list[str]]]] = []
+        for i in range(n):
+            text = texts_list[i] or ""
+            preds = fired[i]
+            if not preds:
+                scored = sorted(
+                    ((p, _pseudo_score(text, p)) for p in self.predicates),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[:fallback_k]
+                preds = [p for p, _ in scored]
+            offs: dict[str, list[int]] = {}
+            per_text: list[tuple[str, list[str], list[str]]] = []
+            for predicate in preds:
+                pairs = self.by_predicate.get(predicate, [])
+                keys = self._pair_keys[predicate]
+                tags: list[str] | None = None
+                for (subject, obj), (sl, ol) in zip(pairs, keys):
+                    s_in = present[sl][i]
+                    o_in = present[ol][i]
+                    if not s_in and not o_in:
+                        continue
+                    if s_in:
+                        s_offsets = offs.get(subject)
+                        if s_offsets is None:
+                            s_offsets = offs[subject] = find_occurrences(
+                                subject, text
+                            )
+                    else:
+                        s_offsets = []
+                    if subject == obj:
+                        o_offsets = [
+                            off
+                            for k, off in enumerate(s_offsets)
+                            if k % 2 == 1
+                        ]
+                    elif o_in:
+                        o_offsets = offs.get(obj)
+                        if o_offsets is None:
+                            o_offsets = offs[obj] = find_occurrences(
+                                obj, text
+                            )
+                    else:
+                        o_offsets = []
+                    if not s_offsets and not o_offsets:
+                        continue
+                    if tags is None:
+                        tags = ["O"] * len(text)
+                    for off in s_offsets:
+                        _mark_span(tags, off, len(subject), "SUB")
+                    for off in o_offsets:
+                        _mark_span(tags, off, len(obj), "OBJ")
+                if tags is None:
+                    continue
+                subjects, objects = decode_bieso(tags, text)
+                if subjects and objects:
+                    per_text.append((predicate, subjects, objects))
+            out.append(per_text)
+        return out
+
     def classify_batch(
         self,
         texts,

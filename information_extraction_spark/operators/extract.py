@@ -280,6 +280,60 @@ def tag_decode_stage(fanned: DataFrame, kb_broadcast) -> DataFrame:
     ).mapInPandas(run, schema=_DECODED_FIELDS)
 
 
+def classify_tag_decode_stage(
+    df: DataFrame,
+    kb_broadcast,
+    threshold: float = THRESHOLD,
+    fallback_k: int = FALLBACK_K,
+) -> DataFrame:
+    """Fully fused stage-1+2 fast path: classify → fan out → tag →
+    decode in ONE mapInPandas pass (KnowledgeBase.extract_batch).
+
+    Emits only work units whose decoded spans are non-empty on both
+    sides — the only units that can produce triples; assemble_triples
+    re-filters after its dedup/length pass, so
+    ``assemble_triples(classify_tag_decode_stage(x))`` is triple-exact
+    with the staged ``classify_stage → fanout_predicates →
+    tag_decode_stage`` path (parity-tested). Only valid for
+    0.5 <= threshold < 1.0 (the kernel's fired/fallback split assumes
+    hit score 1.0 fires and pseudo-scores < 0.5 never do) — the
+    pipeline falls back to the staged path otherwise.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kb = _kb_from_broadcast(kb_broadcast)
+        for pdf in batches:
+            per_row = kb.extract_batch(
+                pdf["text"], threshold=threshold, fallback_k=fallback_k
+            )
+            conv, ti, tx, pr, su, ob = [], [], [], [], [], []
+            for cid, t, text, units in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], per_row
+            ):
+                for predicate, subjects, objects in units:
+                    conv.append(cid)
+                    ti.append(t)
+                    tx.append(text)
+                    pr.append(predicate)
+                    su.append(subjects)
+                    ob.append(objects)
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv,
+                    "turn_idx": pd.array(ti, dtype="Int32"),
+                    "text": tx,
+                    "predicate": pr,
+                    "subjects": su,
+                    "objects": ob,
+                }
+            )
+
+    pruned = df.select("conv_id", "turn_idx", "text").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    return pruned.mapInPandas(run, schema=_DECODED_FIELDS)
+
+
 def first_listed_schema(schemas_df: DataFrame) -> DataFrame:
     """Collapse the 50-row schema dim to first-listed
     (subject_type, object_type) per predicate — the reference takes

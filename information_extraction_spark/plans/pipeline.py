@@ -20,6 +20,7 @@ from information_extraction_spark.operators.extract import (
     assemble_triples,
     broadcast_kb,
     classify_stage,
+    classify_tag_decode_stage,
     decode_stage,
     fanout_predicates,
     ordered_transcripts,
@@ -68,18 +69,31 @@ def extract_triples(
             kernel_partitions, "conv_id", "turn_idx"
         )
     ordered = ordered_transcripts(transcripts)
-    classified = classify_stage(
-        ordered, kb_bc, threshold=threshold, fallback_k=fallback_k
-    )
     if checkpointer is not None:
-        classified = checkpointer.stage(classified, "classified")
-    fanned = fanout_predicates(classified)
-    if checkpointer is not None:
-        # Resumable variant: materialize the tag stage separately.
+        # Resumable variant: materialize each stage separately.
+        classified = checkpointer.stage(
+            classify_stage(
+                ordered, kb_bc, threshold=threshold, fallback_k=fallback_k
+            ),
+            "classified",
+        )
+        fanned = fanout_predicates(classified)
         tagged = checkpointer.stage(tag_stage(fanned, kb_bc), "tagged")
         decoded = decode_stage(tagged)
+    elif 0.5 <= threshold < 1.0:
+        # Fully fused fast path: classify+fanout+tag+decode in one
+        # Arrow round-trip (triple-exact with the staged path; the
+        # fused kernel's fired/fallback split assumes the default
+        # threshold regime — see classify_tag_decode_stage).
+        decoded = classify_tag_decode_stage(
+            ordered, kb_bc, threshold=threshold, fallback_k=fallback_k
+        )
     else:
-        # Fused fast path (one Arrow round-trip for tag+decode).
+        classified = classify_stage(
+            ordered, kb_bc, threshold=threshold, fallback_k=fallback_k
+        )
+        fanned = fanout_predicates(classified)
+        # Fused tag+decode (one Arrow round-trip).
         decoded = tag_decode_stage(fanned, kb_bc)
     triples = assemble_triples(decoded, schemas)
     if checkpointer is not None:

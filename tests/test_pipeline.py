@@ -89,3 +89,30 @@ def test_dual_schema_predicate_first_listed_wins(spark, world, transcripts_pdf):
     dual = got[got.predicate == "成立日期"]
     assert len(dual) > 0
     assert set(dual.subject_type) == {"机构"}
+
+
+def test_fused_path_matches_staged_path(spark, world, transcripts_pdf):
+    """The fully fused classify+tag+decode kernel must be triple-exact
+    with the staged classify → fanout → tag+decode path, including on
+    the NOISY KB (dropped + spurious entries exercise the fallback
+    top-k and cross-pair one-sided-match corners that the clean-KB
+    golden test cannot reach)."""
+    from information_extraction_spark.operators import extract as ex
+
+    for kb_pdf in (world.kb_clean, world.kb_noisy):
+        tdf = spark.createDataFrame(transcripts_pdf, schema=S.TRANSCRIPTS)
+        kb = spark.createDataFrame(kb_pdf, schema=S.KNOWLEDGE_BASE)
+        sch = spark.createDataFrame(world.schemas, schema=S.RELATION_SCHEMAS)
+        kb_bc = ex.broadcast_kb(spark, kb)
+        ordered = ex.ordered_transcripts(tdf)
+        staged = ex.assemble_triples(
+            ex.tag_decode_stage(
+                ex.fanout_predicates(ex.classify_stage(ordered, kb_bc)), kb_bc
+            ),
+            sch,
+        ).toPandas()
+        fused = ex.assemble_triples(
+            ex.classify_tag_decode_stage(ordered, kb_bc), sch
+        ).toPandas()
+        assert _key_set(fused) == _key_set(staged)
+        assert len(fused) == len(staged)
