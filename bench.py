@@ -95,6 +95,8 @@ def main() -> int:
         "dd_ngram_jaccard",
         "dd_embedding_cosine",
         "ann_cosine_topk",
+        "ann_lsh_bucketed",
+        "ta_langid",
         "w1_stable_turn_order",
         "w2_sessionize",
         "j1_broadcast_dim_join",

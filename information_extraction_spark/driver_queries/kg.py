@@ -127,7 +127,34 @@ def kg_spo_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("kg_entity_linking")  # rows-only: iterative CC not SQL-expressible
+_LINKING_ORACLE = """
+WITH RECURSIVE vocab AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+), v AS (
+  SELECT w, row_number() OVER (ORDER BY w) - 1 AS i
+  FROM vocab WHERE length(w) >= 2
+), e0 AS (
+  SELECT lower(a.w) AS src, lower(b.w) AS dst
+  FROM v a JOIN v b ON b.i = a.i + 1
+  WHERE a.i % 3 <> 2
+), e AS (
+  SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+), reach (node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+)
+SELECT node AS surface, min(r) AS canonical_id
+FROM reach GROUP BY node
+"""
+
+
+# Oracle: the iterative hash-min CC equals min-over-reachability, which
+# DuckDB expresses as a recursive CTE (transitive closure is fine here:
+# alias components are tiny by construction).
+@_q("kg_entity_linking", _LINKING_ORACLE)
 def kg_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components canonicalization over a deterministic
     alias graph synthesized from the corpus vocabulary (chains

@@ -78,3 +78,99 @@ def start_streaming_extraction(
         .option("checkpointLocation", checkpoint_path)
         .start()
     )
+
+
+def start_conversation_sessions(
+    stream: DataFrame,
+    query_name: str = "conv_sessions",
+    watermark: str = "10 minutes",
+    gap_seconds: int = 300,
+):
+    """Custom stateful operator (applyInPandasWithState): per-
+    conversation running session stats with event-time timeout.
+
+    The reference has no streaming at all (SURVEY.md §2.8); this is
+    the Spark-native shape for "conversation-level rollups over an
+    unbounded transcript stream": state per conv_id accumulates
+    (n_turns, n_chars, first/last event time) across micro-batches,
+    emits an updated row per batch, and when the watermark passes
+    last_ts + gap the conversation times out and emits a final row
+    with closed=true, freeing its state — bounded memory at any
+    number of conversations, because state lives in the state store
+    keyed by conv_id and expires by event time, never wall clock
+    (deterministic under replay/resume).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def track(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n_turns, n_chars, first_ts, last_ts = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "conv_id": conv_id,
+                        "n_turns": n_turns,
+                        "n_chars": n_chars,
+                        "first_ts": first_ts,
+                        "last_ts": last_ts,
+                        "closed": True,
+                    }
+                ]
+            )
+            return
+        if state.exists:
+            n_turns, n_chars, first_ts, last_ts = state.get
+        else:
+            n_turns, n_chars, first_ts, last_ts = 0, 0, None, None
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_chars += int(pdf["text"].fillna("").str.len().sum())
+            ts = pd.to_datetime(pdf["ts"])
+            lo = int(ts.min().timestamp())
+            hi = int(ts.max().timestamp())
+            first_ts = lo if first_ts is None else min(first_ts, lo)
+            last_ts = hi if last_ts is None else max(last_ts, hi)
+        state.update((n_turns, n_chars, first_ts, last_ts))
+        state.setTimeoutTimestamp((last_ts + gap_seconds) * 1000)
+        yield pd.DataFrame(
+            [
+                {
+                    "conv_id": conv_id,
+                    "n_turns": n_turns,
+                    "n_chars": n_chars,
+                    "first_ts": first_ts,
+                    "last_ts": last_ts,
+                    "closed": False,
+                }
+            ]
+        )
+
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType=(
+                "conv_id string, n_turns bigint, n_chars bigint, "
+                "first_ts bigint, last_ts bigint, closed boolean"
+            ),
+            stateStructType=(
+                "n_turns bigint, n_chars bigint, "
+                "first_ts bigint, last_ts bigint"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -71,3 +71,70 @@ def test_streaming_extraction_matches_batch(
         )
     )
     assert streamed == batch
+
+
+def test_stateful_conversation_sessions(spark, tmp_dir):
+    """applyInPandasWithState: per-conv state accumulates across
+    micro-batches and closes by EVENT-time timeout once the watermark
+    passes last_ts + gap (deterministic — no wall clock)."""
+    import pandas as pd
+
+    from information_extraction_spark.streaming.ingest import (
+        start_conversation_sessions,
+    )
+
+    src = os.path.join(tmp_dir, "stream_src3")
+    os.makedirs(src, exist_ok=True)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def turns(conv, n, t0):
+        return pd.DataFrame(
+            {
+                "conv_id": [conv] * n,
+                "turn_idx": range(n),
+                "role": ["user"] * n,
+                "text": ["hello world"] * n,
+                "tool": [None] * n,
+                "ts": [t0 + pd.Timedelta(seconds=10 * i) for i in range(n)],
+            }
+        )
+
+    def write_chunk(pdf, name):
+        spark.createDataFrame(pdf, schema=S.TRANSCRIPTS).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, name))
+
+    # applyInPandasWithState needs the files fed incrementally; point
+    # the reader at a glob of subdirs so each chunk is a new batch.
+    write_chunk(
+        pd.concat([turns("c1", 3, base), turns("c2", 2, base)]), "chunk1"
+    )
+    from information_extraction_spark.streaming.ingest import (
+        read_transcript_stream,
+    )
+
+    stream = spark.readStream.schema(S.TRANSCRIPTS).option(
+        "recursiveFileLookup", "true"
+    ).parquet(src)
+    q = start_conversation_sessions(
+        stream, query_name="cs_test", watermark="1 minute", gap_seconds=60
+    )
+    try:
+        q.processAllAvailable()
+        # Batch 2: late traffic 1h later advances the watermark.
+        write_chunk(turns("c3", 1, base + pd.Timedelta(hours=1)), "chunk2")
+        q.processAllAvailable()
+        # Batch 3: triggers timeout processing under the new watermark.
+        write_chunk(turns("c4", 1, base + pd.Timedelta(hours=2)), "chunk3")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM cs_test").collect()
+    finally:
+        q.stop()
+    live = {(r.conv_id, r.n_turns) for r in rows if not r.closed}
+    closed = {(r.conv_id, r.n_turns, r.n_chars) for r in rows if r.closed}
+    assert ("c1", 3) in live and ("c2", 2) in live
+    # c1/c2 timed out and emitted final summaries with state removed.
+    assert ("c1", 3, 3 * len("hello world")) in closed
+    assert ("c2", 2, 2 * len("hello world")) in closed
+    # Freshest conversation is still open.
+    assert not any(r.conv_id == "c4" and r.closed for r in rows)
