@@ -286,7 +286,12 @@ def _dot(x, y):
 
 @_q("dd_embedding_cosine", _EMB_COS_ORACLE)
 def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _spread(spark, _emb(spark, sf_dir), "vec_id")
+    # Norms are per-ROW, so hoist them above the self-join — computing
+    # sqrt(dot(e,e)) inside the pair expression would redo an O(dim)
+    # scan per PAIR (quadratic work for a linear quantity).
+    e = _spread(spark, _emb(spark, sf_dir), "vec_id").withColumn(
+        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
         b,
@@ -297,11 +302,10 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.vec_id").alias("vb"),
         F.col("a.embedding").alias("ea"),
         F.col("b.embedding").alias("eb"),
+        F.col("a.nrm").alias("na"),
+        F.col("b.nrm").alias("nb"),
     )
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_dot(F.col("ea"), F.col("ea")))
-        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
-    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cos4", F.round(cos, 4))
         .filter(F.col("cos4") >= 0.3)
@@ -337,13 +341,17 @@ WHERE rnk <= 10
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    import math
+
     e = _emb(spark, sf_dir)
     qrow = e.orderBy("vec_id").limit(1).collect()[0]
     qvec = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
+    # The query norm is a constant — compute it driver-side instead of
+    # re-evaluating an O(dim) aggregate per scanned row.
+    qnorm = math.sqrt(sum(float(v) * float(v) for v in qrow["embedding"]))
     qid = qrow["vec_id"]
     cos = _dot(F.col("embedding"), qvec) / (
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(_dot(qvec, qvec))
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.lit(qnorm)
     )
     scored = (
         e.filter(F.col("vec_id") != qid)
