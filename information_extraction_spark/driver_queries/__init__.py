@@ -4,10 +4,16 @@ stages). Aggregated registry consumed by __spark_entry__.py."""
 
 from __future__ import annotations
 
-from information_extraction_spark.driver_queries import core, core2, kg, textdata
+from information_extraction_spark.driver_queries import (
+    core,
+    core2,
+    core3,
+    kg,
+    textdata,
+)
 
 QUERIES = {}
 ORACLES = {}
-for mod in (core, core2, kg, textdata):
+for mod in (core, core2, core3, kg, textdata):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,137 @@
+"""Third batch of oracle-checked operator queries: postag expansion
+(P2, labeling/dataset.py:12-27) and vocab index + truncate + left-pad
+(P8/P9, classification/dataset.py:65-76) — the projections that were
+previously covered only by kernel unit tests, expressed as DataFrame
+higher-order-function plans with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- P2: postag expansion (repeat each word's POS per character so the
+# POS sequence aligns 1:1 with chars, labeling/dataset.py:12-27).
+# POS here is a deterministic surrogate (no gold postag in the test
+# corpus): 'n' for words of >= 5 chars else 'v'.
+
+
+@_q(
+    "p2_postag_expand",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), t AS (
+      SELECT doc_id,
+             CASE WHEN length(word) >= 5 THEN 'n' ELSE 'v' END AS pos,
+             length(word) AS n
+      FROM w WHERE word <> ''
+    )
+    SELECT doc_id, pos, CAST(sum(n) AS BIGINT) AS n_chars
+    FROM t GROUP BY doc_id, pos
+    """,
+)
+def p2_postag_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    # The actual expansion operator: one POS repeated per character of
+    # its word, flattened — all JVM higher-order functions, no UDF.
+    expanded = F.flatten(
+        F.transform(
+            words,
+            lambda w: F.array_repeat(
+                F.when(F.length(w) >= 5, "n").otherwise("v"),
+                F.length(w).cast("int"),
+            ),
+        )
+    )
+    return (
+        d.select("doc_id", F.explode(expanded).alias("pos"))
+        .groupBy("doc_id", "pos")
+        .agg(F.count("*").cast("long").alias("n_chars"))
+    )
+
+
+# --- P8/P9: vocab index + truncate to max len + LEFT-pad
+# (classification left-pads: [pad]*(n-len) + ids,
+# classification/dataset.py:65-76; truncate dataset_bert.py:32).
+
+_MAX_TOKENS = 12
+_PAD_TO = 16
+
+_PAD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t
+), vocab AS (
+  SELECT word, row_number() OVER (ORDER BY word) AS id
+  FROM (SELECT DISTINCT word FROM toks) v
+), k AS (
+  SELECT doc_id, least(count(*), {_MAX_TOKENS}) AS k
+  FROM toks GROUP BY doc_id
+), slots AS (
+  SELECT doc_id, k, unnest(range(1, {_PAD_TO} + 1)) AS s FROM k
+), ids AS (
+  SELECT t.doc_id, t.i, v.id
+  FROM toks t JOIN vocab v USING (word)
+  WHERE t.i <= {_MAX_TOKENS}
+)
+SELECT s.doc_id, CAST(s.s AS BIGINT) AS slot,
+       CAST(coalesce(i.id, 0) AS BIGINT) AS token_id
+FROM slots s LEFT JOIN ids i
+  ON i.doc_id = s.doc_id AND i.i = s.s - ({_PAD_TO} - s.k)
+"""
+
+
+@_q("p8_index_pad", _PAD_ORACLE)
+def p8_index_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "word")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "word")
+    vocab = (
+        toks.select("word")
+        .distinct()
+        .withColumn(
+            "id", F.row_number().over(Window.orderBy("word")).cast("long")
+        )
+    )
+    # Vocab is a dimension (J2) — broadcast, never a shuffle join.
+    indexed = (
+        toks.filter(F.col("i") <= _MAX_TOKENS)
+        .join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "id"))),
+                lambda x: x["id"],
+            ).alias("ids")
+        )
+    )
+    # The actual P8 operator: LEFT-pad with 0 to the fixed length.
+    padded = F.concat(
+        F.array_repeat(F.lit(0).cast("long"), _PAD_TO - F.size("ids")),
+        F.col("ids"),
+    )
+    return indexed.select(
+        "doc_id", F.posexplode(padded).alias("s0", "token_id")
+    ).select("doc_id", (F.col("s0") + 1).cast("long").alias("slot"), "token_id")
