@@ -266,6 +266,28 @@ class KnowledgeBase:
             pred: [(s.lower(), o.lower()) for s, o in pairs]
             for pred, pairs in self.by_predicate.items()
         }
+        # Fallback top-k is a pure function of (text, k); corpora are
+        # duplicate-heavy (and the bench replicates its corpus), so
+        # memoize per KB instance. Bounded: cleared when oversized.
+        self._fallback_cache: dict[tuple[str, int], tuple[list, list]] = {}
+
+    def _fallback(
+        self, text: str, fallback_k: int
+    ) -> tuple[list[str], list[float]]:
+        """Top-``fallback_k`` pseudo-scored predicates for a text where
+        nothing fired (prepare_data_for_labeling_infer.py:23-33)."""
+        key = (text, fallback_k)
+        hit = self._fallback_cache.get(key)
+        if hit is None:
+            scored = sorted(
+                ((p, _pseudo_score(text, p)) for p in self.predicates),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:fallback_k]
+            hit = ([p for p, _ in scored], [s for _, s in scored])
+            if len(self._fallback_cache) > 100_000:
+                self._fallback_cache.clear()
+            self._fallback_cache[key] = hit
+        return hit
 
     def entities_present(self, text: str) -> set[str]:
         """Lowercased entities occurring (case-insensitively) in text."""
@@ -377,11 +399,7 @@ class KnowledgeBase:
             text = texts_list[i] or ""
             preds = fired[i]
             if not preds:
-                scored = sorted(
-                    ((p, _pseudo_score(text, p)) for p in self.predicates),
-                    key=lambda kv: (-kv[1], kv[0]),
-                )[:fallback_k]
-                preds = [p for p, _ in scored]
+                preds = self._fallback(text, fallback_k)[0]
             offs: dict[str, list[int]] = {}
             per_text: list[tuple[str, list[str], list[str]]] = []
             for predicate in preds:
@@ -476,15 +494,9 @@ class KnowledgeBase:
         texts_list = arr.to_pylist()
         for i in range(n):
             if not preds_out[i]:
-                scored = sorted(
-                    (
-                        (p, _pseudo_score(texts_list[i] or "", p))
-                        for p in self.predicates
-                    ),
-                    key=lambda kv: (-kv[1], kv[0]),
-                )[:fallback_k]
-                preds_out[i] = [p for p, _ in scored]
-                scores_out[i] = [s for _, s in scored]
+                preds_out[i], scores_out[i] = self._fallback(
+                    texts_list[i] or "", fallback_k
+                )
         return preds_out, scores_out
 
 
