@@ -87,6 +87,37 @@ def main() -> int:
         e2e_sec = min(e2e_sec, time.time() - t0)
     timings["kg_extract_e2e"] = round(e2e_sec, 3)
 
+    if not args.skip_queries:
+        # Full north-rule pipeline: extraction + alias-CC
+        # canonicalization + partitioned graph write (the write is the
+        # real sink, not a count, so shuffle + IO cost is included).
+        from information_extraction_spark.operators.linking import (
+            canonicalize_triples,
+        )
+        from information_extraction_spark.sources.from_documents import (
+            vocabulary,
+        )
+        from information_extraction_spark.sources.tables import write_graph
+
+        vocab = vocabulary(spark, sf_dir)
+        alias_pairs = [
+            (vocab[i], vocab[i + 1])
+            for i in range(len(vocab) - 1)
+            if i % 3 != 2
+        ]
+        alias_df = spark.createDataFrame(
+            alias_pairs, "canonical string, alias string"
+        )
+        graph_dir = os.path.join(
+            tempfile.gettempdir(), f"ie_bench_graph_{sf}_{args.replicate}"
+        )
+        t0 = time.time()
+        canonical = canonicalize_triples(
+            extract_triples(spark, transcripts, kb, schemas), alias_df
+        )
+        write_graph(canonical, graph_dir)
+        timings["kg_link_write_e2e"] = round(time.time() - t0, 3)
+
     # Representative operator queries (forced with count()).
     bench_queries = [
         "kg_classify",
