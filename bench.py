@@ -95,18 +95,14 @@ def main() -> int:
             canonicalize_triples,
         )
         from information_extraction_spark.sources.from_documents import (
+            alias_chain_pairs,
             vocabulary,
         )
         from information_extraction_spark.sources.tables import write_graph
 
-        vocab = vocabulary(spark, sf_dir)
-        alias_pairs = [
-            (vocab[i], vocab[i + 1])
-            for i in range(len(vocab) - 1)
-            if i % 3 != 2
-        ]
         alias_df = spark.createDataFrame(
-            alias_pairs, "canonical string, alias string"
+            alias_chain_pairs(vocabulary(spark, sf_dir)),
+            "canonical string, alias string",
         )
         graph_dir = os.path.join(
             tempfile.gettempdir(), f"ie_bench_graph_{sf}_{args.replicate}"

@@ -160,14 +160,10 @@ def kg_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     alias graph synthesized from the corpus vocabulary (chains
     word[i] → word[i+1] for every third word)."""
     from information_extraction_spark.sources.from_documents import (
+        alias_chain_pairs,
         vocabulary,
     )
 
-    vocab = vocabulary(spark, sf_dir)
-    pairs = [
-        (vocab[i], vocab[i + 1])
-        for i in range(len(vocab) - 1)
-        if i % 3 != 2  # break every third edge → several components
-    ]
+    pairs = alias_chain_pairs(vocabulary(spark, sf_dir))
     alias_df = spark.createDataFrame(pairs, "canonical string, alias string")
     return canonical_mapping(alias_df).orderBy("surface")

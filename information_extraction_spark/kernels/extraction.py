@@ -357,6 +357,35 @@ class KnowledgeBase:
                 _mark_span(tags, off, len(obj), "OBJ")
         return tags
 
+    def _presence_and_fired(self, texts):
+        """Batch entity-presence matrix (Arrow's C++ substring kernel
+        over the lowered batch) and per-row fired predicates (those
+        with some pair fully present). Shared by :meth:`classify_batch`
+        and :meth:`extract_batch` so the staged and fused paths cannot
+        drift. Returns (texts_list, present, fired)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(list(texts), type=pa.string())
+        low = pc.utf8_lower(arr)
+        n = len(arr)
+        present: dict[str, "np.ndarray"] = {}
+        for _, el in self._entities_lower:
+            mask = pc.match_substring(low, el).to_numpy(zero_copy_only=False)
+            present[el] = np.nan_to_num(mask).astype(bool)
+        fired: list[list[str]] = [[] for _ in range(n)]
+        for predicate in self.predicates:
+            acc = None
+            for s, o in self._pair_keys[predicate]:
+                m = present[s] & present[o]
+                acc = m if acc is None else acc | m
+            if acc is None:
+                continue
+            for i in np.flatnonzero(acc):
+                fired[i].append(predicate)
+        return arr.to_pylist(), present, fired
+
     def extract_batch(
         self,
         texts,
@@ -383,28 +412,8 @@ class KnowledgeBase:
         scans, and entity match offsets are memoized per text across
         all its predicates (KB entities recur across pairs).
         """
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        arr = pa.array(list(texts), type=pa.string())
-        low = pc.utf8_lower(arr)
-        n = len(arr)
-        present: dict[str, "np.ndarray"] = {}
-        for _, el in self._entities_lower:
-            mask = pc.match_substring(low, el).to_numpy(zero_copy_only=False)
-            present[el] = np.nan_to_num(mask).astype(bool)
-        fired: list[list[str]] = [[] for _ in range(n)]
-        for predicate in self.predicates:
-            acc = None
-            for s, o in self._pair_keys[predicate]:
-                m = present[s] & present[o]
-                acc = m if acc is None else acc | m
-            if acc is None:
-                continue
-            for i in np.flatnonzero(acc):
-                fired[i].append(predicate)
-        texts_list = arr.to_pylist()
+        texts_list, present, fired = self._presence_and_fired(texts)
+        n = len(texts_list)
         out: list[list[tuple[str, list[str], list[str]]]] = []
         for i in range(n):
             text = texts_list[i] or ""
@@ -475,35 +484,12 @@ class KnowledgeBase:
         drop back to the per-row pseudo-score path. Output is
         element-wise identical to :meth:`classify` (parity-tested).
         """
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        arr = pa.array(list(texts), type=pa.string())
-        low = pc.utf8_lower(arr)
-        n = len(arr)
-        present: dict[str, "np.ndarray"] = {}
-        for _, el in self._entities_lower:
-            mask = pc.match_substring(low, el).to_numpy(
-                zero_copy_only=False
-            )
-            present[el] = np.nan_to_num(mask).astype(bool)
-        preds_out: list[list[str]] = [[] for _ in range(n)]
-        scores_out: list[list[float]] = [[] for _ in range(n)]
-        for predicate in self.predicates:
-            acc = None
-            for s, o in self._pair_keys[predicate]:
-                m = present[s] & present[o]
-                acc = m if acc is None else acc | m
-            if acc is None:
-                continue
-            for i in np.flatnonzero(acc):
-                preds_out[i].append(predicate)
-                scores_out[i].append(1.0)
+        texts_list, _, fired = self._presence_and_fired(texts)
         # self.predicates is sorted, so fired lists are already in
         # (-score, predicate) order (all scores 1.0). Fallback rows:
-        texts_list = arr.to_pylist()
-        for i in range(n):
+        preds_out: list[list[str]] = fired
+        scores_out: list[list[float]] = [[1.0] * len(f) for f in fired]
+        for i in range(len(texts_list)):
             if not preds_out[i]:
                 preds_out[i], scores_out[i] = self._fallback(
                     texts_list[i] or "", fallback_k

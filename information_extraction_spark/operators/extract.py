@@ -116,7 +116,10 @@ def classify_stage(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kb = _kb_from_broadcast(kb_broadcast)
-        vectorized = threshold < 1.0  # batch path assumes fired(1.0) > threshold
+        # The batch path assumes fired(1.0) > threshold AND that no
+        # pseudo-score (< 0.5) clears it; outside [0.5, 1.0) fall back
+        # to the exact per-row classify.
+        vectorized = 0.5 <= threshold < 1.0
         for pdf in batches:
             if vectorized:
                 preds_col, scores_col = kb.classify_batch(
@@ -297,8 +300,15 @@ def classify_tag_decode_stage(
     tag_decode_stage`` path (parity-tested). Only valid for
     0.5 <= threshold < 1.0 (the kernel's fired/fallback split assumes
     hit score 1.0 fires and pseudo-scores < 0.5 never do) — the
-    pipeline falls back to the staged path otherwise.
+    pipeline falls back to the staged path otherwise, and a direct
+    caller outside that regime gets a ValueError rather than silently
+    different predicate sets.
     """
+    if not (0.5 <= threshold < 1.0):
+        raise ValueError(
+            "classify_tag_decode_stage requires 0.5 <= threshold < 1.0; "
+            f"got {threshold} — use classify_stage + tag_decode_stage"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kb = _kb_from_broadcast(kb_broadcast)

@@ -100,6 +100,20 @@ def vocabulary(spark: SparkSession, sf_dir: str) -> list[str]:
     return [r["word"] for r in rows]
 
 
+def alias_chain_pairs(vocab: list[str]) -> list[tuple[str, str]]:
+    """Deterministic (canonical, alias) chain over the sorted vocab:
+    word[i] → word[i+1] with every third edge broken, yielding many
+    small components. Single source of truth for the alias graph the
+    kg_entity_linking query, its recursive-CTE oracle, and bench.py's
+    linking stage all share — change the chain rule here and nowhere
+    else (the oracle SQL mirrors it and is cross-checked per round)."""
+    return [
+        (vocab[i], vocab[i + 1])
+        for i in range(len(vocab) - 1)
+        if i % 3 != 2
+    ]
+
+
 def top_bigrams(
     spark: SparkSession, sf_dir: str, n: int = N_BIGRAMS
 ) -> list[str]:

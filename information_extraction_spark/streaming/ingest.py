@@ -152,7 +152,12 @@ def start_conversation_sessions(
         )
 
     sessions = (
-        stream.withWatermark("ts", watermark)
+        # Null event times can't participate in watermarking (and are
+        # NOT dropped by it: null < watermark is null); without this
+        # filter an all-null-ts group would reach track() as NaT and
+        # kill the query on int(NaT.timestamp()).
+        stream.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
             track,

@@ -104,15 +104,16 @@ def test_stateful_conversation_sessions(spark, tmp_dir):
             "overwrite"
         ).parquet(os.path.join(src, name))
 
-    # applyInPandasWithState needs the files fed incrementally; point
-    # the reader at a glob of subdirs so each chunk is a new batch.
+    # Each chunk subdir becomes its own micro-batch for the file
+    # source (recursiveFileLookup picks up new subdirs). A null-ts
+    # turn rides along: it must be excluded from session state (a NaT
+    # reaching the state function would kill the query) — c1 still
+    # counts 3 turns.
+    nullts = turns("c1", 1, base).assign(turn_idx=[99], ts=[pd.NaT])
     write_chunk(
-        pd.concat([turns("c1", 3, base), turns("c2", 2, base)]), "chunk1"
+        pd.concat([turns("c1", 3, base), turns("c2", 2, base), nullts]),
+        "chunk1",
     )
-    from information_extraction_spark.streaming.ingest import (
-        read_transcript_stream,
-    )
-
     stream = spark.readStream.schema(S.TRANSCRIPTS).option(
         "recursiveFileLookup", "true"
     ).parquet(src)
