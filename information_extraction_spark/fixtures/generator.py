@@ -404,7 +404,14 @@ def write_fixtures(
     world.kb_clean.to_parquet(f"{out_dir}/kb_clean.parquet", index=False)
     world.kb_noisy.to_parquet(f"{out_dir}/kb_noisy.parquet", index=False)
     world.alias_dict.to_parquet(f"{out_dir}/alias_dict.parquet", index=False)
-    transcripts.to_parquet(f"{out_dir}/transcripts.parquet", index=False)
+    # Spark 4 rejects TIMESTAMP(NANOS) parquet outright — write the
+    # ts column at Spark-canonical microsecond precision.
+    transcripts.to_parquet(
+        f"{out_dir}/transcripts.parquet",
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
     if with_golden:
         golden = compute_golden(world, transcripts)
         golden.to_parquet(f"{out_dir}/golden_triples.parquet", index=False)

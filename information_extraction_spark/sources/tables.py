@@ -17,20 +17,38 @@ from pyspark.sql import functions as F
 from information_extraction_spark import schemas as S
 
 
+def _read_as(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read Parquet as written, then project + cast to the canonical
+    schema. Forcing the schema at read time fails fast on benign
+    physical-type differences (e.g. pandas/pyarrow writers emit
+    ns-precision timestamps and INT64 ids where the canonical schema
+    says timestamp/int32); Parquet is self-describing, so casting
+    after the scan accepts any writer. Column pruning still reaches
+    the scan — the projection names exactly the canonical columns —
+    and trivial casts (string→string) are elided by Catalyst."""
+    df = spark.read.parquet(path)
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.schema(S.TRANSCRIPTS).parquet(path)
+    return _read_as(spark, path, S.TRANSCRIPTS)
 
 
 def read_schemas(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.schema(S.RELATION_SCHEMAS).parquet(path)
+    return _read_as(spark, path, S.RELATION_SCHEMAS)
 
 
 def read_kb(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.schema(S.KNOWLEDGE_BASE).parquet(path)
+    return _read_as(spark, path, S.KNOWLEDGE_BASE)
 
 
 def read_alias_dict(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.schema(S.ALIAS_DICT).parquet(path)
+    return _read_as(spark, path, S.ALIAS_DICT)
 
 
 def read_alias_tsv(spark: SparkSession, path: str) -> DataFrame:
