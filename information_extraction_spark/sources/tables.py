@@ -87,6 +87,10 @@ def write_graph(
             F.pmod(F.xxhash64("predicate"), F.lit(predicate_buckets)).cast("int"),
         )
         .repartition("pred_bucket")
+        # Sorted files: predicate/subject runs compress (dictionary +
+        # RLE) and parquet row-group min/max stats prune
+        # single-predicate/entity reads within a bucket.
+        .sortWithinPartitions("predicate", "subject", "object")
         .write.mode(mode)
         .partitionBy("pred_bucket")
         .parquet(path)
