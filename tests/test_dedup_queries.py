@@ -1,0 +1,143 @@
+"""Adversarial checks for the blocked/salted dedup queries: the
+driver's DuckDB oracle runs them on the fixed test corpus only, so
+these tests pit the scale-shaped implementations (banded salted
+MinHash-LSH, length-band-blocked Jaccard) against brute-force Spark
+implementations of the same definitions on corpora crafted to hit the
+edges — empty text, sub-shingle-length docs, exact duplicates, case
+variants, and pairs sitting exactly on the 20-char length window.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from information_extraction_spark.driver_queries.textdata import (
+    dd_minhash_lsh,
+    dd_ngram_jaccard,
+)
+
+
+def _adversarial_docs() -> pd.DataFrame:
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "ion", "muon", "tau"]
+    rows = []
+    # Random docs, several near-identical clusters, case variants.
+    for i in range(120):
+        n = rng.randint(1, 12)
+        text = " ".join(rng.choice(words) for _ in range(n))
+        rows.append(text)
+    base = " ".join(words)
+    rows += [base] * 5  # exact duplicates
+    rows += [base.upper(), base.title()]  # case variants
+    rows += ["", "ab", "abcd", "abcde"]  # empty / below shingle width
+    # Pairs exactly at the ±20 n_chars boundary of the Jaccard window.
+    rows += ["x" * 30, "x" * 50, "x" * 51]
+    return pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "text": rows,
+            "lang": [("en" if i % 3 else "de") for i in range(len(rows))],
+            "source": ["t"] * len(rows),
+            "n_chars": [len(t) for t in rows],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def adv_sf_dir(spark, tmp_dir):
+    d = os.path.join(tmp_dir, "adv_sf")
+    pdf = _adversarial_docs()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    return d
+
+
+def test_minhash_lsh_matches_bruteforce_or_join(spark, adv_sf_dir):
+    """The banded + salted equi-join must emit exactly the pairs the
+    definitional OR-of-band-keys join emits, exactly once each."""
+    docs = spark.read.parquet(f"{adv_sf_dir}/documents.parquet")
+    positions = F.when(
+        F.length("text") >= 5, F.sequence(F.lit(1), F.length("text") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (
+        docs.withColumn("pos", F.explode(positions))
+        .select("doc_id", F.expr("substring(text, pos, 5)").alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+    def mh(i):
+        return F.min(F.md5(F.concat("shingle", F.lit(f"#{i}"))))
+
+    sig = sh.groupBy("doc_id").agg(
+        F.concat(mh(1), mh(2)).alias("k1"), F.concat(mh(3), mh(4)).alias("k2")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                (F.col("a.k1") == F.col("b.k1"))
+                | (F.col("a.k2") == F.col("b.k2"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .collect()
+    )
+    got = dd_minhash_lsh(spark, adv_sf_dir).collect()
+    brute_set = {(r.da, r.db) for r in brute}
+    got_list = [(r.da, r.db) for r in got]
+    assert set(got_list) == brute_set
+    # Exactly once per pair (first-band-wins dedup, no distinct).
+    assert len(got_list) == len(brute_set)
+    # The exact-duplicate cluster must be fully paired.
+    dup_ids = list(range(120, 125))
+    for i in dup_ids:
+        for j in dup_ids:
+            if i < j:
+                assert (i, j) in brute_set
+
+
+def test_ngram_jaccard_matches_unblocked_join(spark, adv_sf_dir):
+    """Length-band blocking must be lossless vs the unblocked
+    definitional join, including pairs exactly 20 chars apart."""
+    docs = spark.read.parquet(f"{adv_sf_dir}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.array_distinct(F.split("text", " ")).alias("ws"),
+    )
+    docs = docs.withColumn("nw", F.size("ws"))
+    a, b = docs.alias("a"), docs.alias("b")
+    size_ratio = (
+        F.least(F.col("a.nw"), F.col("b.nw"))
+        * 1.0
+        / F.greatest(F.col("a.nw"), F.col("b.nw"))
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20)
+        & (size_ratio >= 0.8),
+    ).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.size(F.array_intersect("a.ws", "b.ws")).alias("i"),
+        F.col("a.nw").alias("na"),
+        F.col("b.nw").alias("nb"),
+    )
+    jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+    brute = {
+        (r.da, r.db)
+        for r in pairs.filter(jac >= 0.8).select("da", "db").collect()
+    }
+    got = [(r.da, r.db) for r in dd_ngram_jaccard(spark, adv_sf_dir).collect()]
+    assert set(got) == brute
+    assert len(got) == len(brute)
