@@ -1,8 +1,9 @@
 """Third batch of oracle-checked operator queries: postag expansion
-(P2, labeling/dataset.py:12-27) and vocab index + truncate + left-pad
-(P8/P9, classification/dataset.py:65-76) — the projections that were
-previously covered only by kernel unit tests, expressed as DataFrame
-higher-order-function plans with DuckDB oracles.
+(P2, labeling/dataset.py:12-27), vocab index + truncate + left-pad
+(P8/P9, classification/dataset.py:65-76), and multimodal feature
+extraction (operators/multimodal.py) — paths that were previously
+covered only by unit tests, expressed as DataFrame plans with DuckDB
+oracles.
 """
 
 from __future__ import annotations
@@ -135,3 +136,63 @@ def p8_index_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indexed.select(
         "doc_id", F.posexplode(padded).alias("s0", "token_id")
     ).select("doc_id", (F.col("s0") + 1).cast("long").alias("slot"), "token_id")
+
+
+# --- Multimodal feature extraction (operators/multimodal.py): binary
+# payloads synthesized deterministically from document text, pushed
+# through the REAL mapInPandas plumbing (stubbed decode derives fake
+# dims from the payload's md5 bytes — SQL-expressible, so the whole
+# path is oracle-checked).
+
+_HEXPOS = "(strpos('0123456789abcdef', substring(d, {k}, 1)) - 1)"
+
+
+def _hex_byte(k: int) -> str:
+    return f"({_HEXPOS.format(k=k)} * 16 + {_HEXPOS.format(k=k + 1)})"
+
+
+_MM_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image'
+                         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         md5(text) AS d,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes, d AS digest,
+       CAST(16 + {_hex_byte(1)} % 240 AS BIGINT) AS width,
+       CAST(16 + {_hex_byte(3)} % 240 AS BIGINT) AS height,
+       CAST(CASE WHEN kind = 'image' THEN 1
+                 ELSE 1 + {_hex_byte(5)} % 30 END AS BIGINT) AS n_frames
+FROM m
+"""
+
+
+@_q("mm_features", _MM_ORACLE)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit("synthetic").alias("source"),
+    )
+    feats = extract_features(media, deterministic_fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "digest",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
