@@ -60,3 +60,47 @@ def test_pipeline_with_checkpoints_matches_unchecked(
     mgr2 = CheckpointManager(spark, base, run_id="p1", params={"kb": "clean"})
     resumed = extract_triples(spark, empty, kb, sch, checkpointer=mgr2)
     assert sorted(map(tuple, resumed.select(key).collect())) == a
+
+
+def test_partial_resume_recomputes_only_downstream_stages(
+    spark, world, transcripts_pdf, tmp_dir
+):
+    """Crash-after-stage-1 shape: only the `classified` checkpoint
+    exists. A re-run against an EMPTY source must still produce the
+    full triple set — proof the pipeline resumed from the checkpoint
+    and recomputed only the downstream stages from it."""
+    from information_extraction_spark.operators import extract as ex
+
+    base = os.path.join(tmp_dir, "ckpt3")
+    tdf = spark.createDataFrame(transcripts_pdf, schema=S.TRANSCRIPTS)
+    kb = spark.createDataFrame(world.kb_clean, schema=S.KNOWLEDGE_BASE)
+    sch = spark.createDataFrame(world.schemas, schema=S.RELATION_SCHEMAS)
+    kb_bc = ex.broadcast_kb(spark, kb)
+    kp = spark.sparkContext.defaultParallelism * 3
+
+    # Materialize ONLY stage 1, exactly as extract_triples would.
+    mgr = CheckpointManager(spark, base, run_id="pr", params={"v": 1})
+    mgr.stage(
+        ex.classify_stage(
+            ex.ordered_transcripts(
+                tdf.repartition(kp, "conv_id", "turn_idx")
+            ),
+            kb_bc,
+        ),
+        "classified",
+    ).count()
+    assert mgr.is_complete("classified")
+    assert not mgr.is_complete("tagged")
+
+    empty = spark.createDataFrame([], schema=S.TRANSCRIPTS)
+    mgr2 = CheckpointManager(spark, base, run_id="pr", params={"v": 1})
+    resumed = extract_triples(
+        spark, empty, kb, sch, checkpointer=mgr2, kernel_partitions=kp
+    )
+    key = ["conv_id", "turn_idx", "predicate", "subject", "object"]
+    expect = sorted(
+        map(tuple, extract_triples(spark, tdf, kb, sch).select(key).collect())
+    )
+    assert sorted(map(tuple, resumed.select(key).collect())) == expect
+    for stage in ("tagged", "triples"):
+        assert mgr2.is_complete(stage)
