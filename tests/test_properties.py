@@ -117,3 +117,37 @@ def test_frame_always_exact_length_and_mask_consistent(tokens, max_len):
     n_real = sum(mask)
     assert toks[n_real - 1] == "[SEP]"
     assert all(t == "[PAD]" for t in toks[n_real:])
+
+
+# --- Fused kernel vs staged composition ------------------------------------
+
+_pred = st.sampled_from(["P1", "P2", "P3"])
+
+
+@given(
+    st.lists(st.tuples(_pred, entity, entity), min_size=1, max_size=6),
+    st.lists(st.text(alphabet=_ALPHA + "、，xyz ", min_size=0, max_size=24),
+             min_size=1, max_size=6),
+)
+@settings(max_examples=80, deadline=None)
+def test_extract_batch_matches_staged_kernels(kb_rows, texts):
+    """The fused extract_batch must equal, per (text, predicate), the
+    staged composition classify → bieso_tags_fast → decode_bieso on
+    random KBs and texts — including overlap/overwrite, sub==obj, and
+    fallback cross-pair corners the fixtures can't enumerate."""
+    from information_extraction_spark.kernels.extraction import (
+        KnowledgeBase,
+        decode_bieso,
+    )
+
+    kb = KnowledgeBase(kb_rows)
+    fused = kb.extract_batch(texts)
+    for text, units in zip(texts, fused):
+        preds, _ = kb.classify(text)
+        expected = []
+        for p in preds:
+            tags = kb.bieso_tags_fast(text, p)
+            subs, objs = decode_bieso(tags, text)
+            if subs and objs:
+                expected.append((p, subs, objs))
+        assert units == expected
