@@ -111,7 +111,13 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bh"),
     ).select("doc_id", "k1", "bh.band", "bh.key")
-    n_salt = spark.sparkContext.defaultParallelism
+    # Salt width trades replication of the build side (all rows x
+    # n_salt) against per-task pair generation in the hottest bucket;
+    # 8 caps the replication while a ~2.5k-doc bucket still spreads to
+    # ~400k comparisons per task. Tying it to defaultParallelism made
+    # the whole join 32x-replicated on wide machines for no extra
+    # balance.
+    n_salt = min(8, spark.sparkContext.defaultParallelism)
     a = bands.withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("int")
     ).alias("a")
