@@ -1,9 +1,10 @@
 """Third batch of oracle-checked operator queries: postag expansion
 (P2, labeling/dataset.py:12-27), vocab index + truncate + left-pad
-(P8/P9, classification/dataset.py:65-76), and multimodal feature
-extraction (operators/multimodal.py) — paths that were previously
-covered only by unit tests, expressed as DataFrame plans with DuckDB
-oracles.
+(P8/P9, classification/dataset.py:65-76), multimodal feature
+extraction (operators/multimodal.py), and WordPiece tokenization
+(P4, greedy longest-match vs a recursive-CTE oracle) — paths that
+were previously covered only by unit tests, now value-checked against
+DuckDB.
 """
 
 from __future__ import annotations
@@ -195,4 +196,114 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
+# --- P4: WordPiece tokenization (kernels/tokenizer.wordpiece_tokenize,
+# reference tokenization.py:309-431). A bounded vocab (pieces of
+# length <= 2, split deterministically by md5 into word-initial vs
+# '##'-continuation roles) makes greedy longest-match-first exactly
+# expressible as a recursive CTE, so the real kernel is value-checked
+# against SQL. Words restricted to [a-z0-9]+ so the kernel's CJK
+# isolation path stays out of scope on both sides.
+
+_P4_ORACLE = """
+WITH RECURSIVE w AS (
+  SELECT DISTINCT lower(unnest(string_split(text, ' '))) AS word
+  FROM documents
+), wf AS (
+  SELECT word FROM w WHERE regexp_full_match(word, '[a-z0-9]+')
+), g2 AS (
+  SELECT DISTINCT substring(word, CAST(i AS INT), 2) AS g
+  FROM wf, range(1, 200) r(i)
+  WHERE i <= length(word) - 1
+), init2 AS (
+  SELECT g FROM g2 WHERE substring(md5(g), 1, 1) < '8'
+), cont2 AS (
+  SELECT g FROM g2 WHERE substring(md5(g), 1, 1) >= '8'
+), steps (word, idx, pos, piece) AS (
+  SELECT word, 0, 1, CAST(NULL AS VARCHAR) FROM wf
+  UNION ALL
+  SELECT s.word, s.idx + 1,
+         s.pos + CASE
+           WHEN s.pos = 1
+            AND substring(s.word, CAST(s.pos AS INT), 2) IN (SELECT g FROM init2)
+            AND s.pos + 1 <= length(s.word) THEN 2
+           WHEN s.pos > 1
+            AND substring(s.word, CAST(s.pos AS INT), 2) IN (SELECT g FROM cont2)
+            AND s.pos + 1 <= length(s.word) THEN 2
+           ELSE 1 END,
+         CASE
+           WHEN s.pos = 1
+            AND substring(s.word, CAST(s.pos AS INT), 2) IN (SELECT g FROM init2)
+            AND s.pos + 1 <= length(s.word)
+             THEN substring(s.word, CAST(s.pos AS INT), 2)
+           WHEN s.pos = 1 THEN substring(s.word, CAST(s.pos AS INT), 1)
+           WHEN s.pos > 1
+            AND substring(s.word, CAST(s.pos AS INT), 2) IN (SELECT g FROM cont2)
+            AND s.pos + 1 <= length(s.word)
+             THEN '##' || substring(s.word, CAST(s.pos AS INT), 2)
+           ELSE '##' || substring(s.word, CAST(s.pos AS INT), 1) END
+  FROM steps s
+  WHERE s.pos <= length(s.word)
+)
+SELECT word, CAST(idx AS BIGINT) AS piece_idx, piece
+FROM steps WHERE piece IS NOT NULL
+"""
+
+
+@_q("p4_wordpiece", _P4_ORACLE)
+def p4_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from information_extraction_spark.kernels.tokenizer import (
+        wordpiece_tokenize,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .distinct()
+    )
+    grams = (
+        words.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(word) - 1), "
+                       "i -> substring(word, i, 2))")
+            ).alias("g")
+        )
+        .filter(F.length("g") == 2)
+        .distinct()
+        .withColumn("initial", F.substring(F.md5("g"), 1, 1) < "8")
+    )
+    gram_rows = grams.collect()
+    chars = {
+        c
+        for r in words.select("word").collect()
+        for c in r["word"]
+    }
+    vocab = (
+        {r["g"] for r in gram_rows if r["initial"]}
+        | {"##" + r["g"] for r in gram_rows if not r["initial"]}
+        | chars
+        | {"##" + c for c in chars}
+    )
+    vocab_bc = spark.sparkContext.broadcast(vocab)
+
+    def run(batches):
+        v = vocab_bc.value
+        for pdf in batches:
+            out_w, out_i, out_p = [], [], []
+            for word in pdf["word"]:
+                for i, piece in enumerate(wordpiece_tokenize(word, v)):
+                    out_w.append(word)
+                    out_i.append(i + 1)
+                    out_p.append(piece)
+            yield pd.DataFrame(
+                {"word": out_w, "piece_idx": out_i, "piece": out_p}
+            )
+
+    return words.mapInPandas(
+        run, schema="word string, piece_idx long, piece string"
     )
