@@ -425,7 +425,9 @@ class KnowledgeBase:
             for predicate in preds:
                 pairs = self.by_predicate.get(predicate, [])
                 keys = self._pair_keys[predicate]
-                tags: list[str] | None = None
+                # Span writes in pair order (the overwrite order of the
+                # shared tag array).
+                writes: list[tuple[int, int, str]] = []
                 for (subject, obj), (sl, ol) in zip(pairs, keys):
                     s_in = present[sl][i]
                     o_in = present[ol][i]
@@ -453,17 +455,37 @@ class KnowledgeBase:
                             )
                     else:
                         o_offsets = []
-                    if not s_offsets and not o_offsets:
-                        continue
-                    if tags is None:
-                        tags = ["O"] * len(text)
+                    s_len, o_len = len(subject), len(obj)
                     for off in s_offsets:
-                        _mark_span(tags, off, len(subject), "SUB")
+                        writes.append((off, s_len, "SUB"))
                     for off in o_offsets:
-                        _mark_span(tags, off, len(obj), "OBJ")
-                if tags is None:
+                        writes.append((off, o_len, "OBJ"))
+                if not writes:
                     continue
-                subjects, objects = decode_bieso(tags, text)
+                # Fast path: when the DISTINCT spans are pairwise
+                # disjoint, later writes never overwrite earlier tags,
+                # so the decoded output is exactly the spans in start
+                # order (decode_bieso emits in position order; 'S-' for
+                # len 1 and 'B..E' for longer both decode to the
+                # slice). Any overlap — including the sub==obj odd-
+                # occurrence overwrite — falls back to the exact
+                # tag-array + decode path.
+                uniq = sorted(set(writes))
+                disjoint = all(
+                    uniq[k][0] + uniq[k][1] <= uniq[k + 1][0]
+                    for k in range(len(uniq) - 1)
+                )
+                if disjoint:
+                    subjects, objects = [], []
+                    for start, length, kind in uniq:
+                        (subjects if kind == "SUB" else objects).append(
+                            text[start : start + length]
+                        )
+                else:
+                    tags = ["O"] * len(text)
+                    for start, length, kind in writes:
+                        _mark_span(tags, start, length, kind)
+                    subjects, objects = decode_bieso(tags, text)
                 if subjects and objects:
                     per_text.append((predicate, subjects, objects))
             out.append(per_text)
