@@ -71,14 +71,13 @@ def main() -> int:
     # Efficiency is a RATIO, so it must be computed within an
     # adjacent (N, 4N) pair — this VM's throughput drifts over minutes
     # (shared tenancy), and mixing samples from different epochs
-    # biases the ratio. Two back-to-back pairs are measured and the
-    # better pair reported: external contention steals bandwidth
-    # proportionally more from the wider run, so noise can only
-    # depress measured efficiency — the max over pairs is the
-    # least-contaminated estimate.
+    # biases the ratio (observed swings 0.74-1.10 for identical code,
+    # including a spurious super-linear pair from a degraded N
+    # sample). Three back-to-back pairs are measured and the MEDIAN
+    # pair reported; all pairs are listed in the output for honesty.
     pairs = []
     r_4n_full = None
-    for trial in range(2):
+    for trial in range(3):
         r_n_i = run_bench(n, sf_dir, replicate, skip_queries=True)
         r_4n_i = run_bench(
             n4, sf_dir, replicate, skip_queries=trial > 0
@@ -86,11 +85,16 @@ def main() -> int:
         if r_4n_full is None:
             r_4n_full = r_4n_i
         pairs.append((r_n_i, r_4n_i))
-    r_n, r_4n = max(
-        pairs,
-        key=lambda p: p[0]["queries"]["kg_extract_e2e"]
-        / p[1]["queries"]["kg_extract_e2e"],
-    )
+
+    def pair_eff(p):
+        return (
+            p[0]["queries"]["kg_extract_e2e"]
+            / p[1]["queries"]["kg_extract_e2e"]
+        ) / (n4 / n)
+
+    ranked = sorted(pairs, key=pair_eff)
+    all_effs = [round(pair_eff(p), 3) for p in ranked]
+    r_n, r_4n = ranked[len(ranked) // 2]
     r_4n = {**r_4n_full, **r_4n, "queries": {
         **r_4n_full["queries"], **r_4n["queries"],
     }}
@@ -119,6 +123,10 @@ Python worker has paid its import cost before timing.
 
 **Scaling efficiency (N → 4N)** = (T_N / T_4N) / {n4 // n} =
 ({t_n} / {t_4n}) / {n4 // n} = **{efficiency:.3f}** (target ≥ 0.8).
+
+Median of three back-to-back (N, 4N) pairs; all pair efficiencies
+this run: {all_effs} (shared-VM drift makes any single pair
+unreliable — one degraded-N sample even reads super-linear).
 
 Environment control: a pure-CPU multiprocessing burn on this VM
 scales at ~0.89-0.93 efficiency over the same core range (VM
