@@ -116,3 +116,14 @@ def test_fused_path_matches_staged_path(spark, world, transcripts_pdf):
         ).toPandas()
         assert _key_set(fused) == _key_set(staged)
         assert len(fused) == len(staged)
+
+
+def test_empty_input_yields_empty_triples(spark, world):
+    """Degenerate input: zero turns must produce zero triples through
+    the fused path without error (schema intact)."""
+    empty = spark.createDataFrame([], schema=S.TRANSCRIPTS)
+    kb = spark.createDataFrame(world.kb_clean, schema=S.KNOWLEDGE_BASE)
+    sch = spark.createDataFrame(world.schemas, schema=S.RELATION_SCHEMAS)
+    out = extract_triples(spark, empty, kb, sch)
+    assert out.count() == 0
+    assert set(TRIPLE_KEY).issubset(set(out.columns))
