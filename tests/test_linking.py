@@ -98,3 +98,16 @@ def test_salted_count_matches_groupby(spark):
     expected = sorted(map(tuple, df.groupBy("k").count().collect()))
     got = sorted(map(tuple, salted_count(df, ["k"]).collect()))
     assert got == expected
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """The size-dispatched union-find must label identically to the
+    distributed hash-min loop (forced via driver_threshold=0)."""
+    pairs = [("b", "a"), ("b", "c"), ("x", "y"), ("m", "m2"),
+             ("c", "d"), ("q", "b")]
+    e = _edges(spark, pairs)
+    fast = {(r["node"], r["component"])
+            for r in connected_components(e).collect()}
+    dist = {(r["node"], r["component"])
+            for r in connected_components(e, driver_threshold=0).collect()}
+    assert fast == dist and len(fast) > 0
