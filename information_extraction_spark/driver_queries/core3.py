@@ -212,7 +212,11 @@ WITH RECURSIVE w AS (
   SELECT DISTINCT lower(unnest(string_split(text, ' '))) AS word
   FROM documents
 ), wf AS (
-  SELECT word FROM w WHERE regexp_full_match(word, '[a-z0-9]+')
+  -- length <= 100 keeps the kernel's max_chars_per_word [UNK] cutoff
+  -- out of scope (the oracle does not model it) and bounds the gram
+  -- positions below the range() cap.
+  SELECT word FROM w
+  WHERE regexp_full_match(word, '[a-z0-9]+') AND length(word) <= 100
 ), g2 AS (
   SELECT DISTINCT substring(word, CAST(i AS INT), 2) AS g
   FROM wf, range(1, 200) r(i)
@@ -263,7 +267,9 @@ def p4_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
-        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .filter(
+            F.col("word").rlike("^[a-z0-9]+$") & (F.length("word") <= 100)
+        )
         .distinct()
     )
     grams = (

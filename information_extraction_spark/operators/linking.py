@@ -53,7 +53,17 @@ def connected_components(
     genuinely custom iterative operator — no GraphFrames in this
     environment). Both paths produce identical labels (tested).
     """
-    if edges.count() <= driver_threshold:
+    # Null endpoints can never link anything (the distributed path's
+    # join keys would simply not match) — drop them up front so the
+    # driver path agrees and never trips over None ordering.
+    edges = edges.filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    # One probe job decides the dispatch AND supplies the driver-path
+    # rows: collect at most threshold+1 edges instead of paying a full
+    # count() (a complete plan evaluation) before either path.
+    probe = edges.select("src", "dst").limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
         parent: dict[str, str] = {}
 
         def find(x: str) -> str:
@@ -64,7 +74,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        edge_rows = edges.select("src", "dst").collect()
+        edge_rows = probe
         for r in edge_rows:
             # Union-by-min: the larger root links under the smaller,
             # so each component's minimum stays a root and find()

@@ -25,7 +25,12 @@ def _read_as(spark: SparkSession, path: str, schema) -> DataFrame:
     says timestamp/int32); Parquet is self-describing, so casting
     after the scan accepts any writer. Column pruning still reaches
     the scan — the projection names exactly the canonical columns —
-    and trivial casts (string→string) are elided by Catalyst."""
+    and trivial casts (string→string) are elided by Catalyst.
+    Lossy values still fail LOUDLY: Spark 4 runs ANSI mode by default
+    (session verified), so an out-of-range id raises CAST_OVERFLOW
+    rather than wrapping. One behavior change vs the forced-schema
+    read: a data-less directory now errors at plan time ("unable to
+    infer schema") instead of yielding an empty frame."""
     df = spark.read.parquet(path)
     return df.select(
         *[

@@ -36,6 +36,7 @@ def test_bucketed_tables_join_without_shuffle(spark, world, transcripts_pdf, tmp
         .option("path", os.path.join(tmp_dir, "bucketed_b"))
         .saveAsTable("t_bucketed_b")
     )
+    saved_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         a = spark.table("t_bucketed_a")
         b = spark.table("t_bucketed_b")
@@ -49,6 +50,8 @@ def test_bucketed_tables_join_without_shuffle(spark, world, transcripts_pdf, tmp
         assert "Exchange" not in plan, plan
         assert "SortMergeJoin" in plan
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", saved_threshold
+        )
         spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_b")

@@ -35,9 +35,12 @@ def test_connected_components_chain_and_islands(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
+    """Forces the DISTRIBUTED hash-min loop (driver_threshold=0): a
+    13-node chain needs multiple propagation iterations to converge —
+    the case the iterative path must get right at >100k-edge scale."""
     n = 12
     pairs = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n)]
-    comps = connected_components(_edges(spark, pairs))
+    comps = connected_components(_edges(spark, pairs), driver_threshold=0)
     got = {r["node"]: r["component"] for r in comps.collect()}
     assert set(got.values()) == {"n00"}
     assert len(got) == n + 1

@@ -65,17 +65,37 @@ def main() -> int:
     transcripts = transcripts_from_documents(spark, sf_dir, replicate=replicate)
     kb, schemas = kb_from_documents(spark, sf_dir)
     triples = extract_triples(spark, transcripts, kb, schemas)
-    pred_pdf = triples.toPandas()
+    gold_pdf = triples.toPandas()
+
+    # Predictions must NOT equal the golden set, or both scorers
+    # trivially return 1.0 and agreement proves nothing: drop a
+    # deterministic slice (recall < 1) and inject mutated spurious
+    # triples (precision < 1), so the two engines must agree on
+    # non-trivial numbers.
+    import hashlib
+
+    def bucket(row) -> int:
+        key = f"{row.subject}\x00{row.predicate}\x00{row.object}"
+        return int.from_bytes(
+            hashlib.md5(key.encode()).digest()[:4], "big"
+        )
+
+    h = gold_pdf.apply(bucket, axis=1)
+    kept = gold_pdf[h % 23 != 0]
+    spurious = gold_pdf[h % 29 == 1].copy()
+    spurious["object"] = spurious["object"] + "之外"
+    import pandas as pd
+
+    pred_pdf = pd.concat([kept, spurious], ignore_index=True)
     n = len(pred_pdf)
 
     tmp = tempfile.mkdtemp(prefix="ie_eval_bench_")
     golden_path = os.path.join(tmp, "golden.json")
-    lines = _spo_lines(pred_pdf)
     with open(golden_path, "w", encoding="utf-8") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(_spo_lines(gold_pdf)) + "\n")
     pred_json = os.path.join(tmp, "predict.json")
     with open(pred_json, "w", encoding="utf-8") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(_spo_lines(pred_pdf)) + "\n")
     pred_zip = os.path.join(tmp, "predict.zip")
     with zipfile.ZipFile(pred_zip, "w") as z:
         z.write(pred_json, arcname="predict.json")
@@ -101,15 +121,24 @@ def main() -> int:
     ref = {d["name"]: d["value"] for d in result["data"]}
 
     # Spark run, parquet IO included for symmetry.
-    pq_dir = os.path.join(tmp, "triples.parquet")
-    triples.write.mode("overwrite").parquet(pq_dir)
-    calc_pr(
-        spark.read.parquet(pq_dir), spark.read.parquet(pq_dir)
-    ).collect()  # warm
+    cols = ["text", "subject", "predicate", "object"]
+    pred_dir = os.path.join(tmp, "pred.parquet")
+    gold_dir = os.path.join(tmp, "gold.parquet")
+    spark.createDataFrame(pred_pdf[cols]).write.mode("overwrite").parquet(
+        pred_dir
+    )
+    spark.createDataFrame(gold_pdf[cols]).write.mode("overwrite").parquet(
+        gold_dir
+    )
+
+    def spark_run():
+        return calc_pr(
+            spark.read.parquet(pred_dir), spark.read.parquet(gold_dir)
+        ).collect()[0]
+
+    spark_run()  # warm
     t0 = time.time()
-    row = calc_pr(
-        spark.read.parquet(pq_dir), spark.read.parquet(pq_dir)
-    ).collect()[0]
+    row = spark_run()
     spark_sec = time.time() - t0
 
     agree = (
@@ -129,12 +158,16 @@ calc_pr (parquet input), on this machine:
 | reference calc_pr.py (single node) | {ref_sec:.2f} | {ref["precision"]}/{ref["recall"]}/{ref["f1-score"]} |
 | Spark calc_pr (local[32])          | {spark_sec:.2f} | {row["precision"]}/{row["recall"]}/{row["f1"]} |
 
-Scores identical to 4dp: {agree}. Speedup: {ref_sec / spark_sec:.1f}x.
-The reference script is linear single-threaded (dict build over the
-full corpus: ~2.2s at 0.5M triples, ~8.5s at 2.2M); the Spark job is
-~flat until data dominates its fixed cost (~2.7s at 0.5M, ~3.3s at
-2.2M — crossover near 1M triples) and is the shape that keeps
-scaling: broadcast dims + two keyed dedups + a 3-number global agg.
+Scores identical (exact equality on the 4dp-rounded values):
+{agree}. Speedup: {ref_sec / spark_sec:.1f}x. The scores are
+NON-trivial by construction — a deterministic slice of the golden
+set is dropped from the predictions and mutated spurious triples are
+injected, so both engines must agree on real precision AND recall,
+not a degenerate 1.0. The reference script is linear single-threaded
+(dict build over the full corpus); the Spark job is ~flat until data
+dominates its fixed cost (crossover near ~1M triples below which the
+simpler runtime wins) and is the shape that keeps scaling: broadcast
+dims + two keyed dedups + a 3-number global agg.
 """
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
