@@ -327,14 +327,19 @@ def classify_tag_decode_stage(
                     pr.append(predicate)
                     su.append(subjects)
                     ob.append(objects)
+            # Explicit object dtype: unlike the 1:1 stages, this one
+            # FILTERS rows, so a batch can legitimately produce zero
+            # units — a bare empty list would default to float64
+            # columns, which Arrow cannot convert to list<string>
+            # (observed as a streaming micro-batch crash).
             yield pd.DataFrame(
                 {
-                    "conv_id": conv,
+                    "conv_id": pd.Series(conv, dtype=object),
                     "turn_idx": pd.array(ti, dtype="Int32"),
-                    "text": tx,
-                    "predicate": pr,
-                    "subjects": su,
-                    "objects": ob,
+                    "text": pd.Series(tx, dtype=object),
+                    "predicate": pd.Series(pr, dtype=object),
+                    "subjects": pd.Series(su, dtype=object),
+                    "objects": pd.Series(ob, dtype=object),
                 }
             )
 

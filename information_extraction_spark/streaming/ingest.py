@@ -25,7 +25,14 @@ def read_transcript_stream(spark: SparkSession, path: str) -> DataFrame:
 
 def deduped_turns(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Late-data-tolerant exactly-once turn stream: watermark on ts +
-    dropDuplicates on the explicit key (never positional)."""
+    dropDuplicates on the explicit key (never positional).
+
+    Contract: LIVE arrival — event time advances with arrival order,
+    and rows more than ``watermark`` behind the observed max ts are
+    dropped as late (that bound is what keeps dedup state finite).
+    Historical backfill with arbitrary arrival order must go through
+    the batch pipeline (whose ordered_transcripts dedup is global),
+    or widen ``watermark`` to cover the backfill's time span."""
     return stream.withWatermark("ts", watermark).dropDuplicates(
         ["conv_id", "turn_idx"]
     )

@@ -127,3 +127,27 @@ def test_empty_input_yields_empty_triples(spark, world):
     out = extract_triples(spark, empty, kb, sch)
     assert out.count() == 0
     assert set(TRIPLE_KEY).issubset(set(out.columns))
+
+
+def test_all_miss_batch_yields_empty_not_crash(spark, world):
+    """A partition whose every turn produces zero work units must
+    yield an EMPTY Arrow batch with the declared schema — the
+    all-float64 empty pandas default crashed streaming micro-batches
+    with ArrowNotImplementedError on list<string>."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c2"],
+            "turn_idx": [0, 0],
+            "role": ["user"] * 2,
+            "text": ["zzzz qqqq", "qqqq wwww"],  # match no KB entity
+            "tool": [None] * 2,
+            "ts": [pd.Timestamp("2026-01-01")] * 2,
+        }
+    )
+    tdf = spark.createDataFrame(pdf, schema=S.TRANSCRIPTS)
+    kb = spark.createDataFrame(world.kb_clean, schema=S.KNOWLEDGE_BASE)
+    sch = spark.createDataFrame(world.schemas, schema=S.RELATION_SCHEMAS)
+    out = extract_triples(spark, tdf, kb, sch)
+    assert out.count() == 0

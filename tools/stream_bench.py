@@ -1,0 +1,123 @@
+"""Structured-Streaming ingest throughput: feed the transcripts
+corpus as parquet micro-batch chunks through the watermarked-dedup →
+foreachBatch extraction stream and time end-to-end drain, verifying
+the streamed triple count equals the batch pipeline's. Writes
+BENCH/STREAM.md.
+
+Usage: python tools/stream_bench.py [sf_dir] [replicate] [n_chunks]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    from pyspark.sql import functions as F
+
+    from information_extraction_spark.plans.pipeline import extract_triples
+    from information_extraction_spark.session import get_spark
+    from information_extraction_spark.sources.from_documents import (
+        kb_from_documents,
+        transcripts_from_documents,
+    )
+    from information_extraction_spark.streaming.ingest import (
+        start_streaming_extraction,
+    )
+    from information_extraction_spark import schemas as S
+
+    spark = get_spark(app_name="ie-stream-bench")
+    base = tempfile.mkdtemp(prefix="ie_stream_bench_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    transcripts = transcripts_from_documents(
+        spark, sf_dir, replicate=replicate
+    ).cache()
+    n_turns = transcripts.count()
+    kb, schemas = kb_from_documents(spark, sf_dir)
+
+    # Chunked source simulating LIVE arrival: chunks are EVENT-TIME
+    # ranges (ntile over ts), one file each, drained one per trigger
+    # in path order — so event time advances with arrival order, which
+    # is the contract of the watermarked dedup. (Chunking by conv
+    # hash instead makes every chunk span the whole time range and the
+    # watermark correctly classifies most of chunks 2..n as late —
+    # historical backfill belongs to the batch path, not the stream.)
+    from pyspark.sql import Window
+
+    chunked = transcripts.withColumn(
+        "_c", F.ntile(n_chunks).over(Window.orderBy("ts"))
+    )
+    for c in range(1, n_chunks + 1):
+        chunked.filter(F.col("_c") == c).drop("_c").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"chunk{c:02d}"))
+
+    n_batch = extract_triples(spark, transcripts, kb, schemas).count()
+
+    stream = (
+        spark.readStream.schema(S.TRANSCRIPTS)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t0 = time.time()
+    q = start_streaming_extraction(spark, stream, kb, schemas, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_sec = time.time() - t0
+    n_stream = (
+        spark.read.parquet(out)
+        .dropDuplicates(
+            ["conv_id", "turn_idx", "predicate", "subject", "object"]
+        )
+        .count()
+    )
+
+    md = f"""# Streaming ingest throughput — tools/stream_bench.py
+
+The transcripts corpus ({sf_dir}, replicate={replicate}, {n_turns}
+turns) fed as {n_chunks} parquet chunk dirs (maxFilesPerTrigger=32)
+through the Structured-Streaming path: watermarked keyed dedup →
+foreachBatch into the SAME batch extraction DAG → append to the
+graph table.
+
+| metric | value |
+|---|---|
+| turns streamed | {n_turns} |
+| end-to-end drain | {stream_sec:.2f}s |
+| turns/sec | {n_turns / stream_sec:.0f} |
+| triples (streamed, keyed-dedup) | {n_stream} |
+| triples (batch pipeline, same input) | {n_batch} |
+| parity | {n_stream == n_batch} |
+
+Exactly-once is by idempotent sink key (conv_id, turn_idx, s, p, o);
+the micro-batch cadence costs scheduler overhead per trigger versus
+the single batch run, which is the expected trade for incremental
+arrival.
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    with open(os.path.join(repo, "BENCH", "STREAM.md"), "w") as f:
+        f.write(md)
+    print(md)
+    shutil.rmtree(base, ignore_errors=True)
+    return 0 if n_stream == n_batch else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
