@@ -27,7 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--master", default=None)
-    parser.add_argument("--replicate", type=int, default=2)
+    # Default sizes the timed e2e region to ~10s on local[32] so the
+    # headline throughput reflects steady state, not the ~2s of fixed
+    # driver/JVM cost that dominates a tiny run.
+    parser.add_argument("--replicate", type=int, default=8)
     parser.add_argument("--sf-dir", default=None)
     parser.add_argument(
         "--skip-queries",
