@@ -151,3 +151,19 @@ def test_all_miss_batch_yields_empty_not_crash(spark, world):
     sch = spark.createDataFrame(world.schemas, schema=S.RELATION_SCHEMAS)
     out = extract_triples(spark, tdf, kb, sch)
     assert out.count() == 0
+
+
+def test_fused_stage_rejects_out_of_regime_threshold(spark, world):
+    """Direct misuse must be loud: the fused stage's fired/fallback
+    split is only valid for 0.5 <= threshold < 1.0."""
+    import pytest as _pytest
+
+    from information_extraction_spark.operators import extract as ex
+
+    kb = spark.createDataFrame(world.kb_clean, schema=S.KNOWLEDGE_BASE)
+    kb_bc = ex.broadcast_kb(spark, kb)
+    tdf = spark.createDataFrame(
+        [("c", 0, "user", "x", None, None)], schema=S.TRANSCRIPTS
+    )
+    with _pytest.raises(ValueError, match="threshold"):
+        ex.classify_tag_decode_stage(tdf, kb_bc, threshold=0.3)
