@@ -25,15 +25,23 @@ def read_transcript_stream(spark: SparkSession, path: str) -> DataFrame:
 
 def deduped_turns(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Late-data-tolerant exactly-once turn stream: watermark on ts +
-    dropDuplicates on the explicit key (never positional).
+    dropDuplicatesWithinWatermark on the explicit key (never
+    positional).
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``,
+    whose state is never evicted when the dedup keys omit the event
+    time) keeps per-key state only for the watermark horizon — that
+    bound is what keeps state finite on an unbounded stream. A
+    duplicate arriving past the horizon carries an event time the
+    watermark already classifies as late, so it is dropped either way.
 
     Contract: LIVE arrival — event time advances with arrival order,
     and rows more than ``watermark`` behind the observed max ts are
-    dropped as late (that bound is what keeps dedup state finite).
-    Historical backfill with arbitrary arrival order must go through
-    the batch pipeline (whose ordered_transcripts dedup is global),
-    or widen ``watermark`` to cover the backfill's time span."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(
+    dropped as late. Historical backfill with arbitrary arrival order
+    must go through the batch pipeline (whose ordered_transcripts
+    dedup is global), or widen ``watermark`` to cover the backfill's
+    time span."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["conv_id", "turn_idx"]
     )
 

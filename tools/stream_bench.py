@@ -59,11 +59,23 @@ def main() -> int:
 
     chunked = transcripts.withColumn(
         "_c", F.ntile(n_chunks).over(Window.orderBy("ts"))
-    )
+    ).cache()
+    chunked.count()  # one global sort, reused by every chunk write
     for c in range(1, n_chunks + 1):
         chunked.filter(F.col("_c") == c).drop("_c").coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(src, f"chunk{c:02d}"))
+    chunked.unpersist()
+    # The file source triggers oldest-modification-time-first, not
+    # path order — pin strictly increasing mtimes so the chunks replay
+    # in event-time order regardless of filesystem timestamp
+    # granularity.
+    t_base = time.time() - n_chunks * 10
+    for c in range(1, n_chunks + 1):
+        d = os.path.join(src, f"chunk{c:02d}")
+        for fn in os.listdir(d):
+            p = os.path.join(d, fn)
+            os.utime(p, (t_base + c * 10, t_base + c * 10))
 
     n_batch = extract_triples(spark, transcripts, kb, schemas).count()
 
@@ -77,9 +89,10 @@ def main() -> int:
     q = start_streaming_extraction(spark, stream, kb, schemas, out, ckpt)
     try:
         q.processAllAvailable()
+        # Capture before stop(): query teardown is not drain time.
+        stream_sec = time.time() - t0
     finally:
         q.stop()
-    stream_sec = time.time() - t0
     n_stream = (
         spark.read.parquet(out)
         .dropDuplicates(
@@ -91,10 +104,12 @@ def main() -> int:
     md = f"""# Streaming ingest throughput — tools/stream_bench.py
 
 The transcripts corpus ({sf_dir}, replicate={replicate}, {n_turns}
-turns) fed as {n_chunks} parquet chunk dirs (maxFilesPerTrigger=32)
-through the Structured-Streaming path: watermarked keyed dedup →
-foreachBatch into the SAME batch extraction DAG → append to the
-graph table.
+turns) fed as {n_chunks} event-time-ordered parquet chunks (one file
+each, maxFilesPerTrigger=1 → one chunk per micro-batch, mtimes pinned
+ascending since the file source triggers oldest-mtime-first) through
+the Structured-Streaming path: watermarked keyed dedup
+(dropDuplicatesWithinWatermark) → foreachBatch into the SAME batch
+extraction DAG → append to the graph table.
 
 | metric | value |
 |---|---|
