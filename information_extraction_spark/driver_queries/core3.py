@@ -313,3 +313,69 @@ def p4_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.mapInPandas(
         run, schema="word string, piece_idx long, piece string"
     )
+
+
+# --- Ensembles (SURVEY §2.9): weighted prob average
+# (classification/ensemble.py:85-141) and logit sum
+# (labeling/ensemble.py:126-166) over keyed score tables — three
+# deterministic "model" score tables derived from events, combined
+# with the reference-style weights, thresholded at 0.5.
+
+_ENSEMBLE_ORACLE = """
+WITH s AS (
+  -- model scores built from EXACT statistics (counts, min/max) so
+  -- both engines produce bit-identical doubles; avg() accumulates in
+  -- engine-specific order and can land on a 4dp rounding edge.
+  SELECT user_id, event_type,
+         count(*) / 100.0 AS m1,
+         max(value) / 100.0 AS m2,
+         min(value) / 100.0 AS m3
+  FROM events GROUP BY user_id, event_type
+), e AS (
+  SELECT user_id, event_type,
+         (1.0 * m1 + 10.0 * m2 + 30.0 * m3) / 41.0 AS avg_score,
+         (1.0 * m1 + 10.0 * m2 + 30.0 * m3) AS logit_sum
+  FROM s
+)
+SELECT user_id, event_type,
+       round(avg_score, 4) AS ensemble_avg4,
+       round(logit_sum, 4) AS logit_sum4,
+       CAST(CASE WHEN avg_score > 0.5 THEN 1 ELSE 0 END AS INT) AS predicted
+FROM e
+"""
+
+
+@_q("en_weighted_ensemble", _ENSEMBLE_ORACLE)
+def en_weighted_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.operators.ensemble import (
+        combine_scores,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    keys = ["user_id", "event_type"]
+
+    def model(agg):
+        return ev.groupBy(*keys).agg((agg / 100.0).alias("score"))
+
+    models = [
+        model(F.count("*")),
+        model(F.max("value")),
+        model(F.min("value")),
+    ]
+    weights = [1.0, 10.0, 30.0]
+    avg = combine_scores(models, weights, keys, mode="mean")
+    logit = combine_scores(
+        models, weights, keys, mode="sum", out_col="logit_sum"
+    )
+    return (
+        avg.join(logit, keys)
+        .select(
+            *keys,
+            F.round("ensemble_score", 4).alias("ensemble_avg4"),
+            F.round("logit_sum", 4).alias("logit_sum4"),
+            F.when(F.col("ensemble_score") > 0.5, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("predicted"),
+        )
+    )

@@ -76,3 +76,29 @@ def test_label_set_accuracy(spark):
     assert got["subset_count"] == 2  # a and b
     assert got["superset_count"] == 1  # a only
     assert got["n_keys"] == 3
+
+
+def test_combine_scores_modes_and_validation(spark):
+    """Ensemble operator: weighted mean vs logit sum on keyed score
+    tables; mismatched weights rejected."""
+    import pytest as _pytest
+
+    from information_extraction_spark.operators.ensemble import (
+        combine_scores,
+    )
+
+    a = spark.createDataFrame([("x", 0.2), ("y", 1.0)], "k string, score double")
+    b = spark.createDataFrame([("x", 0.6), ("y", 0.0)], "k string, score double")
+    mean = {
+        r["k"]: r["ensemble_score"]
+        for r in combine_scores([a, b], [1.0, 3.0], ["k"]).collect()
+    }
+    assert abs(mean["x"] - (0.2 * 1 + 0.6 * 3) / 4) < 1e-12
+    assert abs(mean["y"] - 0.25) < 1e-12
+    sums = {
+        r["k"]: r["ensemble_score"]
+        for r in combine_scores([a, b], [1.0, 3.0], ["k"], mode="sum").collect()
+    }
+    assert abs(sums["x"] - 2.0) < 1e-12
+    with _pytest.raises(ValueError):
+        combine_scores([a], [1.0, 2.0], ["k"])
