@@ -2,6 +2,9 @@
 (north rule: "run via spark-submit --py-files on a multi-executor
 cluster").
 
+  python -c "import zipfile,os;z=zipfile.ZipFile('ie_spark.zip','w');\
+[z.write(os.path.join(r,f),os.path.join(r,f)) for r,d,fs in\
+os.walk('information_extraction_spark') if '__pycache__' not in r for f in fs]"
   spark-submit --py-files ie_spark.zip tools/run_pipeline.py \\
       --transcripts /data/transcripts --kb /data/kb \\
       --schemas /data/schemas --out /data/graph \\
