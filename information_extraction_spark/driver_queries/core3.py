@@ -379,3 +379,55 @@ def en_weighted_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("predicted"),
         )
     )
+
+
+# --- TPC-H Q1-shape pricing summary: the canonical multi-aggregate
+# groupBy with filter pushdown, over lineitem. Sums run on DECIMAL so
+# they are exact and accumulation-order independent (double sums can
+# land on rounding edges across engines); the per-row products are
+# deterministic IEEE ops cast to decimal before summing.
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS sum_charge,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_q("q1_pricing_summary", _Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("sum_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("sum_base_price"),
+        F.round(
+            F.sum(disc.cast("decimal(18,6)")).cast("double"), 2
+        ).alias("sum_disc_price"),
+        F.round(
+            F.sum(charge.cast("decimal(18,6)")).cast("double"), 2
+        ).alias("sum_charge"),
+        F.count("*").cast("long").alias("count_order"),
+    )
