@@ -134,6 +134,8 @@ def main() -> int:
         "a1_micro_prf1",
         "ta_quality",
         "ta_fingerprint",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
     ]
     if args.skip_queries:
         bench_queries = []

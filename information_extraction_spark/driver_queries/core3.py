@@ -431,3 +431,50 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_charge"),
         F.count("*").cast("long").alias("count_order"),
     )
+
+
+# --- TPC-H Q3-shape shipping priority: the canonical 3-table join +
+# aggregate + deterministic top-k (ORDER BY revenue DESC with explicit
+# key tie-break). Revenue sums on DECIMAL for cross-engine exactness.
+
+_Q3_ORACLE = """
+SELECT l.l_orderkey AS orderkey,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+"""
+
+
+@_q("q3_shipping_priority", _Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        # The filtered customer segment is a fraction of a dim table —
+        # broadcast it against the fact side.
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), "orderkey")
+        .limit(10)
+    )
