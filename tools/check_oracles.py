@@ -55,11 +55,14 @@ def main() -> int:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    import time
+
     failures = 0
     for name, fn in sorted(QUERIES.items()):
         if filters and not any(f in name for f in filters):
             continue
         oracle = ORACLES.get(name)
+        t0 = time.time()
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:
@@ -67,7 +70,10 @@ def main() -> int:
             failures += 1
             continue
         if oracle is None:
-            print(f"ok   {name}: rows-only ({len(got)} rows)")
+            print(
+                f"ok   {name}: rows-only ({len(got)} rows)"
+                f" [{time.time() - t0:.1f}s]"
+            )
             continue
         try:
             exp = con.execute(oracle).fetchdf()
@@ -93,7 +99,10 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures += 1
         else:
-            print(f"ok   {name}: {len(got)} rows match oracle")
+            print(
+                f"ok   {name}: {len(got)} rows match oracle"
+                f" [{time.time() - t0:.1f}s]"
+            )
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
