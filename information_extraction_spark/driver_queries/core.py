@@ -418,7 +418,10 @@ def a8_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a9_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").cache()
+    # No cache: the broadcast cross-join scans events exactly once in
+    # this single-action query (a cache would never be reused and was
+    # leaked — VERDICT r01 hygiene note).
+    ev = _t(spark, sf_dir, "events")
     thresholds = spark.createDataFrame(
         [(t,) for t in (40.0, 45.0, 50.0, 55.0, 60.0)], "threshold double"
     )
@@ -432,6 +435,61 @@ def a9_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("threshold").agg(
         F.sum(pred).cast("long").alias("n_pred"),
         F.round(F.sum(correct) * 1.0 / F.sum(pred), 4).alias("precision_"),
+    )
+
+
+# --- A9b: best-threshold selection — the sweep's argmax, the
+# reference's `score > best_score` loop (prob2score.py:93-102, which
+# sweeps 0.46-0.56 and keeps the best-F1 threshold). Deterministic
+# tie-break: lowest threshold wins (strict > in the reference keeps
+# the FIRST best of an ascending sweep — same rule). Ordering is on
+# the UNROUNDED metric (exact int counts divided once), so both
+# engines agree on ties.
+
+
+@_q(
+    "a9_best_threshold",
+    """
+    WITH sweep AS (
+      SELECT t.threshold,
+             sum(CASE WHEN e.value > t.threshold THEN 1 ELSE 0 END)
+               AS n_pred,
+             sum(CASE WHEN e.value > t.threshold
+                      AND e.event_type IN ('click', 'purchase')
+                 THEN 1 ELSE 0 END) AS n_correct
+      FROM events e
+      CROSS JOIN (SELECT CAST(unnest([40.0, 45.0, 50.0, 55.0, 60.0])
+                              AS DOUBLE) AS threshold) t
+      GROUP BY t.threshold
+    )
+    SELECT threshold,
+           round(n_correct * 1.0 / n_pred, 4) AS best_precision
+    FROM sweep
+    ORDER BY n_correct * 1.0 / n_pred DESC, threshold
+    LIMIT 1
+    """,
+)
+def a9_best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    thresholds = spark.createDataFrame(
+        [(t,) for t in (40.0, 45.0, 50.0, 55.0, 60.0)], "threshold double"
+    )
+    joined = ev.crossJoin(F.broadcast(thresholds))
+    pred = F.when(F.col("value") > F.col("threshold"), 1).otherwise(0)
+    correct = F.when(
+        (F.col("value") > F.col("threshold"))
+        & F.col("event_type").isin("click", "purchase"),
+        1,
+    ).otherwise(0)
+    sweep = joined.groupBy("threshold").agg(
+        (F.sum(correct) * 1.0 / F.sum(pred)).alias("_prec")
+    )
+    # 5-row relation: orderBy().limit(1) is TakeOrderedAndProject —
+    # the argmax never funnels the sweep through a global window.
+    return (
+        sweep.orderBy(F.col("_prec").desc(), "threshold")
+        .limit(1)
+        .select("threshold", F.round("_prec", 4).alias("best_precision"))
     )
 
 

@@ -131,14 +131,18 @@ def a2_multilabel_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def p7_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.functions.ranking import stable_rank
+
     d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("word")
-    return (
+    words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.length("word") >= 1)
         .distinct()
-        .withColumn("idx", (F.row_number().over(w) - 1).cast("long"))
     )
+    # Two-phase distributed rank (functions/ranking.py): a web-corpus
+    # vocabulary is millions of rows — never a global unpartitioned
+    # row_number window.
+    return stable_rank(words, "word", "idx")
 
 
 # --- W5: latest-checkpoint pick (newest per group,

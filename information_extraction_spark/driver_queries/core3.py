@@ -9,7 +9,7 @@ DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 QUERIES = {}
@@ -110,13 +110,11 @@ def p8_index_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "word")
     ).select("doc_id", (F.col("i0") + 1).alias("i"), "word")
-    vocab = (
-        toks.select("word")
-        .distinct()
-        .withColumn(
-            "id", F.row_number().over(Window.orderBy("word")).cast("long")
-        )
-    )
+    from information_extraction_spark.functions.ranking import stable_rank
+
+    # Two-phase distributed rank (functions/ranking.py) — no global
+    # unpartitioned row_number window over the vocabulary.
+    vocab = stable_rank(toks.select("word").distinct(), "word", "id", start=1)
     # Vocab is a dimension (J2) — broadcast, never a shuffle join.
     indexed = (
         toks.filter(F.col("i") <= _MAX_TOKENS)
@@ -283,11 +281,20 @@ def p4_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("initial", F.substring(F.md5("g"), 1, 1) < "8")
     )
+    # The broadcast vocab is built from two DISTINCT dims — the 2-gram
+    # set (≤ |charset|² rows) and the character set (≤ |charset| rows),
+    # both computed distributedly. Never collect the full word list:
+    # at web scale the token vocabulary is millions of rows while
+    # these two stay bounded by the alphabet.
     gram_rows = grams.collect()
     chars = {
-        c
-        for r in words.select("word").collect()
-        for c in r["word"]
+        r["c"]
+        for r in words.select(
+            F.explode(F.split("word", "")).alias("c")
+        )
+        .filter(F.length("c") > 0)
+        .distinct()
+        .collect()
     }
     vocab = (
         {r["g"] for r in gram_rows if r["initial"]}
@@ -312,6 +319,269 @@ def p4_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return words.mapInPandas(
         run, schema="word string, piece_idx long, piece string"
+    )
+
+
+# --- P4-CJK: the CJK-isolation branch of wordpiece_tokenize
+# (kernels/tokenizer.py; reference BasicTokenizer Chinese-char
+# isolation, tokenization.py:194-307). Mixed-script words are built
+# deterministically from the corpus vocabulary by md5 arithmetic —
+# word || cjk1 || cjk2 or word || cjk1 || word — and tokenized by the
+# REAL kernel against a single-character vocabulary (ascii chars +
+# '##' continuations + the CJK chars). The kernel must (a) isolate
+# each CJK char into its own word (so it surfaces WITHOUT a '##'
+# prefix even mid-string) and (b) char-split the ascii runs with '##'
+# continuations; the oracle constructs that expectation directly from
+# the known fixture structure.
+
+_CJK_CHARS = ["中", "文", "字", "符", "测", "试", "语", "言"]
+
+_CJK_ORACLE = f"""
+WITH w AS (
+  SELECT DISTINCT lower(unnest(string_split(text, ' '))) AS word
+  FROM documents
+), wf AS (
+  SELECT word FROM w
+  WHERE regexp_full_match(word, '[a-z0-9]+') AND length(word) <= 100
+), m AS (
+  SELECT word,
+         {_CJK_CHARS!r}[(strpos('0123456789abcdef',
+             substring(md5(word), 1, 1)) - 1) % 8 + 1] AS cjk1,
+         {_CJK_CHARS!r}[(strpos('0123456789abcdef',
+             substring(md5(word), 2, 1)) - 1) % 8 + 1] AS cjk2,
+         (strpos('0123456789abcdef',
+             substring(md5(word), 3, 1)) - 1) % 2 = 0 AS two_cjk
+  FROM wf
+), units AS (
+  SELECT word,
+         CAST(generate_subscripts(us, 1) AS INT) AS ui, unnest(us) AS unit
+  FROM (SELECT word,
+               CASE WHEN two_cjk THEN [word, cjk1, cjk2]
+                    ELSE [word, cjk1, word] END AS us
+        FROM m) x
+), pieces AS (
+  SELECT word, ui,
+         CAST(generate_subscripts(ps, 1) AS INT) AS pj, unnest(ps) AS piece
+  FROM (SELECT word, ui,
+               CASE WHEN length(unit) = 1 AND unit >= '一'
+                    THEN [unit]
+                    ELSE list_transform(range(1, length(unit) + 1),
+                         j -> CASE WHEN j = 1
+                                   THEN substring(unit, CAST(j AS INT), 1)
+                                   ELSE '##' ||
+                                        substring(unit, CAST(j AS INT), 1)
+                              END)
+               END AS ps
+        FROM units) y
+)
+SELECT word,
+       CAST(row_number() OVER (PARTITION BY word ORDER BY ui, pj)
+            AS BIGINT) AS piece_idx,
+       piece
+FROM pieces
+"""
+
+
+@_q("p4_cjk_wordpiece", _CJK_ORACLE)
+def p4_cjk_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from information_extraction_spark.kernels.tokenizer import (
+        wordpiece_tokenize,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(
+            F.col("word").rlike("^[a-z0-9]+$") & (F.length("word") <= 100)
+        )
+        .distinct()
+    )
+    arr = F.array(*[F.lit(c) for c in _CJK_CHARS])
+
+    def hexv(k: int):
+        return F.expr(
+            f"locate(substring(md5(word), {k}, 1), '0123456789abcdef') - 1"
+        )
+
+    cjk1 = F.element_at(arr, (hexv(1) % 8 + 1).cast("int"))
+    cjk2 = F.element_at(arr, (hexv(2) % 8 + 1).cast("int"))
+    mixed = F.when(
+        hexv(3) % 2 == 0, F.concat("word", cjk1, cjk2)
+    ).otherwise(F.concat("word", cjk1, "word"))
+    inp = words.withColumn("mixed", mixed)
+
+    chars = {
+        r["c"]
+        for r in words.select(
+            F.explode(F.split("word", "")).alias("c")
+        )
+        .filter(F.length("c") > 0)
+        .distinct()
+        .collect()
+    }
+    vocab = (
+        chars
+        | {"##" + c for c in chars}
+        | set(_CJK_CHARS)
+        | {"##" + c for c in _CJK_CHARS}
+    )
+    vocab_bc = spark.sparkContext.broadcast(vocab)
+
+    def run(batches):
+        v = vocab_bc.value
+        for pdf in batches:
+            out_w, out_i, out_p = [], [], []
+            for word, mix in zip(pdf["word"], pdf["mixed"]):
+                for i, piece in enumerate(wordpiece_tokenize(mix, v)):
+                    out_w.append(word)
+                    out_i.append(i + 1)
+                    out_p.append(piece)
+            yield pd.DataFrame(
+                {"word": out_w, "piece_idx": out_i, "piece": out_p}
+            )
+
+    return inp.mapInPandas(
+        run, schema="word string, piece_idx long, piece string"
+    )
+# reference produce_submit_json_file.py:185-234 + WordPiece merge
+# :153-171). Deterministic (tokens, labels) sequences are derived
+# from the documents words by md5 arithmetic — identical in both
+# engines — then the REAL kernel decodes them in mapInPandas while
+# DuckDB models the same semantics declaratively as gaps-and-islands:
+# 'O'/'B-*' open a new segment, only B-opened segments emit, '##'
+# continuations merge stripped, decoding stops at the first '[SEP]',
+# and a leading '[CLS]' label is dropped (the label list is CLS-
+# prefixed on the Spark side to exercise that branch).
+
+_BIO_ORACLE = """
+WITH t AS (
+  SELECT doc_id, CAST(generate_subscripts(l, 1) AS INT) AS i,
+         unnest(l) AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents WHERE text IS NOT NULL) x
+), lab AS (
+  SELECT doc_id, i,
+         CASE WHEN substring(md5(word || '#' || CAST(i AS VARCHAR)), 1, 1)
+                   < '4'
+              THEN '##' || word ELSE word END AS token,
+         CASE WHEN h <= '4' THEN 'O'
+              WHEN h <= '7' THEN 'B-SUB'
+              WHEN h <= '9' THEN 'I-SUB'
+              WHEN h <= 'b' THEN 'B-OBJ'
+              WHEN h <= 'd' THEN 'I-OBJ'
+              WHEN h = 'e' THEN '[##WordPiece]'
+              ELSE '[SEP]' END AS label
+  FROM (SELECT *, substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                                || CAST(i AS VARCHAR)), 1, 1) AS h
+        FROM t) y
+), sep AS (
+  SELECT doc_id, min(i) AS sep_i FROM lab
+  WHERE label = '[SEP]' GROUP BY doc_id
+), valid AS (
+  SELECT l.* FROM lab l LEFT JOIN sep s USING (doc_id)
+  WHERE s.sep_i IS NULL OR l.i < s.sep_i
+), seg AS (
+  SELECT *, sum(CASE WHEN label = 'O' OR label LIKE 'B-%'
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM valid
+), ent AS (
+  SELECT doc_id, g, min(i) AS start_i,
+         arg_min(label, i) AS open_label,
+         string_agg(CASE WHEN token LIKE '##%'
+                         THEN substring(token, 3) ELSE token END,
+                    '' ORDER BY i) AS entity
+  FROM seg GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_i)
+            AS BIGINT) AS entity_idx,
+       kind, entity
+FROM (SELECT doc_id, start_i, substring(open_label, 3) AS kind, entity
+      FROM ent
+      WHERE open_label LIKE 'B-%' AND length(entity) > 0) z
+"""
+
+
+@_q("kg_bio_decode", _BIO_ORACLE)
+def kg_bio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from information_extraction_spark.kernels.extraction import (
+        decode_bio_tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "word")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "word")
+    istr = F.col("i").cast("string")
+    token = F.when(
+        F.substring(F.md5(F.concat(F.col("word"), F.lit("#"), istr)), 1, 1)
+        < "4",
+        F.concat(F.lit("##"), "word"),
+    ).otherwise(F.col("word"))
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), istr)),
+        1,
+        1,
+    )
+    label = (
+        F.when(h <= "4", "O")
+        .when(h <= "7", "B-SUB")
+        .when(h <= "9", "I-SUB")
+        .when(h <= "b", "B-OBJ")
+        .when(h <= "d", "I-OBJ")
+        .when(h == "e", "[##WordPiece]")
+        .otherwise("[SEP]")
+    )
+    seqs = (
+        toks.withColumn("token", token)
+        .withColumn("label", label)
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "token"))),
+                lambda x: x["token"],
+            ).alias("tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "label"))),
+                lambda x: x["label"],
+            ).alias("labels0"),
+        )
+        # CLS-prefix the label sequence: decode_bio_tokens must drop it
+        # and re-align labels[1:] with the tokens.
+        .withColumn(
+            "labels", F.concat(F.array(F.lit("[CLS]")), F.col("labels0"))
+        )
+        .select("doc_id", "tokens", "labels")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, kinds, ents = [], [], [], []
+            for doc_id, tokens, labels in zip(
+                pdf["doc_id"], pdf["tokens"], pdf["labels"]
+            ):
+                decoded = decode_bio_tokens(list(tokens), list(labels))
+                for j, (kind, ent) in enumerate(decoded):
+                    ids.append(doc_id)
+                    idxs.append(j + 1)
+                    kinds.append(kind)
+                    ents.append(ent)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "entity_idx": pd.array(idxs, dtype="Int64"),
+                    "kind": pd.Series(kinds, dtype=object),
+                    "entity": pd.Series(ents, dtype=object),
+                }
+            )
+
+    return seqs.mapInPandas(
+        run, schema="doc_id long, entity_idx long, kind string, entity string"
     )
 
 

@@ -1,17 +1,26 @@
 """KG-construction queries over the driver test tables.
 
-``kg_classify`` is the oracle-checked one: the stage-1 classification
-kernel (mapInPandas over the broadcast KB) against a full DuckDB SQL
-reimplementation of the same KB derivation + substring semantics —
-this proves the Python kernel agrees with a declarative engine on the
-classification contract. The remaining pipeline stages (tagging span
-offsets, overwrite semantics, BIESO decode) are not faithfully
-SQL-expressible, so they ship as rows-only queries and are instead
-pinned by the pytest parity suite against the pure-Python reference
-extractor.
+``kg_classify`` is oracle-checked against a full DuckDB SQL
+reimplementation of the KB derivation + substring semantics — this
+proves the Python kernel agrees with a declarative engine on the
+classification contract. The flagship ``kg_extract_triples`` /
+``kg_spo_lists`` queries have *materialized* value oracles: the span
+tagging/decode semantics (overwrite order, BIESO) are not faithfully
+SQL-expressible, so the pure-Python direct-path reference extractor
+(kernels/extraction.reference_extract over classify_predicates +
+bieso_tags + decode_bieso — a different code path from the Spark
+kernels' KnowledgeBase batch/fused implementations, parity-pinned by
+pytest against the reference's own worked examples) is evaluated
+driver-side over an independently Python-derived transcript/KB and
+written to a golden parquet that the DuckDB oracle reads back. The
+query function writes the golden eagerly before returning its (lazy)
+DataFrame, so the oracle table always reflects the sf_dir under test.
 """
 
 from __future__ import annotations
+
+import math
+from collections import Counter
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -104,16 +113,156 @@ def kg_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("kg_extract_triples")  # rows-only: span semantics not SQL-expressible
+# --- Flagship golden oracle -------------------------------------------------
+#
+# The golden is recomputed in pure Python from the raw documents table
+# (its own turn-splitting, vocabulary, bigram and KB arithmetic — no
+# Spark operators involved except serializing the result), then run
+# through the DIRECT single-sentence reference extractor. Fixed paths:
+# the ORACLES dict holds static SQL strings, so the query function
+# overwrites these per call for whatever sf_dir the driver passes.
+
+_GOLDEN_TRIPLES_PATH = "/tmp/ie_spark_golden_triples.parquet"
+_GOLDEN_SPO_PATH = "/tmp/ie_spark_golden_spo.parquet"
+_GOLDEN_WRITTEN: dict[str, bool] = {}
+
+_TRIPLE_COLS = (
+    "conv_id string, turn_idx int, text string, predicate string, "
+    "subject string, object string, subject_type string, "
+    "object_type string"
+)
+
+
+def _python_golden_rows(spark: SparkSession, sf_dir: str):
+    """Driver-side reimplementation of transcripts_from_documents +
+    kb_from_documents + the per-sentence pipeline, via the direct
+    (non-KnowledgeBase) kernels. Oracle-scale only (sf<=0.01)."""
+    from information_extraction_spark.kernels.extraction import (
+        reference_extract,
+    )
+    from information_extraction_spark.sources.from_documents import (
+        ENTRIES_PER_PREDICATE,
+        N_BIGRAMS,
+        N_PREDICATES,
+        TURN_WORDS,
+    )
+
+    doc_rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    texts = [r["text"] for r in doc_rows if r["text"] is not None]
+
+    vocab = sorted(
+        {w for t in texts for w in t.split(" ") if len(w) >= 2}
+    )
+    bg: Counter[str] = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            bg[a + " " + b] += 1
+    bigrams = [
+        g
+        for g, _ in sorted(bg.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :N_BIGRAMS
+        ]
+    ]
+    v, b = len(vocab), len(bigrams)
+    kb_entries: set[tuple[str, str, str]] = set()
+    schema_types: dict[str, tuple[str, str]] = {}
+    for k in range(N_PREDICATES):
+        pred = f"rel{k:02d}"
+        schema_types[pred] = (f"T{k % 7}", f"U{k % 5}")
+        for i in range(ENTRIES_PER_PREDICATE):
+            kb_entries.add(
+                (
+                    pred,
+                    vocab[(7 * k + 3 * i) % v],
+                    bigrams[(11 * k + 5 * i + 1) % b],
+                )
+            )
+    # Pair ORDER matters (BIESO overwrite: later pairs overwrite
+    # earlier tags), so mirror kb_from_documents exactly: the KB table
+    # is built from sorted(set(rows)), i.e. per-predicate pairs arrive
+    # sorted by (subject, object).
+    kb_by_predicate: dict[str, list[tuple[str, str]]] = {}
+    for pred, s, o in sorted(kb_entries):
+        kb_by_predicate.setdefault(pred, []).append((s, o))
+
+    rows = []
+    for r in doc_rows:
+        if r["text"] is None:
+            continue
+        words = r["text"].split(" ")
+        conv_id = f"doc{r['doc_id']}.0"
+        for t in range(math.ceil(len(words) / TURN_WORDS)):
+            turn_text = " ".join(
+                words[t * TURN_WORDS : (t + 1) * TURN_WORDS]
+            )
+            if not turn_text:
+                continue
+            for s, p, o, st, ot in reference_extract(
+                turn_text, kb_by_predicate, schema_types
+            ):
+                rows.append((conv_id, t, turn_text, p, s, o, st, ot))
+    return rows
+
+
+def _ensure_golden(spark: SparkSession, sf_dir: str) -> None:
+    if _GOLDEN_WRITTEN.get(sf_dir):
+        return
+    rows = _python_golden_rows(spark, sf_dir)
+    golden = spark.createDataFrame(rows, _TRIPLE_COLS)
+    golden.coalesce(1).write.mode("overwrite").parquet(
+        _GOLDEN_TRIPLES_PATH
+    )
+    # spo_list shape: the VALUES are grouped/sorted in Python; only the
+    # JSON serialization is delegated to Spark's to_json so formatting
+    # matches the query side byte-for-byte.
+    by_turn: dict[tuple[str, int, str], list] = {}
+    for conv_id, t, text, p, s, o, st, ot in rows:
+        by_turn.setdefault((conv_id, t, text), []).append(
+            (p, s, o, st, ot)
+        )
+    spo_rows = [
+        (cid, t, sorted(spos)) for (cid, t, _), spos in by_turn.items()
+    ]
+    spo_schema = (
+        "conv_id string, turn_idx int, spo_list array<struct<"
+        "predicate:string,subject:string,object:string,"
+        "subject_type:string,object_type:string>>"
+    )
+    spark.createDataFrame(spo_rows, spo_schema).select(
+        "conv_id", "turn_idx", F.to_json("spo_list").alias("spo_json")
+    ).coalesce(1).write.mode("overwrite").parquet(_GOLDEN_SPO_PATH)
+    _GOLDEN_WRITTEN.clear()  # one sf_dir's goldens on disk at a time
+    _GOLDEN_WRITTEN[sf_dir] = True
+
+
+_TRIPLES_ORACLE = f"""
+SELECT conv_id, turn_idx, text, predicate, subject, object,
+       subject_type, object_type
+FROM read_parquet('{_GOLDEN_TRIPLES_PATH}/*.parquet')
+"""
+
+_SPO_ORACLE = f"""
+SELECT conv_id, turn_idx, spo_json
+FROM read_parquet('{_GOLDEN_SPO_PATH}/*.parquet')
+"""
+
+
+@_q("kg_extract_triples", _TRIPLES_ORACLE)
 def kg_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction pipeline over transcripts derived from the
     documents table (classify → fan out → tag → decode → assemble)."""
+    _ensure_golden(spark, sf_dir)
     transcripts = transcripts_from_documents(spark, sf_dir)
     kb, schemas = kb_from_documents(spark, sf_dir)
     return extract_triples(spark, transcripts, kb, schemas)
 
 
-@_q("kg_spo_lists")  # rows-only
+@_q("kg_spo_lists", _SPO_ORACLE)
 def kg_spo_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn spo_list JSON rows (the reference's output shape,
     produce_submit_json_file.py:298-313)."""

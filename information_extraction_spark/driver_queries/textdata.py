@@ -256,11 +256,16 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.nw").alias("nb"),
     )
     jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
-    # rand() >= -1 is constant-true but nondeterministic: it stops
-    # Catalyst pushing the expensive jaccard filter into the join
+    # Optimizer barrier: the conjunct F.rand(seed=0) >= -1 is constant-
+    # true but Catalyst marks Rand NONDETERMINISTIC, and pushing a
+    # nondeterministic filter past a join would change semantics — a
+    # guarantee every Spark version must honor (PushDownPredicate's
+    # `deterministic` guard), not an incidental rule ordering. Without
+    # it the expensive jaccard predicate is pushed into the join
     # condition, where array_intersect would run (twice) on every
     # candidate pair instead of only on survivors of the cheap prunes.
-    return pairs.filter((F.rand() >= -1.0) & (jac >= 0.8)).select(
+    # Seeded so the barrier itself is reproducible across retries.
+    return pairs.filter((F.rand(seed=0) >= -1.0) & (jac >= 0.8)).select(
         "da", "db", F.round(jac, 4).alias("jaccard")
     )
 
@@ -345,8 +350,6 @@ WHERE rnk <= 10
 
 @_q("ann_cosine_topk", _ANN_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     import math
 
     e = _emb(spark, sf_dir)
@@ -364,11 +367,20 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos6", F.round(cos, 6))
         .select("vec_id", "cos6")
     )
-    w = Window.orderBy(F.col("cos6").desc(), "vec_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 10)
-        .select("vec_id", "rnk", F.round("cos6", 4).alias("cos4"))
+    # Distributed partial top-k: orderBy().limit(k) compiles to
+    # TakeOrderedAndProject (each partition keeps its local top-10,
+    # the driver merges) — no global single-partition WindowExec, the
+    # shape that survives 100x scale. Ranking the 10 survivors is a
+    # driver-side constant.
+    top = (
+        scored.withColumn("cos4", F.round("cos6", 4))  # HALF_UP, as SQL
+        .orderBy(F.col("cos6").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    )
+    rows = [(r["vec_id"], i + 1, r["cos4"]) for i, r in enumerate(top)]
+    return spark.createDataFrame(
+        rows, "vec_id long, rnk long, cos4 double"
     )
 
 

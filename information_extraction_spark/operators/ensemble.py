@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -26,6 +26,7 @@ def combine_scores(
     score_col: str = "score",
     mode: str = "mean",
     out_col: str = "ensemble_score",
+    assert_unique: bool = True,
 ) -> DataFrame:
     """Combine per-example scalar scores from N model tables.
 
@@ -34,6 +35,14 @@ def combine_scores(
     ensemble's logit addition). Examples are matched by ``keys`` —
     an example must appear in every table (inner joins), mirroring
     the reference's equal-line-count assertion.
+
+    ``assert_unique`` (default True) is the Spark analog of that
+    alignment assertion: a duplicated key in any table would silently
+    multiply join rows and inflate the combined scores, so each table
+    carries a lazy per-row guard — count(*) over a window on the key
+    must be 1 or the job fails with a clear message. The window
+    partitions on the same key the join shuffles on, so with AQE the
+    exchange is shared; pass False for pre-validated bucketed inputs.
     """
     if len(dfs) != len(weights) or not dfs:
         raise ValueError("need one weight per score table")
@@ -42,11 +51,30 @@ def combine_scores(
     total = float(sum(weights)) if mode == "mean" else 1.0
     out = None
     parts = []
+    key_w = Window.partitionBy(*keys)
     for i, (df, w) in enumerate(zip(dfs, weights)):
         col = f"_s{i}"
         cur = df.select(
             *keys, (F.col(score_col) * F.lit(float(w))).alias(col)
         )
+        if assert_unique:
+            guard = F.when(
+                F.count("*").over(key_w) == 1, F.col(col)
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"combine_scores: duplicate key in model "
+                            f"table {i} for ("
+                        ),
+                        F.concat_ws(
+                            ", ", *[F.col(k).cast("string") for k in keys]
+                        ),
+                        F.lit(")"),
+                    )
+                )
+            )
+            cur = cur.select(*keys, guard.alias(col))
         parts.append(col)
         out = cur if out is None else out.join(cur, list(keys), "inner")
     expr = parts[0] if len(parts) == 1 else "+".join(parts)

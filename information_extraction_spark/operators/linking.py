@@ -59,11 +59,15 @@ def connected_components(
     edges = edges.filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
-    # One probe job decides the dispatch AND supplies the driver-path
-    # rows: collect at most threshold+1 edges instead of paying a full
-    # count() (a complete plan evaluation) before either path.
-    probe = edges.select("src", "dst").limit(driver_threshold + 1).collect()
-    if len(probe) <= driver_threshold:
+    # Bounded-count probe decides the dispatch: limit(threshold+1)
+    # .count() stops scanning once threshold+1 edges exist and ships
+    # only a count to the driver — the full collect() happens ONLY
+    # when the graph is known to fit the driver path (ADVICE r01: the
+    # old collect-then-discard probe allocated ~threshold rows on the
+    # driver even for graphs taking the distributed path).
+    probe_n = edges.select("src", "dst").limit(driver_threshold + 1).count()
+    if probe_n <= driver_threshold:
+        probe = edges.select("src", "dst").collect()
         parent: dict[str, str] = {}
 
         def find(x: str) -> str:

@@ -146,9 +146,13 @@ def start_conversation_sessions(
         for pdf in pdfs:
             n_turns += len(pdf)
             n_chars += int(pdf["text"].fillna("").str.len().sum())
-            ts = pd.to_datetime(pdf["ts"])
-            lo = int(ts.min().timestamp())
-            hi = int(ts.max().timestamp())
+            # Epochs come from the Spark-side unix_timestamp column
+            # (`ts_epoch`, added below) — pandas .timestamp() on the
+            # tz-naive ts values Arrow delivers would assume UTC and
+            # silently shift by the offset if the session timezone
+            # ever changed (ADVICE r01).
+            lo = int(pdf["ts_epoch"].min())
+            hi = int(pdf["ts_epoch"].max())
             first_ts = lo if first_ts is None else min(first_ts, lo)
             last_ts = hi if last_ts is None else max(last_ts, hi)
         state.update((n_turns, n_chars, first_ts, last_ts))
@@ -172,6 +176,7 @@ def start_conversation_sessions(
         # filter an all-null-ts group would reach track() as NaT and
         # kill the query on int(NaT.timestamp()).
         stream.filter(F.col("ts").isNotNull())
+        .withColumn("ts_epoch", F.unix_timestamp("ts"))
         .withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(

@@ -1,0 +1,65 @@
+"""Two-phase distributed rank (functions/ranking.stable_rank) and the
+ensemble duplicate-key guard — round-2 additions per VERDICT r01."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_extraction_spark.functions.ranking import stable_rank
+from information_extraction_spark.operators.ensemble import combine_scores
+
+
+def test_stable_rank_matches_global_sort(spark):
+    words = [f"w{i:04d}" for i in range(997)]
+    import random
+
+    rng = random.Random(7)
+    shuffled = words[:]
+    rng.shuffle(shuffled)
+    df = spark.createDataFrame([(w,) for w in shuffled], "word string")
+    ranked = stable_rank(df, "word", "idx").collect()
+    got = {r["word"]: r["idx"] for r in ranked}
+    assert got == {w: i for i, w in enumerate(sorted(words))}
+
+
+def test_stable_rank_start_offset_and_partitions(spark):
+    df = spark.createDataFrame(
+        [(w,) for w in ["b", "d", "a", "c"]], "word string"
+    )
+    ranked = stable_rank(df, "word", "id", start=1, num_partitions=3)
+    got = {r["word"]: r["id"] for r in ranked.collect()}
+    assert got == {"a": 1, "b": 2, "c": 3, "d": 4}
+
+
+def test_stable_rank_plan_has_no_unpartitioned_window(spark):
+    df = spark.createDataFrame([(f"w{i}",) for i in range(50)], "word string")
+    plan = (
+        stable_rank(df, "word", "idx")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            # every window partitions on _pid — never a global sort
+            assert "_pid" in line, line
+
+
+def test_combine_scores_rejects_duplicate_keys(spark):
+    good = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "k string, score double"
+    )
+    dup = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 2.0)], "k string, score double"
+    )
+    out = combine_scores([good, dup], [1.0, 1.0], ["k"])
+    with pytest.raises(Exception, match="duplicate key"):
+        out.collect()
+    # same tables pass when the guard is waived and dups pre-collapsed
+    ok = combine_scores(
+        [good, dup.groupBy("k").agg(F.max("score").alias("score"))],
+        [1.0, 1.0],
+        ["k"],
+    )
+    assert ok.count() == 2
