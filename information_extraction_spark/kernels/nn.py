@@ -1,0 +1,167 @@
+"""Pure-numpy BiLSTM inference kernels — the tensor model behind the
+pluggable seam.
+
+The reference's winning models are BERT + BiLSTM(-CRF) sequence
+models (classification/model_bert.py:14-118 for stage 1,
+labeling/model.py:14-163 + crf.py for stage 2). Their fine-tuned
+weights are not redistributable, so the engine ships deterministic
+KB kernels by default (kernels/extraction.py) — but the seam those
+kernels sit behind (mapInPandas over Arrow batches, weights as a
+Spark broadcast, inputs framed by the P8-P11 tokenizer operators)
+must demonstrably feed a REAL tensor model. This module proves it
+with a seeded random-weight char-level BiLSTM implemented in numpy
+(torch is absent from this container; the array math is identical):
+
+* ``init_weights`` — one flat dict of float32 arrays, broadcast once
+  per executor exactly like model weights on a cluster;
+* ``bilstm_forward`` — batched (B, T, D) forward over a padded int
+  matrix built by P8 (index+pad) / P10 (CLS/SEP+mask) / P11
+  (predicate-conditioned segments);
+* ``classify_logits`` — stage-1 head: masked mean-pool → sigmoid
+  multi-label scores over the predicate inventory;
+* ``tag_ids`` — stage-2 head: per-position argmax over the 9-tag
+  BIESO alphabet (labeling/tagging.py:9-51's label space).
+
+Parity with the reference's scores is NOT the goal (random weights);
+batch shape, padding, masking and broadcast plumbing are — pinned by
+tests/test_nn_kernel.py, which runs the full extraction DAG with
+these kernels swapped in.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# BIESO tag alphabet (index 0 must be 'O' so padding decodes to
+# no-entity).
+TAGS = (
+    "O",
+    "B-SUB",
+    "I-SUB",
+    "E-SUB",
+    "S-SUB",
+    "B-OBJ",
+    "I-OBJ",
+    "E-OBJ",
+    "S-OBJ",
+)
+N_TAGS = len(TAGS)
+
+# Special-token ids (P8 vocab layout: specials first, then chars).
+PAD_ID, UNK_ID, CLS_ID, SEP_ID = 0, 1, 2, 3
+N_SPECIAL = 4
+
+MAX_SEG = 64  # segment-id embedding rows (predicate_index + 1 < 64)
+
+
+def init_weights(
+    vocab_size: int,
+    n_predicates: int = 50,
+    dim: int = 32,
+    hidden: int = 32,
+    seed: int = 0,
+    scale: float = 1.0,
+) -> dict[str, np.ndarray]:
+    """Seeded random float32 weights; a fine-tuned checkpoint would be
+    loaded into the same dict and broadcast the same way. ``scale``
+    ~1.0 keeps the random tagger's argmax position-sensitive (at 0.1
+    the bias term dominates and every position collapses to one tag —
+    fine for shape tests, useless for an end-to-end smoke that should
+    emit some decodable spans)."""
+    rng = np.random.default_rng(seed)
+
+    def m(*shape: int) -> np.ndarray:
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    return {
+        "emb": m(vocab_size, dim),
+        "seg": m(MAX_SEG, dim),
+        "w_f": m(dim, 4 * hidden),
+        "u_f": m(hidden, 4 * hidden),
+        "b_f": m(4 * hidden),
+        "w_b": m(dim, 4 * hidden),
+        "u_b": m(hidden, 4 * hidden),
+        "b_b": m(4 * hidden),
+        "w_cls": m(2 * hidden, n_predicates),
+        "b_cls": m(n_predicates),
+        "w_tag": m(2 * hidden, N_TAGS),
+        "b_tag": m(N_TAGS),
+    }
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _lstm_dir(
+    x: np.ndarray,
+    w: np.ndarray,
+    u: np.ndarray,
+    b: np.ndarray,
+    reverse: bool,
+) -> np.ndarray:
+    """One LSTM direction over (B, T, D) → (B, T, H). Time loop,
+    batch-vectorized — the same shape torch.nn.LSTM computes."""
+    bsz, t_len, _ = x.shape
+    hid = u.shape[0]
+    h = np.zeros((bsz, hid), dtype=np.float32)
+    c = np.zeros((bsz, hid), dtype=np.float32)
+    out = np.zeros((bsz, t_len, hid), dtype=np.float32)
+    steps = range(t_len - 1, -1, -1) if reverse else range(t_len)
+    for t in steps:
+        gates = x[:, t, :] @ w + h @ u + b
+        i, f, g, o = np.split(gates, 4, axis=1)
+        c = _sigmoid(f) * c + _sigmoid(i) * np.tanh(g)
+        h = _sigmoid(o) * np.tanh(c)
+        out[:, t, :] = h
+    return out
+
+
+def bilstm_forward(
+    weights: dict[str, np.ndarray],
+    ids: np.ndarray,
+    seg_ids: np.ndarray | None = None,
+) -> np.ndarray:
+    """(B, T) int token ids [+ segment ids] → (B, T, 2H) states."""
+    assert ids.ndim == 2, f"expected (B, T) id matrix, got {ids.shape}"
+    x = weights["emb"][ids]
+    if seg_ids is not None:
+        assert seg_ids.shape == ids.shape
+        x = x + weights["seg"][seg_ids]
+    fwd = _lstm_dir(x, weights["w_f"], weights["u_f"], weights["b_f"], False)
+    bwd = _lstm_dir(x, weights["w_b"], weights["u_b"], weights["b_b"], True)
+    return np.concatenate([fwd, bwd], axis=2)
+
+
+def classify_logits(
+    weights: dict[str, np.ndarray],
+    ids: np.ndarray,
+    mask: np.ndarray,
+) -> np.ndarray:
+    """Stage-1 head: masked mean-pool → (B, n_predicates) sigmoid
+    scores (the multi-label sigmoid of model_bert.py's classifier)."""
+    states = bilstm_forward(weights, ids)
+    m = mask.astype(np.float32)[:, :, None]
+    pooled = (states * m).sum(axis=1) / np.maximum(
+        m.sum(axis=1), 1.0
+    )
+    return _sigmoid(pooled @ weights["w_cls"] + weights["b_cls"])
+
+
+def tag_ids(
+    weights: dict[str, np.ndarray],
+    ids: np.ndarray,
+    seg_ids: np.ndarray,
+) -> np.ndarray:
+    """Stage-2 head: (B, T) → (B, T) argmax tag ids over TAGS."""
+    states = bilstm_forward(weights, ids, seg_ids)
+    logits = states @ weights["w_tag"] + weights["b_tag"]
+    return logits.argmax(axis=2)
+
+
+def build_char_vocab(chars: list[str]) -> dict[str, int]:
+    """P7-shaped vocab: specials at fixed ids, then sorted chars."""
+    vocab = {"[PAD]": PAD_ID, "[UNK]": UNK_ID, "[CLS]": CLS_ID, "[SEP]": SEP_ID}
+    for i, c in enumerate(sorted(chars)):
+        vocab[c] = N_SPECIAL + i
+    return vocab
