@@ -9,11 +9,12 @@ from information_extraction_spark.driver_queries import (
     core2,
     core3,
     kg,
+    streamq,
     textdata,
 )
 
 QUERIES = {}
 ORACLES = {}
-for mod in (core, core2, core3, kg, textdata):
+for mod in (core, core2, core3, kg, streamq, textdata):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

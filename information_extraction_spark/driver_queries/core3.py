@@ -322,6 +322,60 @@ def p4_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- P3: live segmentation (kernels/tokenizer.segment_text; reference
+# pytorch/labeling/dataset.py:49-55 uses jieba.posseg). jieba is not
+# in this container, so the kernel's documented deterministic fallback
+# (whitespace tokens, pos='x') is the active path — this query makes
+# it driver-visible and value-checked; with jieba installed the kernel
+# output would be the jieba segmentation and this oracle would not
+# apply (the import gate is the pluggable-segmentation seam).
+
+_P3_ORACLE = """
+WITH t AS (
+  SELECT doc_id, CAST(generate_subscripts(l, 1) AS INT) AS i,
+         unnest(l) AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents WHERE text IS NOT NULL) x
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i)
+            AS BIGINT) AS seg_idx,
+       word, 'x' AS pos
+FROM t WHERE word <> ''
+"""
+
+
+@_q("p3_segment", _P3_ORACLE)
+def p3_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from information_extraction_spark.kernels.tokenizer import segment_text
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, words, pos = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for j, (w, p) in enumerate(segment_text(text)):
+                    ids.append(doc_id)
+                    idxs.append(j + 1)
+                    words.append(w)
+                    pos.append(p)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "seg_idx": pd.array(idxs, dtype="Int64"),
+                    "word": pd.Series(words, dtype=object),
+                    "pos": pd.Series(pos, dtype=object),
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, seg_idx long, word string, pos string"
+    )
+
+
 # --- P4-CJK: the CJK-isolation branch of wordpiece_tokenize
 # (kernels/tokenizer.py; reference BasicTokenizer Chinese-char
 # isolation, tokenization.py:194-307). Mixed-script words are built

@@ -1,0 +1,95 @@
+"""Driver-visible Structured Streaming query (SURVEY §2.8).
+
+The streaming path was previously pytest-only (batch-parity tests in
+tests/test_streaming.py); this catalog entry runs a REAL streaming
+query — file source → watermark → tumbling event-time window → memory
+sink, drained synchronously with processAllAvailable() — and returns
+the sink table, value-checked against a DuckDB date_trunc oracle.
+Spark's epoch-aligned `window(ts, '1 hour')` buckets are exactly
+`date_trunc('hour', ts)`, so the oracle is independent SQL, not a
+re-run of the stream.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_COUNTER = itertools.count()
+
+_ST_ORACLE = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@_q("st_windowed_counts", _ST_ORACLE)
+def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark import schemas as S  # noqa: F401
+
+    # File source needs a directory; stage the events file into one.
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"ie_stream_events_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    os.makedirs(src, exist_ok=True)
+    dst = os.path.join(src, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    schema = spark.read.parquet(dst).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .filter(F.col("ts").isNotNull())
+        # driver parquet carries TIMESTAMP_NTZ; event-time semantics
+        # (watermark) require TIMESTAMP — session tz is pinned UTC so
+        # the cast is value-preserving
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    name = f"st_windowed_counts_{next(_COUNTER)}"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )

@@ -384,6 +384,131 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF-probe ANN (the second scale path next to ann_lsh_bucketed) -----------
+#
+# Inverted-file search: a small coarse quantizer (here: the 8
+# lowest-vec_id embeddings stand in for k-means centroids — the
+# TRAINING of the quantizer is out of scope, the assignment/probe
+# query shape is what must scale), every vector assigned to its
+# nearest centroid (one narrow pass + a vec_id-PARTITIONED window —
+# never global), the query probes its nprobe=2 nearest lists, and
+# exact cosine runs only over the probed lists' members with the same
+# TakeOrderedAndProject top-k as the brute-force baseline. At 100 TB
+# the assignment is a write-time bucketing (partition the vector
+# table BY cid) so a probe scans nprobe partitions — partition
+# pruning, no shuffle at query time.
+
+_IVF_ORACLE = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  ORDER BY vec_id LIMIT 8
+), qid AS (SELECT min(vec_id) AS q FROM embeddings),
+qv AS (
+  SELECT vec_id, embedding AS qe FROM embeddings
+  WHERE vec_id = (SELECT q FROM qid)
+), ac AS (
+  SELECT e.vec_id, c.cid, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.ce) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN cent c
+), a0 AS (
+  SELECT vec_id, cid,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+           AS cos6
+  FROM ac GROUP BY vec_id, cid
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos6 DESC, cid) AS rn
+    FROM a0) t WHERE rn = 1
+), probe AS (
+  SELECT cid FROM (
+    SELECT a0.cid,
+           row_number() OVER (ORDER BY a0.cos6 DESC, a0.cid) AS rn
+    FROM a0 WHERE a0.vec_id = (SELECT q FROM qid)) t
+  WHERE rn <= 2
+), cand AS (
+  SELECT a.vec_id FROM assign a JOIN probe p USING (cid)
+  WHERE a.vec_id <> (SELECT q FROM qid)
+), pr AS (
+  SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qe) AS DOUBLE) AS y
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv q
+), c AS (
+  SELECT vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+           AS cos6
+  FROM pr GROUP BY vec_id
+)
+SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, round(cos6, 4) AS cos4
+FROM (SELECT vec_id, cos6,
+             row_number() OVER (ORDER BY cos6 DESC, vec_id) AS rnk
+      FROM c) t
+WHERE rnk <= 10
+"""
+
+
+@_q("ann_ivf_probe", _IVF_ORACLE)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _spread(spark, _emb(spark, sf_dir), "vec_id")
+    cent_rows = (
+        _emb(spark, sf_dir).orderBy("vec_id").limit(8).collect()
+    )
+    qid = cent_rows[0]["vec_id"]
+    cent = spark.createDataFrame(
+        [(r["vec_id"], list(map(float, r["embedding"]))) for r in cent_rows],
+        "cid long, ce array<double>",
+    )
+    # Assignment: one narrow pass over the broadcast 8-row quantizer,
+    # argmin via a vec_id-partitioned window (rounded to 6dp BEFORE
+    # ranking so both engines break ties identically).
+    cos_c = _dot(F.col("embedding"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    a0 = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", F.round(cos_c, 6).alias("cos6")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos6").desc(), "cid")
+    assign = (
+        a0.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    # Probe: the query's 2 nearest lists — a 8-row driver-side sort
+    # over the SAME engine-computed a0 scores.
+    probe = [
+        r["cid"]
+        for r in a0.filter(F.col("vec_id") == qid)
+        .orderBy(F.col("cos6").desc(), "cid")
+        .limit(2)
+        .collect()
+    ]
+    cand = assign.filter(
+        F.col("cid").isin(probe) & (F.col("vec_id") != qid)
+    ).select("vec_id")
+    qrow = cent_rows[0]
+    qvec = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
+    cos_q = _dot(F.col("embedding"), qvec) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(qvec, qvec))
+    )
+    top = (
+        e.join(cand, "vec_id")
+        .withColumn("cos6", F.round(cos_q, 6))
+        .withColumn("cos4", F.round("cos6", 4))
+        .orderBy(F.col("cos6").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    )
+    rows = [(r["vec_id"], i + 1, r["cos4"]) for i, r in enumerate(top)]
+    return spark.createDataFrame(
+        rows, "vec_id long, rnk long, cos4 double"
+    )
+
+
 # --- Text analysis ------------------------------------------------------------
 
 _STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
