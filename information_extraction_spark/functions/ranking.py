@@ -15,16 +15,21 @@ two-phase shape here is the distributed equivalent:
    vocab table);
 2. count rows per partition — a tiny driver-side list (one int per
    partition) — and prefix-sum it into per-partition offsets;
-3. rank = per-partition local row_number (a window PARTITIONED by
-   partition id — no global exchange) + the broadcast offset.
+3. rank = sortWithinPartitions (narrow) + a per-partition running
+   counter in mapInPandas (narrow; the iterator a mapInPandas
+   function receives IS one partition, in order) + the offset.
 
-Total cost: one range shuffle + one narrow pass, no single-task sort.
+Total cost: ONE range shuffle end to end — the local sort and the
+ranking pass are narrow. (A `Window.partitionBy(_pid)` would be
+partition-parallel too, but costs a second full exchange on the pid
+hash; the mapInPandas counter doesn't.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def stable_rank(
@@ -40,7 +45,7 @@ def stable_rank(
     Rows must be unique on ``order_col`` for the rank to be
     deterministic (the intended input is a distinct key set, e.g. a
     vocabulary); equal keys land in one range partition and are
-    tie-broken by local row_number.
+    tie-broken by arrival order within it.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -55,19 +60,29 @@ def stable_rank(
         .agg(F.count("*").alias("cnt"))
         .collect()
     }
-    offsets: list = []
+    offsets: dict[int, int] = {}
     acc = start
     for pid in range(num_partitions):
-        offsets.extend([F.lit(pid), F.lit(acc)])
+        offsets[pid] = acc
         acc += counts.get(pid, 0)
-    off_map = F.create_map(*offsets)
-    w = Window.partitionBy("_pid").orderBy(order_col)
-    return (
-        with_pid.withColumn(
-            out_col,
-            (
-                F.row_number().over(w) - 1 + off_map[F.col("_pid")]
-            ).cast("long"),
-        )
-        .drop("_pid")
+
+    out_schema = T.StructType(
+        list(parts.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def rank_partition(batches):
+        base = None
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf[out_col] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return with_pid.sortWithinPartitions(order_col).mapInPandas(
+        rank_partition, schema=out_schema
     )

@@ -32,7 +32,7 @@ def test_stable_rank_start_offset_and_partitions(spark):
     assert got == {"a": 1, "b": 2, "c": 3, "d": 4}
 
 
-def test_stable_rank_plan_has_no_unpartitioned_window(spark):
+def test_stable_rank_plan_is_narrow_after_the_range_shuffle(spark):
     df = spark.createDataFrame([(f"w{i}",) for i in range(50)], "word string")
     plan = (
         stable_rank(df, "word", "idx")
@@ -40,10 +40,13 @@ def test_stable_rank_plan_has_no_unpartitioned_window(spark):
         .executedPlan()
         .toString()
     )
-    for line in plan.splitlines():
-        if "windowspecdefinition" in line:
-            # every window partitions on _pid — never a global sort
-            assert "_pid" in line, line
+    # no window at all (the per-partition counter replaces
+    # row_number) and no exchange after the checkpointed range
+    # partitioning — the sort is within-partition, the rank pass a
+    # narrow mapInPandas
+    assert "windowspecdefinition" not in plan
+    assert "Exchange" not in plan  # input is the checkpointed RDD
+    assert "Sort" in plan and "MapInPandas" in plan
 
 
 def test_combine_scores_rejects_duplicate_keys(spark):
