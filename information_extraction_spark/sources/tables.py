@@ -28,9 +28,13 @@ def _read_as(spark: SparkSession, path: str, schema) -> DataFrame:
     and trivial casts (string→string) are elided by Catalyst.
     Lossy values still fail LOUDLY: Spark 4 runs ANSI mode by default
     (session verified), so an out-of-range id raises CAST_OVERFLOW
-    rather than wrapping. One behavior change vs the forced-schema
-    read: a data-less directory now errors at plan time ("unable to
-    infer schema") instead of yielding an empty frame."""
+    rather than wrapping. Two behavior changes vs the forced-schema
+    read (both deliberate — fail fast beats silent nulls): a parquet
+    file MISSING a canonical column errors at plan time instead of
+    yielding an all-null column, and a data-less directory errors at
+    plan time ("unable to infer schema") instead of yielding an empty
+    frame. If a lenient read is ever needed, add the missing canonical
+    columns as typed nulls before this cast projection."""
     df = spark.read.parquet(path)
     return df.select(
         *[
