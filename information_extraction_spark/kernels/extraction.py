@@ -281,6 +281,8 @@ class KnowledgeBase:
         # duplicate-heavy (and the bench replicates its corpus), so
         # memoize per KB instance. Bounded: cleared when oversized.
         self._fallback_cache: dict[tuple[str, int], tuple[list, list]] = {}
+        # Same for the fused extract units (see extract_batch).
+        self._extract_cache: dict[tuple[str, int], list] = {}
 
     def _fallback(
         self, text: str, fallback_k: int
@@ -411,8 +413,36 @@ class KnowledgeBase:
         is reused for pair prefiltering instead of per-row substring
         scans, and entity match offsets are memoized per text across
         all its predicates (KB entities recur across pairs).
+
+        Duplicate texts are deduped BEFORE the presence pass and their
+        units served from a bounded per-KB memo (same rationale as the
+        fallback memo: web corpora are duplicate-heavy — that is why
+        the engine ships five dedup operators — and the kernel output
+        is a pure function of (text, fallback_k)). On an all-unique
+        batch the cost is one dict probe per row; on a corpus with
+        duplication factor d the presence matrix and span work shrink
+        by ~d. Results are shared references; callers must not mutate.
         """
-        texts_list, present, fired = self._presence_and_fired(texts)
+        texts_list = [t if isinstance(t, str) else (t or "") for t in texts]
+        cache = self._extract_cache
+        todo: list[str] = []
+        seen: set[str] = set()
+        for t in texts_list:
+            if (t, fallback_k) not in cache and t not in seen:
+                seen.add(t)
+                todo.append(t)
+        if todo:
+            if len(cache) > 50_000:
+                cache.clear()
+            for t, units in zip(todo, self._extract_unique(todo, fallback_k)):
+                cache[(t, fallback_k)] = units
+        return [cache[(t, fallback_k)] for t in texts_list]
+
+    def _extract_unique(
+        self, texts_list: list[str], fallback_k: int
+    ) -> list[list[tuple[str, list[str], list[str]]]]:
+        """extract_batch body over known-unique texts (no memo)."""
+        _, present, fired = self._presence_and_fired(texts_list)
         n = len(texts_list)
         out: list[list[tuple[str, list[str], list[str]]]] = []
         for i in range(n):
