@@ -8,6 +8,13 @@ the sink table, value-checked against a DuckDB date_trunc oracle.
 Spark's epoch-aligned `window(ts, '1 hour')` buckets are exactly
 `date_trunc('hour', ts)`, so the oracle is independent SQL, not a
 re-run of the stream.
+
+Scale note: `complete` output mode (needed by the memory sink the
+harness drains) keeps every window in the state store — the
+unbounded-stream shape is `append` with this same watermark, which
+emits each window once the watermark passes it and EVICTS its state
+(that shape is exercised by streaming/ingest.py and its tests); the
+aggregation itself is identical.
 """
 
 from __future__ import annotations
