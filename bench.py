@@ -126,6 +126,10 @@ def main() -> int:
         "dd_embedding_cosine",
         "ann_cosine_topk",
         "ann_lsh_bucketed",
+        "ann_ivf_probe",
+        "kg_bio_decode",
+        "p7_vocab_build",
+        "st_windowed_counts",
         "ta_langid",
         "w1_stable_turn_order",
         "w2_sessionize",
