@@ -159,6 +159,61 @@ def tag_ids(
     return logits.argmax(axis=2)
 
 
+def crf_decode(
+    transitions: np.ndarray, emissions: np.ndarray
+) -> np.ndarray:
+    """Batched Viterbi decode: the reference's labeling model is a
+    BiLSTM-*CRF* (labeling/model.py:14-163 + crf.py:163-335 —
+    `viterbi_decode` over learned tag-transition scores), so the seam
+    must demonstrably run a structured decoder, not just per-position
+    argmax. ``transitions`` is (n_tags, n_tags) [from→to];
+    ``emissions`` is (B, T, n_tags). Returns (B, T) best-path tag
+    ids. Pure max-sum dynamic programming, batch-vectorized over B —
+    the same recurrence crf.py implements in torch.
+    """
+    bsz, t_len, n = emissions.shape
+    assert transitions.shape == (n, n)
+    score = emissions[:, 0, :].copy()  # (B, n)
+    back = np.zeros((bsz, t_len, n), dtype=np.int64)
+    for t in range(1, t_len):
+        # (B, from, to): prior path score + transition + emission
+        cand = score[:, :, None] + transitions[None, :, :]
+        back[:, t, :] = cand.argmax(axis=1)
+        score = cand.max(axis=1) + emissions[:, t, :]
+    path = np.zeros((bsz, t_len), dtype=np.int64)
+    path[:, -1] = score.argmax(axis=1)
+    for t in range(t_len - 2, -1, -1):
+        path[:, t] = back[np.arange(bsz), t + 1, path[:, t + 1]]
+    return path
+
+
+def tag_ids_crf(
+    weights: dict[str, np.ndarray],
+    ids: np.ndarray,
+    seg_ids: np.ndarray,
+) -> np.ndarray:
+    """Stage-2 head with CRF decoding: BiLSTM emissions → Viterbi
+    over the learned transition matrix (weights['crf']; added by
+    ``with_crf``)."""
+    states = bilstm_forward(weights, ids, seg_ids)
+    emissions = states @ weights["w_tag"] + weights["b_tag"]
+    return crf_decode(weights["crf"], emissions)
+
+
+def with_crf(
+    weights: dict[str, np.ndarray], seed: int = 1, scale: float = 1.0
+) -> dict[str, np.ndarray]:
+    """Attach a seeded random (n_tags, n_tags) transition matrix —
+    the CRF parameters a trained checkpoint would provide."""
+    rng = np.random.default_rng(seed)
+    return {
+        **weights,
+        "crf": (rng.standard_normal((N_TAGS, N_TAGS)) * scale).astype(
+            np.float32
+        ),
+    }
+
+
 def build_char_vocab(chars: list[str]) -> dict[str, int]:
     """P7-shaped vocab: specials at fixed ids, then sorted chars."""
     vocab = {"[PAD]": PAD_ID, "[UNK]": UNK_ID, "[CLS]": CLS_ID, "[SEP]": SEP_ID}

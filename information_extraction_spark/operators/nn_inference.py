@@ -127,7 +127,13 @@ def nn_tag_stage(
                 )
                 ids[r] = index_tokens(toks, vocab, unk_id=nn.UNK_ID)
                 segs[r] = seg
-            tag_mat = nn.tag_ids(weights, ids, segs)
+            # CRF (Viterbi over learned transitions, the reference's
+            # BiLSTM-CRF decode) when the checkpoint carries one;
+            # per-position argmax otherwise.
+            if "crf" in weights:
+                tag_mat = nn.tag_ids_crf(weights, ids, segs)
+            else:
+                tag_mat = nn.tag_ids(weights, ids, segs)
             tags_col = []
             for r, text in enumerate(pdf["text"]):
                 text = text or ""

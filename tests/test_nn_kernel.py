@@ -71,6 +71,43 @@ def test_segment_conditioning_reaches_the_model(weights):
     assert not np.allclose(a, b)
 
 
+def test_crf_viterbi_matches_brute_force():
+    """Viterbi over (transitions, emissions) must equal exhaustive
+    best-path search on small instances — the decode contract of the
+    reference's crf.py viterbi_decode."""
+    import itertools
+
+    rng = np.random.default_rng(5)
+    for trial in range(5):
+        n, t = 4, 5
+        trans = rng.standard_normal((n, n)).astype(np.float32)
+        em = rng.standard_normal((2, t, n)).astype(np.float32)
+        got = nn.crf_decode(trans, em)
+        for b in range(2):
+            best_score, best_path = -np.inf, None
+            for path in itertools.product(range(n), repeat=t):
+                s = em[b, 0, path[0]] + sum(
+                    trans[path[i - 1], path[i]] + em[b, i, path[i]]
+                    for i in range(1, t)
+                )
+                if s > best_score:
+                    best_score, best_path = s, path
+            assert tuple(got[b]) == best_path
+
+
+def test_crf_changes_the_decoded_paths(weights):
+    """A transition matrix that heavily penalizes staying in the same
+    tag must produce different paths than argmax."""
+    ids = np.random.default_rng(2).integers(4, 40, size=(2, 16))
+    segs = np.ones_like(ids)
+    w_crf = nn.with_crf(weights, seed=3, scale=5.0)
+    argmax = nn.tag_ids(weights, ids, segs)
+    viterbi = nn.tag_ids_crf(w_crf, ids, segs)
+    assert viterbi.shape == argmax.shape
+    assert not np.array_equal(argmax, viterbi)
+    assert set(viterbi.ravel()) <= set(range(nn.N_TAGS))
+
+
 def _nn_triples(spark, transcripts_pdf, weights, vocab, n_rows=60):
     from information_extraction_spark.operators.nn_inference import (
         nn_extract_triples,
@@ -109,6 +146,28 @@ def test_nn_pipeline_end_to_end(spark, transcripts_pdf, weights, vocab):
     for r in rows[:200]:
         assert r["subject"] in r["text"] and r["object"] in r["text"]
     assert {r["predicate"] for r in rows} <= set(PREDICATES)
+
+
+def test_nn_pipeline_with_crf_end_to_end(
+    spark, transcripts_pdf, weights, vocab
+):
+    """The full DAG with the CRF-decoding checkpoint: schema-identical
+    triples, Viterbi path running inside the tag stage."""
+    from information_extraction_spark.operators.nn_inference import (
+        nn_extract_triples,
+    )
+
+    pdf = transcripts_pdf.head(40)
+    tdf = spark.createDataFrame(pdf, schema=S.TRANSCRIPTS)
+    schema_rows = [
+        (k, PREDICATES[k], f"T{k % 7}", f"U{k % 5}") for k in range(N_PRED)
+    ]
+    schemas = spark.createDataFrame(schema_rows, schema=S.RELATION_SCHEMAS)
+    out = nn_extract_triples(
+        spark, tdf, schemas, nn.with_crf(weights), vocab, threshold=0.5
+    ).collect()
+    for r in out[:100]:
+        assert r["subject"] in r["text"] and r["object"] in r["text"]
 
 
 def test_nn_pipeline_deterministic_under_repartition(

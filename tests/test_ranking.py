@@ -49,6 +49,14 @@ def test_stable_rank_plan_is_narrow_after_the_range_shuffle(spark):
     assert "Sort" in plan and "MapInPandas" in plan
 
 
+def test_stable_rank_edge_cases(spark):
+    empty = spark.createDataFrame([], "word string")
+    assert stable_rank(empty, "word", "idx").count() == 0
+    one = spark.createDataFrame([("z",)], "word string")
+    got = stable_rank(one, "word", "idx", num_partitions=4).collect()
+    assert [(r["word"], r["idx"]) for r in got] == [("z", 0)]
+
+
 def test_combine_scores_rejects_duplicate_keys(spark):
     good = spark.createDataFrame(
         [("a", 1.0), ("b", 2.0)], "k string, score double"
