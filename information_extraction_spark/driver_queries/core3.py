@@ -30,6 +30,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _corpus_chars(words: DataFrame) -> set[str]:
+    """Distinct characters of a one-column `word` DataFrame, computed
+    distributedly (the char set is alphabet-bounded — the ONLY thing
+    collected; never the word list itself). Shared by the wordpiece
+    queries so their vocab derivations cannot drift."""
+    return {
+        r["c"]
+        for r in words.select(F.explode(F.split("word", "")).alias("c"))
+        .filter(F.length("c") > 0)
+        .distinct()
+        .collect()
+    }
+
+
 # --- P2: postag expansion (repeat each word's POS per character so the
 # POS sequence aligns 1:1 with chars, labeling/dataset.py:12-27).
 # POS here is a deterministic surrogate (no gold postag in the test
@@ -287,15 +301,7 @@ def p4_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at web scale the token vocabulary is millions of rows while
     # these two stay bounded by the alphabet.
     gram_rows = grams.collect()
-    chars = {
-        r["c"]
-        for r in words.select(
-            F.explode(F.split("word", "")).alias("c")
-        )
-        .filter(F.length("c") > 0)
-        .distinct()
-        .collect()
-    }
+    chars = _corpus_chars(words)
     vocab = (
         {r["g"] for r in gram_rows if r["initial"]}
         | {"##" + r["g"] for r in gram_rows if not r["initial"]}
@@ -466,15 +472,7 @@ def p4_cjk_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.concat("word", cjk1, "word"))
     inp = words.withColumn("mixed", mixed)
 
-    chars = {
-        r["c"]
-        for r in words.select(
-            F.explode(F.split("word", "")).alias("c")
-        )
-        .filter(F.length("c") > 0)
-        .distinct()
-        .collect()
-    }
+    chars = _corpus_chars(words)
     vocab = (
         chars
         | {"##" + c for c in chars}

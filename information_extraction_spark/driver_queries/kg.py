@@ -20,6 +20,7 @@ DataFrame, so the oracle table always reflects the sf_dir under test.
 from __future__ import annotations
 
 import math
+import os
 from collections import Counter
 
 from pyspark.sql import DataFrame, SparkSession
@@ -118,12 +119,28 @@ def kg_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The golden is recomputed in pure Python from the raw documents table
 # (its own turn-splitting, vocabulary, bigram and KB arithmetic — no
 # Spark operators involved except serializing the result), then run
-# through the DIRECT single-sentence reference extractor. Fixed paths:
-# the ORACLES dict holds static SQL strings, so the query function
-# overwrites these per call for whatever sf_dir the driver passes.
+# through the DIRECT single-sentence reference extractor.
+#
+# Paths are PER-SF (keyed by the sf_dir basename) so concurrent runs
+# at different scales (a pytest at sf0.001 alongside the driver gate
+# at sf0.01) never clobber each other's golden; _ensure_golden
+# re-points the registered oracle SQL at the just-written path, and
+# the module-level defaults target sf0.01 — the scale the driver's
+# correctness gate runs at — in case oracle_sql() is snapshotted
+# before the query executes. Same-sf concurrent writers produce
+# byte-identical content (the derivation is deterministic), so the
+# only residual race is a read during parquet commit.
 
-_GOLDEN_TRIPLES_PATH = "/tmp/ie_spark_golden_triples.parquet"
-_GOLDEN_SPO_PATH = "/tmp/ie_spark_golden_spo.parquet"
+import tempfile as _tempfile
+
+
+def _golden_path(kind: str, sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(
+        _tempfile.gettempdir(), f"ie_spark_golden_{kind}_{base}.parquet"
+    )
+
+
 _GOLDEN_WRITTEN: dict[str, bool] = {}
 
 _TRIPLE_COLS = (
@@ -209,13 +226,33 @@ def _python_golden_rows(spark: SparkSession, sf_dir: str):
     return rows
 
 
+def _oracle_sqls(sf_dir: str) -> tuple[str, str]:
+    triples = (
+        "\nSELECT conv_id, turn_idx, text, predicate, subject, object,\n"
+        "       subject_type, object_type\n"
+        f"FROM read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')\n"
+    )
+    spo = (
+        "\nSELECT conv_id, turn_idx, spo_json\n"
+        f"FROM read_parquet('{_golden_path('spo', sf_dir)}/*.parquet')\n"
+    )
+    return triples, spo
+
+
 def _ensure_golden(spark: SparkSession, sf_dir: str) -> None:
+    # Re-point the registered oracles at this sf's golden paths for
+    # callers that read oracle_sql() after running the query (the
+    # local checker does; the driver's gate runs at the sf0.01
+    # default either way).
+    ORACLES["kg_extract_triples"], ORACLES["kg_spo_lists"] = _oracle_sqls(
+        sf_dir
+    )
     if _GOLDEN_WRITTEN.get(sf_dir):
         return
     rows = _python_golden_rows(spark, sf_dir)
     golden = spark.createDataFrame(rows, _TRIPLE_COLS)
     golden.coalesce(1).write.mode("overwrite").parquet(
-        _GOLDEN_TRIPLES_PATH
+        _golden_path("triples", sf_dir)
     )
     # spo_list shape: the VALUES are grouped/sorted in Python; only the
     # JSON serialization is delegated to Spark's to_json so formatting
@@ -235,21 +272,15 @@ def _ensure_golden(spark: SparkSession, sf_dir: str) -> None:
     )
     spark.createDataFrame(spo_rows, spo_schema).select(
         "conv_id", "turn_idx", F.to_json("spo_list").alias("spo_json")
-    ).coalesce(1).write.mode("overwrite").parquet(_GOLDEN_SPO_PATH)
-    _GOLDEN_WRITTEN.clear()  # one sf_dir's goldens on disk at a time
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _golden_path("spo", sf_dir)
+    )
     _GOLDEN_WRITTEN[sf_dir] = True
 
 
-_TRIPLES_ORACLE = f"""
-SELECT conv_id, turn_idx, text, predicate, subject, object,
-       subject_type, object_type
-FROM read_parquet('{_GOLDEN_TRIPLES_PATH}/*.parquet')
-"""
-
-_SPO_ORACLE = f"""
-SELECT conv_id, turn_idx, spo_json
-FROM read_parquet('{_GOLDEN_SPO_PATH}/*.parquet')
-"""
+# Defaults target sf0.01 — the scale the driver's correctness gate
+# runs at; _ensure_golden re-points these per actual sf_dir.
+_TRIPLES_ORACLE, _SPO_ORACLE = _oracle_sqls("/root/testdata/sf0.01")
 
 
 @_q("kg_extract_triples", _TRIPLES_ORACLE)

@@ -64,9 +64,21 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ie_stream_events_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     os.makedirs(src, exist_ok=True)
+    origin = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(src, "events.parquet")
-    if not os.path.exists(dst):
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    # Restage whenever the origin differs (size+mtime): a stale or
+    # truncated copy must never survive a testdata regeneration or a
+    # crashed earlier copy. The copy itself goes through a temp name +
+    # atomic rename so a concurrent reader never sees a partial file.
+    ost = os.stat(origin)
+    need = True
+    if os.path.exists(dst):
+        dstat = os.stat(dst)
+        need = (dstat.st_size, dstat.st_mtime) != (ost.st_size, ost.st_mtime)
+    if need:
+        tmp = dst + ".tmp"
+        shutil.copy2(origin, tmp)  # copy2 preserves mtime for the probe
+        os.replace(tmp, dst)
     schema = spark.read.parquet(dst).schema
     stream = (
         spark.readStream.schema(schema)

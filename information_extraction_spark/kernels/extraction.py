@@ -425,18 +425,30 @@ class KnowledgeBase:
         """
         texts_list = [t if isinstance(t, str) else (t or "") for t in texts]
         cache = self._extract_cache
+        # Capture this batch's hits into a local map FIRST: the bounded
+        # clear below must never evict an entry this batch already
+        # relies on (clearing after dedup and reading back from the
+        # shared cache would KeyError exactly when the memo fills up).
+        results: dict[str, list] = {}
         todo: list[str] = []
-        seen: set[str] = set()
+        todo_seen: set[str] = set()
         for t in texts_list:
-            if (t, fallback_k) not in cache and t not in seen:
-                seen.add(t)
+            if t in results or t in todo_seen:
+                continue
+            hit = cache.get((t, fallback_k))
+            if hit is not None:
+                results[t] = hit
+            else:
+                todo_seen.add(t)
                 todo.append(t)
         if todo:
+            computed = list(zip(todo, self._extract_unique(todo, fallback_k)))
             if len(cache) > 50_000:
                 cache.clear()
-            for t, units in zip(todo, self._extract_unique(todo, fallback_k)):
+            for t, units in computed:
                 cache[(t, fallback_k)] = units
-        return [cache[(t, fallback_k)] for t in texts_list]
+                results[t] = units
+        return [results[t] for t in texts_list]
 
     def _extract_unique(
         self, texts_list: list[str], fallback_k: int

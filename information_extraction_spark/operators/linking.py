@@ -59,15 +59,16 @@ def connected_components(
     edges = edges.filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
-    # Bounded-count probe decides the dispatch: limit(threshold+1)
-    # .count() stops scanning once threshold+1 edges exist and ships
-    # only a count to the driver — the full collect() happens ONLY
-    # when the graph is known to fit the driver path (ADVICE r01: the
-    # old collect-then-discard probe allocated ~threshold rows on the
-    # driver even for graphs taking the distributed path).
-    probe_n = edges.select("src", "dst").limit(driver_threshold + 1).count()
-    if probe_n <= driver_threshold:
-        probe = edges.select("src", "dst").collect()
+    # ONE bounded probe job decides the dispatch AND supplies the
+    # driver-path rows. A count-then-collect split would evaluate the
+    # (possibly expensive) edges plan twice, and on nondeterministic
+    # lineage the second evaluation could exceed what the count
+    # promised — unbounding the collect. The cost of this shape is
+    # holding ≤ threshold+1 short tuples (a few MB) briefly on the
+    # driver even when the graph turns out large; that is cheaper and
+    # safer than re-evaluating the plan.
+    probe = edges.select("src", "dst").limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
         parent: dict[str, str] = {}
 
         def find(x: str) -> str:
