@@ -637,6 +637,97 @@ def kg_bio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- P4-UNK: the [UNK] / tokenize_not_UNK variant pair (reference
+# tokenization.py:161-192 — the not-UNK tokenizer preserves the
+# original surface of an untokenizable word so downstream span text
+# stays recoverable). A deterministic md5 rule EXCLUDES some chars
+# from the vocabulary entirely (both word-initial and continuation
+# roles), so a word tokenizes iff it contains no excluded char —
+# exactly expressible in SQL — and the query runs the REAL kernel
+# twice per word: default (emit [UNK]) and keep_unknown=True (emit
+# the surface).
+
+_UNK_ORACLE = """
+WITH w AS (
+  SELECT DISTINCT lower(unnest(string_split(text, ' '))) AS word
+  FROM documents
+), wf AS (
+  SELECT word FROM w
+  WHERE regexp_full_match(word, '[a-z0-9]+') AND length(word) <= 100
+), j AS (
+  SELECT word,
+         len(list_filter(
+           range(1, length(word) + 1),
+           i -> substring(md5('c#' ||
+                  substring(word, CAST(i AS INT), 1)), 1, 1) < '3'
+         )) > 0 AS fails
+  FROM wf
+)
+SELECT word,
+       CASE WHEN fails THEN 1 ELSE length(word) END
+         AS n_pieces,
+       CASE WHEN fails THEN '[UNK]'
+            ELSE substring(word, 1, 1) END AS first_piece,
+       CASE WHEN fails THEN word
+            ELSE substring(word, 1, 1) END AS first_piece_not_unk
+FROM j
+"""
+
+
+@_q("p4_unk_variants", _UNK_ORACLE)
+def p4_unk_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from information_extraction_spark.kernels.tokenizer import (
+        wordpiece_tokenize,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(
+            F.col("word").rlike("^[a-z0-9]+$") & (F.length("word") <= 100)
+        )
+        .distinct()
+    )
+    # Vocabulary: single chars in BOTH roles, minus the md5-excluded
+    # set (chars whose md5('c#'||c) first hex digit is < '3').
+    chars = _corpus_chars(words)
+    import hashlib
+
+    kept = {
+        c
+        for c in chars
+        if hashlib.md5(f"c#{c}".encode()).hexdigest()[0] >= "3"
+    }
+    vocab = kept | {"##" + c for c in kept}
+    vocab_bc = spark.sparkContext.broadcast(vocab)
+
+    def run(batches):
+        v = vocab_bc.value
+        for pdf in batches:
+            out = {"word": [], "n_pieces": [], "first_piece": [],
+                   "first_piece_not_unk": []}
+            for word in pdf["word"]:
+                pieces = wordpiece_tokenize(word, v)
+                keep = wordpiece_tokenize(word, v, keep_unknown=True)
+                out["word"].append(word)
+                out["n_pieces"].append(len(pieces))
+                out["first_piece"].append(pieces[0] if pieces else None)
+                out["first_piece_not_unk"].append(
+                    keep[0] if keep else None
+                )
+            yield pd.DataFrame(out)
+
+    return words.mapInPandas(
+        run,
+        schema=(
+            "word string, n_pieces long, first_piece string, "
+            "first_piece_not_unk string"
+        ),
+    )
+
+
 # --- Ensembles (SURVEY §2.9): weighted prob average
 # (classification/ensemble.py:85-141) and logit sum
 # (labeling/ensemble.py:126-166) over keyed score tables — three
