@@ -68,6 +68,21 @@ def transcripts_from_documents(
             F.col("rep"),
             F.posexplode(chunks).alias("turn_idx", "text"),
         )
+        # Replicas are TEXTUALLY unique (a per-replica marker word on
+        # every turn): a replicated bench corpus must not be 16
+        # byte-identical copies, or any per-text memoization (the
+        # fused kernel has one) collapses the workload and the bench
+        # measures fixed overhead instead of kernel work. The marker
+        # is a token absent from the source vocabulary, so it cannot
+        # create or destroy KB entity matches. replicate=1 (the
+        # correctness/golden path) is byte-identical to the source.
+        .withColumn(
+            "text",
+            F.when(
+                F.col("rep") > 0,
+                F.concat("text", F.lit(" zq"), F.col("rep").cast("string")),
+            ).otherwise(F.col("text")),
+        )
         .select(
             "conv_id",
             F.col("turn_idx").cast("int").alias("turn_idx"),
