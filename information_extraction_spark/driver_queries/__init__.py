@@ -13,8 +13,21 @@ from information_extraction_spark.driver_queries import (
     textdata,
 )
 
+_MODULES = (core, core2, core3, kg, streamq, textdata)
+
 QUERIES = {}
 ORACLES = {}
-for mod in (core, core2, core3, kg, streamq, textdata):
+for mod in _MODULES:
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
+
+
+def current_oracle(name: str) -> str | None:
+    """Live per-module oracle lookup. The aggregated ORACLES above is
+    a snapshot taken at import; the flagship queries re-point their
+    oracle SQL at the just-written per-sf golden when they run, so a
+    checker that wants the post-run oracle must read it live."""
+    for mod in _MODULES:
+        if name in mod.ORACLES:
+            return mod.ORACLES[name]
+    return None

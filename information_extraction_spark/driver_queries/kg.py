@@ -135,9 +135,16 @@ import tempfile as _tempfile
 
 
 def _golden_path(kind: str, sf_dir: str) -> str:
+    import hashlib
+
+    # basename for readability + a hash of the FULL path so two
+    # different corpora sharing a basename (regenerated checkouts)
+    # can never clobber each other's golden.
     base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
     return os.path.join(
-        _tempfile.gettempdir(), f"ie_spark_golden_{kind}_{base}.parquet"
+        _tempfile.gettempdir(),
+        f"ie_spark_golden_{kind}_{base}_{tag}.parquet",
     )
 
 
@@ -240,10 +247,14 @@ def _oracle_sqls(sf_dir: str) -> tuple[str, str]:
 
 
 def _ensure_golden(spark: SparkSession, sf_dir: str) -> None:
-    # Re-point the registered oracles at this sf's golden paths for
-    # callers that read oracle_sql() after running the query (the
-    # local checker does; the driver's gate runs at the sf0.01
-    # default either way).
+    # Re-point the registered oracles at this sf's golden paths. This
+    # only reaches callers that (re)read the oracle AFTER running the
+    # query — tools/check_oracles.py deliberately does (it fetches
+    # per-name from this live dict post-run); the aggregated
+    # driver_queries.ORACLES snapshot and any harness that snapshots
+    # oracle_sql() up front instead get the module defaults below,
+    # which are computed for /root/testdata/sf0.01 — the exact corpus
+    # the driver's correctness gate runs against.
     ORACLES["kg_extract_triples"], ORACLES["kg_spo_lists"] = _oracle_sqls(
         sf_dir
     )

@@ -76,7 +76,10 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         dstat = os.stat(dst)
         need = (dstat.st_size, dstat.st_mtime) != (ost.st_size, ost.st_mtime)
     if need:
-        tmp = dst + ".tmp"
+        # Hidden temp name: Spark's file stream source ignores files
+        # starting with '.' , so a concurrent stream can never list a
+        # half-copied (or orphaned, post-crash) temp as input.
+        tmp = os.path.join(src, ".events.parquet.tmp")
         shutil.copy2(origin, tmp)  # copy2 preserves mtime for the probe
         os.replace(tmp, dst)
     schema = spark.read.parquet(dst).schema

@@ -160,30 +160,54 @@ def tag_ids(
 
 
 def crf_decode(
-    transitions: np.ndarray, emissions: np.ndarray
+    transitions: np.ndarray,
+    emissions: np.ndarray,
+    lengths: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Batched Viterbi decode: the reference's labeling model is a
-    BiLSTM-*CRF* (labeling/model.py:14-163 + crf.py:163-335 —
-    `viterbi_decode` over learned tag-transition scores), so the seam
-    must demonstrably run a structured decoder, not just per-position
-    argmax. ``transitions`` is (n_tags, n_tags) [from→to];
-    ``emissions`` is (B, T, n_tags). Returns (B, T) best-path tag
-    ids. Pure max-sum dynamic programming, batch-vectorized over B —
-    the same recurrence crf.py implements in torch.
+    """Batched MASK-AWARE Viterbi decode: the reference's labeling
+    model is a BiLSTM-*CRF* (labeling/model.py:14-163 + crf.py:163-335
+    — `viterbi_decode` over learned tag-transition scores AND the
+    input mask), so the seam must demonstrably run a structured
+    decoder whose padding cannot perturb real positions.
+    ``transitions`` is (n_tags, n_tags) [from→to]; ``emissions`` is
+    (B, T, n_tags); ``lengths`` (B,) gives each row's real (unpadded)
+    frame length — each row's path is decoded over exactly its first
+    ``lengths[b]`` steps (backtrace starts at position lengths[b]-1,
+    so PAD emissions beyond it never influence the path) and PAD
+    positions emit tag 0 ('O'). Pure max-sum dynamic programming,
+    batch-vectorized over B — the recurrence crf.py implements in
+    torch.
     """
     bsz, t_len, n = emissions.shape
     assert transitions.shape == (n, n)
+    if lengths is None:
+        lengths = np.full(bsz, t_len, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    assert lengths.shape == (bsz,) and (lengths >= 1).all()
     score = emissions[:, 0, :].copy()  # (B, n)
     back = np.zeros((bsz, t_len, n), dtype=np.int64)
+    # Per-step score history so each row can start its backtrace at
+    # its OWN final real position (DP at step t depends only on
+    # emissions[:, :t+1], so truncation per row is exact).
+    score_hist = np.zeros((bsz, t_len, n), dtype=emissions.dtype)
+    score_hist[:, 0, :] = score
     for t in range(1, t_len):
         # (B, from, to): prior path score + transition + emission
         cand = score[:, :, None] + transitions[None, :, :]
         back[:, t, :] = cand.argmax(axis=1)
         score = cand.max(axis=1) + emissions[:, t, :]
+        score_hist[:, t, :] = score
+    rows = np.arange(bsz)
+    last = lengths - 1
     path = np.zeros((bsz, t_len), dtype=np.int64)
-    path[:, -1] = score.argmax(axis=1)
+    path[rows, last] = score_hist[rows, last, :].argmax(axis=1)
     for t in range(t_len - 2, -1, -1):
-        path[:, t] = back[np.arange(bsz), t + 1, path[:, t + 1]]
+        active = last > t  # rows whose real region extends past t
+        prev = back[rows, t + 1, path[:, t + 1]]
+        path[:, t] = np.where(active, prev, path[:, t])
+    # PAD positions (>= length) stay tag 0 ('O')
+    pos = np.arange(t_len)[None, :]
+    path[pos >= lengths[:, None]] = 0
     return path
 
 
@@ -191,13 +215,15 @@ def tag_ids_crf(
     weights: dict[str, np.ndarray],
     ids: np.ndarray,
     seg_ids: np.ndarray,
+    lengths: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Stage-2 head with CRF decoding: BiLSTM emissions → Viterbi
-    over the learned transition matrix (weights['crf']; added by
-    ``with_crf``)."""
+    """Stage-2 head with CRF decoding: BiLSTM emissions → mask-aware
+    Viterbi over the learned transition matrix (weights['crf']; added
+    by ``with_crf``). ``lengths`` = per-row count of real (non-PAD)
+    frame positions, i.e. the attention-mask sum."""
     states = bilstm_forward(weights, ids, seg_ids)
     emissions = states @ weights["w_tag"] + weights["b_tag"]
-    return crf_decode(weights["crf"], emissions)
+    return crf_decode(weights["crf"], emissions, lengths)
 
 
 def with_crf(

@@ -116,10 +116,11 @@ def nn_tag_stage(
             n = len(pdf)
             ids = np.zeros((n, MAX_SEQ), dtype=np.int64)
             segs = np.zeros((n, MAX_SEQ), dtype=np.int64)
+            lengths = np.zeros(n, dtype=np.int64)
             for r, (text, pred) in enumerate(
                 zip(pdf["text"], pdf["predicate"])
             ):
-                toks, seg, _m = predicate_conditioned_frame(
+                toks, seg, m = predicate_conditioned_frame(
                     list(text or ""),
                     pred,
                     pred_index.get(pred, 0) % (nn.MAX_SEG - 1),
@@ -127,11 +128,12 @@ def nn_tag_stage(
                 )
                 ids[r] = index_tokens(toks, vocab, unk_id=nn.UNK_ID)
                 segs[r] = seg
-            # CRF (Viterbi over learned transitions, the reference's
-            # BiLSTM-CRF decode) when the checkpoint carries one;
-            # per-position argmax otherwise.
+                lengths[r] = sum(m)  # real (non-PAD) frame length
+            # CRF (mask-aware Viterbi over learned transitions, the
+            # reference's BiLSTM-CRF decode) when the checkpoint
+            # carries one; per-position argmax otherwise.
             if "crf" in weights:
-                tag_mat = nn.tag_ids_crf(weights, ids, segs)
+                tag_mat = nn.tag_ids_crf(weights, ids, segs, lengths)
             else:
                 tag_mat = nn.tag_ids(weights, ids, segs)
             tags_col = []

@@ -72,27 +72,47 @@ def test_segment_conditioning_reaches_the_model(weights):
 
 
 def test_crf_viterbi_matches_brute_force():
-    """Viterbi over (transitions, emissions) must equal exhaustive
-    best-path search on small instances — the decode contract of the
-    reference's crf.py viterbi_decode."""
+    """Mask-aware Viterbi must equal exhaustive best-path search over
+    each row's REAL region (lengths vary per row) with PAD positions
+    decoding to tag 0 — the decode contract of the reference's
+    mask-aware crf.py viterbi_decode."""
     import itertools
 
     rng = np.random.default_rng(5)
     for trial in range(5):
-        n, t = 4, 5
+        n, t = 4, 6
         trans = rng.standard_normal((n, n)).astype(np.float32)
-        em = rng.standard_normal((2, t, n)).astype(np.float32)
-        got = nn.crf_decode(trans, em)
-        for b in range(2):
+        em = rng.standard_normal((3, t, n)).astype(np.float32)
+        lengths = np.array([t, 3, 1])
+        got = nn.crf_decode(trans, em, lengths)
+        for b in range(3):
+            ln = lengths[b]
             best_score, best_path = -np.inf, None
-            for path in itertools.product(range(n), repeat=t):
+            for path in itertools.product(range(n), repeat=int(ln)):
                 s = em[b, 0, path[0]] + sum(
                     trans[path[i - 1], path[i]] + em[b, i, path[i]]
-                    for i in range(1, t)
+                    for i in range(1, ln)
                 )
                 if s > best_score:
                     best_score, best_path = s, path
-            assert tuple(got[b]) == best_path
+            assert tuple(got[b][:ln]) == best_path
+            assert (got[b][ln:] == 0).all()
+
+
+def test_crf_padding_cannot_perturb_real_positions():
+    """Identical real-region emissions with different PAD-region
+    emissions must decode to identical paths."""
+    rng = np.random.default_rng(9)
+    n, t, ln = 5, 12, 4
+    trans = rng.standard_normal((n, n)).astype(np.float32)
+    em1 = rng.standard_normal((1, t, n)).astype(np.float32)
+    em2 = em1.copy()
+    em2[:, ln:, :] = rng.standard_normal((1, t - ln, n))
+    lengths = np.array([ln])
+    assert np.array_equal(
+        nn.crf_decode(trans, em1, lengths),
+        nn.crf_decode(trans, em2, lengths),
+    )
 
 
 def test_crf_changes_the_decoded_paths(weights):

@@ -39,13 +39,23 @@ def test_replicas_textually_unique_and_rep0_identical(spark):
     assert rep0 == base
 
 
-def test_marker_token_absent_from_source_vocabulary(spark):
-    """The marker must never collide with corpus words, or it could
-    change KB entity matches in replicated runs."""
-    words = (
-        transcripts_from_documents(spark, SF_DIR, replicate=1)
+def test_marker_cannot_create_entity_matches(spark):
+    """KB classification uses substring contains(), so the appended
+    marker ' zq<rep>' could only create a new entity match if some
+    vocab word (len>=2, KB-eligible) is a substring of a marker
+    string, or contains 'zq' (which would let a bigram entity span
+    into the marker). Assert neither holds for the corpus."""
+    words = {
+        r["w"]
+        for r in transcripts_from_documents(spark, SF_DIR, replicate=1)
         .select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w").startswith("zq"))
-        .count()
-    )
-    assert words == 0
+        .distinct()
+        .collect()
+    }
+    markers = [f"zq{k}" for k in range(1, 64)]
+    bad = {
+        w
+        for w in words
+        if w and len(w) >= 2 and ("zq" in w or any(w in m for m in markers))
+    }
+    assert not bad, bad

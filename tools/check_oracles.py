@@ -44,7 +44,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     filters = sys.argv[2:]
 
-    from information_extraction_spark.driver_queries import ORACLES, QUERIES
+    from information_extraction_spark.driver_queries import (
+        QUERIES,
+        current_oracle,
+    )
     from information_extraction_spark.session import get_spark
 
     spark = get_spark(app_name="oracle-check", master="local[8]")
@@ -61,7 +64,6 @@ def main() -> int:
     for name, fn in sorted(QUERIES.items()):
         if filters and not any(f in name for f in filters):
             continue
-        oracle = ORACLES.get(name)
         t0 = time.time()
         try:
             got = fn(spark, sf_dir).toPandas()
@@ -69,6 +71,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        # Read the oracle AFTER running the query: the flagship
+        # queries re-point their oracle at the per-sf golden they
+        # just materialized.
+        oracle = current_oracle(name)
         if oracle is None:
             print(
                 f"ok   {name}: rows-only ({len(got)} rows)"
