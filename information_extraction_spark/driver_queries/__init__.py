@@ -18,6 +18,12 @@ _MODULES = (core, core2, core3, kg, streamq, textdata)
 QUERIES = {}
 ORACLES = {}
 for mod in _MODULES:
+    dup = set(QUERIES) & set(mod.QUERIES)
+    # Disjointness is load-bearing: current_oracle() below resolves
+    # names by module scan while these dicts resolve last-wins; a
+    # duplicate registration would make the local checker and the
+    # driver gate silently validate different SQL.
+    assert not dup, f"duplicate query names across modules: {dup}"
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

@@ -137,11 +137,14 @@ import tempfile as _tempfile
 def _golden_path(kind: str, sf_dir: str) -> str:
     import hashlib
 
-    # basename for readability + a hash of the FULL path so two
-    # different corpora sharing a basename (regenerated checkouts)
-    # can never clobber each other's golden.
-    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    # basename for readability + a hash of the CANONICAL full path so
+    # two different corpora sharing a basename (regenerated checkouts)
+    # can never clobber each other's golden, while equivalent
+    # spellings (trailing slashes, symlinks, relative paths) of the
+    # same corpus resolve to the same file.
+    real = os.path.realpath(sf_dir.rstrip("/") or "/")
+    base = os.path.basename(real) or "sf"
+    tag = hashlib.md5(real.encode()).hexdigest()[:8]
     return os.path.join(
         _tempfile.gettempdir(),
         f"ie_spark_golden_{kind}_{base}_{tag}.parquet",

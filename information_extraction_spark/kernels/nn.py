@@ -99,9 +99,14 @@ def _lstm_dir(
     u: np.ndarray,
     b: np.ndarray,
     reverse: bool,
+    lengths: np.ndarray | None = None,
 ) -> np.ndarray:
     """One LSTM direction over (B, T, D) → (B, T, H). Time loop,
-    batch-vectorized — the same shape torch.nn.LSTM computes."""
+    batch-vectorized. With ``lengths``, packed-sequence semantics
+    (torch's pack_padded_sequence): state and outputs are held at
+    zero on PAD positions (t >= length), so the backward direction
+    effectively STARTS at each row's last real position and PAD
+    content can never leak into the real region."""
     bsz, t_len, _ = x.shape
     hid = u.shape[0]
     h = np.zeros((bsz, hid), dtype=np.float32)
@@ -111,8 +116,14 @@ def _lstm_dir(
     for t in steps:
         gates = x[:, t, :] @ w + h @ u + b
         i, f, g, o = np.split(gates, 4, axis=1)
-        c = _sigmoid(f) * c + _sigmoid(i) * np.tanh(g)
-        h = _sigmoid(o) * np.tanh(c)
+        c_new = _sigmoid(f) * c + _sigmoid(i) * np.tanh(g)
+        h_new = _sigmoid(o) * np.tanh(c_new)
+        if lengths is not None:
+            valid = (t < lengths)[:, None]
+            c = np.where(valid, c_new, 0.0).astype(np.float32)
+            h = np.where(valid, h_new, 0.0).astype(np.float32)
+        else:
+            c, h = c_new, h_new
         out[:, t, :] = h
     return out
 
@@ -121,15 +132,25 @@ def bilstm_forward(
     weights: dict[str, np.ndarray],
     ids: np.ndarray,
     seg_ids: np.ndarray | None = None,
+    lengths: np.ndarray | None = None,
 ) -> np.ndarray:
-    """(B, T) int token ids [+ segment ids] → (B, T, 2H) states."""
+    """(B, T) int token ids [+ segment ids] → (B, T, 2H) states.
+    ``lengths`` enables packed-sequence masking (see _lstm_dir)."""
     assert ids.ndim == 2, f"expected (B, T) id matrix, got {ids.shape}"
+    if lengths is not None:
+        lengths = np.asarray(lengths, dtype=np.int64)
+        assert lengths.shape == (ids.shape[0],)
+        assert (lengths >= 1).all() and (lengths <= ids.shape[1]).all()
     x = weights["emb"][ids]
     if seg_ids is not None:
         assert seg_ids.shape == ids.shape
         x = x + weights["seg"][seg_ids]
-    fwd = _lstm_dir(x, weights["w_f"], weights["u_f"], weights["b_f"], False)
-    bwd = _lstm_dir(x, weights["w_b"], weights["u_b"], weights["b_b"], True)
+    fwd = _lstm_dir(
+        x, weights["w_f"], weights["u_f"], weights["b_f"], False, lengths
+    )
+    bwd = _lstm_dir(
+        x, weights["w_b"], weights["u_b"], weights["b_b"], True, lengths
+    )
     return np.concatenate([fwd, bwd], axis=2)
 
 
@@ -139,8 +160,14 @@ def classify_logits(
     mask: np.ndarray,
 ) -> np.ndarray:
     """Stage-1 head: masked mean-pool → (B, n_predicates) sigmoid
-    scores (the multi-label sigmoid of model_bert.py's classifier)."""
-    states = bilstm_forward(weights, ids)
+    scores (the multi-label sigmoid of model_bert.py's classifier).
+    The mask doubles as the packed-sequence length source (mask is 1
+    on a contiguous [CLS]..[SEP] prefix by construction, P10), so
+    PAD content cannot reach the pooled states through either LSTM
+    direction."""
+    states = bilstm_forward(
+        weights, ids, lengths=mask.sum(axis=1).clip(min=1)
+    )
     m = mask.astype(np.float32)[:, :, None]
     pooled = (states * m).sum(axis=1) / np.maximum(
         m.sum(axis=1), 1.0
@@ -152,9 +179,10 @@ def tag_ids(
     weights: dict[str, np.ndarray],
     ids: np.ndarray,
     seg_ids: np.ndarray,
+    lengths: np.ndarray | None = None,
 ) -> np.ndarray:
     """Stage-2 head: (B, T) → (B, T) argmax tag ids over TAGS."""
-    states = bilstm_forward(weights, ids, seg_ids)
+    states = bilstm_forward(weights, ids, seg_ids, lengths)
     logits = states @ weights["w_tag"] + weights["b_tag"]
     return logits.argmax(axis=2)
 
@@ -183,7 +211,8 @@ def crf_decode(
     if lengths is None:
         lengths = np.full(bsz, t_len, dtype=np.int64)
     lengths = np.asarray(lengths, dtype=np.int64)
-    assert lengths.shape == (bsz,) and (lengths >= 1).all()
+    assert lengths.shape == (bsz,)
+    assert (lengths >= 1).all() and (lengths <= t_len).all()
     score = emissions[:, 0, :].copy()  # (B, n)
     back = np.zeros((bsz, t_len, n), dtype=np.int64)
     # Per-step score history so each row can start its backtrace at
@@ -220,8 +249,11 @@ def tag_ids_crf(
     """Stage-2 head with CRF decoding: BiLSTM emissions → mask-aware
     Viterbi over the learned transition matrix (weights['crf']; added
     by ``with_crf``). ``lengths`` = per-row count of real (non-PAD)
-    frame positions, i.e. the attention-mask sum."""
-    states = bilstm_forward(weights, ids, seg_ids)
+    frame positions, i.e. the attention-mask sum — applied BOTH as
+    packed-sequence masking in the BiLSTM (PAD cannot reach real
+    emissions through the backward direction) and as the Viterbi
+    decode bound."""
+    states = bilstm_forward(weights, ids, seg_ids, lengths)
     emissions = states @ weights["w_tag"] + weights["b_tag"]
     return crf_decode(weights["crf"], emissions, lengths)
 

@@ -135,7 +135,7 @@ def nn_tag_stage(
             if "crf" in weights:
                 tag_mat = nn.tag_ids_crf(weights, ids, segs, lengths)
             else:
-                tag_mat = nn.tag_ids(weights, ids, segs)
+                tag_mat = nn.tag_ids(weights, ids, segs, lengths)
             tags_col = []
             for r, text in enumerate(pdf["text"]):
                 text = text or ""

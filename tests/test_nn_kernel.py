@@ -99,6 +99,38 @@ def test_crf_viterbi_matches_brute_force():
             assert (got[b][ln:] == 0).all()
 
 
+def test_seam_level_padding_invariance(weights):
+    """The ACTUAL inference path (BiLSTM → heads), not just the
+    decoder: identical real tokens under different PAD widths must
+    produce identical real-region tags — packed-sequence masking in
+    the LSTM, not only a masked Viterbi. (A prior version only held
+    at the crf_decode layer; the backward LSTM leaked PAD state.)"""
+    rng = np.random.default_rng(4)
+    real = rng.integers(4, 40, size=8)
+    w_crf = nn.with_crf(weights, seed=3)
+    for head in (
+        lambda i, s, ln: nn.tag_ids(weights, i, s, ln),
+        lambda i, s, ln: nn.tag_ids_crf(w_crf, i, s, ln),
+    ):
+        outs = []
+        for t_len in (16, 32, 64):
+            ids = np.zeros((1, t_len), dtype=np.int64)
+            ids[0, :8] = real
+            segs = np.ones_like(ids)
+            outs.append(head(ids, segs, np.array([8]))[0, :8])
+        assert np.array_equal(outs[0], outs[1])
+        assert np.array_equal(outs[1], outs[2])
+    # classification likewise: pooled scores independent of pad width
+    probs = []
+    for t_len in (16, 64):
+        ids = np.zeros((1, t_len), dtype=np.int64)
+        ids[0, :8] = real
+        mask = np.zeros_like(ids)
+        mask[0, :8] = 1
+        probs.append(nn.classify_logits(weights, ids, mask))
+    assert np.allclose(probs[0], probs[1])
+
+
 def test_crf_padding_cannot_perturb_real_positions():
     """Identical real-region emissions with different PAD-region
     emissions must decode to identical paths."""

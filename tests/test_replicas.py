@@ -40,22 +40,23 @@ def test_replicas_textually_unique_and_rep0_identical(spark):
 
 
 def test_marker_cannot_create_entity_matches(spark):
-    """KB classification uses substring contains(), so the appended
-    marker ' zq<rep>' could only create a new entity match if some
-    vocab word (len>=2, KB-eligible) is a substring of a marker
-    string, or contains 'zq' (which would let a bigram entity span
-    into the marker). Assert neither holds for the corpus."""
+    """KB classification is case-insensitive substring contains(), so
+    the appended marker ' zq<K>' (K any decimal) could create a new
+    entity match only through a vocab word whose lowercase form is a
+    substring of 'zq<digits>' — i.e. matches z, zq[0-9]*, q[0-9]*, or
+    [0-9]+ — or contains 'zq' (a bigram could then span into the
+    marker). Structural check over the WHOLE marker family: covers
+    any replicate count, any case, and single-char words (a corpus
+    word 'z' would make bigram 'w z' match '... w zqK')."""
+    import re
+
     words = {
-        r["w"]
+        (r["w"] or "").lower()
         for r in transcripts_from_documents(spark, SF_DIR, replicate=1)
         .select(F.explode(F.split("text", " ")).alias("w"))
         .distinct()
         .collect()
     }
-    markers = [f"zq{k}" for k in range(1, 64)]
-    bad = {
-        w
-        for w in words
-        if w and len(w) >= 2 and ("zq" in w or any(w in m for m in markers))
-    }
+    dangerous = re.compile(r"^(z|zq[0-9]*|q[0-9]*|[0-9]+)$")
+    bad = {w for w in words if w and (dangerous.match(w) or "zq" in w)}
     assert not bad, bad
