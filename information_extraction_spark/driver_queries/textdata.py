@@ -384,6 +384,98 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+
+# --- Corpus curation (composite training-data stage) --------------------------
+#
+# The shape a real pretraining-data pipeline runs per shard: language
+# gate → quality gates (token stats) → exact near-dup collapse
+# (fingerprint groupBy, keep the lowest doc_id) → curated ids +
+# per-doc stats. One narrow stats pass, one shuffle on the md5
+# fingerprint (the dedup key), one partitioned-window pick — every
+# stage is the scale-safe primitive already oracle-checked on its own
+# (ta_langid / ta_quality / ta_fingerprint / a5_dedup_exact); this
+# query value-checks their COMPOSITION.
+
+_CURATE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(CASE WHEN word IN {_STOPWORDS} THEN 1 ELSE 0 END)
+               * 1.0 / count(*), 4) AS stop_ratio,
+         round(count(DISTINCT word) * 1.0 / count(*), 4)
+           AS distinct_ratio
+  FROM w GROUP BY doc_id
+), gated AS (
+  SELECT d.doc_id, md5(d.text) AS fp, s.n_tokens, s.stop_ratio,
+         s.distinct_ratio
+  FROM documents d JOIN s USING (doc_id)
+  WHERE s.stop_ratio >= 0.08          -- language gate ('en' heuristic)
+    AND s.n_tokens BETWEEN 20 AND 2000  -- length gates
+    AND s.distinct_ratio >= 0.3       -- repetition gate
+), deduped AS (
+  SELECT doc_id, fp, n_tokens, stop_ratio, distinct_ratio,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
+  FROM gated
+)
+SELECT doc_id, fp, n_tokens, stop_ratio, distinct_ratio, n_copies
+FROM deduped WHERE rn = 1
+"""
+
+
+@_q("curate_corpus", _CURATE_ORACLE)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _spread(spark, _docs(spark, sf_dir), "doc_id")
+    stop = ["the", "a", "of", "and", "to", "in", "is"]
+    w = d.select("doc_id", "text", F.explode(F.split("text", " ")).alias("word"))
+    s = w.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.when(F.col("word").isin(stop), 1).otherwise(0))
+            * 1.0
+            / F.count("*"),
+            4,
+        ).alias("stop_ratio"),
+        F.round(
+            F.count_distinct("word") * 1.0 / F.count("*"), 4
+        ).alias("distinct_ratio"),
+    )
+    gated = (
+        d.join(s, "doc_id")
+        .filter(
+            (F.col("stop_ratio") >= 0.08)
+            & F.col("n_tokens").between(20, 2000)
+            & (F.col("distinct_ratio") >= 0.3)
+        )
+        .select(
+            "doc_id",
+            F.md5("text").alias("fp"),
+            "n_tokens",
+            "stop_ratio",
+            "distinct_ratio",
+        )
+    )
+    # Dedup window partitions on the fingerprint — the same shuffle
+    # key the groupBy-based a5 variant uses; never a global window.
+    fp_w = Window.partitionBy("fp")
+    pick = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(pick))
+        .withColumn("n_copies", F.count("*").over(fp_w).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "fp", "n_tokens", "stop_ratio", "distinct_ratio",
+            "n_copies",
+        )
+    )
+
+
 # --- IVF-probe ANN (the second scale path next to ann_lsh_bucketed) -----------
 #
 # Inverted-file search: a small coarse quantizer (here: the 8
@@ -510,8 +602,6 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Text analysis ------------------------------------------------------------
-
-_STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
 
 _LANGID_ORACLE = f"""
 WITH w AS (
