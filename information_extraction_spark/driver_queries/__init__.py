@@ -22,8 +22,10 @@ for mod in _MODULES:
     # Disjointness is load-bearing: current_oracle() below resolves
     # names by module scan while these dicts resolve last-wins; a
     # duplicate registration would make the local checker and the
-    # driver gate silently validate different SQL.
-    assert not dup, f"duplicate query names across modules: {dup}"
+    # driver gate silently validate different SQL. A real raise (not
+    # assert — stripped under python -O) so the guard always holds.
+    if dup:
+        raise ValueError(f"duplicate query names across modules: {dup}")
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

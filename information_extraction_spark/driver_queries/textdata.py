@@ -385,6 +385,31 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+# Single source of truth for the Python side of the stopword set —
+# the SQL tuple above mirrors it and both are exercised by the
+# ta_langid / ta_quality / curate_corpus oracles.
+STOP = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def _doc_token_stats(d: DataFrame) -> DataFrame:
+    """Per-document token statistics (the ta_quality aggregation) —
+    shared by ta_quality and curate_corpus so the curation gates can
+    never drift from the oracle-checked primitive."""
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return w.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("word").alias("n_distinct"),
+        F.round(F.avg(F.length("word")), 4).alias("avg_word_len"),
+        F.round(
+            F.sum(F.when(F.col("word").isin(STOP), 1).otherwise(0))
+            * 1.0
+            / F.count("*"),
+            4,
+        ).alias("stop_ratio"),
+        F.round(F.countDistinct("word") * 1.0 / F.count("*"), 4).alias(
+            "distinct_ratio"
+        ),
+    )
 
 
 # --- Corpus curation (composite training-data stage) --------------------------
@@ -432,19 +457,11 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _spread(spark, _docs(spark, sf_dir), "doc_id")
-    stop = ["the", "a", "of", "and", "to", "in", "is"]
-    w = d.select("doc_id", "text", F.explode(F.split("text", " ")).alias("word"))
-    s = w.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_tokens"),
-        F.round(
-            F.sum(F.when(F.col("word").isin(stop), 1).otherwise(0))
-            * 1.0
-            / F.count("*"),
-            4,
-        ).alias("stop_ratio"),
-        F.round(
-            F.count_distinct("word") * 1.0 / F.count("*"), 4
-        ).alias("distinct_ratio"),
+    s = _doc_token_stats(d).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "stop_ratio",
+        "distinct_ratio",
     )
     gated = (
         d.join(s, "doc_id")
@@ -622,11 +639,10 @@ FROM r
 @_q("ta_langid", _LANGID_ORACLE)
 def ta_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    stop = ["the", "a", "of", "and", "to", "in", "is"]
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     r = w.groupBy("doc_id").agg(
         (
-            F.sum(F.when(F.col("word").isin(stop), 1).otherwise(0))
+            F.sum(F.when(F.col("word").isin(STOP), 1).otherwise(0))
             * 1.0
             / F.count("*")
         ).alias("ratio")
@@ -658,23 +674,7 @@ SELECT * FROM s
 
 @_q("ta_quality", _QUALITY_ORACLE)
 def ta_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    stop = ["the", "a", "of", "and", "to", "in", "is"]
-    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    return w.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.countDistinct("word").alias("n_distinct"),
-        F.round(F.avg(F.length("word")), 4).alias("avg_word_len"),
-        F.round(
-            F.sum(F.when(F.col("word").isin(stop), 1).otherwise(0))
-            * 1.0
-            / F.count("*"),
-            4,
-        ).alias("stop_ratio"),
-        F.round(F.countDistinct("word") * 1.0 / F.count("*"), 4).alias(
-            "distinct_ratio"
-        ),
-    )
+    return _doc_token_stats(_docs(spark, sf_dir))
 
 
 _TOKEN_COUNT_ORACLE = """

@@ -161,13 +161,21 @@ def classify_logits(
 ) -> np.ndarray:
     """Stage-1 head: masked mean-pool → (B, n_predicates) sigmoid
     scores (the multi-label sigmoid of model_bert.py's classifier).
-    The mask doubles as the packed-sequence length source (mask is 1
-    on a contiguous [CLS]..[SEP] prefix by construction, P10), so
-    PAD content cannot reach the pooled states through either LSTM
-    direction."""
-    states = bilstm_forward(
-        weights, ids, lengths=mask.sum(axis=1).clip(min=1)
+    The mask doubles as the packed-sequence length source, which is
+    only valid for a CONTIGUOUS-PREFIX mask ([CLS]..[SEP] then PAD,
+    the P10 right-padded framing — asserted below, because a
+    left-padded input would silently zero the real tokens' state
+    instead of the padding's). PAD content therefore cannot reach the
+    pooled states through either LSTM direction."""
+    lengths = mask.sum(axis=1).clip(min=1)
+    prefix = (
+        np.arange(mask.shape[1])[None, :] < lengths[:, None]
+    ).astype(mask.dtype)
+    assert np.array_equal(mask != 0, prefix != 0), (
+        "classify_logits requires a contiguous-prefix (right-padded) "
+        "mask; left-padded inputs must be re-framed"
     )
+    states = bilstm_forward(weights, ids, lengths=lengths)
     m = mask.astype(np.float32)[:, :, None]
     pooled = (states * m).sum(axis=1) / np.maximum(
         m.sum(axis=1), 1.0

@@ -45,12 +45,12 @@ def test_forward_shapes_and_masking(weights):
     probs = nn.classify_logits(weights, ids, mask)
     assert probs.shape == (5, N_PRED)
     assert ((probs > 0) & (probs < 1)).all()
-    # masked mean-pool: padding content beyond the mask cannot change
-    # the pooled logits of the masked positions' states... it CAN via
-    # the backward LSTM reading pad embeddings — so assert instead the
-    # deterministic contract: identical (ids, mask) → identical probs.
-    probs2 = nn.classify_logits(weights, ids.copy(), mask.copy())
-    assert np.array_equal(probs, probs2)
+    # Padding content beyond the mask cannot change the pooled probs:
+    # the BiLSTM runs packed-sequence masked in both directions (see
+    # test_seam_level_padding_invariance for the cross-width check).
+    ids2 = ids.copy()
+    ids2[:, 8:] = 9  # rewrite PAD-region content only
+    assert np.array_equal(probs, nn.classify_logits(weights, ids2, mask))
 
 
 def test_tagger_emits_valid_alphabet(weights):
