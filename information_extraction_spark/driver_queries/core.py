@@ -461,6 +461,7 @@ def a9_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN (SELECT CAST(unnest([40.0, 45.0, 50.0, 55.0, 60.0])
                               AS DOUBLE) AS threshold) t
       GROUP BY t.threshold
+      HAVING sum(CASE WHEN e.value > t.threshold THEN 1 ELSE 0 END) > 0
     )
     SELECT threshold,
            round(n_correct * 1.0 / n_pred, 4) AS best_precision
@@ -482,7 +483,15 @@ def a9_best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).otherwise(0)
     sweep = joined.groupBy("threshold").agg(
-        (F.sum(correct) * 1.0 / F.sum(pred)).alias("_prec")
+        F.sum(correct).alias("_n_correct"), F.sum(pred).alias("_n_pred")
+    )
+    # Thresholds with zero predictions are excluded on BOTH sides
+    # (HAVING n_pred > 0 in the oracle): Spark's 0/0 double is NaN,
+    # which sorts FIRST under desc and would pick the degenerate
+    # threshold, while DuckDB yields NULL (sorted last).
+    sweep = sweep.filter(F.col("_n_pred") > 0).select(
+        "threshold",
+        (F.col("_n_correct") * 1.0 / F.col("_n_pred")).alias("_prec"),
     )
     # 5-row relation: orderBy().limit(1) is TakeOrderedAndProject —
     # the argmax never funnels the sweep through a global window.

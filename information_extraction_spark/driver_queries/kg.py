@@ -134,6 +134,27 @@ def kg_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 import tempfile as _tempfile
 
 
+def _golden_dir() -> str:
+    """Per-uid private golden directory (mode 0700, ownership
+    verified) so a world-writable /tmp cannot be used by another
+    user to pre-create/poison a golden path. uid-scoped, not
+    pid-scoped, because the oracle SQL string may be executed by a
+    separate DuckDB process from the one that materialized the
+    golden."""
+    d = os.path.join(
+        _tempfile.gettempdir(), f"ie_spark_golden_u{os.getuid()}"
+    )
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"golden dir {d} is owned by uid {st.st_uid}, not "
+            f"{os.getuid()} — refusing to use a foreign directory"
+        )
+    os.chmod(d, 0o700)
+    return d
+
+
 def _golden_path(kind: str, sf_dir: str) -> str:
     import hashlib
 
@@ -146,8 +167,7 @@ def _golden_path(kind: str, sf_dir: str) -> str:
     base = os.path.basename(real) or "sf"
     tag = hashlib.md5(real.encode()).hexdigest()[:8]
     return os.path.join(
-        _tempfile.gettempdir(),
-        f"ie_spark_golden_{kind}_{base}_{tag}.parquet",
+        _golden_dir(), f"{kind}_{base}_{tag}.parquet"
     )
 
 

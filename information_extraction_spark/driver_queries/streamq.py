@@ -109,9 +109,16 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name).select(
+    # Materialize the sink and DROP the memory table before returning:
+    # each invocation registers a fresh counter-suffixed sink, and a
+    # lazy reference would leak a full complete-mode aggregate copy in
+    # driver memory per run (bench trials, repeated oracle checks).
+    out = spark.table(name).select(
         F.unix_timestamp(F.col("window.start")).alias("window_start"),
         "event_type",
         "n",
         "sum_value",
     )
+    rows = out.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, out.schema)

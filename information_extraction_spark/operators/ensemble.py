@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -39,10 +39,12 @@ def combine_scores(
     ``assert_unique`` (default True) is the Spark analog of that
     alignment assertion: a duplicated key in any table would silently
     multiply join rows and inflate the combined scores, so each table
-    carries a lazy per-row guard — count(*) over a window on the key
-    must be 1 or the job fails with a clear message. The window
-    partitions on the same key the join shuffles on, so with AQE the
-    exchange is shared; pass False for pre-validated bucketed inputs.
+    is folded through a hash aggregate on the key — count(*) must be 1
+    or the job fails with a clear message. A hash aggregate (not a
+    window) keeps the guard sort-free with map-side partial combine,
+    and its final-stage exchange is hash-partitioned on exactly the
+    join keys, so the join reuses the partitioning instead of adding
+    a shuffle. Pass False for pre-validated bucketed inputs.
     """
     if len(dfs) != len(weights) or not dfs:
         raise ValueError("need one weight per score table")
@@ -51,16 +53,16 @@ def combine_scores(
     total = float(sum(weights)) if mode == "mean" else 1.0
     out = None
     parts = []
-    key_w = Window.partitionBy(*keys)
     for i, (df, w) in enumerate(zip(dfs, weights)):
         col = f"_s{i}"
         cur = df.select(
             *keys, (F.col(score_col) * F.lit(float(w))).alias(col)
         )
         if assert_unique:
-            guard = F.when(
-                F.count("*").over(key_w) == 1, F.col(col)
-            ).otherwise(
+            agg = cur.groupBy(*keys).agg(
+                F.sum(col).alias(col), F.count("*").alias("_n")
+            )
+            guard = F.when(F.col("_n") == 1, F.col(col)).otherwise(
                 F.raise_error(
                     F.concat(
                         F.lit(
@@ -74,7 +76,7 @@ def combine_scores(
                     )
                 )
             )
-            cur = cur.select(*keys, guard.alias(col))
+            cur = agg.select(*keys, guard.alias(col))
         parts.append(col)
         out = cur if out is None else out.join(cur, list(keys), "inner")
     expr = parts[0] if len(parts) == 1 else "+".join(parts)

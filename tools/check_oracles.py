@@ -75,6 +75,22 @@ def main() -> int:
         # queries re-point their oracle at the per-sf golden they
         # just materialized.
         oracle = current_oracle(name)
+        if oracle is not None and "ie_spark_golden" in oracle:
+            import re as _re
+
+            missing = [
+                p
+                for p in _re.findall(r"read_parquet\('([^']+)/\*", oracle)
+                if not os.path.isdir(p)
+            ]
+            if missing:
+                print(
+                    f"FAIL {name}: golden parquet absent at "
+                    f"{missing[0]} — run the Spark query first (it "
+                    f"materializes the golden for this sf_dir)"
+                )
+                failures += 1
+                continue
         if oracle is None:
             print(
                 f"ok   {name}: rows-only ({len(got)} rows)"
