@@ -121,10 +121,16 @@ def connected_components(
     return labels
 
 
-def canonical_mapping(alias_df: DataFrame) -> DataFrame:
+def canonical_mapping(
+    alias_df: DataFrame, driver_threshold: int = 100_000
+) -> DataFrame:
     """(surface, canonical_id): every surface form in the alias graph
-    mapped to its component's minimum member."""
-    comps = connected_components(alias_edges(alias_df))
+    mapped to its component's minimum member. ``driver_threshold=0``
+    forces the distributed hash-min loop (the shape a 100 TB alias
+    graph runs)."""
+    comps = connected_components(
+        alias_edges(alias_df), driver_threshold=driver_threshold
+    )
     return comps.select(
         F.col("node").alias("surface"), F.col("component").alias("canonical_id")
     )
