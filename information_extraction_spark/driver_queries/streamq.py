@@ -54,11 +54,14 @@ GROUP BY 1, 2
 """
 
 
-@_q("st_windowed_counts", _ST_ORACLE)
-def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from information_extraction_spark import schemas as S  # noqa: F401
+def _stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """File source needs a directory; stage the events file into one.
 
-    # File source needs a directory; stage the events file into one.
+    Restages whenever the origin differs (size+mtime): a stale or
+    truncated copy must never survive a testdata regeneration or a
+    crashed earlier copy. The copy itself goes through a temp name +
+    atomic rename so a concurrent reader never sees a partial file.
+    """
     src = os.path.join(
         tempfile.gettempdir(),
         f"ie_stream_events_{os.path.basename(sf_dir.rstrip('/'))}",
@@ -66,10 +69,6 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src, exist_ok=True)
     origin = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(src, "events.parquet")
-    # Restage whenever the origin differs (size+mtime): a stale or
-    # truncated copy must never survive a testdata regeneration or a
-    # crashed earlier copy. The copy itself goes through a temp name +
-    # atomic rename so a concurrent reader never sees a partial file.
     ost = os.stat(origin)
     need = True
     if os.path.exists(dst):
@@ -82,8 +81,12 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = os.path.join(src, ".events.parquet.tmp")
         shutil.copy2(origin, tmp)  # copy2 preserves mtime for the probe
         os.replace(tmp, dst)
-    schema = spark.read.parquet(dst).schema
-    stream = (
+    return src
+
+
+def _windowed_agg_stream(spark: SparkSession, src: str) -> DataFrame:
+    schema = spark.read.parquet(os.path.join(src, "events.parquet")).schema
+    return (
         spark.readStream.schema(schema)
         .parquet(src)
         .filter(F.col("ts").isNotNull())
@@ -98,6 +101,12 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@_q("st_windowed_counts", _ST_ORACLE)
+def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _stage_events_dir(spark, sf_dir)
+    stream = _windowed_agg_stream(spark, src)
     name = f"st_windowed_counts_{next(_COUNTER)}"
     q = (
         stream.writeStream.outputMode("complete")
@@ -122,3 +131,55 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, out.schema)
+
+
+# Append mode emits a window only once the watermark STRICTLY passes
+# its end (empirically: window_end < max_ts - delay; a window whose
+# end equals the watermark stays in state) — the oracle applies the
+# same closed-window predicate to the batch SQL.
+_ST_APPEND_ORACLE = """
+WITH mx AS (SELECT max(ts) AS m FROM events WHERE ts IS NOT NULL)
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events, mx
+WHERE ts IS NOT NULL
+  AND date_trunc('hour', ts) + INTERVAL 1 HOUR < mx.m - INTERVAL 2 HOUR
+GROUP BY 1, 2
+"""
+
+
+@_q("st_windowed_counts_append", _ST_APPEND_ORACLE)
+def st_windowed_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-stream shape of st_windowed_counts: ``append``
+    output to a parquet FILE SINK with checkpointing. Each window is
+    emitted exactly once — after the watermark passes it — and its
+    state store entry is EVICTED, so state stays bounded at (windows
+    within the watermark horizon × event types) forever; `complete`
+    mode (the memory-sink variant above) instead retains every window.
+    The final ~2 hours of windows are still open at drain time and are
+    deliberately absent from both the sink and the oracle."""
+    src = _stage_events_dir(spark, sf_dir)
+    stream = _windowed_agg_stream(spark, src)
+    run_dir = tempfile.mkdtemp(prefix="ie_stream_append_")
+    out_dir = os.path.join(run_dir, "out")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .start()
+    )
+    try:
+        # processAllAvailable covers the trailing no-data microbatch
+        # that fires when the watermark advance closes windows.
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
