@@ -177,7 +177,9 @@ SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes, d AS digest,
        CAST(16 + {_hex_byte(1)} % 240 AS BIGINT) AS width,
        CAST(16 + {_hex_byte(3)} % 240 AS BIGINT) AS height,
        CAST(CASE WHEN kind = 'image' THEN 1
-                 ELSE 1 + {_hex_byte(5)} % 30 END AS BIGINT) AS n_frames
+                 ELSE 1 + {_hex_byte(5)} % 30 END AS BIGINT) AS n_frames,
+       CAST(NULL AS BIGINT) AS sample_rate,
+       CAST(NULL AS BIGINT) AS channels
 FROM m
 """
 
@@ -208,6 +210,103 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+    )
+
+
+# --- Real header codecs (BMP image dims, WAV rate/channels/frames):
+# payloads are REAL format-conformant bytes built deterministically
+# from doc_id (operators/multimodal.make_bmp/make_wav), decoded by
+# the native parsers with deterministic_fake=False — the oracle
+# recomputes every field arithmetically from the same doc_id formulas
+# (the constructed-expectation pattern). VERDICT r02 #6.
+
+_MM_CODEC_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN 54 + (((4 + doc_id % 29) * 3 + 3) // 4) * 4
+                      * (3 + (doc_id // 3) % 17)
+            ELSE 44 + (50 + doc_id % 101) * (1 + (doc_id // 5) % 2) * 2
+       END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 29 END
+            AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + (doc_id // 3) % 17 END
+            AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+            ELSE 50 + doc_id % 101 END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN doc_id % 2 = 1
+            THEN 8000 + (doc_id % 8) * 1000 END AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + (doc_id // 5) % 2 END
+            AS BIGINT) AS channels
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@_q("mm_codec_features", _MM_CODEC_ORACLE)
+def mm_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP/WAV payloads → native header parse (no fake path):
+    a narrow mapInPandas builds format-conformant bytes per media_id,
+    then extract_features(deterministic_fake=False) must decode them
+    with the pure-Python BMP/WAV parsers."""
+    import pandas as pd
+
+    from information_extraction_spark.operators.multimodal import (
+        MEDIA,
+        extract_features,
+        make_bmp,
+        make_wav,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    payload = make_bmp(
+                        4 + mid % 29, 3 + (mid // 3) % 17, seed=mid
+                    )
+                    kind = "image"
+                else:
+                    payload = make_wav(
+                        50 + mid % 101,
+                        sample_rate=8000 + (mid % 8) * 1000,
+                        channels=1 + (mid // 5) % 2,
+                        seed=mid,
+                    )
+                    kind = "audio"
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "payload": bytearray(payload),
+                        "mime": None,
+                        "source": "synthetic",
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA.fields]
+            )
+
+    media = ids.mapInPandas(build, schema=MEDIA)
+    feats = extract_features(media, deterministic_fake=False)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
     )
 
 

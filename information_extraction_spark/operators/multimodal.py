@@ -1,13 +1,17 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed by Arrow-batched pandas UDFs via mapInPandas.
 
-The image/audio codec libraries are not present in this container, so
-the decode step is STUBBED: ``decode_image`` raises
-NotImplementedError unless ``deterministic_fake=True``, in which case
-it derives a fake (width, height, n_frames) deterministically from
-the payload bytes. Everything Spark-side — schema, batch iteration,
-partitioning, UDF signatures — is real and tested; a real decoder
-drops into ``_decode_payload`` without touching the plumbing.
+Header-parsable formats get REAL decoders: BMP (image dimensions) and
+WAV (sample rate, channels, frame count) are pure-Python parseable
+without PIL/ffmpeg, so ``_decode_payload`` sniffs the magic bytes and
+parses those natively. Compressed codecs (JPEG/PNG/MP3/H.264 …) would
+need the codec libraries this container lacks, so for any OTHER
+payload the decode is STUBBED: NotImplementedError unless
+``deterministic_fake=True``, in which case fake dims derive
+deterministically from the payload bytes. Everything Spark-side —
+schema, batch iteration, partitioning, UDF signatures — is real and
+tested; further decoders drop into ``_decode_payload`` without
+touching the plumbing.
 
 Scale notes: binary payloads ride in Parquet/Iceberg as BINARY
 columns; feature extraction is a narrow mapInPandas pass (no shuffle)
@@ -19,6 +23,7 @@ frame) — an explode, still narrow.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -44,23 +49,76 @@ FEATURES = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_frames", T.IntegerType(), True),
+        # real-codec-only fields (NULL from the fake path)
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
     ]
 )
 
 
+def parse_bmp(payload: bytes) -> tuple[int, int]:
+    """(width, height) from a BITMAPINFOHEADER BMP — offsets per the
+    published format: 'BM' magic, int32 LE width at 18, int32 LE
+    height at 22 (negative = top-down rows; dimension is |height|)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise ValueError(f"unsupported BMP DIB header size {dib_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
+    return width, abs(height)
+
+
+def parse_wav(payload: bytes) -> tuple[int, int, int]:
+    """(sample_rate, channels, n_frames) from a RIFF/WAVE payload by
+    walking the chunk list (chunks are word-aligned; sizes LE)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    sample_rate = channels = block_align = None
+    n_frames = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        size = struct.unpack_from("<I", payload, off + 4)[0]
+        body = off + 8
+        if cid == b"fmt " and size >= 16:
+            channels, sample_rate = struct.unpack_from("<HI", payload, body + 2)
+            block_align = struct.unpack_from("<H", payload, body + 12)[0]
+        elif cid == b"data":
+            if block_align is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            n_frames = size // max(block_align, 1)
+        off = body + size + (size % 2)  # chunks pad to even length
+    if sample_rate is None or n_frames is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return sample_rate, channels, n_frames
+
+
 def _decode_payload(payload: bytes, kind: str, deterministic_fake: bool):
-    """STUB decode. Real implementation would dispatch to PIL/ffmpeg;
-    neither ships in this container (environment constraint)."""
+    """Dispatch on magic bytes: BMP and WAV parse natively (header
+    formats are public and pure-Python parseable); anything else is
+    the stub. Returns (width, height, n_frames, sample_rate,
+    channels)."""
+    if len(payload) >= 2 and payload[:2] == b"BM":
+        w, h = parse_bmp(payload)
+        return w, h, 1, None, None
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, ch, frames = parse_wav(payload)
+        return None, None, frames, rate, ch
     if not deterministic_fake:
         raise NotImplementedError(
-            "media codecs are not available in this environment; "
-            "pass deterministic_fake=True or plug in a real decoder"
+            "no native decoder for this payload (only BMP and WAV "
+            "headers parse without codec libraries, which this "
+            "environment lacks); pass deterministic_fake=True or plug "
+            "in a real decoder"
         )
     h = hashlib.md5(payload or b"").digest()
     width = 16 + h[0] % 240
     height = 16 + h[1] % 240
     n_frames = 1 if kind == "image" else 1 + h[2] % 30
-    return width, height, n_frames
+    return width, height, n_frames, None, None
 
 
 def extract_features(
@@ -73,7 +131,9 @@ def extract_features(
             rows = []
             for r in pdf.itertuples():
                 payload = bytes(r.payload) if r.payload is not None else b""
-                w, h, nf = _decode_payload(payload, r.kind, deterministic_fake)
+                w, h, nf, rate, ch = _decode_payload(
+                    payload, r.kind, deterministic_fake
+                )
                 rows.append(
                     {
                         "media_id": r.media_id,
@@ -83,6 +143,8 @@ def extract_features(
                         "width": w,
                         "height": h,
                         "n_frames": nf,
+                        "sample_rate": rate,
+                        "channels": ch,
                     }
                 )
             yield pd.DataFrame(
@@ -103,6 +165,41 @@ def sample_frames(features: DataFrame, every_k: int = 5) -> DataFrame:
     return features.select(
         "media_id", "kind", F.explode(idx).alias("frame_idx")
     )
+
+
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """A real minimal 24-bpp BITMAPINFOHEADER BMP with deterministic
+    pixel bytes (rows padded to 4-byte boundaries per the format)."""
+    row = ((width * 3 + 3) // 4) * 4
+    data_size = row * height
+    header = b"BM" + struct.pack(
+        "<IHHI", 54 + data_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    pixels = bytes(
+        (seed * 31 + i * 7) % 256 for i in range(data_size)
+    )
+    return header + pixels
+
+
+def make_wav(
+    n_frames: int, sample_rate: int = 8000, channels: int = 1, seed: int = 0
+) -> bytes:
+    """A real PCM-16 RIFF/WAVE payload with deterministic samples."""
+    block_align = channels * 2
+    data_size = n_frames * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", data_size)
+        + bytes((seed * 17 + i * 13) % 256 for i in range(data_size))
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:

@@ -44,9 +44,93 @@ def test_real_decode_path_is_gated(spark):
     feats = extract_features(media, deterministic_fake=False)
     with pytest.raises(Exception) as exc_info:
         feats.collect()
-    assert "NotImplementedError" in str(exc_info.value) or "codecs" in str(
+    assert "NotImplementedError" in str(exc_info.value) or "decoder" in str(
         exc_info.value
     )
+
+
+def test_bmp_parser_known_bytes():
+    """parse_bmp against bytes assembled field-by-field from the
+    published BITMAPINFOHEADER layout (not via make_bmp — independent
+    construction)."""
+    import struct
+
+    from information_extraction_spark.operators.multimodal import parse_bmp
+
+    w, h = 7, 5
+    row = ((w * 3 + 3) // 4) * 4
+    payload = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + row * h, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h,
+                      0, 0, 0, 0)
+        + b"\x00" * (row * h)
+    )
+    assert parse_bmp(payload) == (7, 5)
+    # top-down BMP: negative height, dimension is |height|
+    payload_td = payload[:22] + struct.pack("<i", -h) + payload[26:]
+    assert parse_bmp(payload_td) == (7, 5)
+    with pytest.raises(ValueError):
+        parse_bmp(b"PNG" + payload[3:])
+    with pytest.raises(ValueError):
+        parse_bmp(payload[:40])
+
+
+def test_wav_parser_known_bytes_and_chunk_walk():
+    """parse_wav against an independently assembled RIFF file with an
+    extra LIST chunk (odd-sized, so the word-alignment rule is
+    exercised) before fmt/data."""
+    import struct
+
+    from information_extraction_spark.operators.multimodal import parse_wav
+
+    rate, ch, frames = 22050, 2, 9
+    block = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
+    odd_chunk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad
+    body = (
+        b"WAVE"
+        + odd_chunk
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", frames * block)
+        + b"\x00" * (frames * block)
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert parse_wav(payload) == (rate, ch, frames)
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFX" + payload[4:])
+    with pytest.raises(ValueError):
+        parse_wav(payload[:20])  # fmt/data chunks truncated away
+
+
+def test_native_codecs_through_spark_path(spark):
+    """BMP and WAV payloads decode NATIVELY (deterministic_fake=False)
+    through the full mapInPandas path, mixed with a fake-gated row to
+    prove dispatch is per-payload."""
+    from information_extraction_spark.operators.multimodal import (
+        MEDIA,
+        make_bmp,
+        make_wav,
+    )
+
+    rows = [
+        (1, "image", bytearray(make_bmp(12, 8, seed=4)), None, "t"),
+        (2, "audio", bytearray(make_wav(33, 16000, 2, seed=5)), None, "t"),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA)
+    got = {
+        r["media_id"]: r
+        for r in extract_features(media, deterministic_fake=False).collect()
+    }
+    bmp = got[1]
+    assert (bmp["width"], bmp["height"], bmp["n_frames"]) == (12, 8, 1)
+    assert bmp["sample_rate"] is None and bmp["channels"] is None
+    wav = got[2]
+    assert (wav["sample_rate"], wav["channels"], wav["n_frames"]) == (
+        16000, 2, 33,
+    )
+    assert wav["width"] is None and wav["height"] is None
+    assert wav["n_bytes"] == 44 + 33 * 2 * 2
 
 
 def test_frame_sampling_fanout(spark):
