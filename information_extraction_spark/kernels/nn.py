@@ -280,6 +280,111 @@ def with_crf(
     }
 
 
+# --- Checkpoint serialization ----------------------------------------------
+#
+# The reference ships trained weights as TF checkpoints and converts
+# them for inference (convert_tf_checkpoint_to_pytorch.py:31-77 — read
+# tensors by name, reshape, load_state_dict). The analog here is an
+# npz round-trip: every float32 array in the weight dict (plus the
+# optional CRF transition matrix and the char vocab) is stored
+# losslessly, so a fine-tuned model saved on a trainer box reloads
+# bit-identically on every executor after one broadcast.
+
+CHECKPOINT_VERSION = 1
+
+_REQUIRED_WEIGHT_KEYS = frozenset(
+    {
+        "emb", "seg", "w_f", "u_f", "b_f", "w_b", "u_b", "b_b",
+        "w_cls", "b_cls", "w_tag", "b_tag",
+    }
+)
+
+
+def save_checkpoint(
+    path: str,
+    weights: dict[str, np.ndarray],
+    vocab: dict[str, int] | None = None,
+) -> None:
+    """Serialize a weight dict (and optionally its char vocab — a
+    checkpoint without the vocab it was trained with is unusable) to
+    one ``.npz`` file. npy storage is exact binary, so the round trip
+    is bit-identical."""
+    import json
+
+    missing = _REQUIRED_WEIGHT_KEYS - set(weights)
+    if missing:
+        raise ValueError(f"weight dict missing keys: {sorted(missing)}")
+    arrays: dict[str, np.ndarray] = {
+        f"w::{k}": np.asarray(v) for k, v in weights.items()
+    }
+    arrays["meta::version"] = np.array(CHECKPOINT_VERSION, dtype=np.int64)
+    if vocab is not None:
+        arrays["meta::vocab_json"] = np.array(
+            json.dumps(vocab, ensure_ascii=False, sort_keys=True)
+        )
+    np.savez_compressed(path, **arrays)
+
+
+def load_checkpoint(
+    path: str,
+) -> tuple[dict[str, np.ndarray], dict[str, int] | None]:
+    """Load and VALIDATE a checkpoint written by ``save_checkpoint``:
+    required keys present, consistent embedding/hidden dimensions, and
+    a square CRF matrix over the tag alphabet when one is carried.
+    Returns ``(weights, vocab_or_None)``."""
+    import json
+
+    with np.load(path, allow_pickle=False) as z:
+        version = int(z["meta::version"])
+        if version != CHECKPOINT_VERSION:
+            raise ValueError(
+                f"checkpoint version {version} unsupported "
+                f"(expected {CHECKPOINT_VERSION})"
+            )
+        weights = {
+            k[len("w::") :]: z[k] for k in z.files if k.startswith("w::")
+        }
+        vocab = (
+            json.loads(str(z["meta::vocab_json"]))
+            if "meta::vocab_json" in z.files
+            else None
+        )
+    missing = _REQUIRED_WEIGHT_KEYS - set(weights)
+    if missing:
+        raise ValueError(f"checkpoint missing weights: {sorted(missing)}")
+    dim = weights["emb"].shape[1]
+    hidden = weights["u_f"].shape[0]
+    checks = [
+        (weights["seg"].shape[1] == dim, "seg dim != emb dim"),
+        (weights["w_f"].shape == (dim, 4 * hidden), "w_f shape"),
+        (weights["u_f"].shape == (hidden, 4 * hidden), "u_f shape"),
+        (weights["b_f"].shape == (4 * hidden,), "b_f shape"),
+        (weights["w_b"].shape == (dim, 4 * hidden), "w_b shape"),
+        (weights["u_b"].shape == (hidden, 4 * hidden), "u_b shape"),
+        (weights["b_b"].shape == (4 * hidden,), "b_b shape"),
+        (weights["w_cls"].shape[0] == 2 * hidden, "w_cls rows"),
+        (
+            weights["b_cls"].shape == (weights["w_cls"].shape[1],),
+            "b_cls shape",
+        ),
+        (weights["w_tag"].shape == (2 * hidden, N_TAGS), "w_tag shape"),
+        (weights["b_tag"].shape == (N_TAGS,), "b_tag shape"),
+    ]
+    if "crf" in weights:
+        checks.append(
+            (weights["crf"].shape == (N_TAGS, N_TAGS), "crf shape")
+        )
+    bad = [msg for ok, msg in checks if not ok]
+    if bad:
+        raise ValueError(f"checkpoint shape validation failed: {bad}")
+    if vocab is not None and weights["emb"].shape[0] < len(vocab):
+        raise ValueError(
+            f"embedding rows {weights['emb'].shape[0]} < vocab size "
+            f"{len(vocab)}"
+        )
+    return weights, vocab
+
+
 def build_char_vocab(chars: list[str]) -> dict[str, int]:
     """P7-shaped vocab: specials at fixed ids, then sorted chars."""
     vocab = {"[PAD]": PAD_ID, "[UNK]": UNK_ID, "[CLS]": CLS_ID, "[SEP]": SEP_ID}

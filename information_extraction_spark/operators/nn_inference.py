@@ -61,19 +61,31 @@ def nn_classify_stage(
     predicates: list[str],
     threshold: float = THRESHOLD,
     fallback_k: int = FALLBACK_K,
+    dedup: bool = True,
 ) -> DataFrame:
     """Stage-1 multi-label classification via the broadcast BiLSTM.
-    Output schema identical to extract.classify_stage."""
+    Output schema identical to extract.classify_stage.
+
+    ``dedup`` (default on) runs the BiLSTM forward once per DISTINCT
+    text within a partition — the KB fused kernel's per-text memo
+    applied to the expensive tensor path, where it matters most.
+    Transcript corpora repeat turns heavily (greetings, tool
+    boilerplate), and the model is a pure function of the text, so
+    duplicate rows reuse the memoized scores. The memo lives for one
+    partition's task (a plain dict carried across Arrow batches), so
+    its footprint is bounded by the partition's distinct texts — no
+    shuffle, no global state."""
     pred_names = list(predicates)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = weights_bc.value
         vocab = vocab_bc.value
-        for pdf in batches:
-            ids, mask = _frame_batch(pdf["text"], vocab, MAX_SEQ)
+        memo: dict[str, tuple[list, list]] = {}
+
+        def score_texts(texts: list[str]) -> None:
+            ids, mask = _frame_batch(pd.Series(texts), vocab, MAX_SEQ)
             probs = nn.classify_logits(weights, ids, mask)
-            preds_col, scores_col = [], []
-            for row in probs:
+            for text, row in zip(texts, probs):
                 scored = sorted(
                     zip(pred_names, row.astype(float)),
                     key=lambda kv: (-kv[1], kv[0]),
@@ -81,8 +93,25 @@ def nn_classify_stage(
                 above = [(p, s) for p, s in scored if s > threshold]
                 if not above:
                     above = scored[:fallback_k]
-                preds_col.append([p for p, _ in above])
-                scores_col.append([s for _, s in above])
+                memo[text] = (
+                    [p for p, _ in above],
+                    [s for _, s in above],
+                )
+
+        for pdf in batches:
+            if dedup:
+                todo = [
+                    t
+                    for t in dict.fromkeys(pdf["text"])
+                    if t not in memo
+                ]
+            else:
+                memo.clear()
+                todo = list(pdf["text"])
+            if todo:
+                score_texts(todo)
+            preds_col = [memo[t][0] for t in pdf["text"]]
+            scores_col = [memo[t][1] for t in pdf["text"]]
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
@@ -100,26 +129,35 @@ def nn_classify_stage(
 
 
 def nn_tag_stage(
-    fanned: DataFrame, weights_bc, vocab_bc, predicates: list[str]
+    fanned: DataFrame,
+    weights_bc,
+    vocab_bc,
+    predicates: list[str],
+    dedup: bool = True,
 ) -> DataFrame:
     """Stage-2 BIESO tagging via the broadcast BiLSTM over
     predicate-conditioned frames (P11). Output schema identical to
     extract.tag_stage; tags align 1:1 with text chars so the stock
-    decode_stage consumes them unchanged."""
+    decode_stage consumes them unchanged.
+
+    ``dedup`` memoizes per distinct (text, predicate) unit within the
+    partition — after the classify fan-out, duplicate turns produce
+    identical work units, and stage 2 is where the model FLOPs
+    concentrate (one forward per fired predicate)."""
     pred_index = {p: i for i, p in enumerate(predicates)}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = weights_bc.value
         vocab = vocab_bc.value
         half = (MAX_SEQ - 3) // 2
-        for pdf in batches:
-            n = len(pdf)
+        memo: dict[tuple[str, str], list[str]] = {}
+
+        def tag_units(units: list[tuple[str, str]]) -> None:
+            n = len(units)
             ids = np.zeros((n, MAX_SEQ), dtype=np.int64)
             segs = np.zeros((n, MAX_SEQ), dtype=np.int64)
             lengths = np.zeros(n, dtype=np.int64)
-            for r, (text, pred) in enumerate(
-                zip(pdf["text"], pdf["predicate"])
-            ):
+            for r, (text, pred) in enumerate(units):
                 toks, seg, m = predicate_conditioned_frame(
                     list(text or ""),
                     pred,
@@ -136,22 +174,33 @@ def nn_tag_stage(
                 tag_mat = nn.tag_ids_crf(weights, ids, segs, lengths)
             else:
                 tag_mat = nn.tag_ids(weights, ids, segs, lengths)
-            tags_col = []
-            for r, text in enumerate(pdf["text"]):
+            for r, (text, pred) in enumerate(units):
                 text = text or ""
                 h = min(len(text), half)
                 # model positions 1..h are the text chars (0 is CLS);
                 # chars beyond the frame default to 'O' (untagged).
                 tags = [nn.TAGS[t] for t in tag_mat[r, 1 : h + 1]]
                 tags += ["O"] * (len(text) - h)
-                tags_col.append(tags)
+                memo[(text, pred)] = tags
+
+        for pdf in batches:
+            units = list(zip(pdf["text"], pdf["predicate"]))
+            if dedup:
+                todo = [u for u in dict.fromkeys(units) if u not in memo]
+            else:
+                memo.clear()
+                todo = units
+            if todo:
+                tag_units(todo)
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
                     "turn_idx": pdf["turn_idx"],
                     "text": pdf["text"],
                     "predicate": pdf["predicate"],
-                    "tags": tags_col,
+                    "tags": [
+                        memo[(t or "", p)] for t, p in units
+                    ],
                 }
             )
 
@@ -168,6 +217,7 @@ def nn_extract_triples(
     vocab: dict[str, int],
     threshold: float = THRESHOLD,
     fallback_k: int = FALLBACK_K,
+    dedup: bool = True,
 ) -> DataFrame:
     """The full extraction DAG with the tensor kernels swapped in:
     ordered → nn-classify → fan out → nn-tag → decode → assemble.
@@ -193,7 +243,41 @@ def nn_extract_triples(
         predicates,
         threshold=threshold,
         fallback_k=fallback_k,
+        dedup=dedup,
     )
     fanned = fanout_predicates(classified)
-    tagged = nn_tag_stage(fanned, weights_bc, vocab_bc, predicates)
+    tagged = nn_tag_stage(
+        fanned, weights_bc, vocab_bc, predicates, dedup=dedup
+    )
     return assemble_triples(decode_stage(tagged), schemas)
+
+
+def nn_extract_triples_from_checkpoint(
+    spark,
+    transcripts: DataFrame,
+    schemas: DataFrame,
+    checkpoint_path: str,
+    threshold: float = THRESHOLD,
+    fallback_k: int = FALLBACK_K,
+    dedup: bool = True,
+) -> DataFrame:
+    """The complete fine-tuned-model story: load a saved npz
+    checkpoint (weights + vocab, kernels/nn.save_checkpoint — the
+    analog of the reference's convert_tf_checkpoint_to_pytorch.py
+    artifact seam), broadcast it, and run the tensor DAG."""
+    weights, vocab = nn.load_checkpoint(checkpoint_path)
+    if vocab is None:
+        raise ValueError(
+            f"checkpoint {checkpoint_path} carries no vocab — "
+            "inference needs the vocab the model was trained with"
+        )
+    return nn_extract_triples(
+        spark,
+        transcripts,
+        schemas,
+        weights,
+        vocab,
+        threshold=threshold,
+        fallback_k=fallback_k,
+        dedup=dedup,
+    )
