@@ -6,11 +6,22 @@ The reference persisted pickled DataSets / line-aligned txt files
 between its OS-process stages and resumed by picking the newest
 checkpoint dir by mtime (produce_submit_json_file.py:6-24;
 classification/dataset.py:79-103). Here every stage is a Parquet
-write plus manifest rows recording (run_id, stage, partition_id,
-row_count, params_hash, completed_ts); a stage whose completion row
-exists with a matching params_hash is skipped and read back — changing
-any upstream parameter invalidates the checkpoint via the hash, not
-mtime heuristics.
+write plus manifest rows recording (run_id, stage, snapshot_id,
+partition_id, row_count, params_hash, completed_ts); a stage whose
+completion row exists with a matching params_hash is skipped and read
+back — changing any upstream parameter invalidates the checkpoint via
+the hash, not mtime heuristics.
+
+Snapshot semantics (the Iceberg-emulation piece, SURVEY §4 "snapshot
+ids"): every materialization writes a NEW immutable snapshot
+directory ``<stage>/snap=<id>`` and appends manifest rows carrying a
+monotonically increasing ``snapshot_id``. "Overwrite" therefore never
+destroys prior state — ``read_as_of(stage, snapshot_id)`` reads any
+earlier snapshot (time travel), ``snapshots(stage)`` lists the
+history, and the resume path resolves the LATEST snapshot whose
+params_hash matches. Snapshot-id allocation reads the (tiny) manifest
+on the driver; like Iceberg's optimistic commit this assumes one
+committing driver per base_dir at a time.
 
 Scale: the manifest is a handful of rows per stage; the data
 checkpoint is the same Parquet the next stage would shuffle-read
@@ -50,8 +61,10 @@ class CheckpointManager:
         self.params_hash = params_hash(params or {})
         self._manifest_dir = os.path.join(base_dir, "_manifest")
 
-    def _stage_path(self, stage: str) -> str:
-        return os.path.join(self.base_dir, self.run_id, stage)
+    def _snapshot_path(self, stage: str, snapshot_id: int) -> str:
+        return os.path.join(
+            self.base_dir, self.run_id, stage, f"snap={snapshot_id}"
+        )
 
     def manifest(self) -> DataFrame | None:
         try:
@@ -59,44 +72,74 @@ class CheckpointManager:
         except Exception:
             return None
 
-    def is_complete(self, stage: str) -> bool:
+    def _completions(self, stage: str, match_params: bool) -> DataFrame | None:
         m = self.manifest()
         if m is None:
-            return False
-        return (
-            m.filter(
-                (F.col("run_id") == self.run_id)
-                & (F.col("stage") == stage)
-                & (F.col("partition_id") == COMPLETION_PARTITION)
-                & (F.col("params_hash") == self.params_hash)
-            ).count()
-            > 0
+            return None
+        out = m.filter(
+            (F.col("run_id") == self.run_id)
+            & (F.col("stage") == stage)
+            & (F.col("partition_id") == COMPLETION_PARTITION)
         )
+        if match_params:
+            out = out.filter(F.col("params_hash") == self.params_hash)
+        return out
 
-    def _record(self, stage: str, per_partition: list[tuple[int, int]]) -> None:
+    def _latest_snapshot(self, stage: str) -> int | None:
+        c = self._completions(stage, match_params=True)
+        if c is None:
+            return None
+        row = c.agg(F.max("snapshot_id").alias("s")).collect()[0]
+        return None if row["s"] is None else int(row["s"])
+
+    def _next_snapshot_id(self) -> int:
+        m = self.manifest()
+        if m is None:
+            return 1
+        row = m.agg(F.max("snapshot_id").alias("s")).collect()[0]
+        return 1 if row["s"] is None else int(row["s"]) + 1
+
+    def is_complete(self, stage: str) -> bool:
+        return self._latest_snapshot(stage) is not None
+
+    def _record(
+        self,
+        stage: str,
+        snapshot_id: int,
+        per_partition: list[tuple[int, int]],
+    ) -> None:
         rows = [
-            (self.run_id, stage, int(pid), int(n), self.params_hash)
+            (self.run_id, stage, snapshot_id, int(pid), int(n), self.params_hash)
             for pid, n in per_partition
         ]
         total = sum(n for _, n in per_partition)
         rows.append(
-            (self.run_id, stage, COMPLETION_PARTITION, total, self.params_hash)
+            (
+                self.run_id,
+                stage,
+                snapshot_id,
+                COMPLETION_PARTITION,
+                total,
+                self.params_hash,
+            )
         )
         df = self.spark.createDataFrame(
             rows,
-            "run_id string, stage string, partition_id int, "
-            "row_count long, params_hash string",
+            "run_id string, stage string, snapshot_id long, "
+            "partition_id int, row_count long, params_hash string",
         ).withColumn("completed_ts", F.current_timestamp())
         df.coalesce(1).write.mode("append").parquet(self._manifest_dir)
 
     def stage(self, df: DataFrame, stage: str) -> DataFrame:
-        """Materialize ``df`` at this stage (or read the prior
-        materialization when the manifest marks it complete for the
-        same params_hash). Returns the checkpointed DataFrame —
-        downstream lineage restarts from the Parquet scan."""
-        path = self._stage_path(stage)
-        if self.is_complete(stage):
-            return self.spark.read.parquet(path)
+        """Materialize ``df`` as a new snapshot of this stage (or read
+        the latest prior snapshot when the manifest marks one complete
+        for the same params_hash). Returns the checkpointed DataFrame
+        — downstream lineage restarts from the Parquet scan."""
+        latest = self._latest_snapshot(stage)
+        if latest is not None:
+            return self.spark.read.parquet(self._snapshot_path(stage, latest))
+        snapshot_id = self._next_snapshot_id()
+        path = self._snapshot_path(stage, snapshot_id)
         df.write.mode("overwrite").parquet(path)
         written = self.spark.read.parquet(path)
         per_partition = [
@@ -107,17 +150,51 @@ class CheckpointManager:
             .agg(F.count("*").alias("n"))
             .collect()
         ]
-        self._record(stage, per_partition)
+        self._record(stage, snapshot_id, per_partition)
         return written
 
+    def read_as_of(self, stage: str, snapshot_id: int) -> DataFrame:
+        """Time travel: read the stage's state at an earlier snapshot
+        (regardless of params_hash — reading history across parameter
+        changes is the point). Raises if the manifest has no completion
+        row for that snapshot."""
+        c = self._completions(stage, match_params=False)
+        ok = (
+            c is not None
+            and c.filter(F.col("snapshot_id") == snapshot_id).count() > 0
+        )
+        if not ok:
+            raise ValueError(
+                f"no completed snapshot {snapshot_id} for stage "
+                f"{stage!r} in run {self.run_id!r}"
+            )
+        return self.spark.read.parquet(
+            self._snapshot_path(stage, snapshot_id)
+        )
+
+    def snapshots(self, stage: str) -> list[tuple[int, int, str]]:
+        """Completed (snapshot_id, row_count, params_hash) history for
+        a stage, oldest first."""
+        c = self._completions(stage, match_params=False)
+        if c is None:
+            return []
+        return [
+            (int(r["snapshot_id"]), int(r["row_count"]), r["params_hash"])
+            for r in c.orderBy("snapshot_id").collect()
+        ]
+
     def stage_metrics(self, stage: str) -> list[tuple[int, int]]:
-        """(partition_id, row_count) rows recorded for a stage."""
+        """(partition_id, row_count) rows recorded for a stage's
+        LATEST completed snapshot under the current params."""
+        latest = self._latest_snapshot(stage)
         m = self.manifest()
-        if m is None:
+        if m is None or latest is None:
             return []
         return [
             (r["partition_id"], r["row_count"])
             for r in m.filter(
-                (F.col("run_id") == self.run_id) & (F.col("stage") == stage)
+                (F.col("run_id") == self.run_id)
+                & (F.col("stage") == stage)
+                & (F.col("snapshot_id") == latest)
             ).collect()
         ]

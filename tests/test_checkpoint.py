@@ -36,6 +36,47 @@ def test_stage_checkpoint_records_lineage_and_resumes(spark, tmp_dir):
     assert not mgr3.is_complete("double")
 
 
+def test_snapshot_time_travel_survives_overwrite(spark, tmp_dir):
+    """Iceberg-style snapshot reads: after a parameter change forces a
+    re-materialization, read_as_of still returns the PRIOR stage
+    state, and snapshots() lists the full history."""
+    import pytest
+
+    base = os.path.join(tmp_dir, "ckpt_tt")
+    mgr1 = CheckpointManager(spark, base, run_id="tt", params={"v": 1})
+    mgr1.stage(spark.range(0, 50).withColumn("x", F.col("id") * 2), "s")
+
+    # New params → checkpoint invalid → a NEW snapshot is written;
+    # the old snapshot's data must remain readable.
+    mgr2 = CheckpointManager(spark, base, run_id="tt", params={"v": 2})
+    assert not mgr2.is_complete("s")
+    mgr2.stage(spark.range(0, 80).withColumn("x", F.col("id") * 3), "s")
+
+    snaps = mgr2.snapshots("s")
+    assert [s[0] for s in snaps] == [1, 2]
+    assert [s[1] for s in snaps] == [50, 80]
+
+    old = mgr2.read_as_of("s", 1)
+    assert old.count() == 50
+    assert {r["x"] for r in old.collect()} == {i * 2 for i in range(50)}
+    new = mgr2.read_as_of("s", 2)
+    assert new.count() == 80
+
+    # current-resume still resolves per params_hash
+    assert mgr2.is_complete("s")
+    assert CheckpointManager(
+        spark, base, run_id="tt", params={"v": 1}
+    ).is_complete("s")
+
+    with pytest.raises(ValueError, match="no completed snapshot"):
+        mgr2.read_as_of("s", 99)
+    # per-partition metrics resolve to the latest snapshot for the
+    # manager's own params
+    assert dict(mgr2.stage_metrics("s"))[COMPLETION_PARTITION] == 80
+    m1 = CheckpointManager(spark, base, run_id="tt", params={"v": 1})
+    assert dict(m1.stage_metrics("s"))[COMPLETION_PARTITION] == 50
+
+
 def test_pipeline_with_checkpoints_matches_unchecked(
     spark, world, transcripts_pdf, tmp_dir
 ):
