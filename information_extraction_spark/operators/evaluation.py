@@ -62,6 +62,44 @@ def _alias_map(alias_df: DataFrame | None, out_key: str, out_alias: str) -> Data
     ).dropDuplicates()
 
 
+def alias_expanded_matches(
+    pred: DataFrame,
+    gold: DataFrame,
+    s_map: DataFrame,
+    o_map: DataFrame,
+) -> DataFrame:
+    """J5: {x} ∪ alias(x) expansion on both endpoints, then a semi
+    join against the golden set (calc_pr.py:146-153).
+
+    Skew shape (SURVEY §2.3, north rule "head entities"): a hot head
+    entity can dominate the pred side's ``s``/``o`` columns, so the
+    alias maps join as BROADCAST left joins — the fact side never
+    shuffles on the (skewed) entity key, which makes the expansion
+    skew-immune by construction. The final semi join keys on
+    (key, s_a, p, o_a): the sentence key leads, so even a head entity
+    spreads across that join's hash space. If the alias dim ever
+    outgrows broadcast range, functions.skew.salted_join is the
+    drop-in for these two joins (equality of the two paths is pinned
+    by tests/test_aqe_skew.py).
+    """
+    s_exp = pred.join(F.broadcast(s_map), "s", "left").select(
+        "key", F.coalesce("s_alt", "s").alias("s_a"), "s", "p", "o"
+    )
+    both = (
+        s_exp.join(F.broadcast(o_map), "o", "left")
+        .select(
+            "key", "s_a", F.coalesce("o_alt", "o").alias("o_a"), "s", "p", "o"
+        )
+    )
+    return both.join(
+        gold.select(
+            "key", F.col("s").alias("s_a"), "p", F.col("o").alias("o_a")
+        ),
+        ["key", "s_a", "p", "o_a"],
+        "left_semi",
+    ).select("key", "s", "p", "o")
+
+
 def calc_pr(
     predicted: DataFrame,
     golden: DataFrame,
@@ -87,23 +125,9 @@ def calc_pr(
     s_map = _alias_map(alias_df, "s", "s_alt")
     if s_map is not None:
         o_map = _alias_map(alias_df, "o", "o_alt")
-        # {x} ∪ alias(x) on both sides (calc_pr.py:146-153). The alias
-        # dim is broadcast; the identity row is a cheap union.
-        s_exp = pred.join(F.broadcast(s_map), "s", "left").select(
-            "key", F.coalesce("s_alt", "s").alias("s_a"), "s", "p", "o"
+        correct = correct.unionByName(
+            alias_expanded_matches(pred, gold, s_map, o_map)
         )
-        both = (
-            s_exp.join(F.broadcast(o_map), "o", "left")
-            .select("key", "s_a", F.coalesce("o_alt", "o").alias("o_a"), "s", "p", "o")
-        )
-        alias_correct = both.join(
-            gold.select(
-                "key", F.col("s").alias("s_a"), "p", F.col("o").alias("o_a")
-            ),
-            ["key", "s_a", "p", "o_a"],
-            "left_semi",
-        ).select("key", "s", "p", "o")
-        correct = correct.unionByName(alias_correct)
 
     if loc_df is not None:
         # Golden-object location expansion (calc_pr.py:155-161).

@@ -10,6 +10,83 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
+def test_j5_alias_expansion_skew_immune_and_salted_fallback(spark):
+    """J5 (alias-expansion eval join) under a deliberately hot head
+    entity — SURVEY §2.3's "salted broadcast join per north rule":
+
+    1. the committed plan joins the alias dim as BroadcastHashJoin,
+       so the skewed entity column never shuffles (skew-immune);
+    2. the salted_join fallback (for an alias dim too large to
+       broadcast) produces the IDENTICAL match set on the same shape,
+       with the hot key spread over multiple salt buckets.
+    """
+    from information_extraction_spark.functions.skew import (
+        salted_join,
+        with_salt,
+    )
+    from information_extraction_spark.operators.evaluation import (
+        alias_expanded_matches,
+    )
+
+    n = 20_000
+    # 95% of predictions name one head entity ("alpha"), under an
+    # alias that only matches gold through the J5 expansion.
+    pred = spark.range(n).select(
+        (F.col("id") % 500).cast("string").alias("key"),
+        F.when(F.col("id") % 20 < 19, F.lit("alpha"))
+        .otherwise(F.concat(F.lit("e"), (F.col("id") % 97).cast("string")))
+        .alias("s"),
+        F.lit("p0").alias("p"),
+        F.concat(F.lit("o"), (F.col("id") % 13).cast("string")).alias("o"),
+    )
+    gold = spark.range(500).select(
+        F.col("id").cast("string").alias("key"),
+        F.lit("alpha_canonical").alias("s"),
+        F.lit("p0").alias("p"),
+        F.concat(F.lit("o"), (F.col("id") % 13).cast("string")).alias("o"),
+    )
+    s_map = spark.createDataFrame(
+        [("alpha", "alpha_canonical")], "s string, s_alt string"
+    )
+    o_map = spark.createDataFrame([], "o string, o_alt string")
+
+    matched = alias_expanded_matches(pred, gold, s_map, o_map)
+    rows = matched.collect()
+    # every hot-entity row whose (key, o) pair exists in gold matches
+    # through the alias; key = id%500 and o = id%13 line up for rows
+    # where gold(key).o == pred(id).o, i.e. id%500 % 13 == id%13.
+    expect = sum(
+        1
+        for i in range(n)
+        if i % 20 < 19 and (i % 500) % 13 == i % 13
+    )
+    assert len(rows) == expect > 0
+    plan = matched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the entity key never shuffles
+
+    # Fallback shape: same expansion via salted_join (dim replicated
+    # per salt, fact salted) must yield the identical expanded rows.
+    s_exp_b = pred.join(F.broadcast(s_map), "s", "left").select(
+        "key", F.coalesce("s_alt", "s").alias("s_a"), "s", "p", "o"
+    )
+    s_exp_salted = salted_join(pred, s_map, "s", buckets=8, how="left").select(
+        "key", F.coalesce("s_alt", "s").alias("s_a"), "s", "p", "o"
+    )
+    key_cols = ["key", "s_a", "s", "p", "o"]
+    a = sorted(map(tuple, s_exp_b.select(key_cols).collect()))
+    b = sorted(map(tuple, s_exp_salted.select(key_cols).collect()))
+    assert a == b
+    # the hot key genuinely spreads across salt buckets
+    n_salts = (
+        with_salt(pred.filter(F.col("s") == "alpha"), 8)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
