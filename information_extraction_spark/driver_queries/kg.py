@@ -34,6 +34,8 @@ from information_extraction_spark.operators.extract import (
 from information_extraction_spark.operators.linking import canonical_mapping
 from information_extraction_spark.plans.pipeline import extract_triples
 from information_extraction_spark.sources.from_documents import (
+    N_PREDICATES,
+    TURN_WORDS,
     kb_from_documents,
     read_documents,
     transcripts_from_documents,
@@ -338,6 +340,193 @@ def kg_spo_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = kg_extract_triples(spark, sf_dir)
     return collect_spo_lists(triples).select(
         "conv_id", "turn_idx", F.to_json("spo_list").alias("spo_json")
+    )
+
+
+# --- Driver-visible tensor (NN) extraction --------------------------------
+#
+# §2.9's pluggable tensor path, oracle-checked end-to-end: seeded
+# BiLSTM-CRF weights + vocab are SAVED to an npz checkpoint, reloaded
+# via nn_extract_triples_from_checkpoint (broadcast, P8-P11 framing,
+# memoized forwards, stock decode/assemble), and the result is
+# value-compared against a DRIVER-SIDE golden computed by one big
+# sequential numpy pass with no Spark, no memo, and different batch
+# composition — so partitioning/batching/memoization errors in the
+# Spark plumbing cannot cancel out. Doc subset (doc_id % 50 == 0)
+# keeps the golden cheap at oracle scales.
+
+_NN_DOC_MOD = 50
+_NN_MAX_SEQ = 64
+
+
+def _nn_model_inputs(chars: list[str]):
+    """Deterministic (vocab, predicates, weights) shared by the query
+    and the golden — a stand-in for a fine-tuned artifact."""
+    from information_extraction_spark.kernels import nn
+
+    vocab = nn.build_char_vocab(chars)
+    predicates = [f"rel{k:02d}" for k in range(N_PREDICATES)]
+    for p in predicates:
+        vocab[p] = len(vocab)
+    weights = nn.with_crf(
+        nn.init_weights(len(vocab), n_predicates=N_PREDICATES, seed=11),
+        seed=3,
+    )
+    return vocab, predicates, weights
+
+
+def _python_nn_golden_rows(spark: SparkSession, sf_dir: str):
+    """Driver-side sequential reimplementation of the NN extraction
+    flow (classify → fan out → tag → decode → assemble) over the same
+    deterministic model. Oracle-scale only (collects the documents
+    table, like the flagship golden)."""
+    import numpy as np
+
+    from information_extraction_spark.kernels import nn
+    from information_extraction_spark.kernels.extraction import decode_bieso
+    from information_extraction_spark.kernels.tokenizer import (
+        frame_with_special_tokens,
+        index_tokens,
+        predicate_conditioned_frame,
+    )
+    from information_extraction_spark.operators.extract import (
+        FALLBACK_K,
+        MIN_ENTITY_LEN,
+        THRESHOLD,
+    )
+
+    doc_rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    chars = sorted(
+        {c for r in doc_rows if r["text"] is not None for c in r["text"]}
+    )
+    vocab, predicates, weights = _nn_model_inputs(chars)
+    types = {
+        f"rel{k:02d}": (f"T{k % 7}", f"U{k % 5}")
+        for k in range(N_PREDICATES)
+    }
+
+    turns: list[tuple[str, int, str]] = []
+    for r in doc_rows:
+        if r["text"] is None or r["doc_id"] % _NN_DOC_MOD != 0:
+            continue
+        words = r["text"].split(" ")
+        conv_id = f"doc{r['doc_id']}.0"
+        for t in range(math.ceil(len(words) / TURN_WORDS)):
+            tt = " ".join(words[t * TURN_WORDS : (t + 1) * TURN_WORDS])
+            if tt:
+                turns.append((conv_id, t, tt))
+
+    b = len(turns)
+    ids = np.zeros((b, _NN_MAX_SEQ), dtype=np.int64)
+    mask = np.zeros((b, _NN_MAX_SEQ), dtype=np.int64)
+    for i, (_c, _t, txt) in enumerate(turns):
+        toks, _seg, m = frame_with_special_tokens(list(txt), _NN_MAX_SEQ)
+        ids[i] = index_tokens(toks, vocab, unk_id=nn.UNK_ID)
+        mask[i] = m
+    probs = nn.classify_logits(weights, ids, mask)
+
+    units: list[tuple[str, int, str, str]] = []
+    for i, (conv_id, t, txt) in enumerate(turns):
+        scored = sorted(
+            zip(predicates, probs[i].astype(float)),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        above = [(p, s) for p, s in scored if s > THRESHOLD]
+        if not above:
+            above = scored[:FALLBACK_K]
+        for p, _s in above:
+            units.append((conv_id, t, txt, p))
+
+    pred_index = {p: i for i, p in enumerate(predicates)}
+    half = (_NN_MAX_SEQ - 3) // 2
+    rows = []
+    for lo in range(0, len(units), 4096):
+        chunk = units[lo : lo + 4096]
+        n = len(chunk)
+        uids = np.zeros((n, _NN_MAX_SEQ), dtype=np.int64)
+        segs = np.zeros((n, _NN_MAX_SEQ), dtype=np.int64)
+        lens = np.zeros(n, dtype=np.int64)
+        for r_, (_c, _t, txt, p) in enumerate(chunk):
+            toks, seg, m = predicate_conditioned_frame(
+                list(txt), p, pred_index[p] % (nn.MAX_SEG - 1), _NN_MAX_SEQ
+            )
+            uids[r_] = index_tokens(toks, vocab, unk_id=nn.UNK_ID)
+            segs[r_] = seg
+            lens[r_] = sum(m)
+        mat = nn.tag_ids_crf(weights, uids, segs, lens)
+        for r_, (conv_id, t, txt, p) in enumerate(chunk):
+            h = min(len(txt), half)
+            tags = [nn.TAGS[x] for x in mat[r_, 1 : h + 1]]
+            tags += ["O"] * (len(txt) - h)
+            subs, objs = decode_bieso(tags, txt)
+            subs = sorted({s for s in subs if len(s) >= MIN_ENTITY_LEN})
+            objs = sorted({o for o in objs if len(o) >= MIN_ENTITY_LEN})
+            st, ot = types[p]
+            for s in subs:
+                for o in objs:
+                    rows.append((conv_id, t, txt, p, s, o, st, ot))
+    return rows
+
+
+def _nn_oracle_sql(sf_dir: str) -> str:
+    return (
+        "\nSELECT conv_id, turn_idx, text, predicate, subject, object,\n"
+        "       subject_type, object_type\n"
+        f"FROM read_parquet('{_golden_path('nn', sf_dir)}/*.parquet')\n"
+    )
+
+
+def _ensure_nn_golden(spark: SparkSession, sf_dir: str) -> None:
+    ORACLES["kg_nn_extract"] = _nn_oracle_sql(sf_dir)
+    key = f"nn::{sf_dir}"
+    if _GOLDEN_WRITTEN.get(key):
+        return
+    rows = _python_nn_golden_rows(spark, sf_dir)
+    spark.createDataFrame(rows, _TRIPLE_COLS).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_golden_path("nn", sf_dir))
+    _GOLDEN_WRITTEN[key] = True
+
+
+@_q("kg_nn_extract", _nn_oracle_sql("/root/testdata/sf0.01"))
+def kg_nn_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tensor seam end-to-end AND driver-visible: deterministic
+    BiLSTM-CRF weights + corpus char vocab are saved to an npz
+    checkpoint, reloaded, broadcast, and run through the NN extraction
+    DAG (operators/nn_inference.py) over the doc_id % 50 transcript
+    subset; value-checked against the sequential driver-side golden."""
+    from information_extraction_spark.kernels import nn
+    from information_extraction_spark.operators.nn_inference import (
+        nn_extract_triples_from_checkpoint,
+    )
+
+    _ensure_nn_golden(spark, sf_dir)
+    # Distinct corpus chars: a bounded alphabet dim (the one driver
+    # collect this query needs besides the checkpoint itself).
+    chars = sorted(
+        r["c"]
+        for r in read_documents(spark, sf_dir)
+        .select(F.explode(F.split("text", "")).alias("c"))
+        .distinct()
+        .collect()
+        if r["c"]
+    )
+    vocab, predicates, weights = _nn_model_inputs(chars)
+    ckpt = _golden_path("nn_ckpt", sf_dir).replace(".parquet", ".npz")
+    nn.save_checkpoint(ckpt, weights, vocab)
+
+    transcripts = transcripts_from_documents(spark, sf_dir).filter(
+        F.regexp_extract("conv_id", r"^doc(\d+)\.", 1).cast("long")
+        % _NN_DOC_MOD
+        == 0
+    )
+    _, schemas = kb_from_documents(spark, sf_dir)
+    return nn_extract_triples_from_checkpoint(
+        spark, transcripts, schemas, ckpt
     )
 
 
