@@ -133,6 +133,104 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+# --- Custom stateful operator, driver-visible ------------------------------
+#
+# start_conversation_sessions (applyInPandasWithState, event-time
+# timeout) was pytest-only; this catalog entry drives it over the
+# derived transcripts and value-checks the CLOSED sessions. Closure
+# semantics verified empirically: a session times out iff
+# last_ts + gap < watermark STRICTLY (timeout_ts == watermark stays
+# open), and the timeout fires in the trailing no-data microbatch
+# after the single data batch advances the watermark. The oracle
+# re-derives the turn split (12-word chunks, the
+# transcripts_from_documents arithmetic) and applies the same closure
+# predicate in SQL; conversations within the final
+# (watermark + gap) horizon are open at drain time and absent from
+# both sides.
+
+_SESSION_GAP = 300  # seconds; event-time timeout = last_ts + gap
+_SESSION_WM = 600  # "10 minutes" watermark delay
+
+_ST_SESSION_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+), slots AS (
+  SELECT unnest(range(0, 512)) AS t
+), chunks AS (
+  -- constant slot grid + filter (DuckDB's generate_series cannot
+  -- range over a lateral column); 512 covers any document's
+  -- ceil(words/12) chunk count by a wide margin
+  SELECT doc_id, s.t AS turn_idx,
+         array_to_string(list_slice(ws, s.t * 12 + 1, s.t * 12 + 12), ' ')
+           AS turn_text
+  FROM docs CROSS JOIN slots s
+  WHERE s.t < CAST(ceil(len(ws) / 12.0) AS INT)
+), turns AS (
+  SELECT 'doc' || doc_id || '.0' AS conv_id,
+         length(turn_text) AS n_chars_turn,
+         CAST(epoch(TIMESTAMP '2026-01-01 00:00:00') AS BIGINT)
+           + doc_id * 3600 + turn_idx * 30 AS ts_epoch
+  FROM chunks WHERE turn_text <> ''
+), agg AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(n_chars_turn) AS BIGINT) AS n_chars,
+         min(ts_epoch) AS first_ts,
+         max(ts_epoch) AS last_ts
+  FROM turns GROUP BY conv_id
+), wm AS (SELECT max(ts_epoch) - {_SESSION_WM} AS w FROM turns)
+SELECT conv_id, n_turns, n_chars, first_ts, last_ts
+FROM agg, wm WHERE last_ts + {_SESSION_GAP} < wm.w
+"""
+
+
+@_q("st_session_close", _ST_SESSION_ORACLE)
+def st_session_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation session rollups via the custom stateful
+    operator (streaming/ingest.start_conversation_sessions:
+    applyInPandasWithState, state keyed by conv_id, closed by
+    EVENT-time timeout when the watermark passes last_ts + gap).
+    Returns only the CLOSED sessions — the rows whose state was
+    evicted."""
+    from information_extraction_spark.sources.from_documents import (
+        transcripts_from_documents,
+    )
+    from information_extraction_spark.streaming.ingest import (
+        start_conversation_sessions,
+    )
+
+    run_dir = tempfile.mkdtemp(prefix="ie_stream_sessions_")
+    transcripts_from_documents(spark, sf_dir).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(run_dir, "src"))
+    schema = spark.read.parquet(os.path.join(run_dir, "src")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(os.path.join(run_dir, "src"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    name = f"st_session_close_{next(_COUNTER)}"
+    q = start_conversation_sessions(
+        stream,
+        query_name=name,
+        watermark=f"{_SESSION_WM // 60} minutes",
+        gap_seconds=_SESSION_GAP,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        spark.table(name)
+        .filter("closed")
+        .select("conv_id", "n_turns", "n_chars", "first_ts", "last_ts")
+    )
+    rows = out.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, out.schema)
+
+
 # Append mode emits a window only once the watermark STRICTLY passes
 # its end (empirically: window_end < max_ts - delay; a window whose
 # end equals the watermark stays in state) — the oracle applies the
