@@ -481,6 +481,127 @@ def p3_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- P3-DP: the real segmentation ALGORITHM behind the jieba seam —
+# unigram max-probability DP over a dictionary DAG (the published
+# algorithm jieba's dictionary route implements; the package itself
+# is absent here). Input strings are made genuinely UNSEGMENTED by
+# concatenating each document's first 8 words without separators;
+# the dictionary is the corpus word-frequency table. The oracle is a
+# materialized golden (flagship pattern): dp_segment evaluated
+# driver-side over independently Python-derived inputs (own split /
+# Counter / concat — no Spark operators), so the oracle checks the
+# distributed plumbing (broadcast dict, derivation, explode);
+# the DP algorithm itself is pinned by hand-worked pytest examples
+# (tests/test_tokenizer.py), including ambiguity and tie cases.
+
+_P3DP_WORDS = 8
+
+
+def _p3dp_oracle_sql(sf_dir: str) -> str:
+    from information_extraction_spark.driver_queries.kg import _golden_path
+
+    return (
+        "\nSELECT doc_id, seg_idx, token\n"
+        f"FROM read_parquet('{_golden_path('p3dp', sf_dir)}/*.parquet')\n"
+    )
+
+
+def _ensure_p3dp_golden(spark: SparkSession, sf_dir: str) -> None:
+    from collections import Counter
+
+    from information_extraction_spark.driver_queries.kg import (
+        _GOLDEN_WRITTEN,
+        _golden_path,
+    )
+    from information_extraction_spark.kernels.tokenizer import dp_segment
+
+    ORACLES["p3_dp_segment"] = _p3dp_oracle_sql(sf_dir)
+    key = f"p3dp::{sf_dir}"
+    if _GOLDEN_WRITTEN.get(key):
+        return
+    doc_rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    freq: Counter[str] = Counter()
+    for r in doc_rows:
+        if r["text"] is None:
+            continue
+        for w in r["text"].split(" "):
+            if len(w) >= 2:
+                freq[w] += 1
+    rows = []
+    for r in doc_rows:
+        if r["text"] is None:
+            continue
+        joined = "".join(r["text"].split(" ")[:_P3DP_WORDS])
+        for j, tok in enumerate(dp_segment(joined, freq)):
+            rows.append((r["doc_id"], j + 1, tok))
+    spark.createDataFrame(
+        rows, "doc_id long, seg_idx long, token string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _golden_path("p3dp", sf_dir)
+    )
+    _GOLDEN_WRITTEN[key] = True
+
+
+def _p3dp_default_oracle() -> str:
+    return _p3dp_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("p3_dp_segment", _p3dp_default_oracle())
+def p3_dp_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-DP dictionary segmentation of unsegmented strings:
+    corpus word-frequency dict broadcast to executors, dp_segment in
+    a narrow mapInPandas, one row per emitted token."""
+    import pandas as pd
+
+    from information_extraction_spark.kernels.tokenizer import dp_segment
+
+    _ensure_p3dp_golden(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # Word-frequency dim: distributed count, collected as a bounded
+    # vocabulary-sized dict and broadcast (J2 shape).
+    freq_rows = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    freq_bc = spark.sparkContext.broadcast(
+        {r["w"]: r["c"] for r in freq_rows}
+    )
+    unseg = d.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split("text", " "), 1, _P3DP_WORDS), ""
+        ).alias("joined"),
+    )
+
+    def run(batches):
+        freq = freq_bc.value
+        for pdf in batches:
+            ids, idxs, toks = [], [], []
+            for doc_id, joined in zip(pdf["doc_id"], pdf["joined"]):
+                for j, tok in enumerate(dp_segment(joined or "", freq)):
+                    ids.append(doc_id)
+                    idxs.append(j + 1)
+                    toks.append(tok)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "seg_idx": pd.array(idxs, dtype="Int64"),
+                    "token": pd.Series(toks, dtype=object),
+                }
+            )
+
+    return unseg.mapInPandas(
+        run, schema="doc_id long, seg_idx long, token string"
+    )
+
+
 # --- P4-CJK: the CJK-isolation branch of wordpiece_tokenize
 # (kernels/tokenizer.py; reference BasicTokenizer Chinese-char
 # isolation, tokenization.py:194-307). Mixed-script words are built

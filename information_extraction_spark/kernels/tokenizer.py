@@ -202,6 +202,55 @@ def one_hot(index: int, n_classes: int = 50) -> list[int]:
     return out
 
 
+def dp_segment(
+    text: str, freq: dict[str, int], max_word_len: int = 16
+) -> list[str]:
+    """Dictionary-based max-probability segmentation of an
+    UNSEGMENTED string — the published unigram-DP algorithm behind
+    jieba's dictionary route (build a DAG of dictionary matches per
+    position, then right-to-left DP maximizing the sum of unigram
+    log-probabilities; out-of-vocabulary characters score as
+    frequency-1 singletons). This is the real algorithm the P3 seam
+    stands in for when the jieba package itself is absent
+    (reference pytorch/labeling/dataset.py:49-55 calls jieba.posseg).
+
+    Ties break toward the LONGER candidate word (the (score, end)
+    tuple max — identical to the published recurrence's behavior).
+    Deterministic: same text + same dict → same tokens.
+    """
+    import math as _math
+
+    n = len(text)
+    if n == 0:
+        return []
+    total = sum(freq.values()) or 1
+    log_total = _math.log(total)
+    # route[i] = (best score of text[i:], end index of first word)
+    route: list[tuple[float, int]] = [(0.0, 0)] * (n + 1)
+    for i in range(n - 1, -1, -1):
+        best = None
+        for j in range(i, min(i + max_word_len, n)):
+            word = text[i : j + 1]
+            if j > i and word not in freq:
+                continue
+            score = (
+                _math.log(freq.get(word) or 1)
+                - log_total
+                + route[j + 1][0]
+            )
+            cand = (score, j)
+            if best is None or cand > best:
+                best = cand
+        route[i] = best  # j == i always admissible → never None
+    out: list[str] = []
+    i = 0
+    while i < n:
+        j = route[i][1]
+        out.append(text[i : j + 1])
+        i = j + 1
+    return out
+
+
 def segment_text(text: str):
     """Live segmentation + POS (reference pytorch/labeling/dataset.py:
     49-55 uses jieba.posseg, P3). jieba is not in this container, so
