@@ -151,3 +151,91 @@ def test_extract_batch_matches_staged_kernels(kb_rows, texts):
             if subs and objs:
                 expected.append((p, subs, objs))
         assert units == expected
+
+
+# --- Round-3 kernels: DP segmentation, media codecs, NN checkpoint ---------
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=6),
+        min_size=0,
+        max_size=12,
+    ),
+    st.dictionaries(
+        st.text(alphabet="abcdef", min_size=2, max_size=4),
+        st.integers(min_value=1, max_value=100),
+        max_size=20,
+    ),
+)
+@settings(max_examples=120, deadline=None)
+def test_dp_segment_partitions_input_exactly(words, freq):
+    """The emitted tokens always concatenate back to the input (a
+    lossless partition), every token is non-empty, and every
+    multi-char token is a dictionary word."""
+    from information_extraction_spark.kernels.tokenizer import dp_segment
+
+    text = "".join(words)
+    toks = dp_segment(text, freq)
+    assert "".join(toks) == text
+    assert all(toks)
+    for t in toks:
+        assert len(t) == 1 or t in freq
+
+
+@given(
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=48),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_make_parse_roundtrip(width, height, seed):
+    from information_extraction_spark.operators.multimodal import (
+        make_bmp,
+        parse_bmp,
+    )
+
+    payload = make_bmp(width, height, seed=seed)
+    assert parse_bmp(payload) == (width, height)
+    # declared file size matches actual length (format conformance)
+    assert len(payload) == 54 + ((width * 3 + 3) // 4) * 4 * height
+
+
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.sampled_from([8000, 16000, 22050, 44100]),
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_make_parse_roundtrip(n_frames, rate, channels, seed):
+    from information_extraction_spark.operators.multimodal import (
+        make_wav,
+        parse_wav,
+    )
+
+    payload = make_wav(n_frames, rate, channels, seed=seed)
+    assert parse_wav(payload) == (rate, channels, n_frames)
+    assert len(payload) == 44 + n_frames * channels * 2
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_nn_checkpoint_roundtrip_any_seed(seed):
+    """save/load bit-identity holds for arbitrary seeded weights."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from information_extraction_spark.kernels import nn
+
+    w = nn.with_crf(
+        nn.init_weights(40, n_predicates=5, dim=8, hidden=8, seed=seed),
+        seed=seed + 1,
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "w.npz")
+        nn.save_checkpoint(path, w)
+        loaded, _ = nn.load_checkpoint(path)
+    assert all(np.array_equal(loaded[k], w[k]) for k in w)
