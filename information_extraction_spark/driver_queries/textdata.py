@@ -134,6 +134,75 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
 
 
+# --- Near-dup CLUSTERS: LSH pairs → connected components → keep-one ----------
+#
+# The full training-data dedup shape: candidate pairs from the salted
+# LSH band join above, transitively closed into clusters (a doc
+# LSH-matching A and B puts all three in one cluster even if A/B
+# never collide directly), one canonical representative kept per
+# cluster (min doc_id — the curation "keep-first" rule). Composes the
+# oracle-checked dd_minhash_lsh pair generation with
+# operators/linking.connected_components; doc ids ride zero-padded so
+# the CC's lexicographic min label IS the numeric min.
+
+_DUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                               i -> substring(text, i, 5))) AS shingle
+  FROM documents
+), mh AS (
+  SELECT doc_id,
+         min(md5(shingle || '#1')) || min(md5(shingle || '#2')) AS k1,
+         min(md5(shingle || '#3')) || min(md5(shingle || '#4')) AS k2
+  FROM sh GROUP BY doc_id
+), p AS (
+  SELECT lpad(CAST(a.doc_id AS VARCHAR), 10, '0') AS src,
+         lpad(CAST(b.doc_id AS VARCHAR), 10, '0') AS dst
+  FROM mh a JOIN mh b
+    ON a.doc_id < b.doc_id AND (a.k1 = b.k1 OR a.k2 = b.k2)
+), sym AS (
+  SELECT src, dst FROM p UNION SELECT dst AS src, src AS dst FROM p
+), reach (node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+), comp AS (
+  SELECT node, min(r) AS c FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       CAST(coalesce(comp.c, lpad(CAST(d.doc_id AS VARCHAR), 10, '0'))
+            AS BIGINT) AS cluster_id,
+       d.doc_id = CAST(coalesce(comp.c,
+                                lpad(CAST(d.doc_id AS VARCHAR), 10, '0'))
+                       AS BIGINT) AS keep
+FROM documents d
+LEFT JOIN comp ON lpad(CAST(d.doc_id AS VARCHAR), 10, '0') = comp.node
+"""
+
+
+@_q("dd_dup_clusters", _DUP_CLUSTERS_ORACLE)
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.operators.linking import (
+        connected_components,
+    )
+
+    pairs = dd_minhash_lsh(spark, sf_dir)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 10, "0")  # noqa: E731
+    edges = pairs.select(pad("da").alias("src"), pad("db").alias("dst"))
+    comps = connected_components(edges)
+    docs = _docs(spark, sf_dir).select("doc_id", pad("doc_id").alias("_n"))
+    out = (
+        docs.join(comps, docs._n == comps.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "_n").cast("long").alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+    return out
+
+
 # --- SimHash (16-bit) ---------------------------------------------------------
 
 _SIMHASH_ORACLE = """
