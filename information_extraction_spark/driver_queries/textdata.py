@@ -628,9 +628,12 @@ WHERE rnk <= 10
 
 @_q("ann_ivf_probe", _IVF_ORACLE)
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    e = _spread(spark, _emb(spark, sf_dir), "vec_id")
+    # The embeddings table feeds THREE driver-blocking jobs (probe,
+    # assignment, rescore); cache the spread table for the duration of
+    # the query so the scan + repartition run once, and unpersist
+    # before returning — the result below is driver-collected rows, so
+    # no lineage escapes this function.
+    e = _spread(spark, _emb(spark, sf_dir), "vec_id").cache()
     cent_rows = (
         _emb(spark, sf_dir).orderBy("vec_id").limit(8).collect()
     )
@@ -640,8 +643,12 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid long, ce array<double>",
     )
     # Assignment: one narrow pass over the broadcast 8-row quantizer,
-    # argmin via a vec_id-partitioned window (rounded to 6dp BEFORE
-    # ranking so both engines break ties identically).
+    # argmax per vector via max(struct(cos6, -cid)) — a HASH aggregate
+    # with map-side partial combine instead of a window (which would
+    # add a sort on every (vec_id, cos) row). Rounded to 6dp BEFORE
+    # ranking so both engines break ties identically; the struct's
+    # -cid gives the same desc-cos/asc-cid tie-break as the window it
+    # replaces.
     cos_c = _dot(F.col("embedding"), F.col("ce")) / (
         F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
         * F.sqrt(_dot(F.col("ce"), F.col("ce")))
@@ -649,12 +656,11 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     a0 = e.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cid", F.round(cos_c, 6).alias("cos6")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos6").desc(), "cid")
-    assign = (
-        a0.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
+    assign = a0.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cos6"), (-F.col("cid")).alias("ncid"))
+        ).alias("m")
+    ).select("vec_id", (-F.col("m.ncid")).alias("cid"))
     # Probe: the query's 2 nearest lists — a 8-row driver-side sort
     # over the SAME engine-computed a0 scores.
     probe = [
@@ -673,14 +679,19 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
         * F.sqrt(_dot(qvec, qvec))
     )
-    top = (
-        e.join(cand, "vec_id")
-        .withColumn("cos6", F.round(cos_q, 6))
-        .withColumn("cos4", F.round("cos6", 4))
-        .orderBy(F.col("cos6").desc(), "vec_id")
-        .limit(10)
-        .collect()
-    )
+    # cand is two inverted lists' ids — broadcast it so the rescore
+    # join never shuffles the embeddings side.
+    try:
+        top = (
+            e.join(F.broadcast(cand), "vec_id")
+            .withColumn("cos6", F.round(cos_q, 6))
+            .withColumn("cos4", F.round("cos6", 4))
+            .orderBy(F.col("cos6").desc(), "vec_id")
+            .limit(10)
+            .collect()
+        )
+    finally:
+        e.unpersist()
     rows = [(r["vec_id"], i + 1, r["cos4"]) for i, r in enumerate(top)]
     return spark.createDataFrame(
         rows, "vec_id long, rnk long, cos4 double"
