@@ -133,6 +133,10 @@ def main() -> int:
         "dd_simhash",
         "dd_ngram_jaccard",
         "dd_embedding_cosine",
+        "dd_dup_clusters",
+        "p3_dp_segment",
+        "kg_entity_linking_distributed",
+        "mm_codec_features",
         "ann_cosine_topk",
         "ann_lsh_bucketed",
         "ann_ivf_probe",
