@@ -70,8 +70,11 @@ FROM mh a JOIN mh b
 """
 
 
-@_q("dd_minhash_lsh", _MINHASH_ORACLE)
-def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, k1, band, key) LSH band rows: 5-char shingles →
+    2 bands × r=2 min-hash signature → unpivot. Shared by the pair
+    query (salted self-join) and the clustering query (bucket-star
+    edges)."""
     d = _spread(spark, _docs(spark, sf_dir), "doc_id")
     positions = F.when(
         F.length("text") >= 5, F.sequence(F.lit(1), F.length("text") - 4)
@@ -81,6 +84,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr("substring(text, pos, 5)").alias("shingle"))
         .dropDuplicates(["doc_id", "shingle"])
     )
+
     def minhash(i: int):
         return F.min(F.md5(F.concat("shingle", F.lit(f"#{i}"))))
 
@@ -91,17 +95,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(minhash(1), minhash(2)).alias("k1"),
         F.concat(minhash(3), minhash(4)).alias("k2"),
     )
-    # LSH banding proper: unpivot the signature to (band, key) rows and
-    # equi-join on the band bucket. A direct `k1=k1 OR k2=k2` join
-    # cannot hash (OR of equalities) and plans as a nested-loop —
-    # quadratic at scale. Real corpora have monster buckets (this test
-    # corpus has a ~2k-doc near-dup cluster), so the self-join is
-    # SALTED (functions/skew.py pattern): the probe side keeps one
-    # deterministic salt, the build side replicates to every salt, and
-    # one hot bucket's pair generation spreads over n_salt tasks.
-    # Pairs colliding in both bands dedup via first-band-wins (band 2
-    # additionally requires k1 mismatch) — no distinct shuffle.
-    bands = mh.select(
+    return mh.select(
         "doc_id",
         "k1",
         F.explode(
@@ -111,6 +105,21 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bh"),
     ).select("doc_id", "k1", "bh.band", "bh.key")
+
+
+@_q("dd_minhash_lsh", _MINHASH_ORACLE)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH banding proper: equi-join the band rows on the band bucket.
+    # A direct `k1=k1 OR k2=k2` join cannot hash (OR of equalities)
+    # and plans as a nested-loop — quadratic at scale. Real corpora
+    # have monster buckets (this test corpus has a ~2k-doc near-dup
+    # cluster), so the self-join is SALTED (functions/skew.py
+    # pattern): the probe side keeps one deterministic salt, the build
+    # side replicates to every salt, and one hot bucket's pair
+    # generation spreads over n_salt tasks. Pairs colliding in both
+    # bands dedup via first-band-wins (band 2 additionally requires k1
+    # mismatch) — no distinct shuffle.
+    bands = _lsh_bands(spark, sf_dir)
     # Salt width trades replication of the build side (all rows x
     # n_salt) against per-task pair generation in the hottest bucket;
     # 8 caps the replication while a ~2.5k-doc bucket still spreads to
@@ -187,10 +196,33 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    pairs = dd_minhash_lsh(spark, sf_dir)
+    # Clustering does NOT need the materialized all-pairs collision
+    # list (O(k²) edges for a k-doc bucket — a 2.5k-doc near-dup
+    # bucket is 3M edges): docs sharing a bucket are connected
+    # through ANY common member, so per (band, key) bucket a STAR to
+    # the bucket's min doc (one hash aggregate + one equi-join)
+    # yields identical components with edges LINEAR in bucket size.
+    # The oracle still closes over the all-pairs graph — equality of
+    # the two formulations is exactly what the value check proves.
     pad = lambda c: F.lpad(F.col(c).cast("string"), 10, "0")  # noqa: E731
-    edges = pairs.select(pad("da").alias("src"), pad("db").alias("dst"))
-    comps = connected_components(edges)
+    # The band rows feed both the hub aggregate and the join; cache
+    # for the duration of the CC call (which materializes its labels
+    # — driver collect or localCheckpoint — before returning, so no
+    # lineage to `bands` survives the unpersist).
+    bands = _lsh_bands(spark, sf_dir).cache()
+    try:
+        hubs = bands.groupBy("band", "key").agg(
+            F.min("doc_id").alias("hub")
+        )
+        edges = (
+            bands.join(hubs, ["band", "key"])
+            .filter(F.col("doc_id") != F.col("hub"))
+            .select(pad("hub").alias("src"), pad("doc_id").alias("dst"))
+            .dropDuplicates()
+        )
+        comps = connected_components(edges)
+    finally:
+        bands.unpersist()
     docs = _docs(spark, sf_dir).select("doc_id", pad("doc_id").alias("_n"))
     out = (
         docs.join(comps, docs._n == comps.node, "left")
