@@ -357,16 +357,15 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.nw").alias("nb"),
     )
     jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
-    # Optimizer barrier: the conjunct F.rand(seed=0) >= -1 is constant-
-    # true but Catalyst marks Rand NONDETERMINISTIC, and pushing a
-    # nondeterministic filter past a join would change semantics — a
-    # guarantee every Spark version must honor (PushDownPredicate's
-    # `deterministic` guard), not an incidental rule ordering. Without
-    # it the expensive jaccard predicate is pushed into the join
-    # condition, where array_intersect would run (twice) on every
-    # candidate pair instead of only on survivors of the cheap prunes.
-    # Seeded so the barrier itself is reproducible across retries.
-    return pairs.filter((F.rand(seed=0) >= -1.0) & (jac >= 0.8)).select(
+    from information_extraction_spark.functions.barrier import (
+        pushdown_barrier,
+    )
+
+    # Barrier: without it the expensive jaccard predicate is pushed
+    # into the join condition, where array_intersect would run (twice)
+    # on every candidate pair instead of only on survivors of the
+    # cheap prunes (rationale: functions/barrier.py).
+    return pairs.filter(pushdown_barrier(jac >= 0.8)).select(
         "da", "db", F.round(jac, 4).alias("jaccard")
     )
 

@@ -134,3 +134,44 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pushdown_barrier_keeps_expensive_filter_above_join(spark):
+    """functions/barrier.pushdown_barrier must pin an expensive
+    cross-side predicate as a post-join Filter; without it Catalyst
+    folds the predicate into the join condition (evaluated on every
+    candidate pair)."""
+    from information_extraction_spark.functions.barrier import (
+        pushdown_barrier,
+    )
+
+    a = spark.range(200).select(
+        (F.col("id") % 50).alias("k"),
+        F.array(F.col("id"), F.col("id") + 1).alias("xs"),
+    ).alias("a")
+    b = spark.range(200).select(
+        (F.col("id") % 50).alias("k"),
+        F.array(F.col("id"), F.col("id") + 2).alias("ys"),
+    ).alias("b")
+    joined = a.join(b, "k")
+    expensive = F.size(F.array_intersect(F.col("a.xs"), F.col("b.ys"))) > 0
+
+    def join_line(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return next(
+            ln for ln in plan.splitlines() if "Join" in ln
+        )
+
+    bare = joined.filter(expensive)
+    bare.collect()
+    barriered = joined.filter(pushdown_barrier(expensive))
+    barriered.collect()
+    # without the barrier the intersect lands in the join condition…
+    assert "array_intersect" in join_line(bare)
+    # …with it, the join stays clean and the filter runs post-join
+    assert "array_intersect" not in join_line(barriered)
+    # and the barrier changes no rows
+    key = ["k"]
+    assert sorted(map(tuple, bare.select(key).collect())) == sorted(
+        map(tuple, barriered.select(key).collect())
+    )
