@@ -432,9 +432,17 @@ def a9_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("event_type").isin("click", "purchase"),
         1,
     ).otherwise(0)
+    # NULL-safe precision: a threshold with zero predictions is 0/0 —
+    # NaN in Spark but NULL in DuckDB. Emit NULL explicitly so the row
+    # is retained AND both engines agree (a9_best_threshold instead
+    # EXCLUDES such thresholds, because NaN sorts first under desc and
+    # would win its argmax).
     return joined.groupBy("threshold").agg(
         F.sum(pred).cast("long").alias("n_pred"),
-        F.round(F.sum(correct) * 1.0 / F.sum(pred), 4).alias("precision_"),
+        F.when(
+            F.sum(pred) > 0,
+            F.round(F.sum(correct) * 1.0 / F.sum(pred), 4),
+        ).alias("precision_"),
     )
 
 

@@ -519,6 +519,11 @@ def _ensure_p3dp_golden(spark: SparkSession, sf_dir: str) -> None:
     key = f"p3dp::{sf_dir}"
     if _GOLDEN_WRITTEN.get(key):
         return
+    from information_extraction_spark.driver_queries.kg import (
+        _ensure_golden_dir,
+    )
+
+    _ensure_golden_dir()
     doc_rows = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")

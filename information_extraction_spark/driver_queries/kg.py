@@ -136,16 +136,24 @@ def kg_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 import tempfile as _tempfile
 
 
-def _golden_dir() -> str:
-    """Per-uid private golden directory (mode 0700, ownership
-    verified) so a world-writable /tmp cannot be used by another
-    user to pre-create/poison a golden path. uid-scoped, not
-    pid-scoped, because the oracle SQL string may be executed by a
-    separate DuckDB process from the one that materialized the
-    golden."""
-    d = os.path.join(
+def _golden_dir_name() -> str:
+    """Pure path computation — NO filesystem side effects, safe at
+    module import (the default oracle SQL strings embed this path)."""
+    return os.path.join(
         _tempfile.gettempdir(), f"ie_spark_golden_u{os.getuid()}"
     )
+
+
+def _ensure_golden_dir() -> str:
+    """Create + verify the per-uid private golden directory (mode
+    0700, ownership checked) so a world-writable /tmp cannot be used
+    by another user to pre-create/poison a golden path. uid-scoped,
+    not pid-scoped, because the oracle SQL string may be executed by a
+    separate DuckDB process from the one that materialized the golden.
+    Called at golden MATERIALIZATION time only — never at import
+    (an unusable dir must fail the queries that need it, not the
+    whole registry)."""
+    d = _golden_dir_name()
     os.makedirs(d, mode=0o700, exist_ok=True)
     st = os.stat(d)
     if st.st_uid != os.getuid():
@@ -169,7 +177,7 @@ def _golden_path(kind: str, sf_dir: str) -> str:
     base = os.path.basename(real) or "sf"
     tag = hashlib.md5(real.encode()).hexdigest()[:8]
     return os.path.join(
-        _golden_dir(), f"{kind}_{base}_{tag}.parquet"
+        _golden_dir_name(), f"{kind}_{base}_{tag}.parquet"
     )
 
 
@@ -285,6 +293,7 @@ def _ensure_golden(spark: SparkSession, sf_dir: str) -> None:
     )
     if _GOLDEN_WRITTEN.get(sf_dir):
         return
+    _ensure_golden_dir()
     rows = _python_golden_rows(spark, sf_dir)
     golden = spark.createDataFrame(rows, _TRIPLE_COLS)
     golden.coalesce(1).write.mode("overwrite").parquet(
@@ -485,6 +494,7 @@ def _ensure_nn_golden(spark: SparkSession, sf_dir: str) -> None:
     key = f"nn::{sf_dir}"
     if _GOLDEN_WRITTEN.get(key):
         return
+    _ensure_golden_dir()
     rows = _python_nn_golden_rows(spark, sf_dir)
     spark.createDataFrame(rows, _TRIPLE_COLS).coalesce(1).write.mode(
         "overwrite"
@@ -516,6 +526,7 @@ def kg_nn_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r["c"]
     )
     vocab, predicates, weights = _nn_model_inputs(chars)
+    _ensure_golden_dir()
     ckpt = _golden_path("nn_ckpt", sf_dir).replace(".parquet", ".npz")
     nn.save_checkpoint(ckpt, weights, vocab)
 

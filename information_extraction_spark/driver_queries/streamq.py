@@ -208,6 +208,10 @@ def st_session_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(schema)
         .parquet(os.path.join(run_dir, "src"))
+        # empty turns carry no session content and the oracle's turn
+        # derivation drops them (turn_text <> '') — filter BEFORE the
+        # stateful operator so both sides count the same rows
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     name = f"st_session_close_{next(_COUNTER)}"
@@ -228,6 +232,7 @@ def st_session_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     spark.catalog.dropTempView(name)
+    shutil.rmtree(run_dir, ignore_errors=True)  # staged copy, per-run
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -275,9 +280,18 @@ def st_windowed_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(out_dir).select(
+    # Read with the aggregation's KNOWN schema: a short-horizon corpus
+    # (everything inside the watermark delay) legitimately emits zero
+    # closed windows, and a schema-less read of an empty sink would
+    # fail inference instead of returning the empty result the oracle
+    # produces. Materialize + delete the per-run sink/checkpoint so
+    # repeated invocations don't accumulate under /tmp.
+    out = spark.read.schema(stream.schema).parquet(out_dir).select(
         F.unix_timestamp(F.col("window.start")).alias("window_start"),
         "event_type",
         "n",
         "sum_value",
     )
+    rows = out.collect()
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -665,9 +665,20 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before returning — the result below is driver-collected rows, so
     # no lineage escapes this function.
     e = _spread(spark, _emb(spark, sf_dir), "vec_id").cache()
-    cent_rows = (
-        _emb(spark, sf_dir).orderBy("vec_id").limit(8).collect()
-    )
+    try:
+        return _ivf_probe_jobs(spark, e)
+    finally:
+        # Every job below is driver-blocking and the final result is
+        # collected rows, so no lineage escapes the unpersist — and an
+        # exception mid-query must not leave the cache pinned in a
+        # long-lived bench/oracle session.
+        e.unpersist()
+
+
+def _ivf_probe_jobs(spark: SparkSession, e: DataFrame) -> DataFrame:
+    # Quantizer = first 8 vectors by id, read from the CACHED table
+    # (this collect is also what materializes the cache).
+    cent_rows = e.orderBy("vec_id").limit(8).collect()
     qid = cent_rows[0]["vec_id"]
     cent = spark.createDataFrame(
         [(r["vec_id"], list(map(float, r["embedding"]))) for r in cent_rows],
@@ -712,17 +723,14 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cand is two inverted lists' ids — broadcast it so the rescore
     # join never shuffles the embeddings side.
-    try:
-        top = (
-            e.join(F.broadcast(cand), "vec_id")
-            .withColumn("cos6", F.round(cos_q, 6))
-            .withColumn("cos4", F.round("cos6", 4))
-            .orderBy(F.col("cos6").desc(), "vec_id")
-            .limit(10)
-            .collect()
-        )
-    finally:
-        e.unpersist()
+    top = (
+        e.join(F.broadcast(cand), "vec_id")
+        .withColumn("cos6", F.round(cos_q, 6))
+        .withColumn("cos4", F.round("cos6", 4))
+        .orderBy(F.col("cos6").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    )
     rows = [(r["vec_id"], i + 1, r["cos4"]) for i, r in enumerate(top)]
     return spark.createDataFrame(
         rows, "vec_id long, rnk long, cos4 double"

@@ -14,7 +14,7 @@ the hash, not mtime heuristics.
 
 Snapshot semantics (the Iceberg-emulation piece, SURVEY §4 "snapshot
 ids"): every materialization writes a NEW immutable snapshot
-directory ``<stage>/snap=<id>`` and appends manifest rows carrying a
+directory ``<stage>@snap<id>`` and appends manifest rows carrying a
 monotonically increasing ``snapshot_id``. "Overwrite" therefore never
 destroys prior state — ``read_as_of(stage, snapshot_id)`` reads any
 earlier snapshot (time travel), ``snapshots(stage)`` lists the
@@ -62,15 +62,36 @@ class CheckpointManager:
         self._manifest_dir = os.path.join(base_dir, "_manifest")
 
     def _snapshot_path(self, stage: str, snapshot_id: int) -> str:
+        if snapshot_id == 0:
+            # Legacy (pre-snapshot) layout: data sits in the bare stage
+            # directory. New snapshots start at id 1, so 0 uniquely
+            # denotes a manifest row written before snapshot support.
+            return os.path.join(self.base_dir, self.run_id, stage)
+        # Snapshots are SIBLINGS of the legacy bare dir, not children:
+        # nesting snap=N under it would be picked up as a partition
+        # column by any read of the legacy path.
         return os.path.join(
-            self.base_dir, self.run_id, stage, f"snap={snapshot_id}"
+            self.base_dir, self.run_id, f"{stage}@snap{snapshot_id}"
         )
 
     def manifest(self) -> DataFrame | None:
         try:
-            return self.spark.read.parquet(self._manifest_dir)
+            # mergeSchema: a base_dir created before snapshot support
+            # has manifest files without snapshot_id; merged reads keep
+            # both generations loadable, and legacy rows coalesce to
+            # snapshot id 0 (they predate the counter, so any new
+            # snapshot sorts after them).
+            m = self.spark.read.option("mergeSchema", "true").parquet(
+                self._manifest_dir
+            )
         except Exception:
             return None
+        if "snapshot_id" not in m.columns:
+            return m.withColumn("snapshot_id", F.lit(0).cast("long"))
+        return m.withColumn(
+            "snapshot_id",
+            F.coalesce(F.col("snapshot_id"), F.lit(0)).cast("long"),
+        )
 
     def _completions(self, stage: str, match_params: bool) -> DataFrame | None:
         m = self.manifest()

@@ -184,7 +184,15 @@ def nn_tag_stage(
                 memo[(text, pred)] = tags
 
         for pdf in batches:
-            units = list(zip(pdf["text"], pdf["predicate"]))
+            # Normalize None text at KEY-BUILD time: tag_units stores
+            # under (text or '', pred), so an unnormalized membership
+            # probe on (None, pred) would miss the memo every batch
+            # and re-run the forward for exactly the duplicate work
+            # the memo exists to skip.
+            units = [
+                (t or "", p)
+                for t, p in zip(pdf["text"], pdf["predicate"])
+            ]
             if dedup:
                 todo = [u for u in dict.fromkeys(units) if u not in memo]
             else:
@@ -198,9 +206,7 @@ def nn_tag_stage(
                     "turn_idx": pdf["turn_idx"],
                     "text": pdf["text"],
                     "predicate": pdf["predicate"],
-                    "tags": [
-                        memo[(t or "", p)] for t, p in units
-                    ],
+                    "tags": [memo[u] for u in units],
                 }
             )
 

@@ -77,6 +77,50 @@ def test_snapshot_time_travel_survives_overwrite(spark, tmp_dir):
     assert dict(m1.stage_metrics("s"))[COMPLETION_PARTITION] == 50
 
 
+def test_legacy_manifest_upgrade_path(spark, tmp_dir):
+    """A base_dir written BEFORE snapshot support (6-column manifest,
+    data in the bare stage dir) must stay resumable: legacy completion
+    rows read as snapshot 0, resume reads the bare dir, and a new
+    materialization writes a SIBLING snapshot without corrupting the
+    legacy read."""
+    base = os.path.join(tmp_dir, "ckpt_legacy")
+    # Simulate the old layout by hand: bare stage dir + manifest rows
+    # without a snapshot_id column.
+    legacy_stage = os.path.join(base, "L", "s")
+    spark.range(0, 30).withColumn("x", F.col("id") * 7).write.parquet(
+        legacy_stage
+    )
+    mgr = CheckpointManager(spark, base, run_id="L", params={"v": 1})
+    legacy_rows = [
+        ("L", "s", 0, 30, mgr.params_hash),
+        ("L", "s", COMPLETION_PARTITION, 30, mgr.params_hash),
+    ]
+    spark.createDataFrame(
+        legacy_rows,
+        "run_id string, stage string, partition_id int, "
+        "row_count long, params_hash string",
+    ).withColumn("completed_ts", F.current_timestamp()).coalesce(
+        1
+    ).write.mode("append").parquet(os.path.join(base, "_manifest"))
+
+    # Legacy completion is visible and resume reads the bare dir.
+    assert mgr.is_complete("s")
+    resumed = mgr.stage(spark.range(0).selectExpr("id", "id as x"), "s")
+    assert resumed.count() == 30
+    assert mgr.read_as_of("s", 0).count() == 30
+
+    # New params → a NEW snapshot written as a sibling (id >= 1), the
+    # mixed-generation manifest still reads, and the legacy snapshot
+    # remains readable afterwards.
+    mgr2 = CheckpointManager(spark, base, run_id="L", params={"v": 2})
+    assert not mgr2.is_complete("s")
+    mgr2.stage(spark.range(0, 40).withColumn("x", F.col("id")), "s")
+    snaps = mgr2.snapshots("s")
+    assert [s[0] for s in snaps] == [0, 1]
+    assert mgr2.read_as_of("s", 0).count() == 30
+    assert mgr2.read_as_of("s", 1).count() == 40
+
+
 def test_pipeline_with_checkpoints_matches_unchecked(
     spark, world, transcripts_pdf, tmp_dir
 ):
