@@ -70,11 +70,26 @@ FROM mh a JOIN mh b
 """
 
 
-def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, k1, band, key) LSH band rows: 5-char shingles →
-    2 bands × r=2 min-hash signature → unpivot. Shared by the pair
-    query (salted self-join) and the clustering query (bucket-star
-    edges)."""
+def _lsh_bands(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(doc_id, keys, band, key) LSH band rows: 5-char shingles →
+    ``n_bands × rows_per_band`` min-hash signature → unpivot. Shared
+    by the pair queries (salted self-join) and the clustering query
+    (bucket-star edges).
+
+    The band key is the CONCATENATION of ``rows_per_band`` min-hashes,
+    so a bucket holds only docs agreeing on all of them — bucket width
+    shrinks exponentially with r. (b, r) tunes the standard LSH
+    S-curve: candidate probability at Jaccard s is 1-(1-s^r)^b, with
+    threshold ≈ (1/b)^(1/r) — (b=2, r=2) ≈ 0.71, (b=4, r=2) = 0.50.
+    More bands buy recall at lower similarity for b× band rows and
+    correspondingly more candidate pairs; a 100 TB pipeline tunes this
+    per corpus. ``keys`` carries every band key so the pair join can
+    apply first-band-wins dedup for any b."""
     d = _spread(spark, _docs(spark, sf_dir), "doc_id")
     positions = F.when(
         F.length("text") >= 5, F.sequence(F.lit(1), F.length("text") - 4)
@@ -88,38 +103,44 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     def minhash(i: int):
         return F.min(F.md5(F.concat("shingle", F.lit(f"#{i}"))))
 
-    # 2 bands × r=2 rows: the band key is the CONCATENATION of two
-    # min-hashes, so a bucket holds only docs agreeing on both — bucket
-    # width shrinks exponentially with r (the standard LSH S-curve).
     mh = sh.groupBy("doc_id").agg(
-        F.concat(minhash(1), minhash(2)).alias("k1"),
-        F.concat(minhash(3), minhash(4)).alias("k2"),
+        *[
+            F.concat(
+                *[minhash(b * rows_per_band + j + 1) for j in range(rows_per_band)]
+            ).alias(f"k{b + 1}")
+            for b in range(n_bands)
+        ]
     )
     return mh.select(
         "doc_id",
-        "k1",
+        F.array(*[F.col(f"k{b + 1}") for b in range(n_bands)]).alias("keys"),
         F.explode(
             F.array(
-                F.struct(F.lit(1).alias("band"), F.col("k1").alias("key")),
-                F.struct(F.lit(2).alias("band"), F.col("k2").alias("key")),
+                *[
+                    F.struct(
+                        F.lit(b + 1).alias("band"), F.col(f"k{b + 1}").alias("key")
+                    )
+                    for b in range(n_bands)
+                ]
             )
         ).alias("bh"),
-    ).select("doc_id", "k1", "bh.band", "bh.key")
+    ).select("doc_id", "keys", "bh.band", "bh.key")
 
 
-@_q("dd_minhash_lsh", _MINHASH_ORACLE)
-def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_candidate_pairs(spark: SparkSession, bands: DataFrame) -> DataFrame:
     # LSH banding proper: equi-join the band rows on the band bucket.
-    # A direct `k1=k1 OR k2=k2` join cannot hash (OR of equalities)
-    # and plans as a nested-loop — quadratic at scale. Real corpora
-    # have monster buckets (this test corpus has a ~2k-doc near-dup
-    # cluster), so the self-join is SALTED (functions/skew.py
-    # pattern): the probe side keeps one deterministic salt, the build
-    # side replicates to every salt, and one hot bucket's pair
-    # generation spreads over n_salt tasks. Pairs colliding in both
-    # bands dedup via first-band-wins (band 2 additionally requires k1
-    # mismatch) — no distinct shuffle.
-    bands = _lsh_bands(spark, sf_dir)
+    # A direct `k1=k1 OR k2=k2 OR …` join cannot hash (OR of
+    # equalities) and plans as a nested-loop — quadratic at scale.
+    # Real corpora have monster buckets (this test corpus has a
+    # ~2k-doc near-dup cluster), so the self-join is SALTED
+    # (functions/skew.py pattern): the probe side keeps one
+    # deterministic salt, the build side replicates to every salt, and
+    # one hot bucket's pair generation spreads over n_salt tasks.
+    # Pairs colliding in several bands dedup via FIRST-band-wins: band
+    # b emits a pair only if no earlier band's keys also collide — a
+    # per-pair array predicate, no distinct shuffle. Works for any
+    # n_bands because the rows carry the full `keys` array.
+    #
     # Salt width trades replication of the build side (all rows x
     # n_salt) against per-task pair generation in the hottest bucket;
     # 8 caps the replication while a ~2.5k-doc bucket still spreads to
@@ -133,14 +154,60 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bands.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     ).alias("b")
+    earlier_band_collides = F.exists(
+        F.zip_with(
+            F.slice(F.col("a.keys"), F.lit(1), F.col("a.band") - 1),
+            F.slice(F.col("b.keys"), F.lit(1), F.col("a.band") - 1),
+            lambda x, y: x == y,
+        ),
+        lambda hit: hit,
+    )
     return a.join(
         b,
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.key") == F.col("b.key"))
         & (F.col("a.salt") == F.col("b.salt"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & ((F.col("a.band") == 1) | (F.col("a.k1") != F.col("b.k1"))),
+        & ~earlier_band_collides,
     ).select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+
+
+@_q("dd_minhash_lsh", _MINHASH_ORACLE)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_candidate_pairs(spark, _lsh_bands(spark, sf_dir))
+
+
+# Alternate banding config (b=4, r=2): S-curve threshold drops from
+# ~0.71 to 0.50 Jaccard — higher recall at lower similarity, paid for
+# with 2× band rows and a wider candidate set. Same salted join, same
+# first-band-wins dedup; the oracle is the 4-way OR over the same
+# min-hash family (hash indices 1..8).
+_MINHASH_B4_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                               i -> substring(text, i, 5))) AS shingle
+  FROM documents
+), mh AS (
+  SELECT doc_id,
+         min(md5(shingle || '#1')) || min(md5(shingle || '#2')) AS k1,
+         min(md5(shingle || '#3')) || min(md5(shingle || '#4')) AS k2,
+         min(md5(shingle || '#5')) || min(md5(shingle || '#6')) AS k3,
+         min(md5(shingle || '#7')) || min(md5(shingle || '#8')) AS k4
+  FROM sh GROUP BY doc_id
+)
+SELECT a.doc_id AS da, b.doc_id AS db
+FROM mh a JOIN mh b
+  ON a.doc_id < b.doc_id
+ AND (a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3 OR a.k4 = b.k4)
+"""
+
+
+@_q("dd_minhash_lsh_b4", _MINHASH_B4_ORACLE)
+def dd_minhash_lsh_b4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_candidate_pairs(
+        spark, _lsh_bands(spark, sf_dir, n_bands=4, rows_per_band=2)
+    )
 
 
 # --- Near-dup CLUSTERS: LSH pairs → connected components → keep-one ----------
@@ -224,8 +291,15 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         bands.unpersist()
     docs = _docs(spark, sf_dir).select("doc_id", pad("doc_id").alias("_n"))
+    # The label table is one row per doc that appears in a near-dup
+    # EDGE — a small fraction of the corpus (and it arrives as an
+    # ExistingRDD with no stats, so AQE can't discover that on its
+    # own). Broadcast it explicitly: the doc→cluster mapping becomes a
+    # stream-side BroadcastHashJoin and the corpus never shuffles. If
+    # a corpus were majority-duplicates the hint would be the thing to
+    # drop, not the join shape.
     out = (
-        docs.join(comps, docs._n == comps.node, "left")
+        docs.join(F.broadcast(comps), docs._n == comps.node, "left")
         .select(
             "doc_id",
             F.coalesce("component", "_n").cast("long").alias("cluster_id"),

@@ -20,8 +20,10 @@ destroys prior state — ``read_as_of(stage, snapshot_id)`` reads any
 earlier snapshot (time travel), ``snapshots(stage)`` lists the
 history, and the resume path resolves the LATEST snapshot whose
 params_hash matches. Snapshot-id allocation reads the (tiny) manifest
-on the driver; like Iceberg's optimistic commit this assumes one
-committing driver per base_dir at a time.
+on the driver AND claims the id via an O_EXCL lock file, so two
+CheckpointManagers committing to the same base_dir concurrently can
+never mint the same snapshot id (Iceberg's optimistic-commit
+uniqueness, emulated at the filesystem level).
 
 Scale: the manifest is a handful of rows per stage; the data
 checkpoint is the same Parquet the next stage would shuffle-read
@@ -113,12 +115,42 @@ class CheckpointManager:
         row = c.agg(F.max("snapshot_id").alias("s")).collect()[0]
         return None if row["s"] is None else int(row["s"])
 
-    def _next_snapshot_id(self) -> int:
+    def _allocate_snapshot_id(self) -> int:
+        """Mint a unique snapshot id even with concurrent committers on
+        the same base_dir. The manifest max alone is racy (two drivers
+        can read the same max before either appends), so allocation
+        additionally claims ``_snapshot_claims/snap-<id>.claim`` with
+        O_CREAT|O_EXCL — an atomic create on local/POSIX filesystems —
+        and bumps past ids already claimed but not yet committed. This
+        mirrors Iceberg's optimistic-commit uniqueness at the
+        granularity this parquet emulation needs; a real object-store
+        deployment would use Iceberg's catalog commit instead."""
+        claims_dir = os.path.join(self.base_dir, "_snapshot_claims")
+        os.makedirs(claims_dir, exist_ok=True)
         m = self.manifest()
-        if m is None:
-            return 1
-        row = m.agg(F.max("snapshot_id").alias("s")).collect()[0]
-        return 1 if row["s"] is None else int(row["s"]) + 1
+        cand = 1
+        if m is not None:
+            row = m.agg(F.max("snapshot_id").alias("s")).collect()[0]
+            if row["s"] is not None:
+                cand = int(row["s"]) + 1
+        claimed = [
+            int(f[5:-6])
+            for f in os.listdir(claims_dir)
+            if f.startswith("snap-") and f.endswith(".claim")
+        ]
+        if claimed:
+            cand = max(cand, max(claimed) + 1)
+        while True:
+            try:
+                fd = os.open(
+                    os.path.join(claims_dir, f"snap-{cand}.claim"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.write(fd, f"{self.run_id}\n".encode())
+                os.close(fd)
+                return cand
+            except FileExistsError:
+                cand += 1
 
     def is_complete(self, stage: str) -> bool:
         return self._latest_snapshot(stage) is not None
@@ -159,7 +191,7 @@ class CheckpointManager:
         latest = self._latest_snapshot(stage)
         if latest is not None:
             return self.spark.read.parquet(self._snapshot_path(stage, latest))
-        snapshot_id = self._next_snapshot_id()
+        snapshot_id = self._allocate_snapshot_id()
         path = self._snapshot_path(stage, snapshot_id)
         df.write.mode("overwrite").parquet(path)
         written = self.spark.read.parquet(path)

@@ -55,11 +55,20 @@ def normalized_spo_sets(triples: DataFrame, key: str = "text") -> DataFrame:
 
 
 def _alias_map(alias_df: DataFrame | None, out_key: str, out_alias: str) -> DataFrame | None:
+    """Alias dim as (key, alias) pairs INCLUDING the identity pair for
+    every key. calc_pr.py builds ``s_alias_set.add(s)`` — the entity
+    itself is always a member of its own expansion — so a left join on
+    this map must emit BOTH the identity row and every alias row.
+    Without the identity rows, coalesce(alias, x) yields only the
+    aliases whenever any exist, and a triple matching gold directly on
+    one endpoint but via alias on the other is wrongly missed."""
     if alias_df is None:
         return None
-    return alias_df.select(
+    pairs = alias_df.select(
         F.lower("canonical").alias(out_key), F.lower("alias").alias(out_alias)
-    ).dropDuplicates()
+    )
+    identity = pairs.select(out_key, F.col(out_key).alias(out_alias))
+    return pairs.unionByName(identity).dropDuplicates()
 
 
 def alias_expanded_matches(
@@ -70,6 +79,11 @@ def alias_expanded_matches(
 ) -> DataFrame:
     """J5: {x} ∪ alias(x) expansion on both endpoints, then a semi
     join against the golden set (calc_pr.py:146-153).
+
+    Contract: ``s_map``/``o_map`` must contain the IDENTITY pair for
+    every key they map (as ``_alias_map`` builds them) — the left join
+    emits one row per map entry, so without identity rows an entity
+    that has aliases would lose its own name from the expansion set.
 
     Skew shape (SURVEY §2.3, north rule "head entities"): a hot head
     entity can dominate the pred side's ``s``/``o`` columns, so the

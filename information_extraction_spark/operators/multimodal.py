@@ -84,12 +84,20 @@ def parse_wav(payload: bytes) -> tuple[int, int, int]:
         size = struct.unpack_from("<I", payload, off + 4)[0]
         body = off + 8
         if cid == b"fmt " and size >= 16:
+            # Declared sizes are untrusted: a truncated payload whose
+            # fmt chunk claims >= 16 bytes must fail as ValueError,
+            # not leak struct.error out of the parser.
+            if body + 16 > len(payload):
+                raise ValueError("WAV fmt chunk truncated")
             channels, sample_rate = struct.unpack_from("<HI", payload, body + 2)
             block_align = struct.unpack_from("<H", payload, body + 12)[0]
         elif cid == b"data":
             if block_align is None:
                 raise ValueError("WAV data chunk before fmt chunk")
-            n_frames = size // max(block_align, 1)
+            # Clamp an oversized declared data size to the bytes that
+            # are actually present so n_frames can't be inflated.
+            avail = max(len(payload) - body, 0)
+            n_frames = min(size, avail) // max(block_align, 1)
         off = body + size + (size % 2)  # chunks pad to even length
     if sample_rate is None or n_frames is None:
         raise ValueError("WAV missing fmt or data chunk")

@@ -36,6 +36,38 @@ def test_stage_checkpoint_records_lineage_and_resumes(spark, tmp_dir):
     assert not mgr3.is_complete("double")
 
 
+def test_concurrent_committers_never_collide_on_snapshot_id(spark, tmp_dir):
+    """Two CheckpointManagers on the same base_dir, interleaving
+    allocations BEFORE either commits its manifest row (the race the
+    read-max+1 scheme loses): the O_EXCL claim files must keep every
+    minted id unique, and both snapshot dirs must survive with their
+    own data."""
+    base = os.path.join(tmp_dir, "ckpt_conc")
+    a = CheckpointManager(spark, base, run_id="conc", params={"who": "a"})
+    b = CheckpointManager(spark, base, run_id="conc", params={"who": "b"})
+
+    # Interleave raw allocations with no manifest writes in between:
+    # the manifest max is identical for every call, so uniqueness can
+    # only come from the claim files.
+    ids = [a._allocate_snapshot_id(), b._allocate_snapshot_id(),
+           a._allocate_snapshot_id(), b._allocate_snapshot_id()]
+    assert len(set(ids)) == 4
+
+    # Full stage() commits from both managers also get distinct ids
+    # and readable, independent snapshots.
+    a.stage(spark.range(0, 7).withColumn("x", F.lit("a")), "s")
+    b.stage(spark.range(0, 11).withColumn("x", F.lit("b")), "s")
+    snaps_a = {sid for sid, _, _ in a.snapshots("s")}
+    snaps_b = {sid for sid, _, _ in b.snapshots("s")}
+    assert snaps_a == snaps_b  # shared manifest history
+    assert len(snaps_a) == 2 and not (snaps_a & set(ids))
+    sid_a = a._latest_snapshot("s")
+    sid_b = b._latest_snapshot("s")
+    assert sid_a != sid_b
+    assert a.read_as_of("s", sid_a).count() == 7
+    assert b.read_as_of("s", sid_b).count() == 11
+
+
 def test_snapshot_time_travel_survives_overwrite(spark, tmp_dir):
     """Iceberg-style snapshot reads: after a parameter change forces a
     re-materialization, read_as_of still returns the PRIOR stage

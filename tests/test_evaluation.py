@@ -71,6 +71,8 @@ GOLD_ROWS = [
     ("s4", "big co", "ceo", "bob li"),
     ("s5", "x2", "rel", "y2"),
     ("s6", "只在golden", "rel", "无预测"),
+    ("s8", "x8", "rel", "y8"),
+    ("s9", "x9", "rel", "y9"),
 ]
 PRED_ROWS = [
     ("s1", "《端脑》", "主演", "朱元冰"),  # book-name strip → correct
@@ -82,8 +84,20 @@ PRED_ROWS = [
     ("s5", "x2", "rel", "y2-loc"),  # loc expansion of golden y2 → correct
     ("s5", "x2", "rel", "y-extra"),  # wrong
     ("s7", "不在golden", "rel", "被忽略"),  # sentence not in golden: ignored
+    # Mixed endpoints (calc_pr.py s_alias_set.add(s)): one endpoint
+    # matches gold DIRECTLY while itself having aliases, the other
+    # matches via alias — the identity member of the expansion set.
+    ("s8", "x8", "rel", "y8-alias"),  # subject direct (has aliases), object via alias
+    ("s9", "x9-alias", "rel", "y9"),  # subject via alias, object direct (has aliases)
 ]
-ALIAS = {"石碑": {"碑"}, "robert li": {"bob li"}}
+ALIAS = {
+    "石碑": {"碑"},
+    "robert li": {"bob li"},
+    "x8": {"x8-other"},
+    "y8-alias": {"y8"},
+    "x9-alias": {"x9"},
+    "y9": {"y9-other"},
+}
 LOC = {"y2": {"y2-loc"}}
 
 
@@ -106,10 +120,11 @@ def test_calc_pr_matches_oracle_all_rules(spark):
         loc_df=_dict_df(spark, LOC),
     ).collect()[0]
     assert (got["precision"], got["recall"], got["f1"]) == expected
-    # Sanity: 6 correct of 8 counted predictions, 8 golden.
-    assert got["correct_sum"] == 6.0
-    assert got["predict_sum"] == 8.0
-    assert got["recall_sum"] == 8.0
+    # Sanity: 8 correct of 10 counted predictions, 10 golden
+    # (the two mixed alias/direct rows must both count as correct).
+    assert got["correct_sum"] == 8.0
+    assert got["predict_sum"] == 10.0
+    assert got["recall_sum"] == 10.0
 
 
 def test_calc_pr_no_dicts(spark):

@@ -103,6 +103,33 @@ def test_wav_parser_known_bytes_and_chunk_walk():
         parse_wav(payload[:20])  # fmt/data chunks truncated away
 
 
+def test_wav_parser_untrusted_chunk_sizes():
+    """Declared chunk sizes are untrusted: a truncated fmt body must
+    raise ValueError (not struct.error), and an oversized declared
+    data size must clamp n_frames to the bytes actually present."""
+    import struct
+
+    from information_extraction_spark.operators.multimodal import (
+        make_wav,
+        parse_wav,
+    )
+
+    full = make_wav(10, 8000, 1, seed=3)
+    # Cut mid-fmt: the fmt chunk still claims 16 bytes but the payload
+    # ends before they exist (header 12 + 'fmt '+size 8 + 6 bytes).
+    with pytest.raises(ValueError, match="fmt chunk truncated"):
+        parse_wav(full[:26])
+    # Inflate the declared data size 100x: frame count must come from
+    # the real remaining bytes (10 frames), not the declared size.
+    data_off = full.index(b"data")
+    inflated = (
+        full[: data_off + 4]
+        + struct.pack("<I", 10 * 2 * 100)
+        + full[data_off + 8 :]
+    )
+    assert parse_wav(inflated) == (8000, 1, 10)
+
+
 def test_native_codecs_through_spark_path(spark):
     """BMP and WAV payloads decode NATIVELY (deterministic_fake=False)
     through the full mapInPandas path, mixed with a fake-gated row to

@@ -121,6 +121,7 @@ def test_official_script_parity_with_alias_dict(spark, tmp_dir):
         ("s2", "alice zhang", "founder", "acme corp"),
         ("s3", "碑", "出版社", "上海社"),
         ("s4", "only golden", "rel", "missing"),
+        ("s6", "x8", "rel", "y8"),
     ]
     pred_rows = [
         ("s1", "《端脑》", "主演", "朱元冰"),
@@ -128,8 +129,12 @@ def test_official_script_parity_with_alias_dict(spark, tmp_dir):
         ("s2", "Alice Zhang", "founder", "ACME CORP"),
         ("s3", "石碑", "出版社", "上海社"),
         ("s5", "not in golden", "rel", "ignored"),
+        # Mixed endpoints: subject matches gold directly while itself
+        # having aliases; object matches only via alias (the
+        # s_alias_set.add(s) identity-member rule in the script).
+        ("s6", "x8", "rel", "y8-alias"),
     ]
-    alias = {"石碑": {"碑"}}
+    alias = {"石碑": {"碑"}, "x8": {"x8-other"}, "y8-alias": {"y8"}}
     cols = ["text", "subject", "predicate", "object"]
     pred_pdf = pd.DataFrame(pred_rows, columns=cols)
     gold_pdf = pd.DataFrame(gold_rows, columns=cols)
