@@ -679,7 +679,10 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TakeOrderedAndProject top-k as the brute-force baseline. At 100 TB
 # the assignment is a write-time bucketing (partition the vector
 # table BY cid) so a probe scans nprobe partitions — partition
-# pruning, no shuffle at query time.
+# pruning, no shuffle at query time. That write-time half is
+# IMPLEMENTED below: write_ivf_index materializes the cid-partitioned
+# table and ann_ivf_pruned_probe's scan reads exactly nprobe
+# partitions (metric-asserted in tests/test_dedup_queries.py).
 
 _IVF_ORACLE = """
 WITH cent AS (
@@ -749,22 +752,24 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.unpersist()
 
 
-def _ivf_probe_jobs(spark: SparkSession, e: DataFrame) -> DataFrame:
-    # Quantizer = first 8 vectors by id, read from the CACHED table
-    # (this collect is also what materializes the cache).
+def _ivf_quantize(spark: SparkSession, e: DataFrame):
+    """Shared IVF front half: (cent_rows, assign, probe_cids).
+
+    Quantizer = first 8 vectors by id, read from the (cached) table.
+    Assignment: one narrow pass over the broadcast 8-row quantizer,
+    argmax per vector via max(struct(cos6, -cid)) — a HASH aggregate
+    with map-side partial combine instead of a window (which would
+    add a sort on every (vec_id, cos) row). Rounded to 6dp BEFORE
+    ranking so both engines break ties identically; the struct's
+    -cid gives the same desc-cos/asc-cid tie-break as the window it
+    replaces. Probe: the query's 2 nearest lists — an 8-row
+    driver-side sort over the SAME engine-computed scores."""
     cent_rows = e.orderBy("vec_id").limit(8).collect()
     qid = cent_rows[0]["vec_id"]
     cent = spark.createDataFrame(
         [(r["vec_id"], list(map(float, r["embedding"]))) for r in cent_rows],
         "cid long, ce array<double>",
     )
-    # Assignment: one narrow pass over the broadcast 8-row quantizer,
-    # argmax per vector via max(struct(cos6, -cid)) — a HASH aggregate
-    # with map-side partial combine instead of a window (which would
-    # add a sort on every (vec_id, cos) row). Rounded to 6dp BEFORE
-    # ranking so both engines break ties identically; the struct's
-    # -cid gives the same desc-cos/asc-cid tie-break as the window it
-    # replaces.
     cos_c = _dot(F.col("embedding"), F.col("ce")) / (
         F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
         * F.sqrt(_dot(F.col("ce"), F.col("ce")))
@@ -777,8 +782,6 @@ def _ivf_probe_jobs(spark: SparkSession, e: DataFrame) -> DataFrame:
             F.struct(F.col("cos6"), (-F.col("cid")).alias("ncid"))
         ).alias("m")
     ).select("vec_id", (-F.col("m.ncid")).alias("cid"))
-    # Probe: the query's 2 nearest lists — a 8-row driver-side sort
-    # over the SAME engine-computed a0 scores.
     probe = [
         r["cid"]
         for r in a0.filter(F.col("vec_id") == qid)
@@ -786,15 +789,28 @@ def _ivf_probe_jobs(spark: SparkSession, e: DataFrame) -> DataFrame:
         .limit(2)
         .collect()
     ]
+    return cent_rows, assign, probe
+
+
+def _query_cos(qrow):
+    """Cosine of each row's ``embedding`` against the fixed query
+    vector; the query norm is a driver-side constant."""
+    import math
+
+    qvec = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
+    qnorm = math.sqrt(sum(float(v) * float(v) for v in qrow["embedding"]))
+    return _dot(F.col("embedding"), qvec) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.lit(qnorm)
+    )
+
+
+def _ivf_probe_jobs(spark: SparkSession, e: DataFrame) -> DataFrame:
+    cent_rows, assign, probe = _ivf_quantize(spark, e)
+    qid = cent_rows[0]["vec_id"]
     cand = assign.filter(
         F.col("cid").isin(probe) & (F.col("vec_id") != qid)
     ).select("vec_id")
-    qrow = cent_rows[0]
-    qvec = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
-    cos_q = _dot(F.col("embedding"), qvec) / (
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(_dot(qvec, qvec))
-    )
+    cos_q = _query_cos(cent_rows[0])
     # cand is two inverted lists' ids — broadcast it so the rescore
     # join never shuffles the embeddings side.
     top = (
@@ -808,6 +824,72 @@ def _ivf_probe_jobs(spark: SparkSession, e: DataFrame) -> DataFrame:
     rows = [(r["vec_id"], i + 1, r["cos4"]) for i, r in enumerate(top)]
     return spark.createDataFrame(
         rows, "vec_id long, rnk long, cos4 double"
+    )
+
+
+def ivf_index_path(sf_dir: str) -> str:
+    from information_extraction_spark.driver_queries.kg import _golden_path
+
+    return _golden_path("ivf_index", sf_dir).replace(
+        ".parquet", "_cidpart.parquet"
+    )
+
+
+def write_ivf_index(spark: SparkSession, sf_dir: str):
+    """The WRITE-TIME half of the IVF story: materialize the vector
+    table cid-PARTITIONED (one directory per inverted list), so a
+    probe becomes a partition-pruned scan of nprobe directories — no
+    shuffle, no full-table scan at query time. Returns
+    (index_path, cent_rows, probe_cids)."""
+    from information_extraction_spark.driver_queries.kg import (
+        _ensure_golden_dir,
+    )
+
+    _ensure_golden_dir()
+    path = ivf_index_path(sf_dir)
+    e = _spread(spark, _emb(spark, sf_dir), "vec_id").cache()
+    try:
+        cent_rows, assign, probe = _ivf_quantize(spark, e)
+        e.join(assign, "vec_id").write.partitionBy("cid").mode(
+            "overwrite"
+        ).parquet(path)
+    finally:
+        e.unpersist()
+    return path, cent_rows, probe
+
+
+@_q("ann_ivf_pruned_probe", _IVF_ORACLE)
+def ann_ivf_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_probe's claim, made physical: the probe runs against
+    the cid-partitioned index table and the scan PRUNES to the
+    nprobe=2 probed partitions (PartitionFilters at the source —
+    plan-asserted in tests/test_dedup_queries.py and dumped in
+    PLANS.md). Same oracle as ann_ivf_probe: pruning must not change
+    a single result row."""
+    from pyspark.sql import Window
+
+    path, cent_rows, probe = write_ivf_index(spark, sf_dir)
+    qid = cent_rows[0]["vec_id"]
+    idx = spark.read.parquet(path)
+    pruned = idx.filter(
+        F.col("cid").isin([int(c) for c in probe])
+        & (F.col("vec_id") != qid)
+    )
+    top10 = (
+        pruned.withColumn("cos6", F.round(_query_cos(cent_rows[0]), 6))
+        .select("vec_id", "cos6")
+        # TakeOrderedAndProject: per-partition local top-10, driver
+        # merge — never a global sort.
+        .orderBy(F.col("cos6").desc(), "vec_id")
+        .limit(10)
+    )
+    # Ranking the 10 survivors: the window is global but post-limit
+    # (10 rows), a constant-size step.
+    w = Window.orderBy(F.col("cos6").desc(), "vec_id")
+    return top10.select(
+        "vec_id",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.round("cos6", 4).alias("cos4"),
     )
 
 

@@ -141,3 +141,60 @@ def test_ngram_jaccard_matches_unblocked_join(spark, adv_sf_dir):
     got = [(r.da, r.db) for r in dd_ngram_jaccard(spark, adv_sf_dir).collect()]
     assert set(got) == brute
     assert len(got) == len(brute)
+
+
+def _scan_metrics(df):
+    """SQL metrics of the first leaf scan of an EXECUTED DataFrame
+    (collect the same instance first — count() builds its own plan)."""
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    m = leaves.apply(0).metrics()
+    vals = {}
+    it = m.iterator()
+    while it.hasNext():
+        kv = it.next()
+        vals[kv._1()] = kv._2().value()
+    return vals
+
+
+def test_ivf_index_probe_partition_prunes(spark):
+    """The IVF write-time partitioning story, made physical: the
+    cid-partitioned index's probe scan must read ONLY the nprobe=2
+    probed partitions (scan metric numPartitions == 2, vs all lists
+    for an unfiltered read), with the cid filter showing up as a
+    PartitionFilter at the source — and pruning must not change a
+    single result row vs the broadcast-rescore variant."""
+    from pyspark.sql import functions as F
+
+    from information_extraction_spark.driver_queries.textdata import (
+        ann_ivf_probe,
+        ann_ivf_pruned_probe,
+        ivf_index_path,
+        write_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in ann_ivf_pruned_probe(spark, sf).collect()]
+    base = [tuple(r) for r in ann_ivf_probe(spark, sf).collect()]
+    assert got == base and len(got) == 10
+
+    path, _cent, probe = write_ivf_index(spark, sf)
+    assert path == ivf_index_path(sf)
+    import os as _os
+
+    cid_dirs = [d for d in _os.listdir(path) if d.startswith("cid=")]
+    assert len(cid_dirs) > len(probe) >= 2
+
+    idx = spark.read.parquet(path)
+    pruned = idx.filter(F.col("cid").isin([int(c) for c in probe]))
+    pruned.collect()
+    pm = _scan_metrics(pruned)
+    assert pm["numPartitions"] == len(probe)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "cid" in scan_line.split("PartitionFilters")[1][:40]
+
+    full = idx.filter(F.lit(True))
+    full.collect()
+    fm = _scan_metrics(full)
+    assert fm["numPartitions"] == len(cid_dirs)
+    assert pm["numFiles"] < fm["numFiles"]
