@@ -310,6 +310,41 @@ def mm_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Frame sampling (operators/multimodal.sample_frames): one row per
+# sampled frame index, every_k=5, over the NATIVELY-decoded features
+# (image → 1 frame, audio → the WAV data chunk's real frame count).
+# The explode is narrow — no shuffle between decode and fan-out. The
+# oracle regenerates the stride from the same n_frames arithmetic the
+# codec oracle pins (VERDICT r03 #6).
+
+_MM_FRAMES_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         CASE WHEN doc_id % 2 = 0 THEN 1
+              ELSE 50 + doc_id % 101 END AS n_frames
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT media_id, kind,
+       CAST(unnest(range(0, n_frames, 5)) AS BIGINT) AS frame_idx
+FROM m
+"""
+
+
+@_q("mm_frames", _MM_FRAMES_ORACLE)
+def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    feats = mm_codec_features(spark, sf_dir)
+    return sample_frames(feats, every_k=5).select(
+        "media_id",
+        "kind",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+    )
+
+
 # --- P4: WordPiece tokenization (kernels/tokenizer.wordpiece_tokenize,
 # reference tokenization.py:309-431). A bounded vocab (pieces of
 # length <= 2, split deterministically by md5 into word-initial vs

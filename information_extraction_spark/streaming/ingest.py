@@ -74,9 +74,15 @@ def start_streaming_extraction(
     schemas: DataFrame,
     out_path: str,
     checkpoint_path: str,
+    watermark: str = "10 minutes",
 ):
     """foreachBatch bridge into the batch extraction pipeline —
-    microbatch triples appended to the graph table."""
+    microbatch triples appended to the graph table.
+
+    ``watermark`` bounds the dedup state (deduped_turns contract): the
+    10-minute default fits live arrival; a historical backfill whose
+    files arrive out of event-time order must widen it to the
+    backfill's time span or late turns are dropped."""
     from information_extraction_spark.plans.pipeline import extract_triples
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -88,7 +94,7 @@ def start_streaming_extraction(
         ).parquet(out_path)
 
     return (
-        deduped_turns(stream)
+        deduped_turns(stream, watermark=watermark)
         .writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_path)
         .start()

@@ -73,6 +73,56 @@ def test_streaming_extraction_matches_batch(
     assert streamed == batch
 
 
+def test_incremental_extraction_runs_multiple_microbatches(
+    spark, world, transcripts_pdf, tmp_dir
+):
+    """The st_extract_triples shape: 4 source files +
+    maxFilesPerTrigger=1 must yield MULTIPLE foreachBatch epochs whose
+    union still equals the batch run (the sink's epoch_id records
+    which micro-batch produced each triple). The widened watermark is
+    the deduped_turns backfill contract — file pickup order is not
+    event-time order, and the live-sized default would drop
+    out-of-order micro-batches as late."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = os.path.join(tmp_dir, "stream_src_mb")
+    out = os.path.join(tmp_dir, "stream_out_mb")
+    ckpt = os.path.join(tmp_dir, "stream_ckpt_mb")
+    spark.createDataFrame(
+        pd.DataFrame(transcripts_pdf), schema=S.TRANSCRIPTS
+    ).repartition(4).write.mode("overwrite").parquet(src)
+    kb = spark.createDataFrame(world.kb_clean, schema=S.KNOWLEDGE_BASE)
+    sch = spark.createDataFrame(world.schemas, schema=S.RELATION_SCHEMAS)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_streaming_extraction(
+        spark, stream, kb, sch, out, ckpt, watermark="87600 hours"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.read.parquet(out)
+    n_epochs = sink.select("epoch_id").distinct().count()
+    assert n_epochs >= 3  # genuinely incremental, not one big batch
+    key = ["conv_id", "turn_idx", "predicate", "subject", "object"]
+    streamed = sorted(map(tuple, sink.select(key).collect()))
+    tdf = read_transcripts(spark, src)
+    batch = sorted(
+        map(
+            tuple,
+            extract_triples(spark, tdf, kb, sch).select(key).collect(),
+        )
+    )
+    assert streamed == batch
+    assert sink.filter(F.col("epoch_id").isNull()).count() == 0
+
+
 def test_stateful_conversation_sessions(spark, tmp_dir):
     """applyInPandasWithState: per-conv state accumulates across
     micro-batches and closes by EVENT-time timeout once the watermark
