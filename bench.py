@@ -45,6 +45,26 @@ def main() -> int:
     )
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
+    # Pin the WHOLE process tree (JVM + Python workers inherit the
+    # affinity mask) to a deterministic CPU set sized to the task
+    # slots, before the JVM starts. Scheduler migration onto cores
+    # contended by co-tenants was the dominant e2e variance source
+    # across rounds (±45% observed between same-day idle runs);
+    # pinning makes round-over-round numbers comparable the same way
+    # tools/scale_bench.py's taskset does. A taskset-style outer mask
+    # (scale_bench) already being narrower is respected: we only ever
+    # shrink to the FIRST cores of the allowed set, never widen.
+    pinned = None
+    try:
+        m = args.master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '')}]"
+        want = int("".join(ch for ch in m if ch.isdigit()) or 0)
+        allowed = sorted(os.sched_getaffinity(0))
+        if want and len(allowed) > want:
+            pinned = allowed[:want]
+            os.sched_setaffinity(0, set(pinned))
+    except (AttributeError, ValueError, OSError):
+        pinned = None
+
     from information_extraction_spark.driver_queries import QUERIES
     from information_extraction_spark.plans.pipeline import extract_triples
     from information_extraction_spark.session import get_spark
@@ -81,15 +101,18 @@ def main() -> int:
     extract_triples(spark, transcripts, kb, schemas).count()
     prep_sec = time.time() - t0
 
-    # Best-of-3 timed runs (single-run variance on this shared VM
-    # reached ±45% across same-day idle runs; more samples tighten the
-    # headline).
+    # Best-of-5 timed runs (single-run variance on this shared VM
+    # reached ±45% across same-day idle runs; the min of more samples
+    # is the stable estimator of machine capacity). All samples are
+    # reported so a noisy round is visible as spread, not adjudicated.
     e2e_sec, n_triples = 1e18, 0
-    for _ in range(3):
+    e2e_samples = []
+    for _ in range(5):
         t0 = time.time()
         triples = extract_triples(spark, transcripts, kb, schemas)
         n_triples = triples.count()
-        e2e_sec = min(e2e_sec, time.time() - t0)
+        e2e_samples.append(round(time.time() - t0, 3))
+        e2e_sec = min(e2e_sec, e2e_samples[-1])
     timings["kg_extract_e2e"] = round(e2e_sec, 3)
 
     if not args.skip_queries:
@@ -139,9 +162,12 @@ def main() -> int:
         "p3_dp_segment",
         "kg_entity_linking_distributed",
         "mm_codec_features",
+        "dd_minhash_lsh_b4",
+        "mm_frames",
         "ann_cosine_topk",
         "ann_lsh_bucketed",
         "ann_ivf_probe",
+        "ann_ivf_pruned_probe",
         "kg_bio_decode",
         "p7_vocab_build",
         "st_windowed_counts",
@@ -162,9 +188,10 @@ def main() -> int:
     # cache, codegen cache, Python-worker imports), then best of 2 warm
     # runs. Round-over-round deltas on this shared VM were previously
     # confounded by 1.5-1.7× cold-first-read outliers.
+    counts: dict[str, int] = {}
     for name in bench_queries:
         fn = QUERIES[name]
-        fn(spark, sf_dir).count()
+        counts[name] = fn(spark, sf_dir).count()
         best = 1e18
         for _ in range(2):
             t0 = time.time()
@@ -184,10 +211,25 @@ def main() -> int:
         "prep_sec": round(prep_sec, 3),
         "replicate": args.replicate,
         "timing": "per-query: 1 untimed warmup + best of 2 warm runs; "
-        "e2e: full untimed warmup + best of 3",
+        "e2e: full untimed warmup + best of 5 (all samples listed); "
+        "process tree CPU-pinned to the first <task-slots> cores when "
+        "the machine is wider",
+        "e2e_samples": e2e_samples,
+        "cpu_pinned": pinned,
         "master": args.master
         or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]",
     }
+    # LSH banding trade (b, r): candidate-pair count vs recall.
+    # (2,2) targets Jaccard ~0.71, (4,2) targets 0.50 — the wider
+    # config buys recall at lower similarity for proportionally more
+    # candidate pairs (and 2x band rows through the salted join).
+    if "dd_minhash_lsh" in counts and "dd_minhash_lsh_b4" in counts:
+        result["lsh_banding"] = {
+            "b2r2_pairs": counts["dd_minhash_lsh"],
+            "b4r2_pairs": counts["dd_minhash_lsh_b4"],
+            "b2r2_jaccard_threshold": 0.71,
+            "b4r2_jaccard_threshold": 0.5,
+        }
     print(json.dumps(result))
     return 0
 
