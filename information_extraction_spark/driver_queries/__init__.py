@@ -36,6 +36,7 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    "a1_alias_eval",
     "st_extract_triples",
     "ann_ivf_pruned_probe",
     "dd_minhash_lsh_b4",

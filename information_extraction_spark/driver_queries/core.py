@@ -310,6 +310,127 @@ def a1_micro_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A1+J4+J5: the FULL official evaluation (operators/evaluation.
+# calc_pr — normalization, alias expansion with the identity member,
+# semi-join correctness, micro P/R/F1) driver-visible with a value
+# oracle. Gold/pred/alias are deterministic transforms of the
+# documents table chosen so every rule fires somewhere: book-name
+# wrap (《》 strip), subject matched via alias, object matched via
+# alias while the subject matches DIRECTLY despite having aliases
+# (the identity-member rule — the r03 ADVICE miss), and outright
+# wrong objects. The oracle recomputes the match set analytically
+# (post-normalization values derived by construction) and must agree
+# on all six aggregate outputs.
+
+_ALIAS_EVAL_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         lower(string_split(text, ' ')[1]) AS w1,
+         lower(string_split(text, ' ')[2]) AS w2
+  FROM documents
+  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+    AND string_split(text, ' ')[1] <> '' AND string_split(text, ' ')[2] <> ''
+), gold AS (
+  SELECT 'd' || doc_id AS key,
+         CASE WHEN doc_id % 2 = 0 THEN 'g_' || w1 ELSE w1 END AS s,
+         'p' || (doc_id % 3) AS p,
+         CASE WHEN doc_id % 3 = 0 THEN 'o_' || w2 ELSE w2 END AS o
+  FROM d
+), pred AS (
+  SELECT 'd' || doc_id AS key, w1 AS s, 'p' || (doc_id % 3) AS p,
+         CASE WHEN doc_id % 5 = 0 THEN w2 || '_wrong' ELSE w2 END AS o
+  FROM d
+), amap AS (
+  SELECT DISTINCT w1 AS k, 'g_' || w1 AS a FROM d WHERE doc_id % 2 = 0
+  UNION
+  SELECT DISTINCT w2 AS k, 'o_' || w2 AS a FROM d WHERE doc_id % 3 = 0
+), amap_id AS (
+  SELECT k, a FROM amap UNION SELECT DISTINCT k, k FROM amap
+), matched AS (
+  SELECT DISTINCT p.key, p.s, p.p, p.o
+  FROM pred p
+  JOIN gold g ON g.key = p.key AND g.p = p.p
+  LEFT JOIN amap_id ms ON ms.k = p.s
+  LEFT JOIN amap_id mo ON mo.k = p.o
+  WHERE coalesce(ms.a, p.s) = g.s AND coalesce(mo.a, p.o) = g.o
+), sums AS (
+  SELECT (SELECT count(*) FROM matched) AS c,
+         (SELECT count(*) FROM pred) AS pn,
+         (SELECT count(*) FROM gold) AS rn
+)
+SELECT CAST(c AS DOUBLE) AS correct_sum,
+       CAST(pn AS DOUBLE) AS predict_sum,
+       CAST(rn AS DOUBLE) AS recall_sum,
+       round(c * 1.0 / pn, 4) AS precision_,
+       round(c * 1.0 / rn, 4) AS recall_,
+       CASE WHEN c = 0 THEN 0.0
+            ELSE round(2.0 * (c * 1.0 / pn) * (c * 1.0 / rn)
+                       / ((c * 1.0 / pn) + (c * 1.0 / rn)), 4)
+       END AS f1
+FROM sums
+"""
+
+
+@_q("a1_alias_eval", _ALIAS_EVAL_ORACLE)
+def a1_alias_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.operators.evaluation import calc_pr
+
+    ws = F.split("text", " ")
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.size(ws) >= 2))
+        .select(
+            "doc_id",
+            F.lower(ws.getItem(0)).alias("w1"),
+            F.lower(ws.getItem(1)).alias("w2"),
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    key = F.concat(F.lit("d"), F.col("doc_id")).alias("key")
+    pnum = F.concat(F.lit("p"), (F.col("doc_id") % 3)).alias("predicate")
+    # Gold carries RAW shapes (book-name wrap); calc_pr must normalize.
+    gold = base.select(
+        key,
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit("g_"), "w1")
+        ).otherwise(F.col("w1")).alias("subject"),
+        pnum,
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit("o_"), "w2")
+        ).otherwise(F.concat(F.lit("《"), "w2", F.lit("》"))).alias("object"),
+    )
+    pred = base.select(
+        key,
+        F.col("w1").alias("subject"),
+        pnum,
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat("w2", F.lit("_wrong"))
+        ).otherwise(F.col("w2")).alias("object"),
+    )
+    alias_df = (
+        base.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.col("w1").alias("canonical"),
+            F.concat(F.lit("g_"), "w1").alias("alias"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 3 == 0).select(
+                F.col("w2").alias("canonical"),
+                F.concat(F.lit("o_"), "w2").alias("alias"),
+            )
+        )
+        .dropDuplicates()
+    )
+    return calc_pr(pred, gold, alias_df=alias_df, key="key").select(
+        "correct_sum",
+        "predict_sum",
+        "recall_sum",
+        F.col("precision").alias("precision_"),
+        F.col("recall").alias("recall_"),
+        "f1",
+    )
+
+
 # --- A4: label-set exact/subset/superset accuracy
 # (evaluate_classifiction.py:53-73) ------------------------------------------
 
