@@ -36,6 +36,11 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # extract_triples' fused path now pre-cleans entities in the
+    # kernel memo (assemble_triples pre_cleaned=True) — every query
+    # running through the pipeline is listed first.
+    "kg_extract_triples",
+    "kg_spo_lists",
     "a1_alias_eval",
     "st_extract_triples",
     "ann_ivf_pruned_probe",

@@ -393,6 +393,7 @@ class KnowledgeBase:
         texts,
         threshold: float = 0.5,
         fallback_k: int = 10,
+        min_entity_len: int | None = None,
     ) -> list[list[tuple[str, list[str], list[str]]]]:
         """Fused classify → tag → decode over a batch of texts.
 
@@ -400,7 +401,14 @@ class KnowledgeBase:
         objects) work units whose decoded spans are non-empty on BOTH
         sides — the only units that can produce triples
         (produce_submit_json_file.py:284-288 needs one subject and one
-        object). Element-wise parity with the staged path
+        object). With ``min_entity_len`` set, each unit is additionally
+        CLEANED at memo time (:func:`assemble_entities`: set-dedup,
+        drop entities shorter than ``min_entity_len``, sorted) and
+        units left empty on either side are dropped — the downstream
+        plan can then skip re-evaluating the equivalent
+        array_distinct/filter/array_sort lambdas per unit row. The
+        clean runs once per DISTINCT text (inside the memo), not once
+        per row. Element-wise parity with the staged path
         ``decode_bieso(bieso_tags_fast(text, p))`` for every predicate
         ``classify`` would emit, including fallback predicates: a
         non-fired predicate can still yield triples when one pair
@@ -435,23 +443,31 @@ class KnowledgeBase:
         for t in texts_list:
             if t in results or t in todo_seen:
                 continue
-            hit = cache.get((t, fallback_k))
+            hit = cache.get((t, fallback_k, min_entity_len))
             if hit is not None:
                 results[t] = hit
             else:
                 todo_seen.add(t)
                 todo.append(t)
         if todo:
-            computed = list(zip(todo, self._extract_unique(todo, fallback_k)))
+            computed = list(
+                zip(
+                    todo,
+                    self._extract_unique(todo, fallback_k, min_entity_len),
+                )
+            )
             if len(cache) > 50_000:
                 cache.clear()
             for t, units in computed:
-                cache[(t, fallback_k)] = units
+                cache[(t, fallback_k, min_entity_len)] = units
                 results[t] = units
         return [results[t] for t in texts_list]
 
     def _extract_unique(
-        self, texts_list: list[str], fallback_k: int
+        self,
+        texts_list: list[str],
+        fallback_k: int,
+        min_entity_len: int | None = None,
     ) -> list[list[tuple[str, list[str], list[str]]]]:
         """extract_batch body over known-unique texts (no memo)."""
         _, present, fired = self._presence_and_fired(texts_list)
@@ -528,6 +544,10 @@ class KnowledgeBase:
                     for start, length, kind in writes:
                         _mark_span(tags, start, length, kind)
                     subjects, objects = decode_bieso(tags, text)
+                if min_entity_len is not None:
+                    subjects, objects = assemble_entities(
+                        subjects, objects, min_len=min_entity_len
+                    )
                 if subjects and objects:
                     per_text.append((predicate, subjects, objects))
             out.append(per_text)

@@ -288,6 +288,7 @@ def classify_tag_decode_stage(
     kb_broadcast,
     threshold: float = THRESHOLD,
     fallback_k: int = FALLBACK_K,
+    min_entity_len: int | None = None,
 ) -> DataFrame:
     """Fully fused stage-1+2 fast path: classify → fan out → tag →
     decode in ONE mapInPandas pass (KnowledgeBase.extract_batch).
@@ -303,6 +304,14 @@ def classify_tag_decode_stage(
     pipeline falls back to the staged path otherwise, and a direct
     caller outside that regime gets a ValueError rather than silently
     different predicate sets.
+
+    ``min_entity_len``: when set, the kernel emits PRE-CLEANED units
+    (set-deduped, length-filtered, sorted — assemble_entities run at
+    memo time, once per distinct text) and drops units that clean to
+    empty; pair with ``assemble_triples(..., pre_cleaned=True)`` to
+    skip the equivalent JVM array lambdas over every unit row.
+    Triple-exact with the uncleaned path (parity-tested) because
+    assemble_triples' clean is idempotent.
     """
     if not (0.5 <= threshold < 1.0):
         raise ValueError(
@@ -314,7 +323,10 @@ def classify_tag_decode_stage(
         kb = _kb_from_broadcast(kb_broadcast)
         for pdf in batches:
             per_row = kb.extract_batch(
-                pdf["text"], threshold=threshold, fallback_k=fallback_k
+                pdf["text"],
+                threshold=threshold,
+                fallback_k=fallback_k,
+                min_entity_len=min_entity_len,
             )
             conv, ti, tx, pr, su, ob = [], [], [], [], [], []
             for cid, t, text, units in zip(
@@ -366,6 +378,7 @@ def assemble_triples(
     decoded: DataFrame,
     schemas_df: DataFrame,
     min_entity_len: int = MIN_ENTITY_LEN,
+    pre_cleaned: bool = False,
 ) -> DataFrame:
     """Dedup + length-filter entities, cartesian SUB×OBJ, attach
     first-listed schema types.
@@ -375,28 +388,40 @@ def assemble_triples(
     predicate's first-listed types. The cartesian product is two
     explodes within the row — no join, no shuffle; the schema dim is
     a broadcast hash join (J1).
+
+    ``pre_cleaned=True``: the caller guarantees the entity arrays are
+    ALREADY set-deduped, >=min_entity_len-filtered, sorted, and
+    non-empty on both sides (``classify_tag_decode_stage(...,
+    min_entity_len=...)`` emits exactly that, computed once per
+    distinct text in the kernel memo) — the per-unit-row
+    array_distinct/filter/array_sort lambdas and the emptiness filter
+    are skipped. The clean is idempotent, so both settings are
+    triple-exact on such input (parity-tested).
     """
-    cleaned = (
-        decoded.withColumn(
-            "subjects",
-            F.array_sort(
-                F.filter(
-                    F.array_distinct("subjects"),
-                    lambda x: F.length(x) >= min_entity_len,
-                )
-            ),
+    if pre_cleaned:
+        cleaned = decoded
+    else:
+        cleaned = (
+            decoded.withColumn(
+                "subjects",
+                F.array_sort(
+                    F.filter(
+                        F.array_distinct("subjects"),
+                        lambda x: F.length(x) >= min_entity_len,
+                    )
+                ),
+            )
+            .withColumn(
+                "objects",
+                F.array_sort(
+                    F.filter(
+                        F.array_distinct("objects"),
+                        lambda x: F.length(x) >= min_entity_len,
+                    )
+                ),
+            )
+            .filter((F.size("subjects") > 0) & (F.size("objects") > 0))
         )
-        .withColumn(
-            "objects",
-            F.array_sort(
-                F.filter(
-                    F.array_distinct("objects"),
-                    lambda x: F.length(x) >= min_entity_len,
-                )
-            ),
-        )
-        .filter((F.size("subjects") > 0) & (F.size("objects") > 0))
-    )
     exploded = cleaned.select(
         "conv_id",
         "turn_idx",

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from information_extraction_spark.operators.extract import (
     FALLBACK_K,
+    MIN_ENTITY_LEN,
     THRESHOLD,
     assemble_triples,
     broadcast_kb,
@@ -84,10 +85,18 @@ def extract_triples(
         # Fully fused fast path: classify+fanout+tag+decode in one
         # Arrow round-trip (triple-exact with the staged path; the
         # fused kernel's fired/fallback split assumes the default
-        # threshold regime — see classify_tag_decode_stage).
+        # threshold regime — see classify_tag_decode_stage). The
+        # kernel also pre-cleans entities (assemble_entities at memo
+        # time, once per distinct text), so assemble_triples skips its
+        # per-unit-row array lambdas (pre_cleaned below).
         decoded = classify_tag_decode_stage(
-            ordered, kb_bc, threshold=threshold, fallback_k=fallback_k
+            ordered,
+            kb_bc,
+            threshold=threshold,
+            fallback_k=fallback_k,
+            min_entity_len=MIN_ENTITY_LEN,
         )
+        return assemble_triples(decoded, schemas, pre_cleaned=True)
     else:
         classified = classify_stage(
             ordered, kb_bc, threshold=threshold, fallback_k=fallback_k

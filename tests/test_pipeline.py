@@ -116,6 +116,18 @@ def test_fused_path_matches_staged_path(spark, world, transcripts_pdf):
         ).toPandas()
         assert _key_set(fused) == _key_set(staged)
         assert len(fused) == len(staged)
+        # Pre-cleaned fast path (the pipeline default): the kernel
+        # cleans at memo time and assemble skips its array lambdas —
+        # must stay triple-exact with the staged composition.
+        pre = ex.assemble_triples(
+            ex.classify_tag_decode_stage(
+                ordered, kb_bc, min_entity_len=ex.MIN_ENTITY_LEN
+            ),
+            sch,
+            pre_cleaned=True,
+        ).toPandas()
+        assert _key_set(pre) == _key_set(staged)
+        assert len(pre) == len(staged)
 
 
 def test_empty_input_yields_empty_triples(spark, world):

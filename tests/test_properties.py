@@ -151,6 +151,21 @@ def test_extract_batch_matches_staged_kernels(kb_rows, texts):
             if subs and objs:
                 expected.append((p, subs, objs))
         assert units == expected
+    # min_entity_len variant: each unit cleaned (sorted set, len
+    # filter) at memo time, empty-after-clean units dropped — must be
+    # exactly the clean of the raw output.
+    from information_extraction_spark.kernels.extraction import (
+        assemble_entities,
+    )
+
+    cleaned = kb.extract_batch(texts, min_entity_len=2)
+    for raw_units, clean_units in zip(fused, cleaned):
+        expected_clean = []
+        for p, subs, objs in raw_units:
+            cs, co = assemble_entities(subs, objs, min_len=2)
+            if cs and co:
+                expected_clean.append((p, cs, co))
+        assert clean_units == expected_clean
 
 
 # --- Round-3 kernels: DP segmentation, media codecs, NN checkpoint ---------
