@@ -567,17 +567,27 @@ class KnowledgeBase:
         the presence matrix, and only fallback rows (nothing fired)
         drop back to the per-row pseudo-score path. Output is
         element-wise identical to :meth:`classify` (parity-tested).
+
+        Duplicate texts are collapsed before the presence pass (same
+        rationale as :meth:`extract_batch`'s memo: the result is a
+        pure function of the text, and web corpora are
+        duplicate-heavy) — the matrix and firing algebra run over
+        DISTINCT texts only. Returned lists are shared references for
+        duplicate rows; callers must not mutate.
         """
-        texts_list, _, fired = self._presence_and_fired(texts)
-        # self.predicates is sorted, so fired lists are already in
-        # (-score, predicate) order (all scores 1.0). Fallback rows:
-        preds_out: list[list[str]] = fired
-        scores_out: list[list[float]] = [[1.0] * len(f) for f in fired]
-        for i in range(len(texts_list)):
-            if not preds_out[i]:
-                preds_out[i], scores_out[i] = self._fallback(
-                    texts_list[i] or "", fallback_k
-                )
+        texts_list = [t if isinstance(t, str) else (t or "") for t in texts]
+        uniq = list(dict.fromkeys(texts_list))
+        _, _, fired = self._presence_and_fired(uniq)
+        per_text: dict[str, tuple[list[str], list[float]]] = {}
+        for t, f in zip(uniq, fired):
+            # self.predicates is sorted, so fired lists are already in
+            # (-score, predicate) order (all scores 1.0).
+            if f:
+                per_text[t] = (f, [1.0] * len(f))
+            else:
+                per_text[t] = self._fallback(t, fallback_k)
+        preds_out = [per_text[t][0] for t in texts_list]
+        scores_out = [per_text[t][1] for t in texts_list]
         return preds_out, scores_out
 
 
