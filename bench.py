@@ -65,6 +65,37 @@ def main() -> int:
     except (AttributeError, ValueError, OSError):
         pinned = None
 
+    def _cpu_ticks():
+        """(steal, total) jiffies from /proc/stat — whole host."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            vals = [int(x) for x in parts[1:]]
+            # user nice system idle iowait irq softirq steal ...
+            steal = vals[7] if len(vals) > 7 else 0
+            idle = vals[3] + vals[4]
+            return steal, sum(vals), idle
+        except (OSError, ValueError, IndexError):
+            return 0, 0, 0
+
+    def _host_window(t0_ticks, t1_ticks):
+        """steal%/busy% of host CPU time inside a tick window. On an
+        oversubscribed shared VM, steal is the dominant cross-round
+        variance source (observed 0-15% minute-to-minute swings that
+        move shuffle-heavy query timings 3-6x); reporting it per run
+        makes a noisy round attributable instead of adjudicable."""
+        ds = t1_ticks[0] - t0_ticks[0]
+        dt = t1_ticks[1] - t0_ticks[1]
+        didle = t1_ticks[2] - t0_ticks[2]
+        if dt <= 0:
+            return None
+        return {
+            "steal_pct": round(100.0 * ds / dt, 2),
+            "busy_pct": round(100.0 * (dt - didle - ds) / dt, 2),
+        }
+
+    run_ticks0 = _cpu_ticks()
+
     from information_extraction_spark.driver_queries import QUERIES
     from information_extraction_spark.plans.pipeline import extract_triples
     from information_extraction_spark.session import get_spark
@@ -107,12 +138,14 @@ def main() -> int:
     # reported so a noisy round is visible as spread, not adjudicated.
     e2e_sec, n_triples = 1e18, 0
     e2e_samples = []
+    e2e_ticks0 = _cpu_ticks()
     for _ in range(5):
         t0 = time.time()
         triples = extract_triples(spark, transcripts, kb, schemas)
         n_triples = triples.count()
         e2e_samples.append(round(time.time() - t0, 3))
         e2e_sec = min(e2e_sec, e2e_samples[-1])
+    e2e_host = _host_window(e2e_ticks0, _cpu_ticks())
     timings["kg_extract_e2e"] = round(e2e_sec, 3)
 
     if not args.skip_queries:
@@ -193,7 +226,7 @@ def main() -> int:
         fn = QUERIES[name]
         counts[name] = fn(spark, sf_dir).count()
         best = 1e18
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
@@ -210,11 +243,14 @@ def main() -> int:
         "turns_per_sec": round(n_turns / e2e_sec, 1),
         "prep_sec": round(prep_sec, 3),
         "replicate": args.replicate,
-        "timing": "per-query: 1 untimed warmup + best of 2 warm runs; "
+        "timing": "per-query: 1 untimed warmup + best of 3 warm runs; "
         "e2e: full untimed warmup + best of 5 (all samples listed); "
         "process tree CPU-pinned to the first <task-slots> cores when "
-        "the machine is wider",
+        "the machine is wider; host steal/busy sampled from /proc/stat "
+        "over the e2e window and the whole run",
         "e2e_samples": e2e_samples,
+        "host_e2e": e2e_host,
+        "host_run": _host_window(run_ticks0, _cpu_ticks()),
         "cpu_pinned": pinned,
         "master": args.master
         or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]",

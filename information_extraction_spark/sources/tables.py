@@ -103,6 +103,22 @@ def write_graph(
     its sampler re-executes the upstream DAG — measured 1.6x slower
     end-to-end here with the extraction kernels upstream.
     """
+    (
+        graph_write_layout(triples, predicate_buckets, num_tasks)
+        .write.mode(mode)
+        .partitionBy("pred_bucket")
+        .parquet(path)
+    )
+
+
+def graph_write_layout(
+    triples: DataFrame,
+    predicate_buckets: int = 16,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """The shuffle+sort stage feeding write_graph's partitioned sink,
+    exposed as a DataFrame so its physical plan can be inspected
+    (tools/dump_plans.py) and tested without performing the write."""
     bucketed = triples.withColumn(
         "pred_bucket",
         F.pmod(F.xxhash64("predicate"), F.lit(predicate_buckets)).cast("int"),
@@ -113,7 +129,7 @@ def write_graph(
             predicate_buckets,
         )
     splits = max(1, -(-num_tasks // predicate_buckets))
-    (
+    return (
         bucketed.withColumn(
             "_wsalt", F.pmod(F.xxhash64("subject"), F.lit(splits)).cast("int")
         )
@@ -125,9 +141,6 @@ def write_graph(
         # leads the sort so the dynamic-partition writer streams one
         # directory at a time instead of inserting its own sort.
         .sortWithinPartitions("pred_bucket", "predicate", "subject", "object")
-        .write.mode(mode)
-        .partitionBy("pred_bucket")
-        .parquet(path)
     )
 
 

@@ -12,6 +12,7 @@ from information_extraction_spark import schemas as S
 from information_extraction_spark.operators.extract import collect_spo_lists
 from information_extraction_spark.plans.pipeline import extract_triples
 from information_extraction_spark.sources.tables import (
+    graph_write_layout,
     read_alias_tsv,
     write_graph,
     write_spo_json,
@@ -43,6 +44,24 @@ def test_write_graph_partitioned_and_prunable(
     )
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "pred_bucket" in plan  # pruned partition filter reached the scan
+
+
+def test_graph_write_layout_salts_writers(spark, world, transcripts_pdf):
+    """The pre-write shuffle must hash on (pred_bucket, subject salt)
+    into num_tasks partitions — hashing on pred_bucket alone caps the
+    writer parallelism at the bucket count regardless of cluster
+    width. The salt must NOT survive into the written schema."""
+    triples = _triples(spark, world, transcripts_pdf)
+    layout = graph_write_layout(triples, predicate_buckets=8, num_tasks=24)
+    plan = layout._jdf.queryExecution().executedPlan().toString()
+    assert "_wsalt" in plan  # salt participates in the hash partitioning
+    assert "hashpartitioning" in plan and "24" in plan
+    assert "_wsalt" not in layout.columns
+    # Rows are untouched by the layout shuffle (same multiset).
+    assert (
+        layout.drop("pred_bucket").exceptAll(triples).count() == 0
+        and triples.exceptAll(layout.drop("pred_bucket")).count() == 0
+    )
 
 
 def test_read_alias_tsv_reference_format(spark, tmp_dir):
