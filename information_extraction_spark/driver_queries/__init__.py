@@ -36,6 +36,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Incremental batch-vs-index dedup added this round; the shared
+    # band/first-band-wins helpers were refactored under the other
+    # LSH queries at the same time.
+    "dd_incremental_lsh",
     # extract_triples' fused path now pre-cleans entities in the
     # kernel memo (assemble_triples pre_cleaned=True) — every query
     # running through the pipeline is listed first.

@@ -198,3 +198,82 @@ def test_ivf_index_probe_partition_prunes(spark):
     fm = _scan_metrics(full)
     assert fm["numPartitions"] == len(cid_dirs)
     assert pm["numFiles"] < fm["numFiles"]
+
+
+def test_incremental_lsh_matches_bruteforce_and_is_broadcast(
+    spark, adv_sf_dir
+):
+    """The batch-vs-persisted-index path must emit exactly the
+    base×new pairs the definitional OR-of-band-keys join emits (once
+    each), the probe plan must BROADCAST the batch side and feed the
+    index scan straight into the join (no exchange on the base side),
+    and the index build must be write-once."""
+    import os as _os
+
+    from information_extraction_spark.driver_queries.textdata import (
+        dd_incremental_lsh,
+        lsh_index_path,
+        write_lsh_index,
+    )
+
+    docs = spark.read.parquet(f"{adv_sf_dir}/documents.parquet")
+    positions = F.when(
+        F.length("text") >= 5, F.sequence(F.lit(1), F.length("text") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (
+        docs.withColumn("pos", F.explode(positions))
+        .select("doc_id", F.expr("substring(text, pos, 5)").alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+    def mh(i):
+        return F.min(F.md5(F.concat("shingle", F.lit(f"#{i}"))))
+
+    sig = sh.groupBy("doc_id").agg(
+        F.concat(mh(1), mh(2)).alias("k1"), F.concat(mh(3), mh(4)).alias("k2")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r.da, r.db)
+        for r in a.join(
+            b,
+            (F.col("a.doc_id") % 7 != 0)
+            & (F.col("b.doc_id") % 7 == 0)
+            & (
+                (F.col("a.k1") == F.col("b.k1"))
+                | (F.col("a.k2") == F.col("b.k2"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .collect()
+    }
+    q = dd_incremental_lsh(spark, adv_sf_dir)
+    got = [(r.da, r.db) for r in q.collect()]
+    assert set(got) == brute
+    assert len(got) == len(brute)  # first-band-wins: once per pair
+    assert brute  # the corpus must actually exercise the path
+    # Disjoint sides: every da is base, every db is new.
+    assert all(da % 7 != 0 and db % 7 == 0 for da, db in got)
+
+    # AQE's toString carries both Final and Initial sections; judge
+    # the final plan only.
+    plan = (
+        q._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in plan
+    # The index side reaches the join without any shuffle: the only
+    # exchanges in the whole plan are the batch side's broadcast and
+    # the batch-spread repartition.
+    import re
+
+    n_exchanges = len(re.findall(r"(?<!Broadcast)Exchange", plan))
+    assert "BroadcastExchange" in plan and n_exchanges <= 1
+
+    # Write-once: a second build call must reuse the committed index.
+    path = lsh_index_path(adv_sf_dir)
+    mtime = _os.path.getmtime(path + ".meta.json")
+    assert write_lsh_index(spark, adv_sf_dir) == path
+    assert _os.path.getmtime(path + ".meta.json") == mtime
