@@ -40,6 +40,12 @@ _CHANGED_THIS_ROUND = [
     # band/first-band-wins helpers were refactored under the other
     # LSH queries at the same time.
     "dd_incremental_lsh",
+    # Graph-analytics consumers over the materialized triples, added
+    # this round (each runs the live pipeline against the flagship
+    # golden, so they double as extraction re-checks).
+    "kg_degree_topk",
+    "kg_pred_cooccur",
+    "kg_two_hop",
     # extract_triples' fused path now pre-cleans entities in the
     # kernel memo (assemble_triples pre_cleaned=True) — every query
     # running through the pipeline is listed first.

@@ -603,3 +603,146 @@ def kg_entity_linking_distributed(
     return canonical_mapping(alias_df, driver_threshold=0).orderBy(
         "surface"
     )
+
+
+# --- Graph analytics over the MATERIALIZED triples -----------------------
+#
+# What a KG consumer runs the day after construction: degree
+# centrality, schema co-occurrence, and neighborhood expansion over
+# the (subj, pred, obj) table the pipeline writes. All three run the
+# LIVE extraction pipeline end-to-end and oracle against the
+# driver-side Python golden (same materialized-golden pattern as the
+# flagship), so each green row re-proves extraction AND the analytic.
+
+
+def _graph_oracle_sqls(sf_dir: str) -> tuple[str, str, str]:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    degree = f"""
+WITH ends AS (
+  SELECT subject AS entity, predicate FROM {g}
+  UNION ALL
+  SELECT object AS entity, predicate FROM {g}
+)
+SELECT entity, CAST(count(*) AS BIGINT) AS degree,
+       CAST(count(DISTINCT predicate) AS BIGINT) AS n_preds
+FROM ends GROUP BY entity
+ORDER BY degree DESC, entity
+LIMIT 20
+"""
+    cooccur = f"""
+WITH sp AS (SELECT DISTINCT subject, predicate FROM {g})
+SELECT a.predicate AS p1, b.predicate AS p2,
+       CAST(count(*) AS BIGINT) AS n_subjects
+FROM sp a JOIN sp b
+  ON a.subject = b.subject AND a.predicate < b.predicate
+GROUP BY 1, 2
+"""
+    two_hop = f"""
+WITH e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+   WHERE subject <> object
+  UNION
+  SELECT DISTINCT object AS src, subject AS dst FROM {g}
+   WHERE subject <> object
+), seed AS (SELECT min(subject) AS s FROM {g}),
+h1 AS (SELECT DISTINCT dst FROM e, seed WHERE src = s),
+h2 AS (SELECT DISTINCT e.dst FROM e JOIN h1 ON e.src = h1.dst)
+SELECT dst AS entity, CAST(1 AS INT) AS dist FROM h1
+UNION ALL
+SELECT dst, CAST(2 AS INT) FROM h2
+ WHERE dst NOT IN (SELECT dst FROM h1)
+   AND dst <> (SELECT s FROM seed)
+"""
+    return degree, cooccur, two_hop
+
+
+_DEGREE_ORACLE, _COOCCUR_ORACLE, _TWO_HOP_ORACLE = _graph_oracle_sqls(
+    "/root/testdata/sf0.01"
+)
+
+
+def _repoint_graph_oracles(sf_dir: str) -> None:
+    (
+        ORACLES["kg_degree_topk"],
+        ORACLES["kg_pred_cooccur"],
+        ORACLES["kg_two_hop"],
+    ) = _graph_oracle_sqls(sf_dir)
+
+
+@_q("kg_degree_topk", _DEGREE_ORACLE)
+def kg_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 entities by degree (triple-endpoint mentions) with
+    distinct-predicate breadth. One shuffle on the entity key with
+    map-side partial aggregation (hot head entities combine before
+    the exchange); the top-k is orderBy+limit — TakeOrderedAndProject
+    (per-partition local top-20, driver merge), never a global sort.
+    (degree DESC, entity) is a total order, so the 20 rows are
+    deterministic."""
+    triples = kg_extract_triples(spark, sf_dir)
+    _repoint_graph_oracles(sf_dir)
+    ends = triples.select(
+        F.col("subject").alias("entity"), "predicate"
+    ).unionAll(triples.select(F.col("object").alias("entity"), "predicate"))
+    return (
+        ends.groupBy("entity")
+        .agg(
+            F.count("*").cast("long").alias("degree"),
+            F.countDistinct("predicate").cast("long").alias("n_preds"),
+        )
+        .orderBy(F.col("degree").desc(), "entity")
+        .limit(20)
+    )
+
+
+@_q("kg_pred_cooccur", _COOCCUR_ORACLE)
+def kg_pred_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate co-occurrence: for each unordered predicate pair,
+    how many subjects carry both. collect_set per subject (one
+    shuffle; the set is bounded by the 50-relation schema) then a
+    bounded pair expansion — never a self-join of the triple table on
+    subject, which would square the hot-subject rows at scale."""
+    triples = kg_extract_triples(spark, sf_dir)
+    _repoint_graph_oracles(sf_dir)
+    lists = triples.groupBy("subject").agg(
+        F.collect_set("predicate").alias("ps")
+    )
+    return (
+        lists.select(F.explode("ps").alias("p1"), "ps")
+        .select("p1", F.explode("ps").alias("p2"))
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("long").alias("n_subjects"))
+    )
+
+
+@_q("kg_two_hop", _TWO_HOP_ORACLE)
+def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood of a deterministic seed (min subject) over
+    the undirected triple graph: (entity, dist∈{1,2}), distance =
+    shortest hops. Frontier expansion by BROADCAST semi-join — the
+    frontier is neighborhood-bounded, so each hop is a shuffle-free
+    scan of the edge table past a broadcast hash map; a 100 TB graph
+    pays one scan per hop and never shuffles the edge table."""
+    triples = kg_extract_triples(spark, sf_dir)
+    _repoint_graph_oracles(sf_dir)
+    directed = triples.select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    edges = directed.unionAll(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seed = triples.agg(F.min("subject")).collect()[0][0]
+    h1 = edges.filter(F.col("src") == F.lit(seed)).select("dst").distinct()
+    h2 = (
+        edges.alias("e")
+        .join(F.broadcast(h1.alias("f")), F.col("e.src") == F.col("f.dst"))
+        .select("e.dst")
+        .distinct()
+    )
+    hop1 = h1.select("dst", F.lit(1).cast("int").alias("dist"))
+    hop2 = (
+        h2.join(F.broadcast(h1), "dst", "left_anti")
+        .filter(F.col("dst") != F.lit(seed))
+        .select("dst", F.lit(2).cast("int").alias("dist"))
+    )
+    return hop1.unionAll(hop2).withColumnRenamed("dst", "entity")
