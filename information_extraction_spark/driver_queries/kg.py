@@ -725,13 +725,19 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     pays one scan per hop and never shuffles the edge table."""
     triples = kg_extract_triples(spark, sf_dir)
     _repoint_graph_oracles(sf_dir)
-    directed = triples.select(
+    # The seed probe, hop 1, and hop 2 all branch off the triple
+    # table; localCheckpoint the 2-column endpoint projection so the
+    # extraction pipeline executes ONCE, not once per branch (the
+    # linking hash-min loop's lineage-cut pattern). At 100 TB this is
+    # the already-materialized graph table, read, not recomputed.
+    tri = triples.select("subject", "object").localCheckpoint()
+    directed = tri.select(
         F.col("subject").alias("src"), F.col("object").alias("dst")
     ).filter(F.col("src") != F.col("dst"))
     edges = directed.unionAll(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    seed = triples.agg(F.min("subject")).collect()[0][0]
+    seed = tri.agg(F.min("subject")).collect()[0][0]
     h1 = edges.filter(F.col("src") == F.lit(seed)).select("dst").distinct()
     h2 = (
         edges.alias("e")
