@@ -194,6 +194,8 @@ def main() -> int:
         "dd_dup_clusters",
         "p3_dp_segment",
         "kg_entity_linking_distributed",
+        "kg_pagerank",
+        "kg_degree_topk",
         "mm_codec_features",
         "dd_minhash_lsh_b4",
         "mm_frames",

@@ -39,6 +39,7 @@ _CHANGED_THIS_ROUND = [
     # Incremental batch-vs-index dedup added this round; the shared
     # band/first-band-wins helpers were refactored under the other
     # LSH queries at the same time.
+    "kg_pagerank",
     "dd_incremental_lsh",
     # Graph-analytics consumers over the materialized triples, added
     # this round (each runs the live pipeline against the flagship

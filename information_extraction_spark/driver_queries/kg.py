@@ -653,12 +653,44 @@ SELECT dst, CAST(2 AS INT) FROM h2
  WHERE dst NOT IN (SELECT dst FROM h1)
    AND dst <> (SELECT s FROM seed)
 """
-    return degree, cooccur, two_hop
+    # PageRank with a FIXED iteration count is exactly expressible as
+    # chained CTEs — one per power iteration (r0 → r1 → r2 → r3), each
+    # the same "(1-d) + d * Σ in-contributions" aggregation the Spark
+    # loop runs. Both sides round to 6dp only at the END (intermediate
+    # ranks stay full doubles), so FP associativity differences stay
+    # ~1e-13 and never reach the compared digits.
+    step = """
+{dst} AS (
+  SELECT nd.n, 0.15 + 0.85 * COALESCE(sum({src}.r / deg.d), 0.0) AS r
+  FROM nodes nd
+  LEFT JOIN e ON e.dst = nd.n
+  LEFT JOIN deg ON deg.src = e.src
+  LEFT JOIN {src} ON {src}.n = e.src
+  GROUP BY nd.n
+)"""
+    pagerank = f"""
+WITH e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+   WHERE subject <> object
+), deg AS (
+  SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src
+), nodes AS (
+  SELECT src AS n FROM e UNION SELECT dst FROM e
+), r0 AS (SELECT n, CAST(1.0 AS DOUBLE) AS r FROM nodes),
+{step.format(src="r0", dst="r1")},
+{step.format(src="r1", dst="r2")},
+{step.format(src="r2", dst="r3")}
+SELECT n AS entity, ROUND(r, 6) AS pr FROM r3
+"""
+    return degree, cooccur, two_hop, pagerank
 
 
-_DEGREE_ORACLE, _COOCCUR_ORACLE, _TWO_HOP_ORACLE = _graph_oracle_sqls(
-    "/root/testdata/sf0.01"
-)
+(
+    _DEGREE_ORACLE,
+    _COOCCUR_ORACLE,
+    _TWO_HOP_ORACLE,
+    _PAGERANK_ORACLE,
+) = _graph_oracle_sqls("/root/testdata/sf0.01")
 
 
 def _repoint_graph_oracles(sf_dir: str) -> None:
@@ -666,6 +698,7 @@ def _repoint_graph_oracles(sf_dir: str) -> None:
         ORACLES["kg_degree_topk"],
         ORACLES["kg_pred_cooccur"],
         ORACLES["kg_two_hop"],
+        ORACLES["kg_pagerank"],
     ) = _graph_oracle_sqls(sf_dir)
 
 
@@ -752,3 +785,24 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dst", F.lit(2).cast("int").alias("dist"))
     )
     return hop1.unionAll(hop2).withColumnRenamed("dst", "entity")
+
+
+@_q("kg_pagerank", _PAGERANK_ORACLE)
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration (k=3, d=0.85) PageRank over the directed
+    entity graph of the materialized triples — the canonical
+    ITERATIVE KG analytic (the CC merge is the other one). The edge
+    table is materialized once with out-degree attached and only
+    scanned per iteration; the node-sized rank vector is what
+    shuffles; lineage is cut per iteration (operators/graph.py). The
+    oracle is the same three power steps as chained DuckDB CTEs, both
+    sides rounding to 6dp only at the end."""
+    from information_extraction_spark.operators.graph import (
+        pagerank,
+        triple_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    _repoint_graph_oracles(sf_dir)
+    ranks = pagerank(triple_edges(triples), iterations=3, damping=0.85)
+    return ranks.select("entity", F.round("rank", 6).alias("pr"))

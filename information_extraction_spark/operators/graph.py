@@ -1,0 +1,99 @@
+"""Graph analytics over the materialized triple table.
+
+The reference stops at emitting (subj, pred, obj) triples; the first
+thing a KG consumer computes over the resulting graph is importance —
+PageRank over the entity graph. This module implements the standard
+synchronous power-iteration PageRank as a DataFrame loop, the same
+lineage-cut-per-iteration shape as the connected-components merge in
+operators/linking.py.
+
+Scale shape (the part that must survive 100 TB):
+
+- The edge table is the big side. It is materialized ONCE
+  (``localCheckpoint``) with its out-degree already attached, then
+  only *scanned* each iteration — never recomputed, never re-shuffled
+  by the loop itself.
+- The rank vector is node-sized (orders of magnitude smaller than the
+  edges). Each iteration shuffles: (a) ranks onto the edge table's
+  src key for the contribution join, (b) contributions onto dst for
+  the sum. Both shuffles move node/contribution-sized data.
+- Lineage is cut per iteration (``localCheckpoint``), exactly like
+  the hash-min CC loop — without it the plan doubles per iteration
+  and iteration k replays all k-1 predecessors.
+- Iteration count is FIXED (a hyperparameter), not convergence-tested
+  per element, so the loop runs a deterministic number of jobs and
+  its result is exactly expressible as k chained self-joins — which
+  is what the DuckDB oracle does.
+
+Dangling nodes (no out-edges) keep the simple "leaked mass" variant:
+their rank is not redistributed, i.e. rank(v) = (1-d) + d * sum over
+in-edges of rank(u)/outdeg(u). This is the formulation of the
+original paper (Page et al. 1999, eq. before normalization) and is
+deterministic and oracle-expressible; the normalized-teleport variant
+only rescales ranks and does not change the ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triple_edges(triples: DataFrame) -> DataFrame:
+    """Distinct directed (src, dst) entity edges from a triple table,
+    self-loops dropped (a self-loop contributes rank to itself and
+    only slows mixing; DuckDB oracle drops them identically)."""
+    return (
+        triples.select(
+            F.col("subject").alias("src"), F.col("object").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over directed (src, dst) edges.
+
+    Returns (entity, rank) for every node appearing as either
+    endpoint, ranks unrounded doubles. rank_0 = 1.0 for all nodes;
+    rank_{i+1}(v) = (1-d) + d * Σ_{(u,v)∈E} rank_i(u) / outdeg(u).
+
+    The edge table (with out-degree attached) is localCheckpointed
+    once and reused by every iteration; the per-iteration
+    localCheckpoint on the rank vector cuts lineage so iteration k
+    costs O(1) jobs, not O(k) (the CC loop's pattern,
+    operators/linking.py:100-111).
+    """
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("_d"))
+    # One materialization of the big side; every iteration scans this.
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn("r", F.lit(1.0))
+    for _ in range(iterations):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.n)
+            .select(
+                F.col("dst").alias("n"),
+                (F.col("r") / F.col("_d")).alias("_c"),
+            )
+            .groupBy("n")
+            .agg(F.sum("_c").alias("_c"))
+        )
+        ranks = nodes.join(contrib, "n", "left").select(
+            "n",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0))
+            ).alias("r"),
+        ).localCheckpoint()
+    return ranks.select(F.col("n").alias("entity"), F.col("r").alias("rank"))
