@@ -361,6 +361,71 @@ def classify_tag_decode_stage(
     return pruned.mapInPandas(run, schema=_DECODED_FIELDS)
 
 
+_UNIT_FIELDS = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("predicate", T.StringType()),
+        T.StructField("subjects", T.ArrayType(T.StringType())),
+        T.StructField("objects", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def extract_units_per_text(
+    texts: DataFrame,
+    kb_broadcast,
+    threshold: float = THRESHOLD,
+    fallback_k: int = FALLBACK_K,
+    min_entity_len: int | None = None,
+) -> DataFrame:
+    """The fused classify→tag→decode kernel keyed by TEXT alone:
+    (text, predicate, subjects, objects) per fired work unit, for a
+    DataFrame of DISTINCT texts.
+
+    This is the collapse-duplicates fast path's kernel half
+    (plans/pipeline.py): extraction is a pure function of the text,
+    so a corpus with duplicate turn text — the dominant redundancy in
+    agent transcripts ("ok", tool boilerplate, retried turns) — pays
+    the kernel once per distinct text globally, not once per copy
+    (the per-partition memo in KnowledgeBase.extract_batch only
+    collapses copies that land in the same partition). Same
+    fired/fallback regime restriction as classify_tag_decode_stage;
+    emits PRE-CLEANED units when ``min_entity_len`` is set.
+    """
+    if not (0.5 <= threshold < 1.0):
+        raise ValueError(
+            "extract_units_per_text requires 0.5 <= threshold < 1.0; "
+            f"got {threshold} — use classify_stage + tag_decode_stage"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kb = _kb_from_broadcast(kb_broadcast)
+        for pdf in batches:
+            per_row = kb.extract_batch(
+                pdf["text"],
+                threshold=threshold,
+                fallback_k=fallback_k,
+                min_entity_len=min_entity_len,
+            )
+            tx, pr, su, ob = [], [], [], []
+            for text, units in zip(pdf["text"], per_row):
+                for predicate, subjects, objects in units:
+                    tx.append(text)
+                    pr.append(predicate)
+                    su.append(subjects)
+                    ob.append(objects)
+            yield pd.DataFrame(
+                {
+                    "text": pd.Series(tx, dtype=object),
+                    "predicate": pd.Series(pr, dtype=object),
+                    "subjects": pd.Series(su, dtype=object),
+                    "objects": pd.Series(ob, dtype=object),
+                }
+            )
+
+    return texts.select("text").mapInPandas(run, schema=_UNIT_FIELDS)
+
+
 def first_listed_schema(schemas_df: DataFrame) -> DataFrame:
     """Collapse the 50-row schema dim to first-listed
     (subject_type, object_type) per predicate — the reference takes

@@ -130,6 +130,39 @@ def test_fused_path_matches_staged_path(spark, world, transcripts_pdf):
         assert len(pre) == len(staged)
 
 
+def test_collapse_duplicate_texts_parity(spark, world, transcripts_pdf):
+    """The collapse-distinct-texts fast path (kernel once per distinct
+    text globally + join-back) must be ROW-exact — not just
+    key-set-exact — with the uncollapsed fused path, on a corpus where
+    the same turn text recurs across conversations (the agent-
+    transcript shape the collapse targets)."""
+    reps = []
+    for i in range(3):
+        r = transcripts_pdf.copy()
+        r["conv_id"] = r["conv_id"] + f"_rep{i}"
+        reps.append(r)
+    corpus = pd.concat(reps, ignore_index=True)
+    tdf = spark.createDataFrame(corpus, schema=S.TRANSCRIPTS)
+    kb = spark.createDataFrame(world.kb_clean, schema=S.KNOWLEDGE_BASE)
+    sch = spark.createDataFrame(world.schemas, schema=S.RELATION_SCHEMAS)
+    on = extract_triples(
+        spark, tdf, kb, sch, collapse_duplicate_texts=True
+    ).toPandas()
+    off = extract_triples(
+        spark, tdf, kb, sch, collapse_duplicate_texts=False
+    ).toPandas()
+    cols = sorted(on.columns)
+    as_rows = lambda p: sorted(  # noqa: E731
+        p[cols].itertuples(index=False, name=None)
+    )
+    assert len(on) == len(off) > 0
+    assert as_rows(on) == as_rows(off)
+    # Each replica must carry the full triple set (join-back fan-out
+    # reaches every copy, not just one representative).
+    per_rep = on.groupby(on.conv_id.str[-4:]).size()
+    assert per_rep.nunique() == 1 and len(per_rep) == 3
+
+
 def test_empty_input_yields_empty_triples(spark, world):
     """Degenerate input: zero turns must produce zero triples through
     the fused path without error (schema intact)."""
