@@ -36,6 +36,13 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Training-data curation ops added this round: deterministic
+    # hash split, mixture re-weighting rates, PII-style redaction,
+    # and corrupted-object negative sampling over the triples.
+    "ta_split",
+    "ta_domain_mix",
+    "ta_redact",
+    "kg_neg_sampling",
     # Incremental batch-vs-index dedup added this round; the shared
     # band/first-band-wins helpers were refactored under the other
     # LSH queries at the same time.

@@ -787,6 +787,101 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hop1.unionAll(hop2).withColumnRenamed("dst", "entity")
 
 
+# --- Negative sampling for KG-embedding training ---------------------------
+#
+# The training-data op a KG feeds downstream: for every positive
+# triple, a corrupted-object NEGATIVE that is (a) drawn from a
+# bounded candidate pool (top-16 objects by support — the frequency
+# sampling TransE-style trainers use), (b) NOT a true triple, and
+# (c) DETERMINISTIC — picked by argmin md5(s|p|o|cand), so reruns and
+# resumed jobs emit the same negatives without any shared RNG state.
+# Plan shape at 100 TB: the candidate pool is a broadcast 16-row dim
+# (its TakeOrdered is a partial-agg + driver merge), the ×16
+# expansion is narrow, the not-a-true-triple check is an equi-key
+# anti-join on (s, p, candidate) vs (s, p, o), and the final argmin
+# is one groupBy on the (s, p, o) key — no window, no global sort.
+
+
+def _neg_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH t AS (
+  SELECT DISTINCT subject, predicate, object FROM {g}
+), cand AS (
+  SELECT object AS c FROM t GROUP BY object
+  ORDER BY count(*) DESC, object LIMIT 16
+), expanded AS (
+  SELECT t.subject, t.predicate, t.object, cand.c,
+         md5(t.subject || '|' || t.predicate || '|' || t.object
+             || '|' || cand.c) AS h
+  FROM t CROSS JOIN cand
+  WHERE cand.c <> t.object
+), valid AS (
+  SELECT e.* FROM expanded e
+  LEFT JOIN t ON t.subject = e.subject AND t.predicate = e.predicate
+             AND t.object = e.c
+  WHERE t.subject IS NULL
+)
+SELECT subject, predicate, object,
+       min_by(c, h) AS neg_object,
+       CAST(count(*) AS BIGINT) AS n_candidates
+FROM valid GROUP BY subject, predicate, object
+"""
+
+
+_NEG_ORACLE = _neg_oracle_sql("/root/testdata/sf0.01")
+
+
+def negative_samples(t: DataFrame, pool_size: int = 16) -> DataFrame:
+    """Core of kg_neg_sampling over an already-distinct
+    (subject, predicate, object) DataFrame. Kept separate so tests can
+    drive it with hand-built triple tables (test_curation_ops)."""
+    cand = (
+        t.groupBy("object")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "object")
+        .limit(pool_size)
+        .select(F.col("object").alias("c"))
+    )
+    expanded = (
+        t.crossJoin(F.broadcast(cand))
+        .filter(F.col("c") != F.col("object"))
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat_ws("|", "subject", "predicate", "object", "c")
+            ),
+        )
+    )
+    valid = expanded.join(
+        t.select(
+            "subject", "predicate", F.col("object").alias("c")
+        ),
+        ["subject", "predicate", "c"],
+        "left_anti",
+    )
+    return valid.groupBy("subject", "predicate", "object").agg(
+        F.min_by("c", "h").alias("neg_object"),
+        F.count("*").cast("long").alias("n_candidates"),
+    )
+
+
+@_q("kg_neg_sampling", _NEG_ORACLE)
+def kg_neg_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corrupted-object negatives (see block comment).
+    The distinct triple projection is localCheckpointed so the live
+    extraction pipeline executes once, not once per reuse (candidate
+    ranking / expansion / anti-join all branch off it)."""
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_neg_sampling"] = _neg_oracle_sql(sf_dir)
+    t = (
+        triples.select("subject", "predicate", "object")
+        .distinct()
+        .localCheckpoint()
+    )
+    return negative_samples(t, pool_size=16)
+
+
 @_q("kg_pagerank", _PAGERANK_ORACLE)
 def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration (k=3, d=0.85) PageRank over the directed

@@ -1152,3 +1152,189 @@ def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
         ).alias("fingerprint"),
     )
+
+
+# --- Deterministic train/val/test split ---------------------------------------
+#
+# The split every training pipeline needs: assign each document to
+# train/val/test by a HASH of its id, never by position or random() —
+# reruns, backfills, and late-arriving shards land in the same split
+# forever, and the assignment needs no coordination (no global sort,
+# no shuffle at all: one narrow projection). Bucket = first two md5
+# hex digits → [0, 256); test < 13 (~5%), val < 26 (~5%), train rest.
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_val_sql(expr: str, k: int) -> str:
+    """Portable hex-digit → int for digit k (1-based) of md5(expr)."""
+    return f"(strpos('{_HEX}', substring(md5({expr}), {k}, 1)) - 1)"
+
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CAST({_hex_val_sql('CAST(doc_id AS VARCHAR)', 1)} * 16
+            + {_hex_val_sql('CAST(doc_id AS VARCHAR)', 2)} AS INT) AS bucket,
+       CASE WHEN {_hex_val_sql('CAST(doc_id AS VARCHAR)', 1)} * 16
+                 + {_hex_val_sql('CAST(doc_id AS VARCHAR)', 2)} < 13 THEN 'test'
+            WHEN {_hex_val_sql('CAST(doc_id AS VARCHAR)', 1)} * 16
+                 + {_hex_val_sql('CAST(doc_id AS VARCHAR)', 2)} < 26 THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+@_q("ta_split", _SPLIT_ORACLE)
+def ta_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket split assignment. Narrow (zero-shuffle) projection;
+    at 100 TB this is a free extra column on an existing scan, and the
+    split is stable under re-partitioning, re-ordering, and appends —
+    the property random()/monotonically_increasing_id splits lack."""
+    d = _docs(spark, sf_dir)
+    # locate(dynamic_char, const_string) needs expr() — F.locate only
+    # accepts a literal substring argument.
+    v = F.expr(
+        f"(locate(substring(md5(cast(doc_id as string)), 1, 1), '{_HEX}') - 1) * 16"
+        f" + (locate(substring(md5(cast(doc_id as string)), 2, 1), '{_HEX}') - 1)"
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        v.alias("bucket"),
+        F.when(v < 13, "test").when(v < 26, "val").otherwise("train").alias(
+            "split"
+        ),
+    )
+
+
+# --- Data-mixture rates (domain/language re-weighting) -------------------------
+#
+# The pretraining-mix op: given per-language token mass, compute the
+# per-language KEEP RATE that moves the corpus toward a uniform
+# target mixture (rate = min(1, fair_share / lang_tokens)). One
+# groupBy on a low-cardinality key (map-side combine does nearly all
+# the work), then a broadcast of the 1-row totals — the per-doc pass
+# that APPLIES the rate is ta_split's narrow projection with the rate
+# joined in (broadcast, bounded by #languages).
+
+_MIX_ORACLE = """
+WITH per_doc AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), per_lang AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+  FROM per_doc GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(lang_tokens) AS DOUBLE) AS total,
+         CAST(count(*) AS DOUBLE) AS n_langs
+  FROM per_lang
+)
+SELECT p.lang, p.n_docs, p.lang_tokens,
+       round(p.lang_tokens / t.total, 4) AS share,
+       round(least(1.0, (t.total / t.n_langs) / p.lang_tokens), 4)
+         AS keep_rate
+FROM per_lang p CROSS JOIN tot t
+"""
+
+
+@_q("ta_domain_mix", _MIX_ORACLE)
+def ta_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    per_lang = (
+        d.select(
+            "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("lang_tokens"),
+        )
+    )
+    tot = per_lang.agg(
+        F.sum("lang_tokens").cast("double").alias("total"),
+        F.count("*").cast("double").alias("n_langs"),
+    )
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        F.round(F.col("lang_tokens") / F.col("total"), 4).alias("share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("total") / F.col("n_langs")) / F.col("lang_tokens"),
+            ),
+            4,
+        ).alias("keep_rate"),
+    )
+
+
+# --- PII-style redaction --------------------------------------------------------
+#
+# The scrub pass a web corpus runs before training: regex-replace
+# emails and long opaque ids, count what was removed. The synthetic
+# documents contain no PII-shaped tokens (checked), so the fixture
+# INJECTS them deterministically from doc_id — on ~3/4 of docs an
+# email, on ~1/2 a 32-hex id (md5-digit gates), so the counts vary
+# per row and the regexes are load-bearing on both engines. Narrow
+# per-row pass, zero shuffles; Java regex and RE2 agree on these
+# patterns (character classes, bounded repeats, \\b).
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+_HEXID_RE = "\\b[0-9a-f]{32}\\b"
+
+_REDACT_ORACLE = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN {_hex_val_sql('CAST(doc_id AS VARCHAR)', 1)} < 12
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN {_hex_val_sql('CAST(doc_id AS VARCHAR)', 2)} < 8
+                 THEN ' session ' || md5(CAST(doc_id AS VARCHAR)) || ' end'
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_HEXID_RE}')) AS BIGINT)
+         AS n_hex_ids,
+       regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_HEXID_RE}', '<ID>', 'g') AS redacted
+FROM injected
+"""
+
+
+@_q("ta_redact", _REDACT_ORACLE)
+def ta_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    h1 = F.expr(f"locate(substring(md5(cast(doc_id as string)), 1, 1), '{_HEX}') - 1")
+    h2 = F.expr(f"locate(substring(md5(cast(doc_id as string)), 2, 1), '{_HEX}') - 1")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            h1 < 12,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            h2 < 8,
+            F.concat(F.lit(" session "), F.md5(F.col("doc_id").cast("string")), F.lit(" end")),
+        ).otherwise(""),
+    )
+    inj = d.select("doc_id", t.alias("t"))
+    return inj.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_HEXID_RE), 0))
+        .cast("long")
+        .alias("n_hex_ids"),
+        F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"),
+            _HEXID_RE,
+            "<ID>",
+        ).alias("redacted"),
+    )
