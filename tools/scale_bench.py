@@ -94,6 +94,19 @@ def main() -> int:
 
     ranked = sorted(pairs, key=pair_eff)
     all_effs = [round(pair_eff(p), 3) for p in ranked]
+    # Per-pair evidence: each bench run samples /proc/stat steal% over
+    # its own e2e window, so a noise-degraded pair is attributable
+    # inline instead of needing post-hoc adjudication.
+    pair_evidence = [
+        {
+            "t_n": p[0]["queries"]["kg_extract_e2e"],
+            "t_4n": p[1]["queries"]["kg_extract_e2e"],
+            "eff": round(pair_eff(p), 3),
+            "steal_n_pct": p[0].get("host_e2e", {}).get("steal_pct"),
+            "steal_4n_pct": p[1].get("host_e2e", {}).get("steal_pct"),
+        }
+        for p in pairs
+    ]
     # The median pair's numbers are reported AS MEASURED — never
     # stitched with samples from another trial (ADVICE r01: the old
     # merge presented trial-0 per-query timings under the median
@@ -129,6 +142,14 @@ Python worker has paid its import cost before timing.
 Median of three back-to-back (N, 4N) pairs; all pair efficiencies
 this run: {all_effs} (shared-VM drift makes any single pair
 unreliable — one degraded-N sample even reads super-linear).
+
+Per-pair evidence (in measurement order; steal% sampled from
+/proc/stat over each run's own e2e window, so a degraded pair is
+attributable inline):
+
+```json
+{json.dumps(pair_evidence, indent=2)}
+```
 
 Environment control: a pure-CPU multiprocessing burn on this VM
 scales at ~0.89-0.93 efficiency over the same core range (VM
@@ -166,6 +187,7 @@ Determinism: both runs produce identical triple counts
                 "tp_4n": tp_4n,
                 "n": n,
                 "n4": n4,
+                "pairs": pair_evidence,
             }
         )
     )
