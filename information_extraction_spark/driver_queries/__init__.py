@@ -36,6 +36,14 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # KG post-extraction ops added this round: per-triple support
+    # aggregation and insert-only incremental MERGE into the base
+    # graph; plus train/eval 8-gram decontamination and unigram-LM
+    # perplexity scoring on the curation side.
+    "kg_triple_support",
+    "kg_incremental_merge",
+    "ta_contamination",
+    "ta_perplexity",
     # Training-data curation ops added this round: deterministic
     # hash split, mixture re-weighting rates, PII-style redaction,
     # and corrupted-object negative sampling over the triples.

@@ -1338,3 +1338,167 @@ def ta_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<ID>",
         ).alias("redacted"),
     )
+
+
+# --- Train/eval decontamination -------------------------------------------------
+#
+# The overlap check every serious pretraining pipeline runs before
+# training: does any evaluation document share a long n-gram with the
+# training split? (The GPT-3/PaLM reports document exactly this
+# 8-to-13-gram scan.) Split = the same md5-bucket rule as ta_split
+# (eval = test+val buckets, < 26/256); n-gram = word 8-gram, hashed to
+# md5 so the join key is fixed-width (never ship raw 8-grams through a
+# shuffle). At sf0.01 this is load-bearing: 5 of 69 eval docs hit the
+# train split (270 distinct contaminated grams) — near-dup docs that
+# landed on opposite sides of the hash split.
+#
+# Scale shape: the eval side is SMALL by construction (benchmarks are
+# thousands of docs; train is the 100 TB side), so the eval gram set is
+# BROADCAST and the train corpus streams past it in one narrow pass —
+# no shuffle of the train side at all. The per-doc distinct-hit count
+# then aggregates join output bounded by |eval grams| x train
+# multiplicity, grouped on the (tiny) eval doc id. The train side is
+# deliberately NOT pre-distinct'ed: that would be a corpus-wide
+# shuffle; countDistinct after the broadcast join does the same dedup
+# on the small side.
+
+_CONTAM_EVAL = (
+    f"{_hex_val_sql('CAST(doc_id AS VARCHAR)', 1)} * 16"
+    f" + {_hex_val_sql('CAST(doc_id AS VARCHAR)', 2)} < 26"
+)
+
+_CONTAM_ORACLE = f"""
+WITH split AS (
+  SELECT doc_id, text, {_CONTAM_EVAL} AS is_eval FROM documents
+), grams AS (
+  SELECT doc_id, is_eval,
+         unnest(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 7, 0) + 1),
+           i -> md5(array_to_string(string_split(text, ' ')[i:i+7], ' '))
+         )) AS g
+  FROM split
+), ev AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE is_eval
+), tr AS (
+  SELECT DISTINCT g FROM grams WHERE NOT is_eval
+), n_ev AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM ev GROUP BY doc_id
+), hits AS (
+  SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ev JOIN tr USING (g) GROUP BY ev.doc_id
+)
+SELECT s.doc_id,
+       COALESCE(n_ev.n_grams, 0) AS n_grams,
+       COALESCE(hits.n_hits, 0) AS n_hits,
+       CAST(COALESCE(hits.n_hits, 0) > 0 AS INT) AS contaminated
+FROM split s
+LEFT JOIN n_ev USING (doc_id)
+LEFT JOIN hits USING (doc_id)
+WHERE s.is_eval
+"""
+
+
+@_q("ta_contamination", _CONTAM_ORACLE)
+def ta_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    is_eval = (
+        F.expr(
+            f"(locate(substring(md5(cast(doc_id as string)), 1, 1), '{_HEX}') - 1) * 16"
+            f" + (locate(substring(md5(cast(doc_id as string)), 2, 1), '{_HEX}') - 1)"
+        )
+        < 26
+    )
+    words = F.split("text", " ")
+    positions = F.when(
+        F.size(words) >= 8, F.sequence(F.lit(1), F.size(words) - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    split = d.select("doc_id", is_eval.alias("is_eval"), "text")
+    grams = split.withColumn("pos", F.explode(positions)).select(
+        "doc_id",
+        "is_eval",
+        F.md5(F.concat_ws(" ", F.slice(words, F.col("pos"), 8))).alias("g"),
+    )
+    ev = (
+        grams.filter("is_eval").select("doc_id", "g").distinct()
+    )
+    tr = grams.filter(~F.col("is_eval")).select("g")
+    n_ev = ev.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
+    # Broadcast the (small) eval gram set; the train side streams past
+    # it unshuffled. countDistinct dedups the train multiplicity on the
+    # already-small join output.
+    hits = (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").cast("long").alias("n_hits"))
+    )
+    # Both per-eval-doc aggregates are bounded by the (small) eval
+    # side but arrive as aggregation outputs with no stats — hint the
+    # broadcast explicitly or the final assembly pays two SMJ
+    # exchanges on the doc_id key.
+    return (
+        split.filter("is_eval")
+        .select("doc_id")
+        .join(F.broadcast(n_ev), "doc_id", "left")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# --- Unigram-LM perplexity scoring ----------------------------------------------
+#
+# The CCNet-style quality gate: score each document by the mean
+# negative log-likelihood (nats) of its tokens under a unigram LM
+# fitted on the WHOLE corpus — rare-token-soup documents score high
+# and get filtered. (CCNet uses a KenLM 5-gram; the unigram variant is
+# the same pipeline shape with an exactly-SQL-expressible model, which
+# is what makes it value-oracle-checkable here.)
+#
+# Scale shape: the LM build is one map-side-combined groupBy on the
+# token; the scoring join is token → (count) against a VOCAB-BOUNDED
+# table (Heaps' law: ~millions of types for 100 TB of tokens), so it
+# broadcasts — the corpus streams past the model in one narrow pass,
+# then aggregates per doc_id. Float discipline: both engines average
+# full doubles and round to 4dp only at the end; perplexity
+# exponentiates the UNROUNDED mean.
+
+_PPL_ORACLE = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), lm AS (
+  SELECT word, CAST(count(*) AS DOUBLE) AS c FROM w GROUP BY word
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM w
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(lm.c / tot.n)), 4) AS xent,
+       round(exp(avg(-ln(lm.c / tot.n))), 4) AS ppl
+FROM w JOIN lm USING (word) CROSS JOIN tot
+GROUP BY w.doc_id
+"""
+
+
+@_q("ta_perplexity", _PPL_ORACLE)
+def ta_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _docs(spark, sf_dir), "doc_id")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    lm = w.groupBy("word").agg(F.count("*").cast("double").alias("c"))
+    tot = lm.agg(F.sum("c").alias("n"))
+    nll = -F.log(F.col("c") / F.col("n"))
+    return (
+        w.join(F.broadcast(lm), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(nll), 4).alias("xent"),
+            F.round(F.exp(F.avg(nll)), 4).alias("ppl"),
+        )
+    )

@@ -52,6 +52,58 @@ def triple_edges(triples: DataFrame) -> DataFrame:
     )
 
 
+def triple_support(triples: DataFrame) -> DataFrame:
+    """Collapse repeated extractions of the same (subject, predicate,
+    object) into per-triple support evidence: how many turns re-assert
+    the triple, across how many distinct conversations, and the
+    earliest turn index it appeared at.
+
+    This is the canonicalization step between raw extraction and the
+    graph table a consumer trusts — a triple asserted by 40
+    conversations is evidence; one asserted by a single turn of a
+    single conversation is a candidate (the reference emits raw
+    per-sentence triples, produce_submit_json_file.py:298-313; support
+    aggregation is what a KG builder layers on top before
+    materializing).
+
+    Scale shape: ONE shuffle on the full (s, p, o) key with map-side
+    partial aggregation — hot triples (head facts re-asserted by
+    millions of turns) combine within each map task before the
+    exchange, so the shuffle carries one row per (partition, triple),
+    not per assertion. count(DISTINCT conv_id) expands to a two-phase
+    aggregate on the same key, no extra wide dependency.
+    """
+    return triples.groupBy("subject", "predicate", "object").agg(
+        F.count("*").cast("long").alias("support"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.min("turn_idx").cast("int").alias("first_turn"),
+    )
+
+
+def merge_new_triples(base: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Distinct incoming (subject, predicate, object) rows NOT already
+    present in the base graph — the insert half of an Iceberg
+    ``MERGE INTO graph USING batch ON (s,p,o) WHEN NOT MATCHED THEN
+    INSERT`` (the emulated-Iceberg counterpart of the snapshot
+    append in operators/checkpoint.py).
+
+    Scale shape: both sides shuffle ONCE on the same (s, p, o) key —
+    the incoming distinct and the anti-join share the partitioning, so
+    Catalyst reuses the exchange; the base side streams sorted
+    partitions (SortMergeJoin, LeftAnti). Nothing is broadcast: at
+    100 TB the base graph is the big side and an incremental batch can
+    itself be arbitrarily large, so the key-partitioned anti-join is
+    the only shape that survives both directions. AQE downgrades to a
+    broadcast anti-join automatically when a micro-batch is small.
+    """
+    key = ["subject", "predicate", "object"]
+    return (
+        incoming.select(*key)
+        .distinct()
+        .join(base.select(*key).distinct(), key, "left_anti")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,

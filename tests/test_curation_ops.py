@@ -168,3 +168,94 @@ def test_negative_samples_match_bruteforce(spark):
     for (s, p, o), (neg, _) in got.items():
         assert (s, p, neg) not in true
         assert neg != o
+
+
+# --- ta_contamination --------------------------------------------------------
+
+
+def _bucket(doc_id: int) -> int:
+    h = _md5(str(doc_id))
+    hexd = "0123456789abcdef"
+    return hexd.index(h[0]) * 16 + hexd.index(h[1])
+
+
+def _grams8(text: str) -> set[str]:
+    ws = text.split(" ")
+    return {
+        " ".join(ws[i : i + 8]) for i in range(len(ws) - 7)
+    }
+
+
+def test_ta_contamination_hand_built(spark, tmp_dir):
+    from information_extraction_spark.driver_queries.textdata import (
+        ta_contamination,
+    )
+
+    # Deterministically pick ids on each side of the md5-bucket split
+    # (eval = bucket < 26) — same rule hashlib-side as the operator.
+    eval_ids = [i for i in range(300) if _bucket(i) < 26]
+    train_ids = [i for i in range(300) if _bucket(i) >= 26]
+    run = "q w e r t y u i"  # the shared 8-gram (exactly 8 words)
+    texts = {
+        # eval doc embedding the shared run among filler -> 3 grams,
+        # exactly 1 contaminated (only the run itself recurs in train)
+        eval_ids[0]: f"z1 {run} z2",
+        # clean eval doc, >= 8 words, zero hits
+        eval_ids[1]: "c1 c2 c3 c4 c5 c6 c7 c8 c9",
+        # short eval doc: no 8-grams at all
+        eval_ids[2]: "tiny doc",
+        # train doc carrying the run
+        train_ids[0]: f"t1 t2 {run} t3",
+        # unrelated train doc
+        train_ids[1]: "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10",
+    }
+    rows = [(i, t, "en") for i, t in sorted(texts.items())]
+    sf = _write_docs(spark, tmp_dir, rows, "contam_sf")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["contaminated"])
+        for r in ta_contamination(spark, sf).collect()
+    }
+    # Independent brute force over the same split/gram definitions.
+    train_grams = set()
+    for i in (train_ids[0], train_ids[1]):
+        train_grams |= _grams8(texts[i])
+    expect = {}
+    for i in (eval_ids[0], eval_ids[1], eval_ids[2]):
+        g = _grams8(texts[i])
+        hits = len(g & train_grams)
+        expect[i] = (len(g), hits, int(hits > 0))
+    assert got == expect
+    # And the crafted corpus is load-bearing: one contaminated doc,
+    # one clean long doc, one zero-gram doc.
+    flags = sorted(v[2] for v in got.values())
+    assert flags == [0, 0, 1]
+    assert got[eval_ids[2]][0] == 0
+
+
+# --- ta_perplexity -----------------------------------------------------------
+
+
+def test_ta_perplexity_hand_built(spark, tmp_dir):
+    import math
+
+    from information_extraction_spark.driver_queries.textdata import (
+        ta_perplexity,
+    )
+
+    rows = [
+        (0, "a a b", "en"),
+        (1, "b c", "en"),
+    ]
+    sf = _write_docs(spark, tmp_dir, rows, "ppl_sf")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["xent"], r["ppl"])
+        for r in ta_perplexity(spark, sf).collect()
+    }
+    # Unigram LM over the 5-token corpus: p(a)=2/5, p(b)=2/5, p(c)=1/5.
+    pa, pb, pc = 2 / 5, 2 / 5, 1 / 5
+    x0 = -(math.log(pa) + math.log(pa) + math.log(pb)) / 3
+    x1 = -(math.log(pb) + math.log(pc)) / 2
+    assert got[0] == (3, pytest.approx(round(x0, 4)), pytest.approx(round(math.exp(x0), 4)))
+    assert got[1] == (2, pytest.approx(round(x1, 4)), pytest.approx(round(math.exp(x1), 4)))
+    # Rarer-token doc scores strictly higher (the filtering property).
+    assert got[1][1] > got[0][1]

@@ -78,3 +78,69 @@ def test_pagerank_zero_iterations_is_uniform(spark):
     got = pagerank(df, iterations=0).collect()
     assert {r["rank"] for r in got} == {1.0}
     assert len(got) == 4
+
+
+# --- triple_support ---------------------------------------------------------
+
+
+def test_triple_support_counts_and_first_turn(spark):
+    from information_extraction_spark.operators.graph import triple_support
+
+    rows = [
+        # (conv_id, turn_idx, subject, predicate, object)
+        ("c1", 0, "s", "p", "o"),
+        ("c1", 2, "s", "p", "o"),   # re-asserted later in the same conv
+        ("c2", 5, "s", "p", "o"),   # and by a second conv
+        ("c1", 1, "s", "p", "o2"),  # different object => different triple
+        ("c3", 7, "x", "q", "y"),   # singleton
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string",
+    )
+    got = {
+        (r["subject"], r["predicate"], r["object"]): (
+            r["support"],
+            r["n_convs"],
+            r["first_turn"],
+        )
+        for r in triple_support(df).collect()
+    }
+    assert got == {
+        ("s", "p", "o"): (3, 2, 0),
+        ("s", "p", "o2"): (1, 1, 1),
+        ("x", "q", "y"): (1, 1, 7),
+    }
+
+
+# --- merge_new_triples ------------------------------------------------------
+
+
+def test_merge_new_triples_insert_only(spark):
+    from information_extraction_spark.operators.graph import (
+        merge_new_triples,
+    )
+
+    schema = "subject string, predicate string, object string"
+    base = spark.createDataFrame(
+        [("s1", "p", "o1"), ("s2", "p", "o2")], schema
+    )
+    incoming = spark.createDataFrame(
+        [
+            ("s1", "p", "o1"),  # already present -> suppressed
+            ("s3", "p", "o3"),  # new
+            ("s3", "p", "o3"),  # duplicate within the batch -> once
+            ("s2", "p", "oX"),  # same subject, new object -> new
+        ],
+        schema,
+    )
+    got = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in merge_new_triples(base, incoming).collect()
+    }
+    assert got == {("s3", "p", "o3"), ("s2", "p", "oX")}
+    # Empty batch merges to nothing; merging the base into itself too.
+    assert merge_new_triples(base, base).count() == 0
+    empty = spark.createDataFrame([], schema)
+    assert merge_new_triples(base, empty).count() == 0

@@ -87,6 +87,31 @@ PLAN_QUERIES = [
         "anti-join, the argmin pick one hash aggregate — no window, "
         "no global sort",
     ),
+    (
+        "kg_triple_support",
+        "support aggregation: ONE map-side-combined shuffle on the "
+        "full (s,p,o) key; countDistinct(conv_id) expands in-place "
+        "on the same key — no second wide dependency",
+    ),
+    (
+        "kg_incremental_merge",
+        "insert-only MERGE: base and incoming shuffle once on the "
+        "shared (s,p,o) key (distinct + LeftAnti reuse the exchange); "
+        "nothing broadcasts by default since BOTH sides are unbounded "
+        "at 100 TB (AQE may still downgrade a small batch)",
+    ),
+    (
+        "ta_contamination",
+        "decontamination: the (small) eval gram set BROADCASTS; the "
+        "train corpus streams past it in one narrow pass — no "
+        "corpus-wide shuffle or pre-distinct of the train side",
+    ),
+    (
+        "ta_perplexity",
+        "unigram-LM scoring: the vocab-bounded model broadcasts "
+        "(BroadcastHashJoin) so the corpus is scored in one narrow "
+        "pass, then one per-doc aggregation shuffle",
+    ),
 ]
 
 
