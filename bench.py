@@ -203,6 +203,9 @@ def main() -> int:
         "ann_lsh_bucketed",
         "ann_ivf_probe",
         "ann_ivf_pruned_probe",
+        "kg_triple_support",
+        "ta_contamination",
+        "ta_perplexity",
         "kg_bio_decode",
         "p7_vocab_build",
         "st_windowed_counts",

@@ -44,6 +44,9 @@ _CHANGED_THIS_ROUND = [
     "kg_incremental_merge",
     "ta_contamination",
     "ta_perplexity",
+    # Streaming incremental KG build: per-micro-batch support MERGE
+    # into a versioned graph state; final state == batch support.
+    "st_support_merge",
     # Training-data curation ops added this round: deterministic
     # hash split, mixture re-weighting rates, PII-style redaction,
     # and corrupted-object negative sampling over the triples.

@@ -390,3 +390,77 @@ def st_windowed_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(run_dir, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# --- Streaming incremental KG build (support-merge) --------------------------
+#
+# st_extract_triples proves incremental EXTRACTION (append-only sink
+# union == batch run); this proves incremental ACCUMULATION: each
+# micro-batch's extractions are support-aggregated and MERGED into a
+# persisted graph state (support/n_convs add, first_turn min — one
+# versioned-parquet "snapshot commit" per epoch, the emulated-Iceberg
+# MERGE shape). After 4 real micro-batches the final state must equal
+# the batch kg_triple_support over the whole corpus — the golden-based
+# oracle is literally the SAME SQL. Staging files are hash-partitioned
+# on conv_id so every conversation arrives wholly within one
+# micro-batch (the n_convs additivity contract; Kafka keyed by conv_id
+# at scale).
+
+from information_extraction_spark.driver_queries.kg import (  # noqa: E402
+    _support_oracle_sql as _kg_support_oracle_sql,
+)
+
+_ST_SUPPORT_DEFAULT = _kg_support_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("st_support_merge", _ST_SUPPORT_DEFAULT)
+def st_support_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.sources.from_documents import (
+        kb_from_documents,
+        transcripts_from_documents,
+    )
+    from information_extraction_spark.streaming.ingest import (
+        latest_support_state,
+        start_streaming_support_merge,
+    )
+
+    kg = _kg_mod()
+    kg._ensure_golden(spark, sf_dir)
+    ORACLES["st_support_merge"] = _kg_support_oracle_sql(sf_dir)
+
+    run_dir = tempfile.mkdtemp(prefix="ie_stream_support_")
+    src = os.path.join(run_dir, "src")
+    # 4 part files hash-partitioned on conv_id (conv never spans a
+    # file) + maxFilesPerTrigger=1 → 4 genuine micro-batches honoring
+    # the n_convs additivity contract.
+    transcripts_from_documents(spark, sf_dir).repartition(
+        4, "conv_id"
+    ).write.mode("overwrite").parquet(src)
+    kb, schemas = kb_from_documents(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    state_dir = os.path.join(run_dir, "state")
+    q = start_streaming_support_merge(
+        spark,
+        stream,
+        kb,
+        schemas,
+        state_dir,
+        os.path.join(run_dir, "ckpt"),
+        # backfill mode: cover the whole derived event-time span so no
+        # micro-batch is late (st_extract_triples' documented contract).
+        watermark="87600 hours",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = latest_support_state(spark, state_dir)
+    rows = state.collect()
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, state.schema)

@@ -101,6 +101,103 @@ def start_streaming_extraction(
     )
 
 
+def start_streaming_support_merge(
+    spark: SparkSession,
+    stream: DataFrame,
+    kb: DataFrame,
+    schemas: DataFrame,
+    state_dir: str,
+    checkpoint_path: str,
+    watermark: str = "10 minutes",
+):
+    """foreachBatch incremental KG BUILD (not just append): each
+    micro-batch is extracted through the batch pipeline, support-
+    aggregated (operators/graph.triple_support), and MERGED into a
+    persisted graph-state table — support/n_convs add, first_turn
+    takes the min. After the stream drains, the state table must equal
+    the batch triple_support over the full corpus; the st_support_merge
+    catalog query value-checks exactly that.
+
+    State versioning: each epoch reads the latest ``v=<k>`` directory
+    and writes ``v=<k+1>`` — never overwriting what it reads (a
+    parquet overwrite of the input deletes files mid-scan). This is
+    the snapshot-commit shape of the emulated Iceberg checkpoint layer
+    (operators/checkpoint.py); at scale each epoch is one Iceberg
+    MERGE commit and the versions are table snapshots.
+
+    Additivity contract: per-batch ``support`` sums are exact because
+    every assertion row belongs to exactly one micro-batch.
+    ``n_convs`` additionally requires each conv_id to arrive WHOLLY
+    within one micro-batch — the caller must stage/partition the
+    source by conv_id (Kafka keyed by conv_id at scale; the catalog
+    query repartitions its staging files on conv_id). A conversation
+    split across batches would double-count into n_convs.
+    """
+    import os
+
+    from information_extraction_spark.operators.graph import (
+        triple_support,
+    )
+    from information_extraction_spark.plans.pipeline import extract_triples
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(state_dir):
+            return []
+        out = []
+        for name in os.listdir(state_dir):
+            if name.startswith("v="):
+                try:
+                    out.append(int(name[2:]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_support = triple_support(
+            extract_triples(spark, batch_df, kb, schemas)
+        )
+        vs = _versions()
+        if vs:
+            old = spark.read.parquet(
+                os.path.join(state_dir, f"v={vs[-1]}")
+            )
+            merged_in = old.unionByName(batch_support)
+        else:
+            merged_in = batch_support
+        merged = merged_in.groupBy("subject", "predicate", "object").agg(
+            F.sum("support").cast("long").alias("support"),
+            F.sum("n_convs").cast("long").alias("n_convs"),
+            F.min("first_turn").cast("int").alias("first_turn"),
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v={(vs[-1] + 1) if vs else 0}")
+        )
+
+    return (
+        deduped_turns(stream, watermark=watermark)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
+def latest_support_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the most recent ``v=<k>`` state written by
+    start_streaming_support_merge."""
+    import os
+
+    vs = sorted(
+        int(n[2:])
+        for n in os.listdir(state_dir)
+        if n.startswith("v=") and n[2:].isdigit()
+    )
+    if not vs:
+        raise FileNotFoundError(f"no state versions under {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, f"v={vs[-1]}"))
+
+
 def start_conversation_sessions(
     stream: DataFrame,
     query_name: str = "conv_sessions",

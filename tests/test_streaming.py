@@ -189,3 +189,53 @@ def test_stateful_conversation_sessions(spark, tmp_dir):
     assert ("c2", 2, 2 * len("hello world")) in closed
     # Freshest conversation is still open.
     assert not any(r.conv_id == "c4" and r.closed for r in rows)
+
+
+def test_streaming_support_merge_matches_batch(
+    spark, world, transcripts_pdf, tmp_dir
+):
+    from information_extraction_spark.operators.graph import triple_support
+    from information_extraction_spark.streaming.ingest import (
+        latest_support_state,
+        start_streaming_support_merge,
+    )
+
+    src = os.path.join(tmp_dir, "support_src")
+    state = os.path.join(tmp_dir, "support_state")
+    ckpt = os.path.join(tmp_dir, "support_ckpt")
+    # Hash-partition staging on conv_id: the n_convs additivity
+    # contract requires each conversation wholly within one file.
+    spark.createDataFrame(transcripts_pdf, schema=S.TRANSCRIPTS).repartition(
+        4, "conv_id"
+    ).write.mode("overwrite").parquet(src)
+    kb = spark.createDataFrame(world.kb_clean, schema=S.KNOWLEDGE_BASE)
+    sch = spark.createDataFrame(world.schemas, schema=S.RELATION_SCHEMAS)
+    stream = (
+        spark.readStream.schema(S.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_streaming_support_merge(
+        spark, stream, kb, sch, state, ckpt, watermark="87600 hours"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Multiple genuine epochs: one state snapshot per non-empty batch.
+    versions = [n for n in os.listdir(state) if n.startswith("v=")]
+    assert len(versions) >= 3
+    got = sorted(
+        map(tuple, latest_support_state(spark, state).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            triple_support(
+                extract_triples(
+                    spark, read_transcripts(spark, src), kb, sch
+                )
+            ).collect(),
+        )
+    )
+    assert got == batch
