@@ -132,6 +132,17 @@ def start_streaming_support_merge(
     source by conv_id (Kafka keyed by conv_id at scale; the catalog
     query repartitions its staging files on conv_id). A conversation
     split across batches would double-count into n_convs.
+
+    Exactly-once: foreachBatch only guarantees AT-LEAST-once — after a
+    crash the engine replays the last epoch, and a blind re-merge
+    would double-count its support into the state. Each epoch
+    therefore COMMITS via a marker file (``_applied/<epoch_id>``,
+    written only after its ``v=<k>`` parquet completes, naming k), and
+    only marker-named versions are ever read: a replayed committed
+    epoch is skipped; a crash between parquet write and marker leaves
+    an orphan version dir that the replay simply overwrites (mode
+    overwrite) before committing. This is the manifest-commit
+    discipline of operators/checkpoint.py applied to the stream.
     """
     import os
 
@@ -140,40 +151,13 @@ def start_streaming_support_merge(
     )
     from information_extraction_spark.plans.pipeline import extract_triples
 
-    def _versions() -> list[int]:
-        if not os.path.isdir(state_dir):
-            return []
-        out = []
-        for name in os.listdir(state_dir):
-            if name.startswith("v="):
-                try:
-                    out.append(int(name[2:]))
-                except ValueError:
-                    continue
-        return sorted(out)
-
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         batch_support = triple_support(
             extract_triples(spark, batch_df, kb, schemas)
         )
-        vs = _versions()
-        if vs:
-            old = spark.read.parquet(
-                os.path.join(state_dir, f"v={vs[-1]}")
-            )
-            merged_in = old.unionByName(batch_support)
-        else:
-            merged_in = batch_support
-        merged = merged_in.groupBy("subject", "predicate", "object").agg(
-            F.sum("support").cast("long").alias("support"),
-            F.sum("n_convs").cast("long").alias("n_convs"),
-            F.min("first_turn").cast("int").alias("first_turn"),
-        )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v={(vs[-1] + 1) if vs else 0}")
-        )
+        merge_support_batch(spark, batch_support, state_dir, epoch_id)
 
     return (
         deduped_turns(stream, watermark=watermark)
@@ -183,18 +167,73 @@ def start_streaming_support_merge(
     )
 
 
-def latest_support_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Read the most recent ``v=<k>`` state written by
-    start_streaming_support_merge."""
+def merge_support_batch(
+    spark: SparkSession,
+    batch_support: DataFrame,
+    state_dir: str,
+    epoch_id: int,
+) -> None:
+    """One epoch's idempotent support merge (the foreachBatch body,
+    factored out so replay semantics are directly testable): skip if
+    the epoch's marker exists, else merge into the latest COMMITTED
+    version, write ``v=<k+1>`` (overwriting any orphan from a crash),
+    then commit the marker naming it."""
     import os
 
-    vs = sorted(
-        int(n[2:])
-        for n in os.listdir(state_dir)
-        if n.startswith("v=") and n[2:].isdigit()
+    applied_dir = os.path.join(state_dir, "_applied")
+    os.makedirs(applied_dir, exist_ok=True)
+    marker = os.path.join(applied_dir, str(epoch_id))
+    if os.path.exists(marker):
+        return  # replayed epoch already merged — exactly-once
+    vs = _committed_versions(state_dir)
+    if vs:
+        old = spark.read.parquet(os.path.join(state_dir, f"v={vs[-1]}"))
+        merged_in = old.unionByName(batch_support)
+    else:
+        merged_in = batch_support
+    merged = merged_in.groupBy("subject", "predicate", "object").agg(
+        F.sum("support").cast("long").alias("support"),
+        F.sum("n_convs").cast("long").alias("n_convs"),
+        F.min("first_turn").cast("int").alias("first_turn"),
     )
+    new_v = (vs[-1] + 1) if vs else 0
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"v={new_v}")
+    )
+    # Commit point: the marker names the version it produced; an
+    # unmarked version dir is an orphan from a crash and is never
+    # read (and gets overwritten by the replay).
+    with open(marker, "w") as f:
+        f.write(str(new_v))
+
+
+def _committed_versions(state_dir: str) -> list[int]:
+    """Version numbers named by epoch-commit markers, sorted."""
+    import os
+
+    applied = os.path.join(state_dir, "_applied")
+    if not os.path.isdir(applied):
+        return []
+    out = []
+    for name in os.listdir(applied):
+        with open(os.path.join(applied, name)) as f:
+            txt = f.read().strip()
+        if txt.isdigit():
+            out.append(int(txt))
+    return sorted(out)
+
+
+def latest_support_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the most recent COMMITTED ``v=<k>`` state written by
+    start_streaming_support_merge (orphan uncommitted dirs from a
+    crash are ignored)."""
+    import os
+
+    vs = _committed_versions(state_dir)
     if not vs:
-        raise FileNotFoundError(f"no state versions under {state_dir}")
+        raise FileNotFoundError(
+            f"no committed state versions under {state_dir}"
+        )
     return spark.read.parquet(os.path.join(state_dir, f"v={vs[-1]}"))
 
 

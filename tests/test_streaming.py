@@ -239,3 +239,45 @@ def test_streaming_support_merge_matches_batch(
         )
     )
     assert got == batch
+
+
+def test_support_merge_epoch_replay_is_exactly_once(spark, tmp_dir):
+    """foreachBatch is at-least-once: a replayed epoch must NOT
+    double-merge, and an orphan version dir from a crash (parquet
+    written, marker never committed) must be ignored and overwritten."""
+    from information_extraction_spark.streaming.ingest import (
+        latest_support_state,
+        merge_support_batch,
+    )
+
+    state = os.path.join(tmp_dir, "replay_state")
+    schema = (
+        "subject string, predicate string, object string, "
+        "support long, n_convs long, first_turn int"
+    )
+    b0 = spark.createDataFrame([("s", "p", "o", 2, 1, 0)], schema)
+    b1 = spark.createDataFrame(
+        [("s", "p", "o", 3, 2, 1), ("x", "q", "y", 1, 1, 5)], schema
+    )
+
+    def snapshot():
+        return sorted(map(tuple, latest_support_state(spark, state).collect()))
+
+    merge_support_batch(spark, b0, state, epoch_id=0)
+    merge_support_batch(spark, b1, state, epoch_id=1)
+    want = [("s", "p", "o", 5, 3, 0), ("x", "q", "y", 1, 1, 5)]
+    assert snapshot() == want
+    # Replay of a committed epoch: no double-count.
+    merge_support_batch(spark, b1, state, epoch_id=1)
+    assert snapshot() == want
+    # Crash simulation: an epoch wrote its parquet but never committed
+    # its marker — the orphan must be invisible to readers and get
+    # overwritten when the epoch replays.
+    orphan = os.path.join(state, "v=2")
+    b2 = spark.createDataFrame([("z", "r", "w", 9, 9, 9)], schema)
+    b2.write.mode("overwrite").parquet(orphan)  # garbage content
+    assert snapshot() == want  # reader ignores the orphan
+    merge_support_batch(spark, b2, state, epoch_id=2)
+    assert snapshot() == sorted(
+        want + [("z", "r", "w", 9, 9, 9)]
+    )
