@@ -269,12 +269,64 @@ from information_extraction_spark.driver_queries.kg import (  # noqa: E402
 _ST_EXTRACT_DEFAULT = _kg_oracle_sqls("/root/testdata/sf0.01")[0]
 
 
-@_q("st_extract_triples", _ST_EXTRACT_DEFAULT)
-def st_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stage_drain_transcripts(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    repartition_cols: tuple[str, ...],
+    start_fn,
+    read_result,
+) -> DataFrame:
+    """Shared scaffolding for the foreachBatch streaming queries:
+    stage the derived transcripts as 4 part files (optionally hash-
+    partitioned on ``repartition_cols``), stream them back one file
+    per trigger (4 genuine micro-batches), drain synchronously with
+    processAllAvailable, read the sink with ``read_result(run_dir)``,
+    and return the rows re-materialized driver-side (the run_dir —
+    staging, checkpoint, and sink — is deleted before returning, even
+    when the drain fails).
+
+    ``start_fn(stream, kb, schemas, run_dir)`` must start and return
+    the streaming query; checkpoints belong under
+    ``os.path.join(run_dir, "ckpt")``. Every caller uses the
+    '87600 hours' BACKFILL watermark (deduped_turns' documented
+    contract): file pickup order is not event-time order and the
+    derived event times span doc_id hours, so a live-sized watermark
+    would drop whole out-of-order micro-batches as late."""
     from information_extraction_spark.sources.from_documents import (
         kb_from_documents,
         transcripts_from_documents,
     )
+
+    run_dir = tempfile.mkdtemp(prefix=prefix)
+    try:
+        src = os.path.join(run_dir, "src")
+        t = transcripts_from_documents(spark, sf_dir).repartition(
+            4, *repartition_cols
+        )
+        t.write.mode("overwrite").parquet(src)
+        kb, schemas = kb_from_documents(spark, sf_dir)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = start_fn(stream, kb, schemas, run_dir)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = read_result(run_dir)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+
+
+@_q("st_extract_triples", _ST_EXTRACT_DEFAULT)
+def st_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from information_extraction_spark.streaming.ingest import (
         start_streaming_extraction,
     )
@@ -283,52 +335,42 @@ def st_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg._ensure_golden(spark, sf_dir)
     ORACLES["st_extract_triples"] = kg._oracle_sqls(sf_dir)[0]
 
-    run_dir = tempfile.mkdtemp(prefix="ie_stream_extract_")
-    src = os.path.join(run_dir, "src")
-    # 4 part files + maxFilesPerTrigger=1 → 4 genuine micro-batches.
-    transcripts_from_documents(spark, sf_dir).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
-    kb, schemas = kb_from_documents(spark, sf_dir)
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+    def start(stream, kb, schemas, run_dir):
+        return start_streaming_extraction(
+            spark,
+            stream,
+            kb,
+            schemas,
+            os.path.join(run_dir, "out"),
+            os.path.join(run_dir, "ckpt"),
+            watermark="87600 hours",
+        )
+
+    def read_result(run_dir):
+        cols = (
+            "conv_id string, turn_idx int, text string, predicate string, "
+            "subject string, object string, subject_type string, "
+            "object_type string"
+        )
+        # Known-schema read: a corpus yielding zero triples leaves no
+        # sink files, and inference on an empty dir would fail instead
+        # of returning the empty result the oracle produces. The sink's
+        # epoch_id column is per-run bookkeeping, not part of the
+        # result.
+        return (
+            spark.read.schema(cols)
+            .parquet(os.path.join(run_dir, "out"))
+            .select(
+                "conv_id", "turn_idx", "text", "predicate", "subject",
+                "object", "subject_type", "object_type",
+            )
+        )
+
+    # Row-level round-robin staging (no partition cols): extraction is
+    # per-turn, so batch composition is free to split conversations.
+    return _stage_drain_transcripts(
+        spark, sf_dir, "ie_stream_extract_", (), start, read_result
     )
-    out_dir = os.path.join(run_dir, "out")
-    q = start_streaming_extraction(
-        spark,
-        stream,
-        kb,
-        schemas,
-        out_dir,
-        os.path.join(run_dir, "ckpt"),
-        # backfill mode: cover the whole derived event-time span
-        # (doc_id hours apart) so no micro-batch is late.
-        watermark="87600 hours",
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    cols = (
-        "conv_id string, turn_idx int, text string, predicate string, "
-        "subject string, object string, subject_type string, "
-        "object_type string"
-    )
-    # Known-schema read: a corpus yielding zero triples leaves no sink
-    # files, and inference on an empty dir would fail instead of
-    # returning the empty result the oracle produces. The sink's
-    # epoch_id column is per-run bookkeeping, not part of the result.
-    out = spark.read.schema(cols).parquet(out_dir).select(
-        "conv_id", "turn_idx", "text", "predicate", "subject", "object",
-        "subject_type", "object_type",
-    )
-    rows = out.collect()
-    shutil.rmtree(run_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
 
 
 # Append mode emits a window only once the watermark STRICTLY passes
@@ -415,10 +457,6 @@ _ST_SUPPORT_DEFAULT = _kg_support_oracle_sql("/root/testdata/sf0.01")
 
 @_q("st_support_merge", _ST_SUPPORT_DEFAULT)
 def st_support_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from information_extraction_spark.sources.from_documents import (
-        kb_from_documents,
-        transcripts_from_documents,
-    )
     from information_extraction_spark.streaming.ingest import (
         latest_support_state,
         start_streaming_support_merge,
@@ -428,39 +466,25 @@ def st_support_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg._ensure_golden(spark, sf_dir)
     ORACLES["st_support_merge"] = _kg_support_oracle_sql(sf_dir)
 
-    run_dir = tempfile.mkdtemp(prefix="ie_stream_support_")
-    src = os.path.join(run_dir, "src")
-    # 4 part files hash-partitioned on conv_id (conv never spans a
-    # file) + maxFilesPerTrigger=1 → 4 genuine micro-batches honoring
-    # the n_convs additivity contract.
-    transcripts_from_documents(spark, sf_dir).repartition(
-        4, "conv_id"
-    ).write.mode("overwrite").parquet(src)
-    kb, schemas = kb_from_documents(spark, sf_dir)
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+    def start(stream, kb, schemas, run_dir):
+        return start_streaming_support_merge(
+            spark,
+            stream,
+            kb,
+            schemas,
+            os.path.join(run_dir, "state"),
+            os.path.join(run_dir, "ckpt"),
+            watermark="87600 hours",
+        )
+
+    def read_result(run_dir):
+        return latest_support_state(
+            spark, os.path.join(run_dir, "state")
+        )
+
+    # Staging hash-partitions on conv_id (conv never spans a file /
+    # micro-batch): the n_convs additivity contract.
+    return _stage_drain_transcripts(
+        spark, sf_dir, "ie_stream_support_", ("conv_id",), start,
+        read_result,
     )
-    state_dir = os.path.join(run_dir, "state")
-    q = start_streaming_support_merge(
-        spark,
-        stream,
-        kb,
-        schemas,
-        state_dir,
-        os.path.join(run_dir, "ckpt"),
-        # backfill mode: cover the whole derived event-time span so no
-        # micro-batch is late (st_extract_triples' documented contract).
-        watermark="87600 hours",
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    state = latest_support_state(spark, state_dir)
-    rows = state.collect()
-    shutil.rmtree(run_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, state.schema)

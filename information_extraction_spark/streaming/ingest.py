@@ -136,13 +136,18 @@ def start_streaming_support_merge(
     Exactly-once: foreachBatch only guarantees AT-LEAST-once — after a
     crash the engine replays the last epoch, and a blind re-merge
     would double-count its support into the state. Each epoch
-    therefore COMMITS via a marker file (``_applied/<epoch_id>``,
-    written only after its ``v=<k>`` parquet completes, naming k), and
-    only marker-named versions are ever read: a replayed committed
-    epoch is skipped; a crash between parquet write and marker leaves
-    an orphan version dir that the replay simply overwrites (mode
-    overwrite) before committing. This is the manifest-commit
-    discipline of operators/checkpoint.py applied to the stream.
+    therefore commits by ATOMICALLY replacing a single ``_committed``
+    pointer file (``<epoch_id>:<version>``, written to a temp name +
+    fsync + os.replace — no torn/partial marker is ever visible), and
+    only the pointed-at version is ever read. Structured Streaming
+    epoch ids are monotonically increasing across restarts (they come
+    from the checkpoint's offset log), so a replayed epoch satisfies
+    ``epoch_id <= committed_epoch`` and is skipped; a crash between
+    the version-parquet write and the pointer replace leaves an orphan
+    dir the replay overwrites before committing. Superseded version
+    dirs are pruned after each commit (Iceberg's snapshot-expiry
+    analogue), so the state dir holds O(1) versions and the commit
+    check is one small file read, regardless of stream lifetime.
     """
     import os
 
@@ -175,19 +180,20 @@ def merge_support_batch(
 ) -> None:
     """One epoch's idempotent support merge (the foreachBatch body,
     factored out so replay semantics are directly testable): skip if
-    the epoch's marker exists, else merge into the latest COMMITTED
-    version, write ``v=<k+1>`` (overwriting any orphan from a crash),
-    then commit the marker naming it."""
+    ``epoch_id`` is already covered by the ``_committed`` pointer,
+    else merge into the committed version, write ``v=<k+1>``
+    (overwriting any orphan from a crash), atomically advance the
+    pointer, and prune superseded version dirs."""
     import os
+    import shutil
 
-    applied_dir = os.path.join(state_dir, "_applied")
-    os.makedirs(applied_dir, exist_ok=True)
-    marker = os.path.join(applied_dir, str(epoch_id))
-    if os.path.exists(marker):
+    committed = committed_state(state_dir)
+    if committed is not None and epoch_id <= committed[0]:
         return  # replayed epoch already merged — exactly-once
-    vs = _committed_versions(state_dir)
-    if vs:
-        old = spark.read.parquet(os.path.join(state_dir, f"v={vs[-1]}"))
+    if committed is not None:
+        old = spark.read.parquet(
+            os.path.join(state_dir, f"v={committed[1]}")
+        )
         merged_in = old.unionByName(batch_support)
     else:
         merged_in = batch_support
@@ -196,45 +202,63 @@ def merge_support_batch(
         F.sum("n_convs").cast("long").alias("n_convs"),
         F.min("first_turn").cast("int").alias("first_turn"),
     )
-    new_v = (vs[-1] + 1) if vs else 0
+    new_v = (committed[1] + 1) if committed is not None else 0
+    os.makedirs(state_dir, exist_ok=True)
     merged.write.mode("overwrite").parquet(
         os.path.join(state_dir, f"v={new_v}")
     )
-    # Commit point: the marker names the version it produced; an
-    # unmarked version dir is an orphan from a crash and is never
-    # read (and gets overwritten by the replay).
-    with open(marker, "w") as f:
-        f.write(str(new_v))
+    # Commit point: temp-write + fsync + atomic replace — a reader (or
+    # a replay's skip check) sees either the old pointer or the new
+    # one, never a torn marker. An orphan v= dir from a crash before
+    # this line is invisible (the pointer still names the old version)
+    # and is overwritten when the epoch replays.
+    pointer = os.path.join(state_dir, "_committed")
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(f"{epoch_id}:{new_v}")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, pointer)
+    # Snapshot expiry: the previous committed version (and any orphan
+    # dirs) are superseded — prune so the state dir holds O(1)
+    # versions no matter how long the stream runs.
+    for name in os.listdir(state_dir):
+        if name.startswith("v=") and name != f"v={new_v}":
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
 
 
-def _committed_versions(state_dir: str) -> list[int]:
-    """Version numbers named by epoch-commit markers, sorted."""
+def committed_state(state_dir: str) -> tuple[int, int] | None:
+    """(last committed epoch_id, its state version), or None before
+    the first commit."""
     import os
 
-    applied = os.path.join(state_dir, "_applied")
-    if not os.path.isdir(applied):
-        return []
-    out = []
-    for name in os.listdir(applied):
-        with open(os.path.join(applied, name)) as f:
+    pointer = os.path.join(state_dir, "_committed")
+    try:
+        with open(pointer) as f:
             txt = f.read().strip()
-        if txt.isdigit():
-            out.append(int(txt))
-    return sorted(out)
+    except FileNotFoundError:
+        return None
+    epoch_s, _, version_s = txt.partition(":")
+    # os.replace is atomic, so a malformed pointer is corruption (a
+    # hand-edit or torn disk), not a crash artifact — fail loudly
+    # rather than silently restarting the state from scratch.
+    if not (epoch_s.lstrip("-").isdigit() and version_s.isdigit()):
+        raise ValueError(f"corrupt _committed pointer: {txt!r}")
+    return int(epoch_s), int(version_s)
 
 
 def latest_support_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Read the most recent COMMITTED ``v=<k>`` state written by
+    """Read the COMMITTED state written by
     start_streaming_support_merge (orphan uncommitted dirs from a
     crash are ignored)."""
     import os
 
-    vs = _committed_versions(state_dir)
-    if not vs:
+    committed = committed_state(state_dir)
+    if committed is None:
         raise FileNotFoundError(
             f"no committed state versions under {state_dir}"
         )
-    return spark.read.parquet(os.path.join(state_dir, f"v={vs[-1]}"))
+    return spark.read.parquet(os.path.join(state_dir, f"v={committed[1]}"))
 
 
 def start_conversation_sessions(

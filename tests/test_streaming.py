@@ -222,9 +222,17 @@ def test_streaming_support_merge_matches_batch(
         q.processAllAvailable()
     finally:
         q.stop()
-    # Multiple genuine epochs: one state snapshot per non-empty batch.
-    versions = [n for n in os.listdir(state) if n.startswith("v=")]
-    assert len(versions) >= 3
+    # Multiple genuine epochs reached the commit pointer (superseded
+    # version DIRS are pruned, so count epochs, not directories).
+    from information_extraction_spark.streaming.ingest import (
+        committed_state,
+    )
+
+    epoch, version = committed_state(state)
+    assert epoch >= 2 and version >= 2
+    assert [n for n in os.listdir(state) if n.startswith("v=")] == [
+        f"v={version}"
+    ]
     got = sorted(
         map(tuple, latest_support_state(spark, state).collect())
     )
@@ -270,14 +278,20 @@ def test_support_merge_epoch_replay_is_exactly_once(spark, tmp_dir):
     # Replay of a committed epoch: no double-count.
     merge_support_batch(spark, b1, state, epoch_id=1)
     assert snapshot() == want
-    # Crash simulation: an epoch wrote its parquet but never committed
-    # its marker — the orphan must be invisible to readers and get
-    # overwritten when the epoch replays.
+    # Crash simulation: an epoch wrote its parquet but crashed before
+    # advancing the _committed pointer — the orphan must be invisible
+    # to readers and get overwritten when the epoch replays.
     orphan = os.path.join(state, "v=2")
     b2 = spark.createDataFrame([("z", "r", "w", 9, 9, 9)], schema)
     b2.write.mode("overwrite").parquet(orphan)  # garbage content
     assert snapshot() == want  # reader ignores the orphan
     merge_support_batch(spark, b2, state, epoch_id=2)
-    assert snapshot() == sorted(
-        want + [("z", "r", "w", 9, 9, 9)]
+    assert snapshot() == sorted(want + [("z", "r", "w", 9, 9, 9)])
+    # Snapshot expiry: only the committed version dir survives.
+    from information_extraction_spark.streaming.ingest import (
+        committed_state,
     )
+
+    epoch, version = committed_state(state)
+    assert (epoch, version) == (2, 2)
+    assert [n for n in os.listdir(state) if n.startswith("v=")] == ["v=2"]

@@ -102,8 +102,10 @@ def main() -> int:
             "t_n": p[0]["queries"]["kg_extract_e2e"],
             "t_4n": p[1]["queries"]["kg_extract_e2e"],
             "eff": round(pair_eff(p), 3),
-            "steal_n_pct": p[0].get("host_e2e", {}).get("steal_pct"),
-            "steal_4n_pct": p[1].get("host_e2e", {}).get("steal_pct"),
+            # `host_e2e` can be present-but-null (unreadable /proc/stat)
+            # — `or {}` guards the value, not just the key.
+            "steal_n_pct": (p[0].get("host_e2e") or {}).get("steal_pct"),
+            "steal_4n_pct": (p[1].get("host_e2e") or {}).get("steal_pct"),
         }
         for p in pairs
     ]
