@@ -101,6 +101,56 @@ def main() -> int:
         .count()
     )
 
+    # --- Incremental KG build (support merge) leg -------------------
+    # Staged BY conv_id (the n_convs additivity contract — the
+    # event-time ntile chunks above can split a conversation across
+    # micro-batches), drained with the backfill watermark since conv-
+    # hash chunks span the whole time range.
+    from information_extraction_spark.operators.graph import (
+        triple_support,
+    )
+    from information_extraction_spark.streaming.ingest import (
+        latest_support_state,
+        start_streaming_support_merge,
+    )
+
+    src2 = os.path.join(base, "src_support")
+    transcripts.repartition(n_chunks, "conv_id").write.mode(
+        "overwrite"
+    ).parquet(src2)
+    state_dir = os.path.join(base, "state")
+    stream2 = (
+        spark.readStream.schema(S.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src2)
+    )
+    t0 = time.time()
+    q2 = start_streaming_support_merge(
+        spark,
+        stream2,
+        kb,
+        schemas,
+        state_dir,
+        os.path.join(base, "ckpt_support"),
+        watermark="87600 hours",
+    )
+    try:
+        q2.processAllAvailable()
+        merge_sec = time.time() - t0
+    finally:
+        q2.stop()
+    state = latest_support_state(spark, state_dir).cache()
+    n_state = state.count()
+    batch_support = triple_support(
+        extract_triples(spark, transcripts, kb, schemas)
+    ).cache()
+    support_parity = (
+        state.exceptAll(batch_support).count() == 0
+        and batch_support.exceptAll(state).count() == 0
+    )
+    batch_support.unpersist()
+    state.unpersist()
+
     md = f"""# Streaming ingest throughput — tools/stream_bench.py
 
 The transcripts corpus ({sf_dir}, replicate={replicate}, {n_turns}
@@ -124,6 +174,27 @@ Exactly-once is by idempotent sink key (conv_id, turn_idx, s, p, o);
 the micro-batch cadence costs scheduler overhead per trigger versus
 the single batch run, which is the expected trade for incremental
 arrival.
+
+## Incremental KG build (support merge)
+
+Same corpus staged as {n_chunks} conv_id-hash chunks (a conversation
+never spans a micro-batch — the n_convs additivity contract; the
+event-time chunks above would split conversations) through
+extract → triple_support → versioned-state MERGE with atomic
+epoch-commit pointers and snapshot expiry
+(streaming/ingest.start_streaming_support_merge).
+
+| metric | value |
+|---|---|
+| end-to-end drain | {merge_sec:.2f}s |
+| turns/sec | {n_turns / merge_sec:.0f} |
+| distinct triples in final state | {n_state} |
+| state equals batch triple_support (full row equality) | {support_parity} |
+
+The merge leg re-aggregates the accumulated state each epoch
+(state-sized shuffle per micro-batch on top of the extraction cost) —
+the price of a always-queryable consolidated graph vs the append
+sink's raw assertion log.
 """
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
@@ -131,7 +202,7 @@ arrival.
         f.write(md)
     print(md)
     shutil.rmtree(base, ignore_errors=True)
-    return 0 if n_stream == n_batch else 1
+    return 0 if (n_stream == n_batch and support_parity) else 1
 
 
 if __name__ == "__main__":
