@@ -204,6 +204,8 @@ def main() -> int:
         "ann_ivf_probe",
         "ann_ivf_pruned_probe",
         "kg_triple_support",
+        "kg_functional_resolve",
+        "kg_provenance",
         "ta_contamination",
         "ta_perplexity",
         "kg_bio_decode",

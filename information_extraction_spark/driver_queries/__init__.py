@@ -36,6 +36,13 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Consolidation layer above triple support, added this round:
+    # functional-slot conflict resolution (struct-max argmax),
+    # per-typed-predicate ontology profile, and k-bounded per-triple
+    # provenance pointers.
+    "kg_functional_resolve",
+    "kg_pred_profile",
+    "kg_provenance",
     # KG post-extraction ops added this round: per-triple support
     # aggregation and insert-only incremental MERGE into the base
     # graph; plus train/eval 8-gram decontamination and unigram-LM

@@ -1004,3 +1004,120 @@ def kg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.withColumn("origin", F.lit("base")).unionAll(
         new.withColumn("origin", F.lit("new"))
     )
+
+
+# --- Conflict resolution, ontology profile, provenance -----------------------
+#
+# The consolidation layer ABOVE support aggregation: (1) functional-
+# slot conflict resolution (one winning object per (s, p), audited by
+# candidate count + confidence — load-bearing on this corpus: 485 of
+# 494 (s, p) slots at sf0.01 carry >1 candidate object, 34 of them
+# tied on (support, n_convs) so the lexicographic tie-break is
+# exercised too); (2) the ontology profile a schema curator reads
+# (per typed predicate: volume + endpoint cardinalities +
+# functionality ratio); (3) per-triple provenance pointers back into
+# the transcript table, k-bounded so no hot fact ever collects
+# unbounded state. All three oracle against the flagship golden.
+
+
+def _resolve_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH sup AS (
+  SELECT subject, predicate, object,
+         CAST(count(*) AS BIGINT) AS support,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+  FROM {g} GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY subject, predicate
+             ORDER BY support DESC, n_convs DESC, object DESC) AS rn,
+         CAST(count(*) OVER (PARTITION BY subject, predicate) AS BIGINT)
+             AS n_candidates,
+         CAST(sum(support) OVER (PARTITION BY subject, predicate)
+             AS DOUBLE) AS total
+  FROM sup
+)
+SELECT subject, predicate, object, support, n_convs, n_candidates,
+       ROUND(support / total, 4) AS confidence
+FROM ranked WHERE rn = 1
+"""
+
+
+def _profile_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH t AS (
+  SELECT subject, predicate, object, subject_type, object_type,
+         CAST(count(*) AS BIGINT) AS support
+  FROM {g} GROUP BY 1, 2, 3, 4, 5
+)
+SELECT predicate, subject_type, object_type,
+       CAST(sum(support) AS BIGINT) AS n_assertions,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subject) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT object) AS BIGINT) AS n_objects,
+       ROUND(count(*) / CAST(count(DISTINCT subject) AS DOUBLE), 4)
+           AS functionality
+FROM t GROUP BY 1, 2, 3
+"""
+
+
+def _provenance_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH ev AS (
+  SELECT subject, predicate, object,
+         printf('%s#%04d', conv_id, turn_idx) AS e
+  FROM {g}
+)
+SELECT subject, predicate, object,
+       CAST(count(*) AS BIGINT) AS n_evidence,
+       array_to_string((list(e ORDER BY e))[1:5], '|') AS evidence
+FROM ev GROUP BY 1, 2, 3
+"""
+
+
+_RESOLVE_ORACLE = _resolve_oracle_sql("/root/testdata/sf0.01")
+_PROFILE_ORACLE = _profile_oracle_sql("/root/testdata/sf0.01")
+_PROVENANCE_ORACLE = _provenance_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_functional_resolve", _RESOLVE_ORACLE)
+def kg_functional_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-slot conflict resolution over the live pipeline's
+    output (operators/graph.resolve_functional): struct-ordered max,
+    two map-side-combined shuffles, no window sort."""
+    from information_extraction_spark.operators.graph import (
+        resolve_functional,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_functional_resolve"] = _resolve_oracle_sql(sf_dir)
+    return resolve_functional(triples)
+
+
+@_q("kg_pred_profile", _PROFILE_ORACLE)
+def kg_pred_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology profile per typed predicate
+    (operators/graph.predicate_profile)."""
+    from information_extraction_spark.operators.graph import (
+        predicate_profile,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_pred_profile"] = _profile_oracle_sql(sf_dir)
+    return predicate_profile(triples)
+
+
+@_q("kg_provenance", _PROVENANCE_ORACLE)
+def kg_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-triple k-bounded provenance pointers
+    (operators/graph.triple_provenance, k=5)."""
+    from information_extraction_spark.operators.graph import (
+        triple_provenance,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_provenance"] = _provenance_oracle_sql(sf_dir)
+    return triple_provenance(triples, k=5)

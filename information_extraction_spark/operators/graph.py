@@ -80,6 +80,130 @@ def triple_support(triples: DataFrame) -> DataFrame:
     )
 
 
+def resolve_functional(triples: DataFrame) -> DataFrame:
+    """Conflict resolution for functional (single-valued) predicates:
+    per (subject, predicate) keep the one object with the strongest
+    evidence — the truth-discovery step between support aggregation
+    and a graph table that asserts at most one value per functional
+    slot (the reference emits every candidate object per sentence,
+    produce_submit_json_file.py:298-313; picking a winner is the KG
+    builder's job).
+
+    Winner = max by (support, n_convs, object): support first, then
+    conversation breadth, then the lexicographically LARGEST object as
+    a deterministic tie-break. Output carries the runner-up context a
+    consumer needs to audit the call: n_candidates (distinct objects
+    seen for the slot) and confidence = winner support / total slot
+    support, rounded to 4dp.
+
+    Scale shape: three map-side-combined shuffles over progressively
+    COLLAPSED data — (s,p,o,conv_id) partial counts, then (s,p,o)
+    (both inherited from triple_support's countDistinct expansion),
+    then the (s,p) argmax. Only the first exchange sees raw assertion
+    volume, and hot facts combine within map tasks before it. The
+    argmax is a single struct-ordered ``max``: Spark plans it as a
+    partial/final SortAggregate (a string field in the buffer is not
+    hash-aggregable), but the sort runs on the twice-collapsed
+    support table and the partial side still combines per map task —
+    unlike the window-rank formulation, no whole (s, p) group is ever
+    buffered or ranked row-by-row.
+    """
+    sup = triple_support(triples)
+    best = sup.groupBy("subject", "predicate").agg(
+        F.max(F.struct("support", "n_convs", "object")).alias("_best"),
+        F.sum("support").cast("long").alias("_total"),
+        F.count("*").cast("long").alias("n_candidates"),
+    )
+    return best.select(
+        "subject",
+        "predicate",
+        F.col("_best.object").alias("object"),
+        F.col("_best.support").alias("support"),
+        F.col("_best.n_convs").alias("n_convs"),
+        "n_candidates",
+        F.round(
+            F.col("_best.support") / F.col("_total").cast("double"), 4
+        ).alias("confidence"),
+    )
+
+
+def predicate_profile(triples: DataFrame) -> DataFrame:
+    """Ontology profile of the materialized graph: per (predicate,
+    subject_type, object_type) — the typed slot the 50-relation schema
+    declares — count assertions, distinct triples, distinct endpoint
+    entities, and the functionality ratio (avg distinct objects per
+    subject). Functionality ≈ 1 marks a predicate safe for
+    resolve_functional; ≫ 1 marks a genuinely multi-valued relation.
+
+    Scale shape: first collapse on the full typed (s, p, o) key —
+    the types are functionally determined by the predicate (J1's
+    first-listed dual-schema rule), so carrying them in the group key
+    adds no cardinality and saves the join a separate type lookup
+    would cost. That map-side-combined pass is the only one that sees
+    raw assertion volume. The multi-DISTINCT aggregate over the
+    collapsed table expands via Expand + partial aggregation keyed on
+    (group, value), so even with only ~50 predicate groups the heavy
+    partial work is spread across (predicate, entity) keys, not 50
+    hot reducers.
+    """
+    t = triples.groupBy(
+        "subject", "predicate", "object", "subject_type", "object_type"
+    ).agg(F.count("*").cast("long").alias("support"))
+    return (
+        t.groupBy("predicate", "subject_type", "object_type")
+        .agg(
+            F.sum("support").cast("long").alias("n_assertions"),
+            F.count("*").cast("long").alias("n_triples"),
+            F.countDistinct("subject").cast("long").alias("n_subjects"),
+            F.countDistinct("object").cast("long").alias("n_objects"),
+        )
+        .withColumn(
+            "functionality",
+            F.round(
+                F.col("n_triples") / F.col("n_subjects").cast("double"), 4
+            ),
+        )
+    )
+
+
+def triple_provenance(triples: DataFrame, k: int = 5) -> DataFrame:
+    """Per-triple provenance: total evidence count plus the k
+    lexicographically-first evidence pointers ("conv_id#turn_idx",
+    zero-padded so string order equals numeric turn order), joined
+    with '|'. A KG consumer audits a fact by following these pointers
+    back into the transcript table.
+
+    Scale shape: ONE shuffle on the (s, p, o) key. The window rank and
+    the partition-wide count share the exchange; the rank filter
+    bounds what the final collect aggregates to ≤ k strings per triple
+    — never an unbounded collect_list over a hot fact asserted by
+    millions of turns (WindowExec streams sorted runs and spills;
+    the post-filter groupBy reuses the window's hash partitioning, so
+    no second exchange).
+    """
+    from pyspark.sql import Window
+
+    spo = ["subject", "predicate", "object"]
+    ev = F.format_string("%s#%04d", F.col("conv_id"), F.col("turn_idx"))
+    w_rank = Window.partitionBy(*spo).orderBy("_ev")
+    w_all = Window.partitionBy(*spo)
+    ranked = (
+        triples.withColumn("_ev", ev)
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count("*").over(w_all))
+    )
+    return (
+        ranked.filter(F.col("_rn") <= k)
+        .groupBy(*spo)
+        .agg(
+            F.max("_n").cast("long").alias("n_evidence"),
+            F.array_join(F.sort_array(F.collect_list("_ev")), "|").alias(
+                "evidence"
+            ),
+        )
+    )
+
+
 def merge_new_triples(base: DataFrame, incoming: DataFrame) -> DataFrame:
     """Distinct incoming (subject, predicate, object) rows NOT already
     present in the base graph — the insert half of an Iceberg

@@ -144,3 +144,115 @@ def test_merge_new_triples_insert_only(spark):
     assert merge_new_triples(base, base).count() == 0
     empty = spark.createDataFrame([], schema)
     assert merge_new_triples(base, empty).count() == 0
+
+
+# --- resolve_functional -----------------------------------------------------
+
+
+def test_resolve_functional_picks_best_supported_object(spark):
+    from information_extraction_spark.operators.graph import (
+        resolve_functional,
+    )
+
+    rows = [
+        # slot (s, p): o1 asserted 3x across 2 convs, o2 once -> o1 wins
+        ("c1", 0, "s", "p", "o1"),
+        ("c1", 2, "s", "p", "o1"),
+        ("c2", 5, "s", "p", "o1"),
+        ("c3", 1, "s", "p", "o2"),
+        # slot (t, p): support tie 1-1, n_convs tie 1-1 -> max object "b"
+        ("c1", 0, "t", "p", "a"),
+        ("c2", 0, "t", "p", "b"),
+        # slot (u, q): support tie 2-2 but "x" spans 2 convs vs 1 -> x
+        ("c1", 0, "u", "q", "x"),
+        ("c2", 1, "u", "q", "x"),
+        ("c3", 2, "u", "q", "y"),
+        ("c3", 3, "u", "q", "y"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string",
+    )
+    got = {
+        (r["subject"], r["predicate"]): (
+            r["object"],
+            r["support"],
+            r["n_convs"],
+            r["n_candidates"],
+            r["confidence"],
+        )
+        for r in resolve_functional(df).collect()
+    }
+    assert got == {
+        ("s", "p"): ("o1", 3, 2, 2, 0.75),
+        ("t", "p"): ("b", 1, 1, 2, 0.5),
+        ("u", "q"): ("x", 2, 2, 2, 0.5),
+    }
+
+
+# --- predicate_profile ------------------------------------------------------
+
+
+def test_predicate_profile_functionality_ratio(spark):
+    from information_extraction_spark.operators.graph import (
+        predicate_profile,
+    )
+
+    rows = [
+        # p: s1 has two objects, s2 one -> 3 triples / 2 subjects = 1.5
+        ("c1", 0, "s1", "p", "o1", "T", "U"),
+        ("c1", 1, "s1", "p", "o1", "T", "U"),  # re-assertion, same triple
+        ("c2", 0, "s1", "p", "o2", "T", "U"),
+        ("c2", 1, "s2", "p", "o1", "T", "U"),
+        # q: purely functional (1 object per subject)
+        ("c1", 2, "s1", "q", "z", "T", "V"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string, subject_type string, object_type string",
+    )
+    got = {
+        (r["predicate"], r["subject_type"], r["object_type"]): (
+            r["n_assertions"],
+            r["n_triples"],
+            r["n_subjects"],
+            r["n_objects"],
+            r["functionality"],
+        )
+        for r in predicate_profile(df).collect()
+    }
+    assert got == {
+        ("p", "T", "U"): (4, 3, 2, 2, 1.5),
+        ("q", "T", "V"): (1, 1, 1, 1, 1.0),
+    }
+
+
+# --- triple_provenance ------------------------------------------------------
+
+
+def test_triple_provenance_bounded_and_sorted(spark):
+    from information_extraction_spark.operators.graph import (
+        triple_provenance,
+    )
+
+    # 7 assertions of one triple: k=5 keeps the 5 lexicographically
+    # first pointers (zero-padded turn_idx so string order == numeric).
+    rows = [("c%d" % (i % 2), i, "s", "p", "o") for i in range(7)]
+    rows.append(("c9", 12, "x", "q", "y"))  # singleton triple
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string",
+    )
+    got = {
+        (r["subject"], r["predicate"], r["object"]): (
+            r["n_evidence"],
+            r["evidence"],
+        )
+        for r in triple_provenance(df, k=5).collect()
+    }
+    evs = sorted("c%d#%04d" % (i % 2, i) for i in range(7))[:5]
+    assert got[("s", "p", "o")] == (7, "|".join(evs))
+    assert got[("x", "q", "y")] == (1, "c9#0012")

@@ -101,6 +101,30 @@ PLAN_QUERIES = [
         "at 100 TB (AQE may still downgrade a small batch)",
     ),
     (
+        "kg_functional_resolve",
+        "conflict resolution: struct-ordered max argmax — three "
+        "map-side-combined shuffles over progressively collapsed "
+        "data ((s,p,o,conv) -> (s,p,o) -> (s,p)); the SortAggregate "
+        "pair is Spark's fallback for a string field in the max "
+        "buffer, sorting only the twice-collapsed support table — "
+        "no window, no whole-group buffering",
+    ),
+    (
+        "kg_pred_profile",
+        "ontology profile: typed-spo collapse then multi-DISTINCT "
+        "via Expand — partial aggregation keyed on (predicate, "
+        "entity, gid) spreads the work across entity keys, so ~50 "
+        "predicate groups never become 50 hot reducers; all three "
+        "exchanges are hash aggregates with map-side partials",
+    ),
+    (
+        "kg_provenance",
+        "k-bounded provenance: ONE exchange on (s,p,o) shared by the "
+        "rank window, the count window, and the final collect — the "
+        "rank filter caps the collect at k strings per triple, so no "
+        "hot fact ever aggregates unbounded state",
+    ),
+    (
         "ta_contamination",
         "decontamination: the (small) eval gram set BROADCASTS; the "
         "train corpus streams past it in one narrow pass — no "
