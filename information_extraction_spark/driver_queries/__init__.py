@@ -43,6 +43,11 @@ _CHANGED_THIS_ROUND = [
     "kg_functional_resolve",
     "kg_pred_profile",
     "kg_provenance",
+    # Provenance-key consumers added this round: triple validity
+    # windows (real join back to the transcript table) and the
+    # per-conversation extraction-yield monitor.
+    "kg_temporal_extent",
+    "kg_conv_stats",
     # KG post-extraction ops added this round: per-triple support
     # aggregation and insert-only incremental MERGE into the base
     # graph; plus train/eval 8-gram decontamination and unigram-LM

@@ -1121,3 +1121,99 @@ def kg_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = kg_extract_triples(spark, sf_dir)
     ORACLES["kg_provenance"] = _provenance_oracle_sql(sf_dir)
     return triple_provenance(triples, k=5)
+
+
+# --- Temporal extent + per-conversation yield --------------------------------
+#
+# Two more consumers of the (conv_id, turn_idx) provenance key: the
+# triple validity window (join BACK to the transcript table for the
+# assertion timestamps — the Spark side does the real join; the
+# oracle exploits the fixture's deterministic ts = origin +
+# doc_id*3600s + turn_idx*30s to stay a pure-SQL check over the
+# golden), and the per-conversation extraction-yield monitor (the
+# oracle recomputes n_turns from the documents table with the same
+# ceil(words/12) rule as transcripts_from_documents). Both queries
+# emit RELATIVE seconds / plain counts only — no timestamp columns,
+# so an oracle harness in any session timezone compares equal.
+
+_TS_ORIGIN = "2026-01-01 00:00:00"
+
+
+def _temporal_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH t AS (
+  SELECT subject, predicate, object,
+         CAST(regexp_extract(conv_id, 'doc(\\d+)', 1) AS BIGINT) * 3600
+           + turn_idx * 30 AS sec
+  FROM {g}
+)
+SELECT subject, predicate, object,
+       CAST(min(sec) AS BIGINT) AS valid_from_s,
+       CAST(max(sec) AS BIGINT) AS valid_to_s
+FROM t GROUP BY 1, 2, 3
+"""
+
+
+def _conv_stats_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH convs AS (
+  SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.0' AS conv_id,
+         CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT)
+             AS n_turns
+  FROM documents
+), y AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_assertions,
+         CAST(count(DISTINCT (subject, predicate, object)) AS BIGINT)
+             AS n_triples,
+         CAST(count(DISTINCT predicate) AS BIGINT) AS n_predicates
+  FROM {g} GROUP BY 1
+)
+SELECT c.conv_id, c.n_turns,
+       COALESCE(y.n_assertions, 0) AS n_assertions,
+       COALESCE(y.n_triples, 0) AS n_triples,
+       COALESCE(y.n_predicates, 0) AS n_predicates
+FROM convs c LEFT JOIN y USING (conv_id)
+"""
+
+
+_TEMPORAL_ORACLE = _temporal_oracle_sql("/root/testdata/sf0.01")
+_CONV_STATS_ORACLE = _conv_stats_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_temporal_extent", _TEMPORAL_ORACLE)
+def kg_temporal_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple validity windows via the real provenance join back to
+    the transcript table (operators/graph.temporal_extent); bounds in
+    seconds since the corpus origin so the result is
+    timezone-portable."""
+    from information_extraction_spark.operators.graph import (
+        temporal_extent,
+    )
+    from information_extraction_spark.sources.from_documents import (
+        transcripts_from_documents,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_temporal_extent"] = _temporal_oracle_sql(sf_dir)
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    return temporal_extent(triples, transcripts, origin=_TS_ORIGIN)
+
+
+@_q("kg_conv_stats", _CONV_STATS_ORACLE)
+def kg_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation extraction yield
+    (operators/graph.conversation_stats)."""
+    from information_extraction_spark.operators.graph import (
+        conversation_stats,
+    )
+    from information_extraction_spark.sources.from_documents import (
+        transcripts_from_documents,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_conv_stats"] = _conv_stats_oracle_sql(sf_dir)
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    return conversation_stats(transcripts, triples)

@@ -204,6 +204,86 @@ def triple_provenance(triples: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def temporal_extent(
+    triples: DataFrame,
+    transcripts: DataFrame,
+    origin: str | None = None,
+) -> DataFrame:
+    """Per-triple temporal validity: the [first, last] assertion
+    timestamps, recovered by joining the materialized graph back to
+    the transcript table on the (conv_id, turn_idx) provenance key.
+    A fact's validity window is what downstream temporal-KG consumers
+    reason over (was this true when the conversation happened?).
+
+    ``origin``: optional "yyyy-MM-dd HH:mm:ss" literal; when given,
+    the bounds are SECONDS SINCE ORIGIN (computed as a same-session
+    unix_timestamp difference, so the session timezone cancels and
+    the result is timezone-portable); when None, absolute epoch
+    seconds.
+
+    Scale shape: the join is a co-keyed equi-join on (conv_id,
+    turn_idx) — at warehouse scale both tables bucket by conv_id
+    (write_graph's layout note; the transcript table is the stream's
+    own partitioning key), making it a zero-exchange bucketed join;
+    unbucketed it is one shuffle per side. The extent aggregation is
+    then one map-side-combined shuffle on (s, p, o). min/max tolerate
+    the duplicate-turn multiplicity (a turn asserting a triple twice
+    does not move its window).
+    """
+    sec = F.unix_timestamp("ts")
+    if origin is not None:
+        sec = sec - F.unix_timestamp(F.lit(origin))
+    turns = transcripts.select(
+        "conv_id", "turn_idx", sec.cast("long").alias("_sec")
+    )
+    return (
+        triples.select("conv_id", "turn_idx", "subject", "predicate", "object")
+        .join(turns, ["conv_id", "turn_idx"])
+        .groupBy("subject", "predicate", "object")
+        .agg(
+            F.min("_sec").cast("long").alias("valid_from_s"),
+            F.max("_sec").cast("long").alias("valid_to_s"),
+        )
+    )
+
+
+def conversation_stats(
+    transcripts: DataFrame, triples: DataFrame
+) -> DataFrame:
+    """Per-conversation extraction yield: turn count joined with the
+    assertions / distinct triples / distinct predicates the pipeline
+    got out of it. The table an ingest operator watches — a
+    conversation with many turns and zero triples is either
+    off-schema content or an extraction regression.
+
+    Scale shape: both sides pre-aggregate on conv_id (map-side
+    combined) BEFORE the join, so the join moves one row per
+    conversation, not per turn or per assertion; the multi-DISTINCT
+    on the triple side expands via Expand keyed on (conv_id, value).
+    Left join keeps zero-yield conversations (coalesced to 0) —
+    exactly the rows the monitor exists to surface.
+    """
+    turns = transcripts.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns")
+    )
+    got = triples.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_assertions"),
+        F.countDistinct("subject", "predicate", "object")
+        .cast("long")
+        .alias("n_triples"),
+        F.countDistinct("predicate").cast("long").alias("n_predicates"),
+    )
+    out = turns.join(got, "conv_id", "left")
+    return out.select(
+        "conv_id",
+        "n_turns",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("n_assertions", "n_triples", "n_predicates")
+        ],
+    )
+
+
 def merge_new_triples(base: DataFrame, incoming: DataFrame) -> DataFrame:
     """Distinct incoming (subject, predicate, object) rows NOT already
     present in the base graph — the insert half of an Iceberg

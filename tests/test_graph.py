@@ -256,3 +256,91 @@ def test_triple_provenance_bounded_and_sorted(spark):
     evs = sorted("c%d#%04d" % (i % 2, i) for i in range(7))[:5]
     assert got[("s", "p", "o")] == (7, "|".join(evs))
     assert got[("x", "q", "y")] == (1, "c9#0012")
+
+
+# --- temporal_extent --------------------------------------------------------
+
+
+def test_temporal_extent_joins_back_for_bounds(spark):
+    from information_extraction_spark.operators.graph import temporal_extent
+
+    transcripts = spark.createDataFrame(
+        [
+            ("c1", 0, "2026-01-01 00:00:00"),
+            ("c1", 1, "2026-01-01 00:00:30"),
+            ("c2", 0, "2026-01-01 01:00:00"),
+        ],
+        "conv_id string, turn_idx int, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    triples = spark.createDataFrame(
+        [
+            ("c1", 0, "s", "p", "o"),
+            ("c1", 1, "s", "p", "o"),   # later re-assertion widens window
+            ("c2", 0, "s", "p", "o"),
+            ("c1", 1, "x", "q", "y"),   # singleton: from == to
+        ],
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string",
+    )
+    got = {
+        (r["subject"], r["predicate"], r["object"]): (
+            r["valid_from_s"],
+            r["valid_to_s"],
+        )
+        for r in temporal_extent(
+            triples, transcripts, origin="2026-01-01 00:00:00"
+        ).collect()
+    }
+    assert got == {("s", "p", "o"): (0, 3600), ("x", "q", "y"): (30, 30)}
+
+
+def test_temporal_extent_absolute_when_no_origin(spark):
+    from information_extraction_spark.operators.graph import temporal_extent
+
+    transcripts = spark.createDataFrame(
+        [("c1", 0, "1970-01-01 00:10:00")],
+        "conv_id string, turn_idx int, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    triples = spark.createDataFrame(
+        [("c1", 0, "s", "p", "o")],
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string",
+    )
+    [r] = temporal_extent(triples, transcripts).collect()
+    # Session timezone is pinned UTC (session.py), so absolute epoch
+    # seconds of 1970-01-01T00:10 are exactly 600.
+    assert (r["valid_from_s"], r["valid_to_s"]) == (600, 600)
+
+
+# --- conversation_stats -----------------------------------------------------
+
+
+def test_conversation_stats_yield_and_zero_rows(spark):
+    from information_extraction_spark.operators.graph import (
+        conversation_stats,
+    )
+
+    transcripts = spark.createDataFrame(
+        [("c1", 0), ("c1", 1), ("c1", 2), ("c2", 0)],
+        "conv_id string, turn_idx int",
+    )
+    triples = spark.createDataFrame(
+        [
+            ("c1", 0, "s", "p", "o"),
+            ("c1", 1, "s", "p", "o"),    # same triple re-asserted
+            ("c1", 2, "s", "q", "o2"),
+            # c2 yields nothing -> must still appear with zeros
+        ],
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string",
+    )
+    got = {
+        r["conv_id"]: (
+            r["n_turns"],
+            r["n_assertions"],
+            r["n_triples"],
+            r["n_predicates"],
+        )
+        for r in conversation_stats(transcripts, triples).collect()
+    }
+    assert got == {"c1": (3, 3, 2, 2), "c2": (1, 0, 0, 0)}

@@ -125,6 +125,21 @@ PLAN_QUERIES = [
         "hot fact ever aggregates unbounded state",
     ),
     (
+        "kg_temporal_extent",
+        "triple validity windows: equi-join back to the transcript "
+        "table on the (conv_id, turn_idx) provenance key (bucketed "
+        "by conv_id at warehouse scale -> zero-exchange; one shuffle "
+        "per side unbucketed), then ONE map-side-combined shuffle on "
+        "(s,p,o) for the min/max bounds",
+    ),
+    (
+        "kg_conv_stats",
+        "per-conversation yield: BOTH sides pre-aggregate on conv_id "
+        "before the join, so the join moves one row per conversation "
+        "— never raw turns or assertions; left join keeps zero-yield "
+        "conversations",
+    ),
+    (
         "ta_contamination",
         "decontamination: the (small) eval gram set BROADCASTS; the "
         "train corpus streams past it in one narrow pass — no "
