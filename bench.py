@@ -206,6 +206,7 @@ def main() -> int:
         "kg_triple_support",
         "kg_functional_resolve",
         "kg_provenance",
+        "kg_er_candidates",
         "ta_contamination",
         "ta_perplexity",
         "kg_bio_decode",

@@ -48,6 +48,8 @@ _CHANGED_THIS_ROUND = [
     # per-conversation extraction-yield monitor.
     "kg_temporal_extent",
     "kg_conv_stats",
+    # Blocked ER candidate generation beyond the alias dictionary.
+    "kg_er_candidates",
     # KG post-extraction ops added this round: per-triple support
     # aggregation and insert-only incremental MERGE into the base
     # graph; plus train/eval 8-gram decontamination and unigram-LM

@@ -1183,6 +1183,57 @@ _TEMPORAL_ORACLE = _temporal_oracle_sql("/root/testdata/sf0.01")
 _CONV_STATS_ORACLE = _conv_stats_oracle_sql("/root/testdata/sf0.01")
 
 
+def _er_oracle_sql(sf_dir: str) -> str:
+    # Same filtered-universe semantics as operators/linking.py:
+    # er_candidates — stop-slots ((p,o) keys above max_slot_freq)
+    # leave both intersection and union; jaccard rounds to 4dp BEFORE
+    # the tau filter on both sides.
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH slots AS (
+  SELECT DISTINCT subject, predicate, object FROM {g}
+), keep AS (
+  SELECT predicate, object FROM slots
+  GROUP BY 1, 2 HAVING count(*) <= 1000
+), blocked AS (
+  SELECT s.* FROM slots s JOIN keep USING (predicate, object)
+), deg AS (
+  SELECT subject, CAST(count(*) AS BIGINT) AS n FROM blocked GROUP BY 1
+), pairs AS (
+  SELECT a.subject AS s1, b.subject AS s2,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM blocked a JOIN blocked b
+    ON a.predicate = b.predicate AND a.object = b.object
+   AND a.subject < b.subject
+  GROUP BY 1, 2
+)
+SELECT s1, s2, shared,
+       ROUND(shared / CAST(d1.n + d2.n - shared AS DOUBLE), 4) AS jaccard
+FROM pairs
+JOIN deg d1 ON d1.subject = pairs.s1
+JOIN deg d2 ON d2.subject = pairs.s2
+WHERE ROUND(shared / CAST(d1.n + d2.n - shared AS DOUBLE), 4) >= 0.5
+"""
+
+
+_ER_ORACLE = _er_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_er_candidates", _ER_ORACLE)
+def kg_er_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-entity candidate pairs by shared (predicate, object)
+    slots (operators/linking.er_candidates: blocked equi-join on the
+    slot key, stop-slot cap, slot-set Jaccard >= 0.5). Load-bearing:
+    126 of 135 blocked pairs survive the threshold at sf0.01."""
+    from information_extraction_spark.operators.linking import (
+        er_candidates,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_er_candidates"] = _er_oracle_sql(sf_dir)
+    return er_candidates(triples, tau=0.5, max_slot_freq=1000)
+
+
 @_q("kg_temporal_extent", _TEMPORAL_ORACLE)
 def kg_temporal_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triple validity windows via the real provenance join back to

@@ -136,6 +136,78 @@ def canonical_mapping(
     )
 
 
+def er_candidates(
+    triples: DataFrame,
+    tau: float = 0.5,
+    max_slot_freq: int = 1000,
+) -> DataFrame:
+    """Entity-resolution candidate generation BEYOND the alias
+    dictionary: subject pairs asserting many of the same (predicate,
+    object) slots are duplicate-entity candidates (two surface forms
+    of one real-world entity accumulate the same facts). Returns
+    (s1, s2, shared, jaccard) with jaccard = |slots₁ ∩ slots₂| /
+    |slots₁ ∪ slots₂| ≥ ``tau``, s1 < s2.
+
+    Scale shape — the standard ER blocking pattern, never an
+    all-pairs subject join:
+
+    - Candidate pairs come from an equi-join on the (predicate,
+      object) blocking key; per-key fan-out is C(f, 2) where f is the
+      slot's subject count.
+    - ``max_slot_freq`` drops stop-slots (a (p, o) shared by 100k
+      subjects is both a quadratic blowup and zero evidence of
+      identity — the same reason ER blocking drops high-frequency
+      blocks and dd_ngram_jaccard blocks on fine keys).
+    - The per-subject slot-count table joins back on the pair's
+      endpoints: co-keyed shuffles on s1 / s2, both sides already
+      collapsed to entity cardinality. Nothing broadcasts — entity
+      tables are unbounded at 100 TB.
+    - The two join branches read the same filtered slot table;
+      Catalyst reuses the exchange (same subplan), so the distinct
+      runs once.
+    """
+    slots = triples.select("subject", "predicate", "object").distinct()
+    keep = (
+        slots.groupBy("predicate", "object")
+        .agg(F.count("*").alias("_f"))
+        .filter(F.col("_f") <= max_slot_freq)
+        .select("predicate", "object")
+    )
+    # Stop-slots leave the similarity universe entirely: they count
+    # toward neither intersection nor union (they carry no identity
+    # signal either way), so degrees come from the FILTERED table.
+    blocked = slots.join(keep, ["predicate", "object"])
+    deg = blocked.groupBy("subject").agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    a = blocked.select(F.col("subject").alias("s1"), "predicate", "object")
+    b = blocked.select(F.col("subject").alias("s2"), "predicate", "object")
+    pairs = (
+        a.join(b, ["predicate", "object"])
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    d1 = deg.select(F.col("subject").alias("s1"), F.col("_n").alias("_n1"))
+    d2 = deg.select(F.col("subject").alias("s2"), F.col("_n").alias("_n2"))
+    return (
+        pairs.join(d1, "s1")
+        .join(d2, "s2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("_n1") + F.col("_n2") - F.col("shared")).cast(
+                    "double"
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("s1", "s2", "shared", "jaccard")
+    )
+
+
 def canonicalize_triples(
     triples: DataFrame, alias_df: DataFrame
 ) -> DataFrame:

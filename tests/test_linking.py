@@ -114,3 +114,66 @@ def test_cc_driver_and_distributed_paths_agree(spark):
     dist = {(r["node"], r["component"])
             for r in connected_components(e, driver_threshold=0).collect()}
     assert fast == dist and len(fast) > 0
+
+
+# --- er_candidates ----------------------------------------------------------
+
+
+def test_er_candidates_blocked_jaccard(spark):
+    from information_extraction_spark.operators.linking import er_candidates
+
+    rows = [
+        # e1 and e2 share 2 of their union-of-3 slots -> jaccard 2/3
+        ("c", 0, "e1", "p", "o1"),
+        ("c", 1, "e1", "p", "o2"),
+        ("c", 2, "e2", "p", "o1"),
+        ("c", 3, "e2", "p", "o2"),
+        ("c", 4, "e2", "q", "o3"),
+        # e3 shares nothing discriminative
+        ("c", 5, "e3", "q", "o9"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string",
+    )
+    got = {
+        (r["s1"], r["s2"]): (r["shared"], r["jaccard"])
+        for r in er_candidates(df, tau=0.5).collect()
+    }
+    assert got == {("e1", "e2"): (2, 0.6667)}
+    # tau above the pair's jaccard filters it out
+    assert er_candidates(df, tau=0.7).count() == 0
+
+
+def test_er_candidates_stop_slot_cap(spark):
+    from information_extraction_spark.operators.linking import er_candidates
+
+    # (p, hub) is asserted by 3 subjects; with max_slot_freq=2 it is a
+    # stop-slot and leaves BOTH intersection and union, so e1/e2's
+    # only remaining shared slot is (q, x): jaccard = 1/1 = 1.0 (each
+    # has exactly one non-stop slot).
+    rows = [
+        ("c", 0, "e1", "p", "hub"),
+        ("c", 1, "e2", "p", "hub"),
+        ("c", 2, "e3", "p", "hub"),
+        ("c", 3, "e1", "q", "x"),
+        ("c", 4, "e2", "q", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string",
+    )
+    got = {
+        (r["s1"], r["s2"]): (r["shared"], r["jaccard"])
+        for r in er_candidates(df, tau=0.5, max_slot_freq=2).collect()
+    }
+    # e3's only slot was the stop-slot: it exits the universe entirely.
+    assert got == {("e1", "e2"): (1, 1.0)}
+    # Without the cap the hub slot counts: shared=2 of union 2 -> all
+    # three pairs appear (e1-e3 and e2-e3 share 1 of 2 -> 0.5).
+    got_all = {
+        (r["s1"], r["s2"]) for r in er_candidates(df, tau=0.5).collect()
+    }
+    assert got_all == {("e1", "e2"), ("e1", "e3"), ("e2", "e3")}

@@ -140,6 +140,14 @@ PLAN_QUERIES = [
         "conversations",
     ),
     (
+        "kg_er_candidates",
+        "ER candidate generation: blocked equi-join on the (p,o) "
+        "slot key (never an all-pairs subject join), stop-slot cap "
+        "bounds per-key fan-out, degree join-backs co-keyed on the "
+        "pair endpoints; the two self-join branches reuse one "
+        "exchange over the filtered slot table",
+    ),
+    (
         "ta_contamination",
         "decontamination: the (small) eval gram set BROADCASTS; the "
         "train corpus streams past it in one narrow pass — no "
