@@ -50,6 +50,8 @@ _CHANGED_THIS_ROUND = [
     "kg_conv_stats",
     # Blocked ER candidate generation beyond the alias dictionary.
     "kg_er_candidates",
+    # Entity type induction (vote argmax over declared slot types).
+    "kg_type_infer",
     # KG post-extraction ops added this round: per-triple support
     # aggregation and insert-only incremental MERGE into the base
     # graph; plus train/eval 8-gram decontamination and unigram-LM

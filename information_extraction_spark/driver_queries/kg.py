@@ -1183,6 +1183,48 @@ _TEMPORAL_ORACLE = _temporal_oracle_sql("/root/testdata/sf0.01")
 _CONV_STATS_ORACLE = _conv_stats_oracle_sql("/root/testdata/sf0.01")
 
 
+def _type_infer_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH votes AS (
+  SELECT subject AS entity, subject_type AS etype FROM {g}
+  UNION ALL
+  SELECT object, object_type FROM {g}
+), c AS (
+  SELECT entity, etype, CAST(count(*) AS BIGINT) AS votes
+  FROM votes GROUP BY 1, 2
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY entity
+             ORDER BY votes DESC, etype DESC) AS rn,
+         CAST(sum(votes) OVER (PARTITION BY entity) AS BIGINT)
+             AS n_votes,
+         CAST(count(*) OVER (PARTITION BY entity) AS BIGINT) AS n_types
+  FROM c
+)
+SELECT entity, etype, votes, n_votes, n_types,
+       ROUND(votes / CAST(n_votes AS DOUBLE), 4) AS share
+FROM ranked WHERE rn = 1
+"""
+
+
+_TYPE_INFER_ORACLE = _type_infer_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_type_infer", _TYPE_INFER_ORACLE)
+def kg_type_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant entity type by assertion votes
+    (operators/graph.infer_entity_types); load-bearing: 30 of 228
+    entities at sf0.01 carry conflicting type votes."""
+    from information_extraction_spark.operators.graph import (
+        infer_entity_types,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_type_infer"] = _type_infer_oracle_sql(sf_dir)
+    return infer_entity_types(triples)
+
+
 def _er_oracle_sql(sf_dir: str) -> str:
     # Same filtered-universe semantics as operators/linking.py:
     # er_candidates — stop-slots ((p,o) keys above max_slot_freq)

@@ -204,6 +204,53 @@ def triple_provenance(triples: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def infer_entity_types(triples: DataFrame) -> DataFrame:
+    """Entity type induction: every assertion votes for its subject's
+    declared subject_type and its object's object_type; each entity
+    gets the dominant type plus the vote audit (total votes, distinct
+    types seen, winner's share). The canonicalization consumer: an
+    entity surfacing under conflicting types is either a polysemous
+    surface form (split it) or an extraction error (flag it) —
+    at sf0.01, 30 of 228 entities carry conflicting votes (up to 7
+    distinct types), so the argmax genuinely decides.
+
+    Winner = max by (votes, type): deterministic lexicographic-max
+    tie-break, same struct-ordered-max shape as resolve_functional.
+
+    Scale shape: the union is two narrow projections of the same
+    scan; then one map-side-combined shuffle on (entity, type) —
+    the only pass at assertion volume — and the (entity) argmax over
+    the collapsed vote table. No window, no whole-group buffering.
+    """
+    votes = triples.select(
+        F.col("subject").alias("entity"),
+        F.col("subject_type").alias("etype"),
+    ).unionAll(
+        triples.select(
+            F.col("object").alias("entity"),
+            F.col("object_type").alias("etype"),
+        )
+    )
+    counts = votes.groupBy("entity", "etype").agg(
+        F.count("*").cast("long").alias("votes")
+    )
+    best = counts.groupBy("entity").agg(
+        F.max(F.struct("votes", "etype")).alias("_best"),
+        F.sum("votes").cast("long").alias("n_votes"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    return best.select(
+        "entity",
+        F.col("_best.etype").alias("etype"),
+        F.col("_best.votes").alias("votes"),
+        "n_votes",
+        "n_types",
+        F.round(
+            F.col("_best.votes") / F.col("n_votes").cast("double"), 4
+        ).alias("share"),
+    )
+
+
 def temporal_extent(
     triples: DataFrame,
     transcripts: DataFrame,

@@ -344,3 +344,42 @@ def test_conversation_stats_yield_and_zero_rows(spark):
         for r in conversation_stats(transcripts, triples).collect()
     }
     assert got == {"c1": (3, 3, 2, 2), "c2": (1, 0, 0, 0)}
+
+
+# --- infer_entity_types -----------------------------------------------------
+
+
+def test_infer_entity_types_votes_and_tiebreak(spark):
+    from information_extraction_spark.operators.graph import (
+        infer_entity_types,
+    )
+
+    rows = [
+        # e: 2 subject votes for T, 1 object vote for U -> T, share 2/3
+        ("c", 0, "e", "p", "x", "T", "W"),
+        ("c", 1, "e", "p", "y", "T", "W"),
+        ("c", 2, "z", "q", "e", "S", "U"),
+        # f: exact 1-1 tie between A and B -> lexicographic max "B"
+        ("c", 3, "f", "p", "m", "A", "W"),
+        ("c", 4, "f", "q", "n", "B", "W"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string, subject_type string, object_type string",
+    )
+    got = {
+        r["entity"]: (
+            r["etype"],
+            r["votes"],
+            r["n_votes"],
+            r["n_types"],
+            r["share"],
+        )
+        for r in infer_entity_types(df).collect()
+    }
+    assert got["e"] == ("T", 2, 3, 2, 0.6667)
+    assert got["f"] == ("B", 1, 2, 2, 0.5)
+    # object-side entities vote too: x/y/m/n got W, z got S
+    assert got["x"] == ("W", 1, 1, 1, 1.0)
+    assert got["z"] == ("S", 1, 1, 1, 1.0)
