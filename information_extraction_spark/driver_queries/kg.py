@@ -1068,7 +1068,7 @@ def _provenance_oracle_sql(sf_dir: str) -> str:
     return f"""
 WITH ev AS (
   SELECT subject, predicate, object,
-         printf('%s#%04d', conv_id, turn_idx) AS e
+         printf('%s#%010d', conv_id, turn_idx) AS e
   FROM {g}
 )
 SELECT subject, predicate, object,

@@ -169,8 +169,8 @@ def predicate_profile(triples: DataFrame) -> DataFrame:
 def triple_provenance(triples: DataFrame, k: int = 5) -> DataFrame:
     """Per-triple provenance: total evidence count plus the k
     lexicographically-first evidence pointers ("conv_id#turn_idx",
-    zero-padded so string order equals numeric turn order), joined
-    with '|'. A KG consumer audits a fact by following these pointers
+    turn zero-padded to the full int32 width so string order equals
+    numeric turn order for ANY turn index), joined with '|'. A KG consumer audits a fact by following these pointers
     back into the transcript table.
 
     Scale shape: ONE shuffle on the (s, p, o) key. The window rank and
@@ -184,7 +184,7 @@ def triple_provenance(triples: DataFrame, k: int = 5) -> DataFrame:
     from pyspark.sql import Window
 
     spo = ["subject", "predicate", "object"]
-    ev = F.format_string("%s#%04d", F.col("conv_id"), F.col("turn_idx"))
+    ev = F.format_string("%s#%010d", F.col("conv_id"), F.col("turn_idx"))
     w_rank = Window.partitionBy(*spo).orderBy("_ev")
     w_all = Window.partitionBy(*spo)
     ranked = (

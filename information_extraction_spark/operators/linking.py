@@ -162,8 +162,9 @@ def er_candidates(
       endpoints: co-keyed shuffles on s1 / s2, both sides already
       collapsed to entity cardinality. Nothing broadcasts — entity
       tables are unbounded at 100 TB.
-    - The two join branches read the same filtered slot table;
-      Catalyst reuses the exchange (same subplan), so the distinct
+    - The two join branches read the same filtered slot table; the
+      EXECUTED adaptive plan reuses its exchange (ReusedExchange
+      nodes under AQE — verified on the live plan), so the distinct
       runs once.
     """
     slots = triples.select("subject", "predicate", "object").distinct()

@@ -253,9 +253,9 @@ def test_triple_provenance_bounded_and_sorted(spark):
         )
         for r in triple_provenance(df, k=5).collect()
     }
-    evs = sorted("c%d#%04d" % (i % 2, i) for i in range(7))[:5]
+    evs = sorted("c%d#%010d" % (i % 2, i) for i in range(7))[:5]
     assert got[("s", "p", "o")] == (7, "|".join(evs))
-    assert got[("x", "q", "y")] == (1, "c9#0012")
+    assert got[("x", "q", "y")] == (1, "c9#0000000012")
 
 
 # --- temporal_extent --------------------------------------------------------
