@@ -1136,7 +1136,9 @@ def kg_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # emit RELATIVE seconds / plain counts only — no timestamp columns,
 # so an oracle harness in any session timezone compares equal.
 
-_TS_ORIGIN = "2026-01-01 00:00:00"
+from information_extraction_spark.sources.from_documents import (
+    TS_ORIGIN as _TS_ORIGIN,
+)
 
 
 def _temporal_oracle_sql(sf_dir: str) -> str:
@@ -1160,8 +1162,10 @@ def _conv_stats_oracle_sql(sf_dir: str) -> str:
     return f"""
 WITH convs AS (
   SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.0' AS conv_id,
-         CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT)
-             AS n_turns
+         -- coalesce mirrors transcripts_from_documents: NULL text
+         -- derives exactly one empty turn
+         CAST(ceil(len(string_split(coalesce(text, ''), ' ')) / 12.0)
+             AS BIGINT) AS n_turns
   FROM documents
 ), y AS (
   SELECT conv_id,

@@ -151,6 +151,10 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_GAP = 300  # seconds; event-time timeout = last_ts + gap
 _SESSION_WM = 600  # "10 minutes" watermark delay
 
+from information_extraction_spark.sources.from_documents import (
+    TS_ORIGIN,
+)
+
 _ST_SESSION_ORACLE = f"""
 WITH docs AS (
   SELECT doc_id, string_split(text, ' ') AS ws
@@ -169,7 +173,7 @@ WITH docs AS (
 ), turns AS (
   SELECT 'doc' || doc_id || '.0' AS conv_id,
          length(turn_text) AS n_chars_turn,
-         CAST(epoch(TIMESTAMP '2026-01-01 00:00:00') AS BIGINT)
+         CAST(epoch(TIMESTAMP '{TS_ORIGIN}') AS BIGINT)
            + doc_id * 3600 + turn_idx * 30 AS ts_epoch
   FROM chunks WHERE turn_text <> ''
 ), agg AS (

@@ -16,6 +16,11 @@ from pyspark.sql import functions as F
 from information_extraction_spark import schemas as S
 
 TURN_WORDS = 12  # words per derived turn
+# Corpus time origin for the deterministic ts derivation below; the
+# single source of truth — oracle SQL that re-derives ts arithmetic
+# (streamq, kg_temporal_extent) must reference this constant, never
+# re-inline the literal.
+TS_ORIGIN = "2026-01-01 00:00:00"
 N_PREDICATES = 50
 ENTRIES_PER_PREDICATE = 12
 N_BIGRAMS = 200
@@ -42,6 +47,12 @@ def transcripts_from_documents(
     docs = docs.repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
+    # A NULL text must become ONE empty turn, not the 2 phantom turns
+    # the raw arithmetic would mint (size(split(NULL))=-1 → ceil→0 →
+    # sequence(0,-1) yields [0,-1]). The current fixtures carry no
+    # NULLs, but the table contract allows them and every oracle that
+    # re-derives turn counts assumes coalesce-to-empty.
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     if replicate > 1:
         docs = docs.withColumn(
             "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
@@ -93,7 +104,7 @@ def transcripts_from_documents(
             "text",
             F.when(F.col("turn_idx") % 3 == 2, F.lit("search")).alias("tool"),
             (
-                F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                F.to_timestamp(F.lit(TS_ORIGIN))
                 + F.make_interval(secs=F.col("doc_id") * 3600 + F.col("turn_idx") * 30)
             ).alias("ts"),
         )

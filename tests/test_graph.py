@@ -383,3 +383,33 @@ def test_infer_entity_types_votes_and_tiebreak(spark):
     # object-side entities vote too: x/y/m/n got W, z got S
     assert got["x"] == ("W", 1, 1, 1, 1.0)
     assert got["z"] == ("S", 1, 1, 1, 1.0)
+
+
+def test_transcripts_null_text_yields_one_empty_turn(spark, tmp_path):
+    """NULL document text must derive exactly ONE empty turn (the
+    coalesce in transcripts_from_documents), never the 2 phantom
+    turns raw sequence arithmetic would mint — and conv_stats' oracle
+    convention (ceil over coalesce(text,'')) agrees."""
+    import pandas as pd
+
+    from information_extraction_spark.sources.from_documents import (
+        transcripts_from_documents,
+    )
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["alpha beta gamma", None],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [16, 0],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    t = transcripts_from_documents(spark, str(tmp_path))
+    got = {
+        r["conv_id"]: (r["turn_idx"], r["text"])
+        for r in t.orderBy("conv_id", "turn_idx").collect()
+    }
+    assert got["doc0.0"] == (0, "alpha beta gamma")
+    assert got["doc1.0"] == (0, "")
+    assert t.filter(F.col("conv_id") == "doc1.0").count() == 1

@@ -77,7 +77,10 @@ def main() -> int:
             p = os.path.join(d, fn)
             os.utime(p, (t_base + c * 10, t_base + c * 10))
 
-    n_batch = extract_triples(spark, transcripts, kb, schemas).count()
+    # One batch extraction serves BOTH parity checks: the raw triple
+    # count here and the support aggregation in the merge leg below.
+    batch_triples = extract_triples(spark, transcripts, kb, schemas).cache()
+    n_batch = batch_triples.count()
 
     stream = (
         spark.readStream.schema(S.TRANSCRIPTS)
@@ -141,15 +144,14 @@ def main() -> int:
         q2.stop()
     state = latest_support_state(spark, state_dir).cache()
     n_state = state.count()
-    batch_support = triple_support(
-        extract_triples(spark, transcripts, kb, schemas)
-    ).cache()
+    batch_support = triple_support(batch_triples).cache()
     support_parity = (
         state.exceptAll(batch_support).count() == 0
         and batch_support.exceptAll(state).count() == 0
     )
     batch_support.unpersist()
     state.unpersist()
+    batch_triples.unpersist()
 
     md = f"""# Streaming ingest throughput — tools/stream_bench.py
 
