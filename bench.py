@@ -207,6 +207,7 @@ def main() -> int:
         "kg_functional_resolve",
         "kg_provenance",
         "kg_er_candidates",
+        "kg_incremental_er",
         "ta_contamination",
         "ta_perplexity",
         "kg_bio_decode",

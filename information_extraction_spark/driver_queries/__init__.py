@@ -52,6 +52,8 @@ _CHANGED_THIS_ROUND = [
     "kg_er_candidates",
     # Entity type induction (vote argmax over declared slot types).
     "kg_type_infer",
+    # Incremental ER: batch probed against the persisted slot index.
+    "kg_incremental_er",
     # KG post-extraction ops added this round: per-triple support
     # aggregation and insert-only incremental MERGE into the base
     # graph; plus train/eval 8-gram decontamination and unigram-LM

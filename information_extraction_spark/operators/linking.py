@@ -209,6 +209,107 @@ def er_candidates(
     )
 
 
+def build_er_slot_index(
+    triples: DataFrame, max_slot_freq: int = 1000
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable ER slot index for ``er_probe``: the base
+    corpus's distinct (subject, predicate, object) slots with the
+    subject's slot count DENORMALIZED onto every row, plus the
+    stop-key table ((p, o) keys above ``max_slot_freq``). Stop-slots
+    are excluded from the index entirely — the cap is fixed at BUILD
+    time from base-corpus statistics, which is what an ingest
+    pipeline actually knows (future batches' frequencies don't exist
+    yet). Returns (index, stop_keys).
+
+    Scale shape: two map-side-combined aggregations ((p,o) freq and
+    per-subject degree over the capped universe) plus the co-keyed
+    degree join-back; runs once per index build, amortized over every
+    arriving batch.
+    """
+    slots = triples.select("subject", "predicate", "object").distinct()
+    freq = slots.groupBy("predicate", "object").agg(
+        F.count("*").alias("_f")
+    )
+    stop = freq.filter(F.col("_f") > max_slot_freq).select(
+        "predicate", "object"
+    )
+    kept = slots.join(stop, ["predicate", "object"], "left_anti")
+    deg = kept.groupBy("subject").agg(
+        F.count("*").cast("long").alias("subj_slots")
+    )
+    return kept.join(deg, "subject"), stop
+
+
+def er_probe(
+    index: DataFrame,
+    stop_keys: DataFrame,
+    new_triples: DataFrame,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Probe an arriving batch against a persisted ER slot index (the
+    incremental counterpart of ``er_candidates`` — the shape a daily
+    ingest runs: the 100 TB base graph is NEVER re-blocked; the batch
+    is). Returns (s_base, s_new, shared, jaccard >= tau) candidate
+    links between a known base entity and a batch entity; identity
+    pairs (same surface on both sides) are excluded — exact-name
+    matches resolve upstream, this operator exists for the non-equal
+    surfaces.
+
+    Scale shape mirrors dd_incremental_lsh: the batch's slot table
+    and the (heavy-hitter-bounded) stop-key table BROADCAST; the
+    index side is a plain parquet scan streamed past the in-memory
+    maps — zero shuffle, zero sort on the indexed base. The pair
+    aggregation keys on (s_base, s_new) — output bounded by batch
+    size × slot fan-out (the build-time cap). Base degrees ride the
+    index rows (no join against an entity-sized degree table at probe
+    time); the batch-side degree join is batch-bounded.
+    """
+    new_slots = (
+        new_triples.select("subject", "predicate", "object")
+        .distinct()
+        .join(F.broadcast(stop_keys), ["predicate", "object"], "left_anti")
+    )
+    nn = new_slots.groupBy("subject").agg(
+        F.count("*").cast("long").alias("_nn")
+    )
+    pairs = (
+        index.join(
+            F.broadcast(
+                new_slots.select(
+                    F.col("subject").alias("s_new"), "predicate", "object"
+                )
+            ),
+            ["predicate", "object"],
+        )
+        .filter(F.col("subject") != F.col("s_new"))
+        .select(
+            F.col("subject").alias("s_base"), "s_new", "subj_slots"
+        )
+        .groupBy("s_base", "s_new")
+        .agg(
+            F.count("*").cast("long").alias("shared"),
+            F.max("subj_slots").alias("_nb"),
+        )
+    )
+    return (
+        pairs.join(
+            nn.select(F.col("subject").alias("s_new"), "_nn"), "s_new"
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("_nb") + F.col("_nn") - F.col("shared")).cast(
+                    "double"
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("s_base", "s_new", "shared", "jaccard")
+    )
+
+
 def canonicalize_triples(
     triples: DataFrame, alias_df: DataFrame
 ) -> DataFrame:

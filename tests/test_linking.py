@@ -177,3 +177,56 @@ def test_er_candidates_stop_slot_cap(spark):
         (r["s1"], r["s2"]) for r in er_candidates(df, tau=0.5).collect()
     }
     assert got_all == {("e1", "e2"), ("e1", "e3"), ("e2", "e3")}
+
+
+# --- build_er_slot_index + er_probe -----------------------------------------
+
+
+def test_er_probe_against_built_index(spark):
+    from information_extraction_spark.operators.linking import (
+        build_er_slot_index,
+        er_probe,
+    )
+
+    schema = (
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string"
+    )
+    base = spark.createDataFrame(
+        [
+            ("c", 0, "b1", "p", "o1"),
+            ("c", 1, "b1", "p", "o2"),
+            ("c", 2, "b2", "q", "o9"),
+            # (p, hub) hits 3 base subjects -> stop-slot at cap 2
+            ("c", 3, "b1", "p", "hub"),
+            ("c", 4, "b2", "p", "hub"),
+            ("c", 5, "b3", "p", "hub"),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            # n1 shares both of b1's non-stop slots -> jaccard 2/2=1.0
+            ("d", 0, "n1", "p", "o1"),
+            ("d", 1, "n1", "p", "o2"),
+            # the stop slot must NOT create pairs or count in degrees
+            ("d", 2, "n1", "p", "hub"),
+            # n2 shares nothing non-stop
+            ("d", 3, "n2", "p", "hub"),
+        ],
+        schema,
+    )
+    index, stop = build_er_slot_index(base, max_slot_freq=2)
+    assert {(r["predicate"], r["object"]) for r in stop.collect()} == {
+        ("p", "hub")
+    }
+    # b3's only slot was the stop slot: it leaves the index entirely.
+    assert "b3" not in {r["subject"] for r in index.collect()}
+    got = {
+        (r["s_base"], r["s_new"]): (r["shared"], r["jaccard"])
+        for r in er_probe(index, stop, new, tau=0.5).collect()
+    }
+    assert got == {("b1", "n1"): (2, 1.0)}
+    # identity pairs are excluded even when surfaces coincide
+    new_same = spark.createDataFrame([("d", 0, "b1", "p", "o1")], schema)
+    assert er_probe(index, stop, new_same, tau=0.0).count() == 0

@@ -148,6 +148,14 @@ PLAN_QUERIES = [
         "exchange over the filtered slot table",
     ),
     (
+        "kg_incremental_er",
+        "incremental ER probe: batch slot table + stop-keys "
+        "BROADCAST, the persisted slot index streams past them "
+        "unshuffled (base degrees ride the index rows — no "
+        "entity-sized degree join at probe time); pair agg bounded "
+        "by batch size x capped slot fan-out",
+    ),
+    (
         "ta_contamination",
         "decontamination: the (small) eval gram set BROADCASTS; the "
         "train corpus streams past it in one narrow pass — no "
