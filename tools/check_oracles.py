@@ -3,6 +3,12 @@ queries()/oracle_sql() pair at a given sf dir, compare row count,
 schema (sorted column names), and order-insensitive values.
 
 Usage: python tools/check_oracles.py [sf_dir] [name_filter...]
+                                     [--skip=substr ...]
+
+--skip excludes queries whose name contains the substring — for
+oracle-scale limitations (e.g. dd_dup_clusters' all-pairs recursive
+closure oracle is exponential-ish at sf0.1 while the engine side
+runs in seconds; skip it there and value-check it at sf0.001/0.01).
 """
 
 from __future__ import annotations
@@ -42,7 +48,10 @@ def _canon(pdf: pd.DataFrame) -> list[tuple]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    skips = [
+        a.split("=", 1)[1] for a in sys.argv[2:] if a.startswith("--skip=")
+    ]
+    filters = [a for a in sys.argv[2:] if not a.startswith("--skip=")]
 
     from information_extraction_spark.driver_queries import (
         QUERIES,
@@ -63,6 +72,9 @@ def main() -> int:
     failures = 0
     for name, fn in sorted(QUERIES.items()):
         if filters and not any(f in name for f in filters):
+            continue
+        if any(s in name for s in skips):
+            print(f"skip {name} (--skip)")
             continue
         t0 = time.time()
         try:
