@@ -54,6 +54,9 @@ _CHANGED_THIS_ROUND = [
     "kg_type_infer",
     # Incremental ER: batch probed against the persisted slot index.
     "kg_incremental_er",
+    # Partitioned graph sink consumed via a pruned single-predicate
+    # read (write_graph -> read_graph_predicate, driver-visible).
+    "kg_graph_pred_scan",
     # KG post-extraction ops added this round: per-triple support
     # aggregation and insert-only incremental MERGE into the base
     # graph; plus train/eval 8-gram decontamination and unigram-LM

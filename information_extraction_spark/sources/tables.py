@@ -111,6 +111,32 @@ def write_graph(
     )
 
 
+def read_graph_predicate(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    predicate_buckets: int = 16,
+) -> DataFrame:
+    """Single-predicate read of a ``write_graph`` table that PRUNES at
+    the source: the bucket equality is a foldable expression over the
+    partition column (Catalyst constant-folds ``pmod(xxhash64(lit),
+    n)``), so it reaches the FileScan as a PartitionFilter — 1 of
+    ``predicate_buckets`` directories read; the predicate equality
+    pushes into the parquet row groups of that bucket (the files are
+    sorted by predicate, so min/max stats skip non-matching groups).
+    This is the consumer half of write_graph's partitioning story.
+    """
+    return spark.read.parquet(path).filter(
+        (
+            F.col("pred_bucket")
+            == F.pmod(
+                F.xxhash64(F.lit(predicate)), F.lit(predicate_buckets)
+            ).cast("int")
+        )
+        & (F.col("predicate") == predicate)
+    )
+
+
 def graph_write_layout(
     triples: DataFrame,
     predicate_buckets: int = 16,

@@ -114,3 +114,68 @@ def test_collect_spo_lists_keep_empty(spark, world, transcripts_pdf):
     empties = spo.filter(F.size("spo_list") == 0).count()
     with_triples = triples.select("conv_id", "turn_idx").distinct().count()
     assert empties == len(transcripts_pdf) - with_triples
+
+
+def _scan_metrics(df):
+    """SQL metrics of the first leaf scan of an EXECUTED DataFrame
+    (collect the same instance first — count() builds its own plan)."""
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    m = leaves.apply(0).metrics()
+    vals = {}
+    it = m.iterator()
+    while it.hasNext():
+        kv = it.next()
+        vals[kv._1()] = kv._2().value()
+    return vals
+
+
+def test_read_graph_predicate_prunes_and_matches(spark, tmp_path):
+    """The consumer half of write_graph's partitioning: the bucket
+    equality (foldable pmod(xxhash64(lit), n)) must reach the FileScan
+    as a PartitionFilter — exactly 1 of the bucket directories read —
+    and the rows must equal a plain filter of the source."""
+    import os
+
+    from information_extraction_spark.sources.tables import (
+        read_graph_predicate,
+        write_graph,
+    )
+
+    triples = spark.createDataFrame(
+        [
+            ("c", i, f"s{i % 5}", f"rel{i % 7}", f"o{i % 3}")
+            for i in range(200)
+        ],
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string",
+    )
+    out = str(tmp_path / "graph")
+    write_graph(triples, out, num_tasks=4)
+    n_dirs = len(
+        [d for d in os.listdir(out) if d.startswith("pred_bucket=")]
+    )
+    assert n_dirs >= 2
+
+    got = read_graph_predicate(spark, out, "rel3")
+    rows = {
+        (r["conv_id"], r["turn_idx"], r["subject"], r["object"])
+        for r in got.collect()
+    }
+    want = {
+        ("c", i, f"s{i % 5}", f"o{i % 3}")
+        for i in range(200)
+        if i % 7 == 3
+    }
+    assert rows == want
+
+    pm = _scan_metrics(got)
+    assert pm["numPartitions"] == 1
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    )
+    assert "pred_bucket" in scan_line.split("PartitionFilters")[1][:60]
+
+    full = spark.read.parquet(out).filter(F.lit(True))
+    full.collect()
+    assert _scan_metrics(full)["numPartitions"] == n_dirs

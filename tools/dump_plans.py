@@ -156,6 +156,14 @@ PLAN_QUERIES = [
         "by batch size x capped slot fan-out",
     ),
     (
+        "kg_graph_pred_scan",
+        "single-predicate consumer of the written graph table: the "
+        "foldable bucket equality reaches the FileScan as "
+        "PartitionFilters (1 of 16 bucket dirs), the predicate "
+        "equality lands in PushedFilters against predicate-sorted "
+        "row groups",
+    ),
+    (
         "ta_contamination",
         "decontamination: the (small) eval gram set BROADCASTS; the "
         "train corpus streams past it in one narrow pass — no "
