@@ -208,6 +208,8 @@ def main() -> int:
         "kg_provenance",
         "kg_er_candidates",
         "kg_incremental_er",
+        "kg_er_merge",
+        "emb_kmeans",
         "ta_contamination",
         "ta_perplexity",
         "kg_bio_decode",

@@ -36,6 +36,14 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # ER APPLICATION (pairs -> CC -> graph rewrite + support re-agg),
+    # SHACL-style cardinality and domain/range validation against the
+    # induced ontology, and fixed-iteration Lloyd k-means over the
+    # embedding table — added this round.
+    "kg_er_merge",
+    "kg_cardinality_check",
+    "kg_type_violations",
+    "emb_kmeans",
     # Consolidation layer above triple support, added this round:
     # functional-slot conflict resolution (struct-max argmax),
     # per-typed-predicate ontology profile, and k-bounded per-triple

@@ -1498,3 +1498,168 @@ def kg_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLES["kg_conv_stats"] = _conv_stats_oracle_sql(sf_dir)
     transcripts = transcripts_from_documents(spark, sf_dir)
     return conversation_stats(transcripts, triples)
+
+
+# --- ER merge application ----------------------------------------------------
+#
+# kg_er_candidates PROPOSES duplicate-entity pairs; this APPLIES them:
+# connected components over the above-threshold pairs, subjects
+# rewritten to their component's minimum member, support
+# re-aggregated. The oracle recomputes the pairs (same CTEs as
+# _er_oracle_sql), closes them with a recursive CTE (the
+# dd_dup_clusters pattern — pairs are bounded, 126 at sf0.01), and
+# rewrites the golden identically.
+
+
+def _er_merge_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH RECURSIVE slots AS (
+  SELECT DISTINCT subject, predicate, object FROM {g}
+), keep AS (
+  SELECT predicate, object FROM slots
+  GROUP BY 1, 2 HAVING count(*) <= 1000
+), blocked AS (
+  SELECT s.* FROM slots s JOIN keep USING (predicate, object)
+), deg AS (
+  SELECT subject, CAST(count(*) AS BIGINT) AS n FROM blocked GROUP BY 1
+), pairs AS (
+  SELECT a.subject AS s1, b.subject AS s2,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM blocked a JOIN blocked b
+    ON a.predicate = b.predicate AND a.object = b.object
+   AND a.subject < b.subject
+  GROUP BY 1, 2
+), edges AS (
+  SELECT s1, s2 FROM pairs
+  JOIN deg d1 ON d1.subject = pairs.s1
+  JOIN deg d2 ON d2.subject = pairs.s2
+  WHERE ROUND(shared / CAST(d1.n + d2.n - shared AS DOUBLE), 4) >= 0.5
+), sym AS (
+  SELECT s1 AS a, s2 AS b FROM edges
+  UNION SELECT s2, s1 FROM edges
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
+), comp AS (
+  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+SELECT COALESCE(c.component, t.subject) AS subject,
+       t.predicate, t.object,
+       CAST(count(*) AS BIGINT) AS support,
+       CAST(count(DISTINCT t.conv_id) AS BIGINT) AS n_convs,
+       CAST(count(DISTINCT t.subject) AS BIGINT) AS n_surfaces
+FROM {g} t LEFT JOIN comp c ON c.node = t.subject
+GROUP BY 1, 2, 3
+"""
+
+
+_ER_MERGE_ORACLE = _er_merge_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_er_merge", _ER_MERGE_ORACLE)
+def kg_er_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the ER candidate decisions to the graph
+    (operators/linking.apply_er_merge): CC over the tau=0.5 pairs,
+    broadcast label rewrite, support re-aggregation. n_surfaces > 1
+    marks the rows the merge actually changed."""
+    from information_extraction_spark.operators.linking import (
+        apply_er_merge,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_er_merge"] = _er_merge_oracle_sql(sf_dir)
+    return apply_er_merge(triples, tau=0.5, max_slot_freq=1000)
+
+
+# --- SHACL-style validation over the induced ontology ------------------------
+
+
+def _cardinality_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH slots AS (
+  SELECT subject, predicate,
+         CAST(count(DISTINCT object) AS BIGINT) AS n_obj
+  FROM {g} GROUP BY 1, 2
+)
+SELECT predicate,
+       CAST(count(*) AS BIGINT) AS n_slots,
+       CAST(sum(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+       CAST(max(n_obj) AS BIGINT) AS max_objects,
+       ROUND(sum(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS violation_rate
+FROM slots GROUP BY predicate
+"""
+
+
+_CARDINALITY_ORACLE = _cardinality_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_cardinality_check", _CARDINALITY_ORACLE)
+def kg_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-cardinality-1 (functional) violation profile per predicate
+    (operators/graph.cardinality_profile) — the go/no-go table for
+    resolve_functional."""
+    from information_extraction_spark.operators.graph import (
+        cardinality_profile,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_cardinality_check"] = _cardinality_oracle_sql(sf_dir)
+    return cardinality_profile(triples)
+
+
+def _type_violations_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH votes AS (
+  SELECT subject AS entity, subject_type AS etype FROM {g}
+  UNION ALL
+  SELECT object, object_type FROM {g}
+), c AS (
+  SELECT entity, etype, CAST(count(*) AS BIGINT) AS votes
+  FROM votes GROUP BY 1, 2
+), dom AS (
+  SELECT entity, etype AS inferred FROM (
+    SELECT entity, etype,
+           row_number() OVER (PARTITION BY entity
+               ORDER BY votes DESC, etype DESC) AS rn
+    FROM c) WHERE rn = 1
+), sides AS (
+  SELECT subject AS entity, predicate, subject_type AS declared,
+         'subject' AS side FROM {g}
+  UNION ALL
+  SELECT object, predicate, object_type, 'object' FROM {g}
+), per AS (
+  SELECT entity, predicate, declared, side,
+         CAST(count(*) AS BIGINT) AS n
+  FROM sides GROUP BY 1, 2, 3, 4
+)
+SELECT predicate, side, declared, inferred,
+       CAST(sum(n) AS BIGINT) AS n_assertions,
+       CAST(count(*) AS BIGINT) AS n_entities
+FROM per JOIN dom USING (entity)
+WHERE declared <> inferred
+GROUP BY 1, 2, 3, 4
+"""
+
+
+_TYPE_VIOLATIONS_ORACLE = _type_violations_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_type_violations", _TYPE_VIOLATIONS_ORACLE)
+def kg_type_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/range validation against the induced ontology
+    (operators/graph.type_violations): assertions whose declared
+    endpoint type disagrees with the entity's dominant inferred type,
+    rolled up per violation class."""
+    from information_extraction_spark.operators.graph import (
+        type_violations,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_type_violations"] = _type_violations_oracle_sql(sf_dir)
+    return type_violations(triples)

@@ -1502,3 +1502,80 @@ def ta_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(F.avg(nll)), 4).alias("ppl"),
         )
     )
+
+
+# --- K-means clustering over the embedding table ------------------------------
+#
+# The training-data pipeline's clustering primitive (topic/domain
+# clustering for curation and cluster-balanced sampling): Lloyd's
+# k-means, fixed iterations, deterministic init (the k smallest
+# vec_ids), centroid components rounded to 6dp each update so the
+# order-sensitive double sums agree across engines. The oracle chains
+# one (assign, update) CTE pair per iteration — the same
+# fixed-iteration-as-chained-CTEs pattern as kg_pagerank.
+
+
+def _kmeans_oracle_sql(
+    k: int = 8, iterations: int = 3, dim: int = 64, round_dp: int = 6
+) -> str:
+    d2 = (
+        "list_sum(list_transform(list_zip(e.v, c.c),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    parts = [
+        f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < {k}
+)"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f""", a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM (SELECT e.vec_id, e.v, c.cid, {d2} AS d
+          FROM e CROSS JOIN c{i} c))
+  WHERE rn = 1
+), c{i + 1} AS (
+  SELECT p.cid, COALESCE(n.c, p.c) AS c
+  FROM c{i} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY i) AS c FROM (
+      SELECT cid, i, round(avg(v[i]), {round_dp}) AS m
+      FROM a{i} CROSS JOIN generate_series(1, {dim}) g(i)
+      GROUP BY cid, i)
+    GROUP BY cid) n ON n.cid = p.cid
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vec_id, cid, ROUND(d, 4) AS dist2 FROM (
+  SELECT vec_id, cid, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM (SELECT e.vec_id, c.cid, {d2} AS d
+        FROM e CROSS JOIN c{iterations} c))
+WHERE rn = 1"""
+    )
+    return "".join(parts)
+
+
+_KMEANS_ORACLE = _kmeans_oracle_sql()
+
+
+@_q("emb_kmeans", _KMEANS_ORACLE)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd k-means assignments over the embedding
+    table (operators/clustering.lloyd_kmeans: literal-broadcast
+    centroids → zero-shuffle assignment; one map-side-combined
+    (cid, pos) shuffle per update; k×dim bounded collects)."""
+    from information_extraction_spark.operators.clustering import (
+        lloyd_kmeans,
+    )
+
+    return lloyd_kmeans(
+        _spread(spark, _emb(spark, sf_dir), "vec_id"), k=8, iterations=3
+    )

@@ -331,6 +331,92 @@ def conversation_stats(
     )
 
 
+def cardinality_profile(triples: DataFrame) -> DataFrame:
+    """SHACL-style cardinality validation per predicate: how badly
+    does each predicate violate a max-cardinality-1 (functional)
+    constraint? Per predicate — total (subject, predicate) slots,
+    slots asserting >1 distinct object, the worst slot's object count,
+    and the violation rate. The go/no-go table for
+    ``resolve_functional``: a predicate with violation_rate ≈ 0 is
+    safe to resolve; ≈ 1 is genuinely multi-valued and must NOT be
+    collapsed (sh:maxCount 1 in SHACL terms).
+
+    Scale shape: distinct on the full (s, p, o) key (map-side
+    combined — the only pass at assertion volume), then a
+    map-side-combined (s, p) count, then the predicate rollup over
+    slot-sized data. ~50 predicate groups never see raw volume.
+    """
+    slots = (
+        triples.select("subject", "predicate", "object")
+        .distinct()
+        .groupBy("subject", "predicate")
+        .agg(F.count("*").cast("long").alias("_n_obj"))
+    )
+    return slots.groupBy("predicate").agg(
+        F.count("*").cast("long").alias("n_slots"),
+        F.sum((F.col("_n_obj") > 1).cast("long"))
+        .cast("long")
+        .alias("n_violating"),
+        F.max("_n_obj").cast("long").alias("max_objects"),
+        F.round(
+            F.sum((F.col("_n_obj") > 1).cast("long"))
+            / F.count("*").cast("double"),
+            4,
+        ).alias("violation_rate"),
+    )
+
+
+def type_violations(triples: DataFrame) -> DataFrame:
+    """SHACL-style domain/range validation against the INDUCED
+    ontology: assertions whose declared endpoint type disagrees with
+    the endpoint entity's dominant type (``infer_entity_types``) are
+    suspect extractions. Returns one row per (predicate, side,
+    declared, inferred) violation class with assertion/entity counts
+    — bounded output (predicates × types), the triage table a KG
+    curator reads top-down.
+
+    Scale shape: the inferred-type table is ENTITY-sized — never
+    broadcast at warehouse scale; each side joins it on its endpoint
+    key (subject / object), a co-keyed shuffle join both of whose
+    sides are already collapsed below assertion volume (the triple
+    side pre-collapses per distinct typed endpoint pairing). AQE
+    downgrades to broadcast at test scale; the declared shape
+    survives when entities are billions.
+    """
+    inferred = infer_entity_types(triples).select(
+        "entity", F.col("etype").alias("inferred")
+    )
+
+    def _side(entity_col: str, type_col: str, side: str) -> DataFrame:
+        per = triples.groupBy(
+            F.col(entity_col).alias("entity"),
+            "predicate",
+            F.col(type_col).alias("declared"),
+        ).agg(F.count("*").cast("long").alias("_n"))
+        return (
+            per.join(inferred, "entity")
+            .filter(F.col("declared") != F.col("inferred"))
+            .groupBy("predicate", "declared", "inferred")
+            .agg(
+                F.sum("_n").cast("long").alias("n_assertions"),
+                F.count("*").cast("long").alias("n_entities"),
+            )
+            .withColumn("side", F.lit(side))
+        )
+
+    cols = [
+        "predicate",
+        "side",
+        "declared",
+        "inferred",
+        "n_assertions",
+        "n_entities",
+    ]
+    return _side("subject", "subject_type", "subject").select(
+        *cols
+    ).unionByName(_side("object", "object_type", "object").select(*cols))
+
+
 def merge_new_triples(base: DataFrame, incoming: DataFrame) -> DataFrame:
     """Distinct incoming (subject, predicate, object) rows NOT already
     present in the base graph — the insert half of an Iceberg

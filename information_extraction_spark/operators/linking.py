@@ -310,6 +310,58 @@ def er_probe(
     )
 
 
+def apply_er_merge(
+    triples: DataFrame,
+    tau: float = 0.5,
+    max_slot_freq: int = 1000,
+) -> DataFrame:
+    """APPLY the ER decisions: candidate pairs (``er_candidates``) →
+    connected components → rewrite every merged subject to its
+    component's minimum member → re-aggregate per-triple support.
+    The stage between candidate generation and a deduplicated graph —
+    er_candidates proposes, this merges. Returns (subject, predicate,
+    object, support, n_convs, n_surfaces) where subject is canonical
+    and n_surfaces counts the distinct raw surface forms folded into
+    the row (n_surfaces > 1 marks rows the merge actually changed).
+
+    Scale shape: the component label table is bounded by the entities
+    appearing in an above-threshold candidate pair — a vanishing
+    fraction of the entity universe (duplicates that also share ≥ tau
+    of their slots), NOT entity-sized — so it broadcasts onto the
+    fact table exactly like dd_dup_clusters' doc→cluster mapping;
+    unmatched subjects canonicalize to themselves via coalesce with
+    no second pass. The re-aggregation is one map-side-combined
+    shuffle on the rewritten (s, p, o) key. The CC runs over pair
+    edges (bounded as above) with the usual driver/hash-min dispatch.
+    """
+    pairs = er_candidates(triples, tau=tau, max_slot_freq=max_slot_freq)
+    comps = connected_components(
+        pairs.select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+    )
+    mapping = F.broadcast(
+        comps.select(
+            F.col("node").alias("_raw"), F.col("component").alias("_canon")
+        )
+    )
+    rewritten = (
+        triples.withColumn("_raw", F.col("subject"))
+        .drop("subject")
+        .join(mapping, "_raw", "left")
+        .select(
+            F.coalesce("_canon", "_raw").alias("subject"),
+            "predicate",
+            "object",
+            "conv_id",
+            F.col("_raw").alias("_surface"),
+        )
+    )
+    return rewritten.groupBy("subject", "predicate", "object").agg(
+        F.count("*").cast("long").alias("support"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.countDistinct("_surface").cast("long").alias("n_surfaces"),
+    )
+
+
 def canonicalize_triples(
     triples: DataFrame, alias_df: DataFrame
 ) -> DataFrame:

@@ -1,0 +1,106 @@
+"""lloyd_kmeans vs a sequential no-Spark reference implementation:
+random parity, the duplicate-init tie-break, and empty-cluster
+centroid retention."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _ref_kmeans(vs, k, iterations, round_dp=6):
+    """Driver-side reference mirroring the documented contract: init =
+    the k smallest vec_ids' vectors, squared-L2 argmin with ties to
+    the lower cid, centroid components rounded after each update,
+    empty clusters keep their centroid. Distances accumulate in
+    position order (plain Python sum, same as the engine's
+    F.aggregate)."""
+    vs = [[float(x) for x in v] for v in vs]
+    cents = {i: list(vs[i]) for i in range(k)}
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def assign():
+        return {
+            vid: min((d2(v, cents[c]), c) for c in sorted(cents))
+            for vid, v in enumerate(vs)
+        }
+
+    for _ in range(iterations):
+        a = assign()
+        for cid in sorted(cents):
+            members = [vs[vid] for vid, (_, c) in a.items() if c == cid]
+            if members:
+                dim = len(members[0])
+                cents[cid] = [
+                    round(sum(m[p] for m in members) / len(members), round_dp)
+                    for p in range(dim)
+                ]
+    return {vid: (c, round(d, 4)) for vid, (d, c) in assign().items()}
+
+
+def _run(spark, vecs, k, iterations):
+    from information_extraction_spark.operators.clustering import (
+        lloyd_kmeans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cid"], r["dist2"])
+        for r in lloyd_kmeans(df, k=k, iterations=iterations).collect()
+    }
+    # The engine casts float32 -> double exactly; the reference must
+    # see the same float32-quantized values.
+    quant = [np.array(v, dtype=np.float32).astype(np.float64) for v in vecs]
+    return got, _ref_kmeans(quant, k, iterations)
+
+
+def test_kmeans_matches_reference_on_random_vectors(spark):
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(30, 6))
+    got, want = _run(spark, vecs, k=3, iterations=3)
+    assert got == want
+
+
+def test_kmeans_single_iteration_and_k_equals_n(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(5, 4))
+    got, want = _run(spark, vecs, k=5, iterations=1)
+    assert got == want
+    # every vector IS a centroid: all dist2 == 0 after one iteration
+    # of singleton clusters
+    assert all(d == 0.0 for _, d in got.values())
+
+
+def test_kmeans_duplicate_init_tie_break_and_empty_cluster(spark):
+    # v0 == v1 == [0]: init c0 = c1 = [0]. Every point ties between
+    # them -> lower cid wins -> c1 goes EMPTY and must keep centroid
+    # [0] while c0 moves to the running mean. The reference encodes
+    # exactly that contract; parity proves the engine honors it.
+    vecs = [[0.0], [0.0], [5.0]]
+    got, want = _run(spark, vecs, k=2, iterations=1)
+    assert got == want
+    # After the update c0 = mean(0,0,5) = 1.666667, c1 retained [0]:
+    # the zero vectors re-assign to the RETAINED empty centroid.
+    assert got[0][0] == 1 and got[1][0] == 1 and got[0][1] == 0.0
+    assert got[2][0] == 0
+
+
+def test_kmeans_raises_below_k_vectors(spark):
+    import pytest
+
+    from information_extraction_spark.operators.clustering import (
+        lloyd_kmeans,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0]), (1, [1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        lloyd_kmeans(df, k=3, iterations=1)

@@ -413,3 +413,69 @@ def test_transcripts_null_text_yields_one_empty_turn(spark, tmp_path):
     assert got["doc0.0"] == (0, "alpha beta gamma")
     assert got["doc1.0"] == (0, "")
     assert t.filter(F.col("conv_id") == "doc1.0").count() == 1
+
+
+def test_cardinality_profile_counts_violations(spark):
+    from information_extraction_spark.operators.graph import (
+        cardinality_profile,
+    )
+
+    rows = [
+        # (s1, p) asserts 2 distinct objects -> violating slot; the
+        # duplicate assertion of (s1, p, o1) must NOT count (distinct
+        # objects, not assertions).
+        ("c", 0, "s1", "p", "o1"),
+        ("c", 1, "s1", "p", "o1"),
+        ("c", 2, "s1", "p", "o2"),
+        ("c", 3, "s2", "p", "o1"),
+        ("c", 4, "s1", "q", "o1"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string",
+    )
+    got = {
+        r["predicate"]: (
+            r["n_slots"],
+            r["n_violating"],
+            r["max_objects"],
+            r["violation_rate"],
+        )
+        for r in cardinality_profile(df).collect()
+    }
+    assert got["p"] == (2, 1, 2, 0.5)
+    assert got["q"] == (1, 0, 1, 0.0)
+
+
+def test_type_violations_against_inferred_dominant(spark):
+    from information_extraction_spark.operators.graph import (
+        type_violations,
+    )
+
+    rows = [
+        # e's dominant type is T1 (2 votes vs 1 for T2); the p2
+        # assertion declares T2 -> subject-side violation class.
+        ("c", 0, "e", "p1", "x", "T1", "TX"),
+        ("c", 1, "e", "p1", "x", "T1", "TX"),
+        ("c", 2, "e", "p2", "y", "T2", "TY"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string, subject_type string, object_type string",
+    )
+    got = [
+        (
+            r["predicate"],
+            r["side"],
+            r["declared"],
+            r["inferred"],
+            r["n_assertions"],
+            r["n_entities"],
+        )
+        for r in type_violations(df).collect()
+    ]
+    # x and y each carry a single consistent object type -> no
+    # object-side rows; exactly the one subject-side class remains.
+    assert got == [("p2", "subject", "T2", "T1", 1, 1)]

@@ -230,3 +230,71 @@ def test_er_probe_against_built_index(spark):
     # identity pairs are excluded even when surfaces coincide
     new_same = spark.createDataFrame([("d", 0, "b1", "p", "o1")], schema)
     assert er_probe(index, stop, new_same, tau=0.0).count() == 0
+
+
+def test_apply_er_merge_rewrites_and_reaggregates(spark):
+    from information_extraction_spark.operators.linking import apply_er_merge
+
+    rows = [
+        # e1/e2 jaccard 2/3 >= 0.5 -> one component, min member e1
+        ("c1", 0, "e1", "p", "o1"),
+        ("c1", 1, "e1", "p", "o2"),
+        ("c2", 2, "e2", "p", "o1"),
+        ("c2", 3, "e2", "p", "o2"),
+        ("c2", 4, "e2", "q", "o3"),
+        # e3 shares nothing -> stays itself
+        ("c1", 5, "e3", "q", "o9"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string",
+    )
+    got = {
+        (r["subject"], r["predicate"], r["object"]): (
+            r["support"],
+            r["n_convs"],
+            r["n_surfaces"],
+        )
+        for r in apply_er_merge(df, tau=0.5).collect()
+    }
+    assert got == {
+        ("e1", "p", "o1"): (2, 2, 2),
+        ("e1", "p", "o2"): (2, 2, 2),
+        ("e1", "q", "o3"): (1, 1, 1),  # surface e2, canonical e1
+        ("e3", "q", "o9"): (1, 1, 1),
+    }
+
+
+def test_apply_er_merge_transitive_chain(spark):
+    from information_extraction_spark.operators.linking import apply_er_merge
+
+    # a~b and b~c each meet tau, a~c does NOT (0 shared slots):
+    # the CC closure must still fold all three into component "a".
+    rows = [
+        ("c", 0, "a", "p", "o1"),
+        ("c", 1, "a", "p", "o2"),
+        ("c", 2, "b", "p", "o1"),
+        ("c", 3, "b", "p", "o2"),
+        ("c", 4, "b", "q", "o3"),
+        ("c", 5, "b", "q", "o4"),
+        ("c", 6, "cc", "q", "o3"),
+        ("c", 7, "cc", "q", "o4"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string",
+    )
+    merged = apply_er_merge(df, tau=0.5).collect()
+    assert {r["subject"] for r in merged} == {"a"}
+    # 4 distinct slots survive, each folding its contributing surfaces
+    by_slot = {
+        (r["predicate"], r["object"]): r["n_surfaces"] for r in merged
+    }
+    assert by_slot == {
+        ("p", "o1"): 2,
+        ("p", "o2"): 2,
+        ("q", "o3"): 2,
+        ("q", "o4"): 2,
+    }

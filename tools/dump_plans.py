@@ -175,6 +175,34 @@ PLAN_QUERIES = [
         "(BroadcastHashJoin) so the corpus is scored in one narrow "
         "pass, then one per-doc aggregation shuffle",
     ),
+    (
+        "kg_er_merge",
+        "ER application: the CC label table (bounded by entities in "
+        "above-threshold pairs, NOT entity-sized) BROADCASTS onto "
+        "the fact table for the subject rewrite; re-aggregation is "
+        "one map-side-combined shuffle on the rewritten (s,p,o) key",
+    ),
+    (
+        "kg_cardinality_check",
+        "cardinality validation: distinct on (s,p,o) then (s,p) "
+        "count then the ~50-group predicate rollup — every exchange "
+        "map-side combined over progressively collapsed data",
+    ),
+    (
+        "kg_type_violations",
+        "domain/range validation: the inferred-type table is "
+        "ENTITY-sized, joined on the endpoint key per side (co-keyed "
+        "shuffle join at warehouse scale — AQE may broadcast at test "
+        "scale); the triple side pre-collapses per typed endpoint "
+        "before the join",
+    ),
+    (
+        "emb_kmeans",
+        "Lloyd k-means: centroids are a k x dim plan LITERAL — the "
+        "assignment pass is completely narrow (no crossJoin, no "
+        "shuffle); each update is ONE map-side-combined shuffle with "
+        "k x dim groups; final plan is scan -> project -> round",
+    ),
 ]
 
 
