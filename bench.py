@@ -210,6 +210,8 @@ def main() -> int:
         "kg_incremental_er",
         "kg_er_merge",
         "emb_kmeans",
+        "ann_pq_adc",
+        "kg_neighbor_sample",
         "ta_contamination",
         "ta_perplexity",
         "kg_bio_decode",

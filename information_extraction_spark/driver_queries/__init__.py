@@ -44,6 +44,12 @@ _CHANGED_THIS_ROUND = [
     "kg_cardinality_check",
     "kg_type_violations",
     "emb_kmeans",
+    # Cluster-balanced sampling rates over the k-means assignments,
+    # PQ asymmetric-distance top-k (narrow scan, no shuffle), and
+    # deterministic fixed-fanout neighbor sampling for GNN prep.
+    "emb_cluster_sample",
+    "ann_pq_adc",
+    "kg_neighbor_sample",
     # Consolidation layer above triple support, added this round:
     # functional-slot conflict resolution (struct-max argmax),
     # per-typed-predicate ontology profile, and k-bounded per-triple

@@ -1663,3 +1663,38 @@ def kg_type_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = kg_extract_triples(spark, sf_dir)
     ORACLES["kg_type_violations"] = _type_violations_oracle_sql(sf_dir)
     return type_violations(triples)
+
+
+def _neighbor_sample_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH ed AS (
+  SELECT DISTINCT subject, predicate, object FROM {g}
+), r AS (
+  SELECT subject, predicate, object,
+         CAST(row_number() OVER (PARTITION BY subject
+             ORDER BY md5(subject || '|' || predicate || '|' || object))
+             AS INT) AS rk,
+         CAST(count(*) OVER (PARTITION BY subject) AS BIGINT) AS degree
+  FROM ed
+)
+SELECT subject, predicate, object, rk, degree FROM r WHERE rk <= 4
+"""
+
+
+_NEIGHBOR_SAMPLE_ORACLE = _neighbor_sample_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_neighbor_sample", _NEIGHBOR_SAMPLE_ORACLE)
+def kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-fanout (4) neighbor sampling for GNN
+    mini-batch prep (operators/graph.neighbor_sample): one exchange
+    on subject shared by the rank window, the degree window, and the
+    fanout filter."""
+    from information_extraction_spark.operators.graph import (
+        neighbor_sample,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_neighbor_sample"] = _neighbor_sample_oracle_sql(sf_dir)
+    return neighbor_sample(triples, fanout=4)

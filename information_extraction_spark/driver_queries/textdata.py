@@ -1579,3 +1579,131 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lloyd_kmeans(
         _spread(spark, _emb(spark, sf_dir), "vec_id"), k=8, iterations=3
     )
+
+
+# mean_dist2 sums the 4dp-quantized distances as INTEGERS (×10⁴) so
+# the group sum is order-independent and exact in both engines — a
+# plain avg() of doubles differs at ~1e-12 by summation order, which
+# is enough to straddle a 4dp rounding boundary (observed 0.9383 vs
+# 0.9382 at sf0.001).
+_CLUSTER_SAMPLE_ORACLE = f"""
+SELECT cid,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       ROUND(sum(CAST(round(dist2 * 10000) AS BIGINT)) / 10000.0
+             / count(*), 4) AS mean_dist2,
+       ROUND(LEAST(1.0, 50.0 / count(*)), 4) AS keep_rate
+FROM ({_kmeans_oracle_sql()})
+GROUP BY cid
+"""
+
+
+@_q("emb_cluster_sample", _CLUSTER_SAMPLE_ORACLE)
+def emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling plan over the k-means assignments:
+    per cluster — size, cohesion (mean squared distance), and the
+    keep rate that caps every cluster at 50 sampled vectors (the
+    de-biasing step between clustering and training-set assembly;
+    same uniform-target shape as ta_domain_mix but over LEARNED
+    clusters). One extra map-side-combined k-group shuffle above
+    emb_kmeans."""
+    from information_extraction_spark.operators.clustering import (
+        lloyd_kmeans,
+    )
+
+    assigned = lloyd_kmeans(
+        _spread(spark, _emb(spark, sf_dir), "vec_id"), k=8, iterations=3
+    )
+    return assigned.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        # integer-exact mean of the 4dp-quantized distances — see the
+        # oracle note above (order-independent across both engines)
+        F.round(
+            F.sum(F.round(F.col("dist2") * 10000).cast("long"))
+            / F.lit(10000.0)
+            / F.count("*"),
+            4,
+        ).alias("mean_dist2"),
+        F.round(
+            F.least(F.lit(1.0), F.lit(50.0) / F.count("*")), 4
+        ).alias("keep_rate"),
+    )
+
+
+# --- Product quantization ADC top-k -------------------------------------------
+
+
+def _pq_oracle_sql(
+    m: int = 8, dsub: int = 8, n_cw: int = 16, k: int = 10
+) -> str:
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    return f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), sub AS (
+  SELECT s FROM generate_series(0, {m - 1}) g(s)
+), cw AS (
+  SELECT sub.s, CAST(e.vec_id AS INT) AS cid,
+         e.v[(sub.s*{dsub}+1):(sub.s*{dsub}+{dsub})] AS c
+  FROM e CROSS JOIN sub WHERE e.vec_id < {n_cw}
+), q AS (
+  SELECT sub.s, e.v[(sub.s*{dsub}+1):(sub.s*{dsub}+{dsub})] AS qs
+  FROM e CROSS JOIN sub WHERE e.vec_id = 0
+), dtab AS (
+  SELECT cw.s, cw.cid, {d2.format(a="q.qs", b="cw.c")} AS d
+  FROM cw JOIN q USING (s)
+), assign AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT e.vec_id, cw.s, cw.cid,
+           row_number() OVER (PARTITION BY e.vec_id, cw.s ORDER BY
+             {d2.format(
+                 a="e.v[(cw.s*" + str(dsub) + "+1):(cw.s*"
+                 + str(dsub) + "+" + str(dsub) + ")]",
+                 b="cw.c",
+             )}, cw.cid) AS rn
+    FROM e CROSS JOIN cw)
+  WHERE rn = 1
+), adc AS (
+  SELECT a.vec_id,
+         ROUND(list_sum(list(dtab.d ORDER BY a.s)), 6) AS adc6
+  FROM assign a JOIN dtab ON dtab.s = a.s AND dtab.cid = a.cid
+  GROUP BY a.vec_id
+)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY adc6, vec_id) AS INT) AS rank,
+       ROUND(adc6, 4) AS adc
+FROM adc WHERE vec_id <> 0
+QUALIFY rank <= {k}
+"""
+
+
+_PQ_ORACLE = _pq_oracle_sql()
+
+
+@_q("ann_pq_adc", _PQ_ORACLE)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization asymmetric-distance top-10
+    (operators/clustering.pq_adc_topk): 8 sub-spaces x 16
+    data-sampled codewords, query = vec_id 0 (the ann_cosine_topk
+    convention), ADC rounded to 6dp before ranking. ONE narrow scan
+    (per-row argmin encode + table lookups) into
+    TakeOrderedAndProject — the PQ promise: no shuffle, scan cost
+    only."""
+    from information_extraction_spark.operators.clustering import (
+        pq_adc_topk,
+    )
+
+    e = _spread(spark, _emb(spark, sf_dir), "vec_id")
+    qrow = e.orderBy("vec_id").limit(1).collect()[0]
+    return pq_adc_topk(
+        e,
+        list(qrow["embedding"]),
+        m=8,
+        n_codewords=16,
+        k=10,
+        exclude_id=qrow["vec_id"],
+    )

@@ -142,3 +142,129 @@ def lloyd_kmeans(
     return assign_to_centroids(v, cents).select(
         "vec_id", "cid", F.round("dist2", 4).alias("dist2")
     )
+
+
+# --- Product quantization (ADC) ----------------------------------------------
+#
+# The 100 TB ANN scan shape: vectors compress to m sub-space codes; a
+# query probes by (1) building an m×n_codewords distance table ONCE on
+# the driver, then (2) one completely NARROW pass over the corpus —
+# per row, m argmins against literal codebooks plus m table lookups —
+# feeding TakeOrderedAndProject. No shuffle anywhere; scan cost is the
+# only cost, which is the whole point of PQ (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search" — asymmetric
+# distance computation, eq. 12-13).
+#
+# Codebooks here are DATA-SAMPLED (the first n_codewords vectors'
+# sub-vectors) so the whole operator stays oracle-expressible; a
+# production pipeline trains each sub-space codebook with
+# ``lloyd_kmeans`` above — the seam is the codebooks argument.
+
+
+def _seq_d2(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (float(x) - float(y)) * (float(x) - float(y))
+    return acc
+
+
+def pq_codebooks(head_vectors: list[list[float]], m: int, dsub: int):
+    """Codebooks from the first n_codewords vectors: codebooks[s] =
+    [(cid, sub-vector)] for sub-space s. Driver-side, bounded
+    (n_codewords × dim floats)."""
+    return [
+        [
+            (cid, [float(x) for x in vec[s * dsub : (s + 1) * dsub]])
+            for cid, vec in enumerate(head_vectors)
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_encode_expr(v_col, codebooks):
+    """array<int> of per-sub-space code assignments (squared-L2
+    argmin against the literal codebook, ties to the lower cid) —
+    evaluates per-row inside one codegen stage, no shuffle."""
+    codes = []
+    for s, cws in enumerate(codebooks):
+        dsub = len(cws[0][1])
+        sub = F.slice(v_col, s * dsub + 1, dsub)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _dist2(
+                            sub, F.array(*[F.lit(x) for x in cw])
+                        ).alias("d"),
+                        F.lit(int(cid)).alias("cid"),
+                    )
+                    for cid, cw in cws
+                ]
+            )
+        )
+        codes.append(best.cid)
+    return F.array(*codes)
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    query: list[float],
+    m: int = 8,
+    n_codewords: int = 16,
+    k: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k: encode every vector to m codes, then
+    approximate dist²(q, v) ≈ Σ_s dtab[s][code_s] where dtab is the
+    query-to-codeword distance table (computed once, driver-side, in
+    sequential double arithmetic — the order the oracle's list_sum
+    uses). ADC rounds to 6dp before ranking (ties then break on
+    vec_id); returns (vec_id, rank, adc) with adc displayed at 4dp.
+
+    Scale shape: ONE narrow scan (encode + m element_at lookups per
+    row) into TakeOrderedAndProject — each partition keeps its local
+    top-k; nothing shuffles. Codebooks and dtab are plan literals.
+    """
+    dim = len(query)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    head = vectors.orderBy("vec_id").limit(n_codewords).collect()
+    if len(head) < n_codewords:
+        raise ValueError(
+            f"need {n_codewords} vectors for codebooks, got {len(head)}"
+        )
+    cbs = pq_codebooks([list(r["embedding"]) for r in head], m, dsub)
+    q = [float(x) for x in query]
+    dtab = [
+        [_seq_d2(q[s * dsub : (s + 1) * dsub], cw) for _, cw in cbs[s]]
+        for s in range(m)
+    ]
+
+    v = vectors.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    if exclude_id is not None:
+        v = v.filter(F.col("vec_id") != int(exclude_id))
+    coded = v.withColumn("_codes", pq_encode_expr(F.col("v"), cbs))
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(d) for d in dtab[s]]),
+            F.col("_codes")[s] + 1,
+        )
+        adc = term if adc is None else adc + term
+    top = (
+        coded.withColumn("_adc6", F.round(adc, 6))
+        .orderBy("_adc6", "vec_id")
+        .limit(k)
+        # HALF_UP at 4dp like the oracle's ROUND — Python's round()
+        # is half-even and can disagree on binary-exact halves.
+        .select("vec_id", F.round("_adc6", 4).alias("_adc4"))
+        .collect()
+    )
+    rows = [(r["vec_id"], i + 1, r["_adc4"]) for i, r in enumerate(top)]
+    return vectors.sparkSession.createDataFrame(
+        rows, "vec_id long, rank int, adc double"
+    )

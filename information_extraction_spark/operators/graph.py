@@ -331,6 +331,42 @@ def conversation_stats(
     )
 
 
+def neighbor_sample(triples: DataFrame, fanout: int = 4) -> DataFrame:
+    """GraphSAGE-style fixed-fanout neighbor sampling over the triple
+    graph: per subject, keep at most ``fanout`` distinct
+    (predicate, object) out-edges — the mini-batch neighborhood
+    materialization a GNN training pipeline runs over the KG
+    (Hamilton et al. 2017 samples uniformly; here the sample is
+    DETERMINISTIC — ordered by md5 of the edge — so it is
+    reproducible across runs and oracle-checkable). Returns (subject,
+    predicate, object, rk, degree): rk the edge's sample rank, degree
+    the subject's TOTAL distinct out-degree pre-sampling (the
+    normalization constant an unbiased aggregator needs).
+
+    Scale shape: distinct on (s, p, o) (map-side combined), then ONE
+    exchange on subject shared by the rank window, the degree window,
+    and the filter; output is ≤ fanout rows per subject — a hub with
+    millions of out-edges still emits ``fanout`` rows, and WindowExec
+    streams its sorted run (never buffers the group). Entity surfaces
+    contain no '|' (space-tokenized words/bigrams), so the md5 key
+    collides only on identical edges — which distinct already
+    removed.
+    """
+    from pyspark.sql import Window
+
+    edges = triples.select("subject", "predicate", "object").distinct()
+    h = F.md5(F.concat_ws("|", "subject", "predicate", "object"))
+    w_rank = Window.partitionBy("subject").orderBy("_h")
+    w_all = Window.partitionBy("subject")
+    return (
+        edges.withColumn("_h", h)
+        .withColumn("rk", F.row_number().over(w_rank).cast("int"))
+        .withColumn("degree", F.count("*").over(w_all).cast("long"))
+        .filter(F.col("rk") <= fanout)
+        .select("subject", "predicate", "object", "rk", "degree")
+    )
+
+
 def cardinality_profile(triples: DataFrame) -> DataFrame:
     """SHACL-style cardinality validation per predicate: how badly
     does each predicate violate a max-cardinality-1 (functional)

@@ -104,3 +104,86 @@ def test_kmeans_raises_below_k_vectors(spark):
     )
     with pytest.raises(ValueError):
         lloyd_kmeans(df, k=3, iterations=1)
+
+
+def _ref_pq(vs, q, m, n_cw, k, exclude_id):
+    import math
+
+    dim = len(q)
+    dsub = dim // m
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    cbs = [
+        [(cid, vs[cid][s * dsub : (s + 1) * dsub]) for cid in range(n_cw)]
+        for s in range(m)
+    ]
+    dtab = [
+        [d2(q[s * dsub : (s + 1) * dsub], cw) for _, cw in cbs[s]]
+        for s in range(m)
+    ]
+    out = []
+    for vid, v in enumerate(vs):
+        if vid == exclude_id:
+            continue
+        adc = 0.0
+        for s in range(m):
+            code = min(
+                (d2(v[s * dsub : (s + 1) * dsub], cw), cid)
+                for cid, cw in cbs[s]
+            )[1]
+            adc += dtab[s][code]
+        out.append((round(adc, 6), vid))
+    out.sort()
+    # HALF_UP display rounding, matching F.round / DuckDB ROUND
+    return [
+        (vid, i + 1, math.floor(a * 10**4 + 0.5) / 10**4)
+        for i, (a, vid) in enumerate(out[:k])
+    ]
+
+
+def test_pq_adc_matches_reference(spark):
+    from information_extraction_spark.operators.clustering import (
+        pq_adc_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    raw = rng.normal(size=(40, 16))
+    quant = [
+        list(np.array(v, dtype=np.float32).astype(np.float64))
+        for v in raw
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(raw)],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r["vec_id"], r["rank"], r["adc"])
+        for r in pq_adc_topk(
+            df, quant[0], m=4, n_codewords=8, k=5, exclude_id=0
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _ref_pq(quant, quant[0], m=4, n_cw=8, k=5, exclude_id=0)
+
+
+def test_pq_rejects_bad_dim_and_short_table(spark):
+    import pytest
+
+    from information_extraction_spark.operators.clustering import (
+        pq_adc_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError):
+        pq_adc_topk(df, [0.0, 0.0, 0.0], m=2)  # 3 % 2 != 0
+    with pytest.raises(ValueError):
+        pq_adc_topk(df, [0.0, 0.0, 0.0], m=3, n_codewords=16)

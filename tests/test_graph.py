@@ -479,3 +479,33 @@ def test_type_violations_against_inferred_dominant(spark):
     # x and y each carry a single consistent object type -> no
     # object-side rows; exactly the one subject-side class remains.
     assert got == [("p2", "subject", "T2", "T1", 1, 1)]
+
+
+def test_neighbor_sample_fanout_rank_and_degree(spark):
+    import hashlib
+
+    from information_extraction_spark.operators.graph import neighbor_sample
+
+    rows = [("c", i, "hub", "p", f"o{i}") for i in range(6)] + [
+        # duplicate assertion must not inflate rank or degree
+        ("c2", 9, "hub", "p", "o0"),
+        ("c", 6, "leaf", "q", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string",
+    )
+    got = neighbor_sample(df, fanout=4).collect()
+    hub = sorted(
+        [(r["rk"], r["object"], r["degree"]) for r in got if r["subject"] == "hub"]
+    )
+    assert len(hub) == 4 and all(d == 6 for _, _, d in hub)
+    # rank order is the md5 order over the full distinct edge set
+    want = sorted(
+        (hashlib.md5(f"hub|p|o{i}".encode()).hexdigest(), f"o{i}")
+        for i in range(6)
+    )[:4]
+    assert [o for _, o, _ in hub] == [o for _, o in want]
+    leaf = [(r["rk"], r["degree"]) for r in got if r["subject"] == "leaf"]
+    assert leaf == [(1, 1)]

@@ -197,6 +197,26 @@ PLAN_QUERIES = [
         "before the join",
     ),
     (
+        "ann_pq_adc",
+        "PQ asymmetric-distance top-k: codebooks and the query "
+        "distance table are plan LITERALS — encode (m argmins) and "
+        "ADC (m element_at lookups) evaluate per-row in ONE narrow "
+        "scan into TakeOrderedAndProject; no shuffle anywhere",
+    ),
+    (
+        "kg_neighbor_sample",
+        "fixed-fanout neighbor sampling: distinct on (s,p,o), then "
+        "ONE exchange on subject shared by the rank window, the "
+        "degree window, and the fanout filter — a hub with millions "
+        "of out-edges emits fanout rows",
+    ),
+    (
+        "emb_cluster_sample",
+        "cluster-balanced sampling plan: emb_kmeans assignments plus "
+        "one k-group map-side-combined rollup; the mean uses "
+        "integer-exact 4dp-quantized sums (order-independent)",
+    ),
+    (
         "emb_kmeans",
         "Lloyd k-means: centroids are a k x dim plan LITERAL — the "
         "assignment pass is completely narrow (no crossJoin, no "
