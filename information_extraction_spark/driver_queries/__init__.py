@@ -50,6 +50,9 @@ _CHANGED_THIS_ROUND = [
     "emb_cluster_sample",
     "ann_pq_adc",
     "kg_neighbor_sample",
+    # Watermarked stream-stream inner join (view -> purchase
+    # attribution) drained as 4 genuine micro-batches per side.
+    "st_stream_join",
     # Consolidation layer above triple support, added this round:
     # functional-slot conflict resolution (struct-max argmax),
     # per-typed-predicate ontology profile, and k-bounded per-triple

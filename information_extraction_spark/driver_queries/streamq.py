@@ -240,6 +240,109 @@ def st_session_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+# --- Stream-stream join (SURVEY §2.8) ---------------------------------------
+#
+# The one Structured Streaming operator class the catalog lacked: a
+# watermarked stream-stream INNER join with an event-time range
+# condition — view→purchase attribution (for every view, the same
+# user's purchases within the next 6 hours). Both sides are REAL file
+# streams drained as 4 micro-batches (maxFilesPerTrigger=1 over a
+# 4-way event_id split), so matches genuinely form ACROSS batches in
+# the symmetric join state. The watermark is the corpus-span backfill
+# setting (file pickup order is not event-time order — the documented
+# deduped_turns contract; a live deployment uses the 6h+slack delay
+# and the state store evicts as the watermark advances). The oracle
+# is the identical batch join in DuckDB.
+
+_ATTR_WINDOW_H = 6
+
+_ST_JOIN_ORACLE = f"""
+SELECT a.user_id,
+       a.event_id AS view_id,
+       b.event_id AS purchase_id,
+       CAST(floor(epoch(a.ts)) AS BIGINT) AS view_ts,
+       CAST(floor(epoch(b.ts)) AS BIGINT) AS purchase_ts,
+       round(b.value, 2) AS purchase_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+  AND a.ts IS NOT NULL AND b.ts IS NOT NULL
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {_ATTR_WINDOW_H} HOUR
+"""
+
+
+@_q("st_stream_join", _ST_JOIN_ORACLE)
+def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: views ⋈ purchases per
+    user within a 6-hour event-time window, drained as 4 genuine
+    micro-batches per side. Returns the attribution pairs; the value
+    oracle is the same join run as batch SQL."""
+    run_dir = tempfile.mkdtemp(prefix="ie_stream_join_")
+    try:
+        src = os.path.join(run_dir, "src")
+        events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        events.repartition(4, "event_id").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def _side(event_type: str, pfx: str) -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .filter(
+                    (F.col("event_type") == event_type)
+                    & F.col("ts").isNotNull()
+                )
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .withWatermark("ts", "87600 hours")
+                .select(
+                    F.col("user_id").alias(f"{pfx}_user"),
+                    F.col("event_id").alias(f"{pfx}_id"),
+                    F.col("ts").alias(f"{pfx}_ts"),
+                    F.col("value").alias(f"{pfx}_value"),
+                )
+            )
+
+        views, purchases = _side("view", "v"), _side("purchase", "p")
+        joined = views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("v_ts")
+                + F.expr(f"INTERVAL {_ATTR_WINDOW_H} HOURS")
+            ),
+        )
+        name = f"st_stream_join_{next(_COUNTER)}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", os.path.join(run_dir, "ckpt")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table(name).select(
+            F.col("v_user").alias("user_id"),
+            F.col("v_id").alias("view_id"),
+            F.col("p_id").alias("purchase_id"),
+            F.unix_timestamp("v_ts").alias("view_ts"),
+            F.unix_timestamp("p_ts").alias("purchase_ts"),
+            F.round("p_value", 2).alias("purchase_value"),
+        )
+        rows = out.collect()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+
+
 # --- Incremental KG extraction end-to-end (SURVEY §2.8) --------------------
 #
 # start_streaming_extraction (foreachBatch into the batch pipeline)

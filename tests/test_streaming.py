@@ -295,3 +295,55 @@ def test_support_merge_epoch_replay_is_exactly_once(spark, tmp_dir):
     epoch, version = committed_state(state)
     assert (epoch, version) == (2, 2)
     assert [n for n in os.listdir(state) if n.startswith("v=")] == ["v=2"]
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """st_stream_join (4 genuine micro-batches per side, symmetric
+    join state) must equal the same 6-hour attribution join run as
+    one batch over the same events table."""
+    from information_extraction_spark.driver_queries.streamq import (
+        _ATTR_WINDOW_H,
+        st_stream_join,
+    )
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in st_stream_join(spark, sf_dir).collect()
+    )
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("ts").isNotNull())
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    a = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("a_ts")
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("b_ts"),
+        "value",
+    )
+    want = sorted(
+        tuple(r)
+        for r in a.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (
+                F.col("b_ts")
+                <= F.col("a_ts") + F.expr(f"INTERVAL {_ATTR_WINDOW_H} HOURS")
+            ),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.unix_timestamp("a_ts").alias("view_ts"),
+            F.unix_timestamp("b_ts").alias("purchase_ts"),
+            F.round("value", 2).alias("purchase_value"),
+        )
+        .collect()
+    )
+    assert len(got) > 0 and got == want
