@@ -53,6 +53,10 @@ _CHANGED_THIS_ROUND = [
     # Watermarked stream-stream inner join (view -> purchase
     # attribution) drained as 4 genuine micro-batches per side.
     "st_stream_join",
+    # Exact histogram-sketch length quantiles per language, and the
+    # learned-blocking (k-means cluster) cosine near-dup variant.
+    "ta_length_quantiles",
+    "dd_embedding_cosine_kmeans",
     # Consolidation layer above triple support, added this round:
     # functional-slot conflict resolution (struct-max argmax),
     # per-typed-predicate ontology profile, and k-bounded per-triple

@@ -1707,3 +1707,169 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         exclude_id=qrow["vec_id"],
     )
+
+
+# --- Exact length quantiles (monitoring table) --------------------------------
+#
+# Per-language exact token-count quantiles. The scale-honest EXACT
+# method: n_tokens is an integer with bounded cardinality, so the
+# corpus collapses to a (lang, n_tokens, cnt) histogram in ONE
+# map-side-combined shuffle — an exact, mergeable sketch — and the
+# interpolated quantiles are computed from that bounded histogram
+# driver-side (quantile_cont semantics: h = p(n-1), linear between
+# order stats). Spark's exact percentile() aggregator would buffer
+# every value per group — a non-starter at 100 TB; percentile_approx
+# is the unbounded-metric fallback but is not oracle-comparable.
+
+_LENQ_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), r AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(CASE WHEN word IN {_STOPWORDS} THEN 1 ELSE 0 END) * 1.0
+           / count(*) AS ratio
+  FROM w GROUP BY doc_id
+), lab AS (
+  SELECT CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang,
+         n_tokens
+  FROM r
+)
+SELECT pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50,
+       ROUND(quantile_cont(n_tokens, 0.9), 4) AS p90,
+       ROUND(quantile_cont(n_tokens, 0.99), 4) AS p99
+FROM lab GROUP BY pred_lang
+"""
+
+
+@_q("ta_length_quantiles", _LENQ_ORACLE)
+def ta_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    per = (
+        w.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.when(F.col("word").isin(STOP), 1).otherwise(0))
+                * 1.0
+                / F.count("*")
+            ).alias("ratio"),
+        )
+        .select(
+            F.when(F.col("ratio") >= 0.08, "en")
+            .otherwise("other")
+            .alias("pred_lang"),
+            "n_tokens",
+        )
+    )
+    hist = (
+        per.groupBy("pred_lang", "n_tokens")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .collect()  # bounded: distinct (lang, integer token count)
+    )
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        by_lang.setdefault(r["pred_lang"], []).append(
+            (r["n_tokens"], r["cnt"])
+        )
+
+    def _round4(x: float) -> float:  # HALF_UP, like ROUND / F.round
+        return math.floor(x * 10**4 + 0.5) / 10**4
+
+    rows = []
+    for lang, items in sorted(by_lang.items()):
+        items.sort()
+        n = sum(c for _, c in items)
+
+        def order_stat(i: int) -> float:
+            acc = 0
+            for v, c in items:
+                acc += c
+                if i < acc:
+                    return float(v)
+            return float(items[-1][0])
+
+        def q(p: float) -> float:
+            h = p * (n - 1)
+            lo = int(math.floor(h))
+            f = h - lo
+            xlo = order_stat(lo)
+            return xlo if f == 0.0 else xlo + f * (order_stat(lo + 1) - xlo)
+
+        rows.append((lang, n, _round4(q(0.5)), _round4(q(0.9)), _round4(q(0.99))))
+    return spark.createDataFrame(
+        rows,
+        "pred_lang string, n_docs long, p50 double, p90 double, p99 double",
+    )
+
+
+# --- K-means-blocked embedding near-dup ---------------------------------------
+#
+# dd_embedding_cosine blocks on the GIVEN label column; this variant
+# blocks on the LEARNED k-means cluster — the shape a pipeline runs
+# when no label exists (SemDeDup-style: cluster, then pair only
+# within clusters). Same cosine arithmetic and threshold as the
+# label-blocked query; the recall trade (a near-dup pair split across
+# clusters is missed) is inherent to learned blocking and is the
+# price of never running an unblocked self-join.
+
+_EMB_COS_KMEANS_ORACLE = f"""
+WITH km AS (
+  SELECT vec_id, cid FROM ({_kmeans_oracle_sql()})
+), p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a
+  JOIN km ka ON ka.vec_id = a.vec_id
+  JOIN km kb ON kb.cid = ka.cid
+  JOIN embeddings b ON b.vec_id = kb.vec_id AND a.vec_id < b.vec_id
+), u AS (
+  SELECT va, vb, CAST(unnest(ea) AS DOUBLE) AS xa,
+         CAST(unnest(eb) AS DOUBLE) AS xb
+  FROM p
+), c AS (
+  SELECT va, vb,
+         sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))) AS cos
+  FROM u GROUP BY va, vb
+)
+SELECT va, vb, round(cos, 4) AS cos4 FROM c WHERE round(cos, 4) >= 0.3
+"""
+
+
+@_q("dd_embedding_cosine_kmeans", _EMB_COS_KMEANS_ORACLE)
+def dd_embedding_cosine_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs blocked on the learned k-means cluster instead
+    of the label column (operators/clustering.lloyd_kmeans feeds the
+    blocking key); cosine arithmetic identical to
+    dd_embedding_cosine — norms hoisted above the self-join."""
+    from information_extraction_spark.operators.clustering import (
+        lloyd_kmeans,
+    )
+
+    e0 = _spread(spark, _emb(spark, sf_dir), "vec_id")
+    assigned = lloyd_kmeans(e0, k=8, iterations=3).select("vec_id", "cid")
+    e = e0.join(assigned, "vec_id").withColumn(
+        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        pairs.withColumn("cos4", F.round(cos, 4))
+        .filter(F.col("cos4") >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            "cos4",
+        )
+    )

@@ -259,3 +259,49 @@ def test_ta_perplexity_hand_built(spark, tmp_dir):
     assert got[1] == (2, pytest.approx(round(x1, 4)), pytest.approx(round(math.exp(x1), 4)))
     # Rarer-token doc scores strictly higher (the filtering property).
     assert got[1][1] > got[0][1]
+
+
+def test_length_quantiles_interpolation_matches_sorted_reference(spark):
+    """The histogram-derived quantiles must equal quantile_cont over
+    the raw sorted values, including fractional interpolation
+    positions (n chosen so p*(n-1) is non-integral for p90/p99)."""
+    import math
+
+    from information_extraction_spark.driver_queries.textdata import (
+        ta_length_quantiles,
+    )
+
+    # 23 docs of 'w'*k tokens (no stopwords -> all 'other'), sizes with
+    # duplicates so the histogram path (cnt > 1) is exercised.
+    sizes = [3, 3, 3, 5, 5, 7, 8, 8, 8, 8, 11, 13, 17, 17, 19, 23, 23,
+             29, 31, 37, 41, 43, 47]
+    rows = [(i, " ".join(["w"] * k)) for i, k in enumerate(sizes)]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ie_lenq_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    got = {
+        r["pred_lang"]: (r["n_docs"], r["p50"], r["p90"], r["p99"])
+        for r in ta_length_quantiles(spark, d).collect()
+    }
+
+    def qc(vals, p):
+        vals = sorted(vals)
+        h = p * (len(vals) - 1)
+        lo = math.floor(h)
+        f = h - lo
+        if f == 0:
+            return float(vals[lo])
+        return vals[lo] + f * (vals[lo + 1] - vals[lo])
+
+    r4 = lambda x: math.floor(x * 10**4 + 0.5) / 10**4
+    assert got == {
+        "other": (
+            len(sizes),
+            r4(qc(sizes, 0.5)),
+            r4(qc(sizes, 0.9)),
+            r4(qc(sizes, 0.99)),
+        )
+    }

@@ -211,6 +211,13 @@ PLAN_QUERIES = [
         "of out-edges emits fanout rows",
     ),
     (
+        "dd_embedding_cosine_kmeans",
+        "learned-blocking near-dup: the k-means cid join is co-keyed "
+        "on vec_id; the self-join pairs only within clusters (never "
+        "an unblocked O(n^2) join); norms hoisted above the pair "
+        "expression",
+    ),
+    (
         "emb_cluster_sample",
         "cluster-balanced sampling plan: emb_kmeans assignments plus "
         "one k-group map-side-combined rollup; the mean uses "
