@@ -57,6 +57,10 @@ _CHANGED_THIS_ROUND = [
     # learned-blocking (k-means cluster) cosine near-dup variant.
     "ta_length_quantiles",
     "dd_embedding_cosine_kmeans",
+    # Relational coverage widened: the pure-pushdown global agg and
+    # the 6-table broadcast-dim join.
+    "q6_forecast_revenue",
+    "q5_local_supplier",
     # Consolidation layer above triple support, added this round:
     # functional-slot conflict resolution (struct-max argmax),
     # per-typed-predicate ontology profile, and k-bounded per-triple

@@ -1151,3 +1151,102 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "orderkey")
         .limit(10)
     )
+
+
+# --- TPC-H Q6-shape forecast revenue: the pure filter + global
+# aggregate — the pushdown showcase (every predicate reaches the
+# parquet scan as PushedFilters; no join, no groupBy key, one
+# map-side-combined global agg). Sums on DECIMAL for cross-engine
+# exactness, like Q1.
+
+_Q6_ORACLE = """
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                           AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@_q("q6_forecast_revenue", _Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast(
+        "decimal(18,6)"
+    )
+    return li.agg(
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+# --- TPC-H Q5-shape local-supplier volume: the 6-table join. The
+# three dims (supplier, nation filtered through region) BROADCAST;
+# the two fact tables (lineitem, orders⋈customer) shuffle once each
+# on the orderkey equi-key; the nationkey equality between customer
+# and supplier is applied as a post-join FILTER (it is not an
+# equi-key against the fact side). 1996 order window — load-bearing
+# (80 surviving lines across 5 nations at sf0.01).
+
+_Q5_ORACLE = """
+SELECT n.n_name AS nation,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@_q("q5_local_supplier", _Q5_ORACLE)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    # region-filtered nations, then suppliers restricted to them —
+    # all three are bounded dims: broadcast, never shuffle the facts
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )

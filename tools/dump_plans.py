@@ -34,6 +34,18 @@ PLAN_QUERIES = [
     ("q1_pricing_summary", "filter pushdown must reach the parquet scan"),
     ("q3_shipping_priority", "3-table join: filtered dim broadcasts"),
     (
+        "q6_forecast_revenue",
+        "pure filter + global agg: every predicate must reach the "
+        "scan as PushedFilters; one map-side-combined global agg",
+    ),
+    (
+        "q5_local_supplier",
+        "6-table join: supplier and region-filtered nation BROADCAST "
+        "(never shuffle the facts for bounded dims); lineitem/orders/"
+        "customer join on their equi-keys; the customer-supplier "
+        "nationkey equality applies as a post-join filter",
+    ),
+    (
         "p7_vocab_build",
         "two-phase distributed rank: window partitioned by _pid, no "
         "global single-task sort (functions/ranking.py)",
