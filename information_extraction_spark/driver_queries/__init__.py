@@ -61,6 +61,10 @@ _CHANGED_THIS_ROUND = [
     # the 6-table broadcast-dim join.
     "q6_forecast_revenue",
     "q5_local_supplier",
+    # Native sliding and session windows (batch) — the two built-in
+    # window semantics the catalog lacked.
+    "w6_sliding_window",
+    "w7_session_window",
     # Consolidation layer above triple support, added this round:
     # functional-slot conflict resolution (struct-max argmax),
     # per-typed-predicate ontology profile, and k-bounded per-triple

@@ -1250,3 +1250,112 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_lines"),
         )
     )
+
+
+# --- W6: SLIDING event-time windows (batch) -----------------------------------
+#
+# The catalog's windowed aggregations are tumbling; Spark's native
+# sliding window (width 1h, slide 30m) assigns every event to exactly
+# TWO epoch-aligned windows. The oracle materializes both candidate
+# starts per event (floor-to-slide and floor-to-slide minus one
+# slide — for width=2×slide both always contain the event) and
+# re-aggregates. One Expand-style ×2 row expansion then a map-side-
+# combined shuffle on (window, type) — never a range join.
+
+_W6_ORACLE = """
+WITH e AS (
+  SELECT ts, event_type, value FROM events WHERE ts IS NOT NULL
+), x AS (
+  SELECT event_type, value,
+         CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS s0
+  FROM e
+), cand AS (
+  SELECT event_type, value, s0 AS ws FROM x
+  UNION ALL
+  SELECT event_type, value, s0 - 1800 FROM x
+)
+SELECT ws AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM cand GROUP BY 1, 2
+"""
+
+
+@_q("w6_sliding_window", _W6_ORACLE)
+def w6_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# --- W7: native session windows (batch) ---------------------------------------
+#
+# Spark's session_window merges an event into the running session
+# while its gap to the previous event is <= the session gap — an
+# event EXACTLY at prev_ts + gap still merges (verified empirically;
+# pinned in test_streaming), so a new session starts only on a
+# STRICTLY greater gap. The custom stateful streaming operator
+# (st_session_close) implements its own closure; this is the BUILT-IN
+# operator over batch data. The oracle is the classic
+# gaps-and-islands: a break when ts > prev_ts + gap, cumulative-sum
+# island ids, min/count/sum per island.
+
+_W7_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, value FROM events WHERE ts IS NOT NULL
+), o AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM e
+), m AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR ts > prev + INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+  FROM o
+), g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM m
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM g GROUP BY user_id, grp
+"""
+@_q("w7_session_window", _W7_ORACLE)
+def w7_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -347,3 +347,35 @@ def test_stream_stream_join_matches_batch(spark):
         .collect()
     )
     assert len(got) > 0 and got == want
+
+
+def test_session_window_gap_boundary_is_inclusive(spark):
+    """Spark's session_window MERGES an event whose gap to the
+    previous event is exactly the session gap (a new session needs a
+    STRICTLY greater gap) — the `>` break the W7 oracle encodes.
+    Pinned empirically so an engine-semantics change breaks loudly
+    here rather than as an oracle mismatch."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 1.0),   # inside gap -> same session
+        (1, "2024-01-01 00:40:00", 1.0),   # EXACTLY prev+30m -> merges
+        (1, "2024-01-01 01:10:01", 1.0),   # 30m01s later -> NEW session
+        (2, "2024-01-01 00:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, s string, value double")
+    e = df.withColumn("ts", F.col("s").cast("timestamp"))
+    got = sorted(
+        (r["user_id"], r["start"], r["n"])
+        for r in e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("start"),
+            "n",
+        )
+        .collect()
+    )
+    t0 = got[0][1]  # epoch of 2024-01-01 00:00:00 in the session tz
+    assert got == [(1, t0, 3), (1, t0 + 4201, 1), (2, t0, 1)]

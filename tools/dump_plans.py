@@ -46,6 +46,18 @@ PLAN_QUERIES = [
         "nationkey equality applies as a post-join filter",
     ),
     (
+        "w6_sliding_window",
+        "sliding event-time windows: the x2 window assignment is an "
+        "Expand-style row expansion then ONE map-side-combined "
+        "shuffle on (window, type) — never a range join",
+    ),
+    (
+        "w7_session_window",
+        "native session windows: gap-merge aggregation keyed on "
+        "(session_window, user) — one exchange on the user key, "
+        "sessions merged within partitions",
+    ),
+    (
         "p7_vocab_build",
         "two-phase distributed rank: window partitioned by _pid, no "
         "global single-task sort (functions/ranking.py)",
