@@ -65,6 +65,9 @@ _CHANGED_THIS_ROUND = [
     # window semantics the catalog lacked.
     "w6_sliding_window",
     "w7_session_window",
+    # Two-sided snapshot diff and the range-frame rolling aggregate.
+    "kg_graph_diff",
+    "w8_rolling_avg",
     # Consolidation layer above triple support, added this round:
     # functional-slot conflict resolution (struct-max argmax),
     # per-typed-predicate ontology profile, and k-bounded per-triple

@@ -1359,3 +1359,57 @@ def w7_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --- W8: range-frame rolling aggregate ----------------------------------------
+#
+# The window-frame semantics the catalog lacked: per user, the count
+# and mean of event values over a trailing 1-hour RANGE frame (peers
+# at the same second share one frame, so duplicate timestamps stay
+# deterministic). Both engines order by the SAME floored epoch
+# seconds, so frame membership is identical; the mean sums
+# 2dp-quantized values as integers (the emb_cluster_sample rule —
+# order-independent and exact in both engines).
+
+_W8_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT user_id, sec,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       ROUND(sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0
+             / count(*) OVER w, 4) AS avg_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@_q("w8_rolling_avg", _W8_ORACLE)
+def w8_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+            "value",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    q = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "user_id",
+        "sec",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.round(
+            F.sum(q).over(w) / F.lit(100.0) / F.count("*").over(w), 4
+        ).alias("avg_1h"),
+    )

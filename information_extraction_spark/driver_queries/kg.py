@@ -1698,3 +1698,48 @@ def kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = kg_extract_triples(spark, sf_dir)
     ORACLES["kg_neighbor_sample"] = _neighbor_sample_oracle_sql(sf_dir)
     return neighbor_sample(triples, fanout=4)
+
+
+def _graph_diff_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH t AS (
+  SELECT DISTINCT subject, predicate, object,
+         CAST(regexp_extract(conv_id, 'doc(\\d+)', 1) AS BIGINT) % 2
+             AS par
+  FROM {g}
+), base AS (
+  SELECT DISTINCT subject, predicate, object FROM t WHERE par = 0
+), newg AS (
+  SELECT DISTINCT subject, predicate, object FROM t WHERE par = 1
+)
+SELECT n.*, 'added' AS status FROM newg n
+WHERE NOT EXISTS (SELECT 1 FROM base b
+                  WHERE b.subject = n.subject
+                    AND b.predicate = n.predicate
+                    AND b.object = n.object)
+UNION ALL
+SELECT b.*, 'removed' AS status FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM newg n
+                  WHERE n.subject = b.subject
+                    AND n.predicate = b.predicate
+                    AND n.object = b.object)
+"""
+
+
+_GRAPH_DIFF_ORACLE = _graph_diff_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_graph_diff", _GRAPH_DIFF_ORACLE)
+def kg_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided snapshot diff (operators/graph.graph_diff) between
+    the even-doc and odd-doc graph halves — added AND removed rows,
+    the completion of kg_incremental_merge's insert-only half."""
+    from information_extraction_spark.operators.graph import graph_diff
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_graph_diff"] = _graph_diff_oracle_sql(sf_dir)
+    par = F.regexp_extract("conv_id", r"doc(\d+)", 1).cast("long") % 2
+    return graph_diff(
+        triples.filter(par == 0), triples.filter(par == 1)
+    )

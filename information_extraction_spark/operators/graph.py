@@ -477,6 +477,31 @@ def merge_new_triples(base: DataFrame, incoming: DataFrame) -> DataFrame:
     )
 
 
+def graph_diff(base: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff between two graph versions: distinct (s, p, o)
+    rows present in ``new`` but not ``base`` (status 'added') and in
+    ``base`` but not ``new`` (status 'removed') — the audit table a
+    snapshot-compaction or rollback review reads (the two-sided
+    completion of merge_new_triples' insert-only half).
+
+    Scale shape: each side shuffles ONCE on the shared (s, p, o) key
+    (its distinct and both anti-joins it participates in reuse the
+    exchange); nothing broadcasts by default — both snapshots are
+    unbounded at warehouse scale, and AQE downgrades a small side on
+    its own.
+    """
+    key = ["subject", "predicate", "object"]
+    b = base.select(*key).distinct()
+    n = new.select(*key).distinct()
+    added = n.join(b, key, "left_anti").withColumn(
+        "status", F.lit("added")
+    )
+    removed = b.join(n, key, "left_anti").withColumn(
+        "status", F.lit("removed")
+    )
+    return added.unionByName(removed)
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,

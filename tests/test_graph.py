@@ -509,3 +509,25 @@ def test_neighbor_sample_fanout_rank_and_degree(spark):
     assert [o for _, o, _ in hub] == [o for _, o in want]
     leaf = [(r["rk"], r["degree"]) for r in got if r["subject"] == "leaf"]
     assert leaf == [(1, 1)]
+
+
+def test_graph_diff_two_sided(spark):
+    from information_extraction_spark.operators.graph import graph_diff
+
+    schema = (
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string"
+    )
+    base = spark.createDataFrame(
+        [("c", 0, "a", "p", "x"), ("c", 1, "b", "p", "y"),
+         ("c", 2, "b", "p", "y")],  # dup must collapse
+        schema,
+    )
+    new = spark.createDataFrame(
+        [("c", 0, "a", "p", "x"), ("c", 1, "z", "q", "w")], schema
+    )
+    got = sorted(
+        (r["subject"], r["predicate"], r["object"], r["status"])
+        for r in graph_diff(base, new).collect()
+    )
+    assert got == [("b", "p", "y", "removed"), ("z", "q", "w", "added")]

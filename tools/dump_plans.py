@@ -58,6 +58,19 @@ PLAN_QUERIES = [
         "sessions merged within partitions",
     ),
     (
+        "kg_graph_diff",
+        "two-sided snapshot diff: each side shuffles once on the "
+        "shared (s,p,o) key; the distinct and both anti-joins reuse "
+        "the exchange; nothing broadcasts by default (both snapshots "
+        "unbounded at warehouse scale)",
+    ),
+    (
+        "w8_rolling_avg",
+        "range-frame rolling aggregate: ONE exchange on user_id; the "
+        "1h RANGE frame streams each sorted partition (WindowExec), "
+        "never buffering a whole user beyond the frame",
+    ),
+    (
         "p7_vocab_build",
         "two-phase distributed rank: window partitioned by _pid, no "
         "global single-task sort (functions/ranking.py)",
