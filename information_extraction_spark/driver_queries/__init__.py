@@ -68,6 +68,9 @@ _CHANGED_THIS_ROUND = [
     # Two-sided snapshot diff and the range-frame rolling aggregate.
     "kg_graph_diff",
     "w8_rolling_avg",
+    # Snapshot time travel made driver-visible: read_as_of the first
+    # of two differing snapshots (latest would fail the oracle).
+    "w9_time_travel",
     # Consolidation layer above triple support, added this round:
     # functional-slot conflict resolution (struct-max argmax),
     # per-typed-predicate ontology profile, and k-bounded per-triple

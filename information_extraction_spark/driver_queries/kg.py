@@ -1700,6 +1700,88 @@ def kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_sample(triples, fanout=4)
 
 
+# --- Snapshot time travel, driver-visible ------------------------------------
+#
+# The emulated-Iceberg snapshot layer (operators/checkpoint.py:
+# immutable snap=<id> dirs, O_EXCL id claims, read_as_of) was
+# pytest-only; this query materializes TWO snapshots of a
+# per-predicate count stage — snapshot 1 over the even-doc half,
+# snapshot 2 over the full corpus — then reads the FIRST back via
+# read_as_of. Time travel is load-bearing: the latest snapshot's
+# counts differ (full vs half corpus), so a reader that ignored the
+# as-of id and took the latest would fail the oracle, which
+# recomputes the even-half counts from the golden.
+
+
+def _tt_paths(sf_dir: str) -> tuple[str, str]:
+    base = _golden_path("time_travel", sf_dir).replace(".parquet", "_ckpt")
+    return base, base + ".meta.json"
+
+
+def write_time_travel_snapshots(spark: SparkSession, sf_dir: str) -> int:
+    """Write the two-snapshot history once (meta sidecar committed
+    after both snapshots) and return the FIRST snapshot's id."""
+    import json
+    import os
+
+    from information_extraction_spark.operators.checkpoint import (
+        CheckpointManager,
+    )
+
+    _ensure_golden_dir()
+    ckpt_dir, meta_path = _tt_paths(sf_dir)
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            return int(json.load(fh)["first_snapshot_id"])
+    triples = kg_extract_triples(spark, sf_dir)
+    par = F.regexp_extract("conv_id", r"doc(\d+)", 1).cast("long") % 2
+    counts = lambda df: df.groupBy("predicate").agg(  # noqa: E731
+        F.count("*").cast("long").alias("n_assertions")
+    )
+    m1 = CheckpointManager(
+        spark, ckpt_dir, run_id="history", params={"universe": "even"}
+    )
+    m1.stage(counts(triples.filter(par == 0)), "pred_counts")
+    first_id = m1.snapshots("pred_counts")[-1][0]
+    m2 = CheckpointManager(
+        spark, ckpt_dir, run_id="history", params={"universe": "all"}
+    )
+    m2.stage(counts(triples), "pred_counts")
+    with open(meta_path, "w") as fh:
+        json.dump({"first_snapshot_id": first_id}, fh)
+    return first_id
+
+
+def _time_travel_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+SELECT predicate, CAST(count(*) AS BIGINT) AS n_assertions
+FROM {g}
+WHERE CAST(regexp_extract(conv_id, 'doc(\\d+)', 1) AS BIGINT) % 2 = 0
+GROUP BY predicate
+"""
+
+
+_TIME_TRAVEL_ORACLE = _time_travel_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("w9_time_travel", _TIME_TRAVEL_ORACLE)
+def w9_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the FIRST snapshot of a two-snapshot stage history via
+    read_as_of (operators/checkpoint.py) — values must equal the
+    even-half counts even though a newer full-corpus snapshot is the
+    stage's latest."""
+    from information_extraction_spark.operators.checkpoint import (
+        CheckpointManager,
+    )
+
+    first_id = write_time_travel_snapshots(spark, sf_dir)
+    ORACLES["w9_time_travel"] = _time_travel_oracle_sql(sf_dir)
+    ckpt_dir, _ = _tt_paths(sf_dir)
+    m = CheckpointManager(spark, ckpt_dir, run_id="history", params={})
+    return m.read_as_of("pred_counts", first_id)
+
+
 def _graph_diff_oracle_sql(sf_dir: str) -> str:
     g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
     return f"""

@@ -221,3 +221,37 @@ def test_partial_resume_recomputes_only_downstream_stages(
     assert sorted(map(tuple, resumed.select(key).collect())) == expect
     for stage in ("tagged", "triples"):
         assert mgr2.is_complete(stage)
+
+
+def test_time_travel_query_reads_history_not_latest(spark):
+    """w9_time_travel is load-bearing: the stage's LATEST snapshot
+    (full corpus) differs from the as-of snapshot (even half), so a
+    reader that ignored the snapshot id would return different
+    values."""
+    from information_extraction_spark.driver_queries.kg import (
+        _tt_paths,
+        w9_time_travel,
+        write_time_travel_snapshots,
+    )
+    from information_extraction_spark.operators.checkpoint import (
+        CheckpointManager,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    first_id = write_time_travel_snapshots(spark, sf_dir)
+    ckpt_dir, _ = _tt_paths(sf_dir)
+    m = CheckpointManager(spark, ckpt_dir, run_id="history", params={})
+    snaps = m.snapshots("pred_counts")
+    assert len(snaps) >= 2 and snaps[0][0] == first_id
+    as_of = {
+        (r["predicate"], r["n_assertions"])
+        for r in w9_time_travel(spark, sf_dir).collect()
+    }
+    latest = {
+        (r["predicate"], r["n_assertions"])
+        for r in m.read_as_of("pred_counts", snaps[-1][0]).collect()
+    }
+    assert as_of != latest  # history genuinely differs from latest
+    # every predicate's historical count is <= its latest count
+    la = dict(latest)
+    assert all(n <= la[p] for p, n in as_of)
