@@ -1731,8 +1731,14 @@ def write_time_travel_snapshots(spark: SparkSession, sf_dir: str) -> int:
     _ensure_golden_dir()
     ckpt_dir, meta_path = _tt_paths(sf_dir)
     if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            return int(json.load(fh)["first_snapshot_id"])
+        # Tolerant load: a torn sidecar (crash mid-write before the
+        # atomic-rename fix, ENOSPC) must read as a cache MISS, not
+        # brick the query until manual cleanup.
+        try:
+            with open(meta_path) as fh:
+                return int(json.load(fh)["first_snapshot_id"])
+        except (ValueError, KeyError):
+            os.unlink(meta_path)
     triples = kg_extract_triples(spark, sf_dir)
     par = F.regexp_extract("conv_id", r"doc(\d+)", 1).cast("long") % 2
     counts = lambda df: df.groupBy("predicate").agg(  # noqa: E731
@@ -1742,13 +1748,29 @@ def write_time_travel_snapshots(spark: SparkSession, sf_dir: str) -> int:
         spark, ckpt_dir, run_id="history", params={"universe": "even"}
     )
     m1.stage(counts(triples.filter(par == 0)), "pred_counts")
-    first_id = m1.snapshots("pred_counts")[-1][0]
+    # The first snapshot is the latest one carrying m1's params_hash —
+    # NOT snapshots()[-1]: if an earlier run died after writing the
+    # full-corpus snapshot but before committing the sidecar, a rerun
+    # skips m1's (already complete) write and [-1] would be the
+    # full-corpus id, permanently failing the even-half oracle.
+    first_id = max(
+        sid
+        for sid, _, ph in m1.snapshots("pred_counts")
+        if ph == m1.params_hash
+    )
     m2 = CheckpointManager(
         spark, ckpt_dir, run_id="history", params={"universe": "all"}
     )
     m2.stage(counts(triples), "pred_counts")
-    with open(meta_path, "w") as fh:
+    # Atomic sidecar commit: temp file + rename, like the streaming
+    # state's _committed pointer — this sidecar's CONTENT is parsed,
+    # unlike the existence-only graph/ER sidecars.
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump({"first_snapshot_id": first_id}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, meta_path)
     return first_id
 
 

@@ -1529,7 +1529,11 @@ WITH e AS (
          CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings
 ), c0 AS (
-  SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < {k}
+  -- the k SMALLEST vec_ids relabeled 0..k-1 in id order — the
+  -- operator's documented init contract; no dense-0 id assumption
+  SELECT CAST(rn - 1 AS INT) AS cid, v AS c FROM (
+    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+  WHERE rn <= {k}
 )"""
     ]
     for i in range(iterations):
@@ -1647,12 +1651,16 @@ WITH e AS (
 ), sub AS (
   SELECT s FROM generate_series(0, {m - 1}) g(s)
 ), cw AS (
-  SELECT sub.s, CAST(e.vec_id AS INT) AS cid,
-         e.v[(sub.s*{dsub}+1):(sub.s*{dsub}+{dsub})] AS c
-  FROM e CROSS JOIN sub WHERE e.vec_id < {n_cw}
+  -- codewords from the n_cw SMALLEST vec_ids relabeled 0..n_cw-1
+  -- (pq_codebooks' contract; no dense-0 id assumption)
+  SELECT sub.s, CAST(h.rn - 1 AS INT) AS cid,
+         h.v[(sub.s*{dsub}+1):(sub.s*{dsub}+{dsub})] AS c
+  FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM e) h
+  CROSS JOIN sub WHERE h.rn <= {n_cw}
 ), q AS (
-  SELECT sub.s, e.v[(sub.s*{dsub}+1):(sub.s*{dsub}+{dsub})] AS qs
-  FROM e CROSS JOIN sub WHERE e.vec_id = 0
+  -- query = the smallest vec_id's vector (ann_cosine_topk convention)
+  SELECT sub.s, h.v[(sub.s*{dsub}+1):(sub.s*{dsub}+{dsub})] AS qs
+  FROM (SELECT v FROM e ORDER BY vec_id LIMIT 1) h CROSS JOIN sub
 ), dtab AS (
   SELECT cw.s, cw.cid, {d2.format(a="q.qs", b="cw.c")} AS d
   FROM cw JOIN q USING (s)
@@ -1676,7 +1684,7 @@ WITH e AS (
 SELECT vec_id,
        CAST(row_number() OVER (ORDER BY adc6, vec_id) AS INT) AS rank,
        ROUND(adc6, 4) AS adc
-FROM adc WHERE vec_id <> 0
+FROM adc WHERE vec_id <> (SELECT min(vec_id) FROM e)
 QUALIFY rank <= {k}
 """
 

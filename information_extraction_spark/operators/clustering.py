@@ -38,8 +38,20 @@ in position order on both sides.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _round_half_away(x: float, dp: int) -> float:
+    """Round half away from zero — the semantic BOTH engines' SQL
+    ROUND uses (DuckDB ROUND, Spark F.round/HALF_UP). Python's
+    built-in round() is half-EVEN and disagrees on binary-exact
+    halves (the same trap pq_adc_topk documents for its display
+    rounding), so centroid updates must not use it."""
+    s = 10**dp
+    return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
 
 
 def _dist2(v, c):
@@ -126,7 +138,7 @@ def lloyd_kmeans(
         )
         by_cid: dict[int, dict[int, float]] = {}
         for r in sums:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = round(
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = _round_half_away(
                 r["m"], round_dp
             )
         cents = [

@@ -484,19 +484,16 @@ def graph_diff(base: DataFrame, new: DataFrame) -> DataFrame:
     snapshot-compaction or rollback review reads (the two-sided
     completion of merge_new_triples' insert-only half).
 
-    Scale shape: each side shuffles ONCE on the shared (s, p, o) key
-    (its distinct and both anti-joins it participates in reuse the
-    exchange); nothing broadcasts by default — both snapshots are
-    unbounded at warehouse scale, and AQE downgrades a small side on
-    its own.
+    Scale shape: each direction IS merge_new_triples (distinct +
+    LeftAnti on the shared (s, p, o) key — one shuffle per side,
+    exchanges reused across the two directions, nothing broadcast by
+    default); reusing it keeps the key set and null/distinct
+    semantics in one place.
     """
-    key = ["subject", "predicate", "object"]
-    b = base.select(*key).distinct()
-    n = new.select(*key).distinct()
-    added = n.join(b, key, "left_anti").withColumn(
+    added = merge_new_triples(base, new).withColumn(
         "status", F.lit("added")
     )
-    removed = b.join(n, key, "left_anti").withColumn(
+    removed = merge_new_triples(new, base).withColumn(
         "status", F.lit("removed")
     )
     return added.unionByName(removed)

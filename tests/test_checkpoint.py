@@ -255,3 +255,30 @@ def test_time_travel_query_reads_history_not_latest(spark):
     # every predicate's historical count is <= its latest count
     la = dict(latest)
     assert all(n <= la[p] for p, n in as_of)
+
+
+def test_time_travel_sidecar_recovery(spark):
+    """A torn meta sidecar (crash mid-write) must read as a cache
+    MISS and rebuild the correct even-params first snapshot id — not
+    brick the query, and not mis-record the full-corpus snapshot as
+    first (the snapshots()[-1] bug: after an interrupted first run a
+    rerun skips m1's completed write, so 'latest' is the full-corpus
+    id)."""
+    import json
+
+    from information_extraction_spark.driver_queries.kg import (
+        _tt_paths,
+        write_time_travel_snapshots,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    first_id = write_time_travel_snapshots(spark, sf_dir)
+    _, meta_path = _tt_paths(sf_dir)
+    with open(meta_path, "w") as fh:
+        fh.write("{trunc")  # torn sidecar
+    # Recovery path: both snapshots already exist (m1/m2 stage() hit
+    # their completed manifests), so this exercises exactly the
+    # interrupted-first-run shape — and must re-derive the EVEN id.
+    assert write_time_travel_snapshots(spark, sf_dir) == first_id
+    with open(meta_path) as fh:
+        assert json.load(fh)["first_snapshot_id"] == first_id

@@ -10,10 +10,17 @@ import numpy as np
 def _ref_kmeans(vs, k, iterations, round_dp=6):
     """Driver-side reference mirroring the documented contract: init =
     the k smallest vec_ids' vectors, squared-L2 argmin with ties to
-    the lower cid, centroid components rounded after each update,
+    the lower cid, centroid components rounded HALF-AWAY-FROM-ZERO
+    after each update (SQL ROUND semantics, not Python half-even),
     empty clusters keep their centroid. Distances accumulate in
     position order (plain Python sum, same as the engine's
     F.aggregate)."""
+    import math
+
+    def rha(x, dp):
+        s = 10**dp
+        return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
     vs = [[float(x) for x in v] for v in vs]
     cents = {i: list(vs[i]) for i in range(k)}
 
@@ -36,7 +43,7 @@ def _ref_kmeans(vs, k, iterations, round_dp=6):
             if members:
                 dim = len(members[0])
                 cents[cid] = [
-                    round(sum(m[p] for m in members) / len(members), round_dp)
+                    rha(sum(m[p] for m in members) / len(members), round_dp)
                     for p in range(dim)
                 ]
     return {vid: (c, round(d, 4)) for vid, (d, c) in assign().items()}
