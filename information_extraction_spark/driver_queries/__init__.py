@@ -71,6 +71,8 @@ _CHANGED_THIS_ROUND = [
     # Snapshot time travel made driver-visible: read_as_of the first
     # of two differing snapshots (latest would fail the oracle).
     "w9_time_travel",
+    # Intra-corpus duplicated-span scoring (Lee et al. 2022 shape).
+    "ta_selfsim_spans",
     # Consolidation layer above triple support, added this round:
     # functional-slot conflict resolution (struct-max argmax),
     # per-typed-predicate ontology profile, and k-bounded per-triple

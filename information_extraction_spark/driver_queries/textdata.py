@@ -1881,3 +1881,102 @@ def dd_embedding_cosine_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos4",
         )
     )
+
+
+# --- Intra-corpus duplicated-span scoring --------------------------------------
+#
+# The Lee et al. (2022) "Deduplicating Training Data" signal at span
+# granularity: per document, how much of it consists of word 8-grams
+# that also appear in ANOTHER document (the cross-doc boilerplate /
+# template mass near-dup doc-level dedup misses). Same 8-gram
+# derivation as ta_contamination, applied corpus-internally. A full
+# suffix-array finds arbitrary-length spans; the fixed-width hashed
+# window is the distributable version whose state is one shuffle key.
+#
+# Scale shape: distinct per (doc, gram) at gram volume (map-side
+# combined — ONE wide pass over the corpus), gram-frequency agg and
+# the dup-filter join co-keyed on the gram hash (exchange reused),
+# then two doc-keyed aggregates joined back at doc cardinality.
+# Load-bearing: ~1,000 of ~23k grams at sf0.01 are genuinely
+# duplicated across documents.
+
+_SELFSIM_ORACLE = """
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 7, 0) + 1),
+           i -> md5(array_to_string(string_split(text, ' ')[i:i+7], ' '))
+         )) AS g
+  FROM documents
+), freq AS (
+  SELECT g, count(*) AS n FROM grams GROUP BY g
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY 1
+), hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+  FROM grams JOIN freq USING (g) WHERE freq.n >= 2 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_grams, 0) AS n_grams,
+       COALESCE(hits.n_dup, 0) AS n_dup,
+       CASE WHEN COALESCE(per.n_grams, 0) > 0
+            THEN ROUND(COALESCE(hits.n_dup, 0)
+                       / CAST(per.n_grams AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_ratio
+FROM documents d
+LEFT JOIN per USING (doc_id)
+LEFT JOIN hits USING (doc_id)
+"""
+
+
+@_q("ta_selfsim_spans", _SELFSIM_ORACLE)
+def ta_selfsim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _docs(spark, sf_dir), "doc_id")
+    words = F.split("text", " ")
+    positions = F.when(
+        F.size(words) >= 8, F.sequence(F.lit(1), F.size(words) - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        d.withColumn("pos", F.explode(positions))
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice(words, F.col("pos"), 8))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("g")
+    )
+    per = grams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    hits = (
+        grams.join(dup, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_dup"))
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_dup", F.lit(0))
+                    / F.col("n_grams").cast("double"),
+                    4,
+                ),
+            )
+            .otherwise(0.0)
+            .alias("dup_ratio"),
+        )
+    )

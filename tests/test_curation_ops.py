@@ -305,3 +305,41 @@ def test_length_quantiles_interpolation_matches_sorted_reference(spark):
             r4(qc(sizes, 0.99)),
         )
     }
+
+
+def test_selfsim_spans_brute_force(spark):
+    """ta_selfsim_spans vs a hand-computed corpus: shared 8-gram
+    spans across docs count toward n_dup; a doc shorter than 8 words
+    has zero grams and ratio 0.0; within-doc repetition of a gram
+    does NOT make it 'duplicated' (distinct per doc first)."""
+    import tempfile
+
+    from information_extraction_spark.driver_queries.textdata import (
+        ta_selfsim_spans,
+    )
+
+    shared = "a b c d e f g h"          # one 8-gram, shared by 0 and 1
+    rows = [
+        (0, shared + " x"),              # grams: [a..h], [b..h x] -> 2
+        (1, shared),                     # gram: [a..h] -> 1 (shared)
+        (2, "short doc only"),           # < 8 words -> 0 grams
+        (3, shared + " " + shared),      # within-doc repeat of [a..h]
+    ]
+    d = tempfile.mkdtemp(prefix="ie_selfsim_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup"], r["dup_ratio"])
+        for r in ta_selfsim_spans(spark, d).collect()
+    }
+    # doc 3's text: 17 words -> 10 positions, some windows repeat
+    # within the doc -> DISTINCT grams; [a..h] appears in docs 0,1,3.
+    assert got[2] == (0, 0, 0.0)
+    assert got[1] == (1, 1, 1.0)
+    assert got[0][0] == 2 and got[0][1] == 1 and got[0][2] == 0.5
+    # every one of doc 3's distinct grams containing the full shared
+    # window is duplicated only if another doc has it — exactly
+    # [a..h] qualifies
+    n3, d3, r3 = got[3]
+    assert d3 == 1 and r3 == round(1 / n3, 4)

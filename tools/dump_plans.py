@@ -65,6 +65,13 @@ PLAN_QUERIES = [
         "unbounded at warehouse scale)",
     ),
     (
+        "ta_selfsim_spans",
+        "duplicated-span scoring: ONE wide pass to distinct (doc, "
+        "gram); the frequency agg and the dup-filter join reuse the "
+        "gram-hash exchange; doc-keyed aggregates join back at doc "
+        "cardinality",
+    ),
+    (
         "w8_rolling_avg",
         "range-frame rolling aggregate: ONE exchange on user_id; the "
         "1h RANGE frame streams each sorted partition (WindowExec), "
