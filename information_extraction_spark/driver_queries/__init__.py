@@ -73,6 +73,8 @@ _CHANGED_THIS_ROUND = [
     "w9_time_travel",
     # Intra-corpus duplicated-span scoring (Lee et al. 2022 shape).
     "ta_selfsim_spans",
+    # PQ with Lloyd-TRAINED codebooks (m fused sub-space k-means).
+    "ann_pq_trained",
     # Consolidation layer above triple support, added this round:
     # functional-slot conflict resolution (struct-max argmax),
     # per-typed-predicate ontology profile, and k-bounded per-triple

@@ -1980,3 +1980,131 @@ def ta_selfsim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_ratio"),
         )
     )
+
+
+# --- PQ with TRAINED codebooks -------------------------------------------------
+#
+# ann_pq_adc's codebooks are data-sampled; this is the full Jégou
+# PQ: an independent Lloyd k-means per sub-space trains the
+# codebooks (operators/clustering.train_pq_codebooks — all m
+# sub-space k-means fused into one distributed pass per iteration),
+# then the identical zero-shuffle ADC scan. The oracle chains m
+# sub-space kmeans CTE blocks (the emb_kmeans pattern, sliced) and
+# re-derives the ADC from the TRAINED codewords.
+
+
+def _pq_trained_oracle_sql(
+    m: int = 8,
+    dsub: int = 8,
+    n_cw: int = 16,
+    iters: int = 1,
+    k: int = 10,
+    round_dp: int = 6,
+) -> str:
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    parts = [
+        """
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+)"""
+    ]
+    for s in range(m):
+        lo, hi = s * dsub + 1, s * dsub + dsub
+        parts.append(
+            f""", e{s} AS (
+  SELECT vec_id, v[{lo}:{hi}] AS v FROM e
+), c{s}_0 AS (
+  SELECT CAST(rn - 1 AS INT) AS cid, v AS c FROM (
+    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM e{s})
+  WHERE rn <= {n_cw}
+)"""
+        )
+        for i in range(iters):
+            step = d2.format(a="e.v", b="c.c")
+            parts.append(
+                f""", a{s}_{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM (SELECT e.vec_id, e.v, c.cid, {step} AS d
+          FROM e{s} e CROSS JOIN c{s}_{i} c))
+  WHERE rn = 1
+), c{s}_{i + 1} AS (
+  SELECT p.cid, COALESCE(n.c, p.c) AS c
+  FROM c{s}_{i} p LEFT JOIN (
+    SELECT cid, list(mn ORDER BY i) AS c FROM (
+      SELECT cid, i, round(avg(v[i]), {round_dp}) AS mn
+      FROM a{s}_{i} CROSS JOIN generate_series(1, {dsub}) g(i)
+      GROUP BY cid, i)
+    GROUP BY cid) n ON n.cid = p.cid
+)"""
+            )
+    union = "\n  UNION ALL ".join(
+        f"SELECT {s} AS s, cid, c FROM c{s}_{iters}" for s in range(m)
+    )
+    parts.append(
+        f""", cw AS (
+  {union}
+), q AS (
+  SELECT g.s, h.v[(g.s*{dsub}+1):(g.s*{dsub}+{dsub})] AS qs
+  FROM (SELECT v FROM e ORDER BY vec_id LIMIT 1) h
+  CROSS JOIN generate_series(0, {m - 1}) g(s)
+), dtab AS (
+  SELECT cw.s, cw.cid, {d2.format(a="q.qs", b="cw.c")} AS d
+  FROM cw JOIN q USING (s)
+), assign AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT e.vec_id, cw.s, cw.cid,
+           row_number() OVER (PARTITION BY e.vec_id, cw.s ORDER BY
+             {d2.format(
+                 a="e.v[(cw.s*" + str(dsub) + "+1):(cw.s*"
+                 + str(dsub) + "+" + str(dsub) + ")]",
+                 b="cw.c",
+             )}, cw.cid) AS rn
+    FROM e CROSS JOIN cw)
+  WHERE rn = 1
+), adc AS (
+  SELECT a.vec_id,
+         ROUND(list_sum(list(dtab.d ORDER BY a.s)), 6) AS adc6
+  FROM assign a JOIN dtab ON dtab.s = a.s AND dtab.cid = a.cid
+  GROUP BY a.vec_id
+)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY adc6, vec_id) AS INT) AS rank,
+       ROUND(adc6, 4) AS adc
+FROM adc WHERE vec_id <> (SELECT min(vec_id) FROM e)
+QUALIFY rank <= {k}
+"""
+    )
+    return "".join(parts)
+
+
+_PQ_TRAINED_ORACLE = _pq_trained_oracle_sql()
+
+
+@_q("ann_pq_trained", _PQ_TRAINED_ORACLE)
+def ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-10 with Lloyd-TRAINED codebooks: m=8 sub-space
+    k-means (k=16, 1 iteration) fused into one distributed pass
+    (operators/clustering.train_pq_codebooks), then the zero-shuffle
+    ADC scan shared with ann_pq_adc."""
+    from information_extraction_spark.operators.clustering import (
+        pq_adc_topk_with_codebooks,
+        train_pq_codebooks,
+    )
+
+    e = _spread(spark, _emb(spark, sf_dir), "vec_id")
+    qrow = e.orderBy("vec_id").limit(1).collect()[0]
+    cbs = train_pq_codebooks(e, m=8, n_codewords=16, iterations=1)
+    return pq_adc_topk_with_codebooks(
+        e,
+        list(qrow["embedding"]),
+        cbs,
+        k=10,
+        exclude_id=qrow["vec_id"],
+    )

@@ -218,11 +218,137 @@ def pq_encode_expr(v_col, codebooks):
     return F.array(*codes)
 
 
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    n_codewords: int = 16,
+    iterations: int = 1,
+    round_dp: int = 6,
+) -> list[list[tuple[int, list[float]]]]:
+    """Lloyd-train the m sub-space codebooks (the real PQ training
+    step, Jégou et al. §III: an independent k-means per sub-space).
+
+    All m sub-space k-means run TOGETHER in one distributed pass per
+    iteration: the vector table explodes to (vec_id, s, subvec) rows
+    once; the assignment is a narrow map against an s-indexed literal
+    of all m codebooks (element_at picks the sub-space's centroids
+    per row); the update is ONE map-side-combined shuffle keyed on
+    (s, cid, pos) — m×k×dsub groups total regardless of corpus size
+    — and the per-iteration driver collect is exactly that bounded
+    table. Init and determinism contract match lloyd_kmeans (init =
+    the n_codewords smallest vec_ids' sub-vectors; centroid
+    components rounded half-away at ``round_dp`` per update; argmin
+    ties to the lower cid; empty codewords keep their previous
+    value).
+    """
+    v = vectors.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    head = v.orderBy("vec_id").limit(n_codewords).collect()
+    if len(head) < n_codewords:
+        raise ValueError(
+            f"need {n_codewords} vectors for codebooks, got {len(head)}"
+        )
+    dim = len(head[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    cbs = pq_codebooks([list(r["v"]) for r in head], m, dsub)
+
+    # (vec_id, s, subvec) — one narrow explode, reused each iteration.
+    sub = v.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("v", s * dsub + 1, dsub) for s in range(m)])
+        ).alias("s", "sv"),
+    )
+    for _ in range(iterations):
+        # s-indexed literal of ALL m codebooks; element_at picks the
+        # row's sub-space — assignment stays a zero-shuffle map.
+        cents_lit = F.array(
+            *[
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(cid)).alias("cid"),
+                            F.array(*[F.lit(float(x)) for x in cw]).alias(
+                                "c"
+                            ),
+                        )
+                        for cid, cw in cbs[s]
+                    ]
+                )
+                for s in range(m)
+            ]
+        )
+        best = F.array_min(
+            F.transform(
+                F.element_at(cents_lit, F.col("s") + 1),
+                lambda e: F.struct(
+                    _dist2(F.col("sv"), e.c).alias("d"),
+                    e.cid.alias("cid"),
+                ),
+            )
+        )
+        sums = (
+            sub.withColumn("_cid", best.cid)
+            .select("s", "_cid", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("s", "_cid", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()  # bounded: m × k × dsub rows
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in sums:
+            upd.setdefault((r["s"], r["_cid"]), {})[r["pos"]] = (
+                _round_half_away(r["mean"], round_dp)
+            )
+        cbs = [
+            [
+                (
+                    cid,
+                    [upd[(s, cid)][p] for p in range(dsub)]
+                    if (s, cid) in upd
+                    else prev,  # empty codeword keeps its value
+                )
+                for cid, prev in cbs[s]
+            ]
+            for s in range(m)
+        ]
+    return cbs
+
+
 def pq_adc_topk(
     vectors: DataFrame,
     query: list[float],
     m: int = 8,
     n_codewords: int = 16,
+    k: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k with DATA-SAMPLED codebooks (the
+    first n_codewords vectors' sub-vectors); see
+    ``pq_adc_topk_with_codebooks`` for the scan itself and
+    ``train_pq_codebooks`` for the Lloyd-trained variant."""
+    dim = len(query)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    head = vectors.orderBy("vec_id").limit(n_codewords).collect()
+    if len(head) < n_codewords:
+        raise ValueError(
+            f"need {n_codewords} vectors for codebooks, got {len(head)}"
+        )
+    cbs = pq_codebooks([list(r["embedding"]) for r in head], m, dsub)
+    return pq_adc_topk_with_codebooks(
+        vectors, query, cbs, k=k, exclude_id=exclude_id
+    )
+
+
+def pq_adc_topk_with_codebooks(
+    vectors: DataFrame,
+    query: list[float],
+    cbs: list[list[tuple[int, list[float]]]],
     k: int = 10,
     exclude_id: int | None = None,
 ) -> DataFrame:
@@ -237,16 +363,12 @@ def pq_adc_topk(
     row) into TakeOrderedAndProject — each partition keeps its local
     top-k; nothing shuffles. Codebooks and dtab are plan literals.
     """
-    dim = len(query)
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    head = vectors.orderBy("vec_id").limit(n_codewords).collect()
-    if len(head) < n_codewords:
+    m = len(cbs)
+    dsub = len(cbs[0][0][1])
+    if len(query) != m * dsub:
         raise ValueError(
-            f"need {n_codewords} vectors for codebooks, got {len(head)}"
+            f"query dim {len(query)} != m*dsub {m * dsub}"
         )
-    cbs = pq_codebooks([list(r["embedding"]) for r in head], m, dsub)
     q = [float(x) for x in query]
     dtab = [
         [_seq_d2(q[s * dsub : (s + 1) * dsub], cw) for _, cw in cbs[s]]

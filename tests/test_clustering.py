@@ -194,3 +194,60 @@ def test_pq_rejects_bad_dim_and_short_table(spark):
         pq_adc_topk(df, [0.0, 0.0, 0.0], m=2)  # 3 % 2 != 0
     with pytest.raises(ValueError):
         pq_adc_topk(df, [0.0, 0.0, 0.0], m=3, n_codewords=16)
+
+
+def test_train_pq_codebooks_matches_per_slice_kmeans(spark):
+    """The fused all-subspaces training pass must equal running the
+    sequential k-means reference independently on each slice —
+    including the half-away centroid rounding and empty-codeword
+    retention contracts."""
+    import math
+
+    rng = np.random.default_rng(23)
+    raw = rng.normal(size=(30, 8))
+    quant = [
+        list(np.array(v, dtype=np.float32).astype(np.float64))
+        for v in raw
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(raw)],
+        "vec_id long, embedding array<float>",
+    )
+    from information_extraction_spark.operators.clustering import (
+        train_pq_codebooks,
+    )
+
+    m, dsub, n_cw, iters = 4, 2, 5, 2
+    got = train_pq_codebooks(df, m=m, n_codewords=n_cw, iterations=iters)
+
+    def rha(x, dp=6):
+        s = 10**dp
+        return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+    def ref_slice(vs, k, iterations):
+        cents = {i: list(vs[i]) for i in range(k)}
+
+        def d2(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += (x - y) * (x - y)
+            return acc
+
+        for _ in range(iterations):
+            assign = {
+                vid: min((d2(v, cents[c]), c) for c in sorted(cents))[1]
+                for vid, v in enumerate(vs)
+            }
+            for cid in sorted(cents):
+                mem = [vs[vid] for vid, c in assign.items() if c == cid]
+                if mem:
+                    cents[cid] = [
+                        rha(sum(x[p] for x in mem) / len(mem))
+                        for p in range(len(mem[0]))
+                    ]
+        return cents
+
+    for s in range(m):
+        vs = [v[s * dsub : (s + 1) * dsub] for v in quant]
+        want = ref_slice(vs, n_cw, iters)
+        assert {cid: cw for cid, cw in got[s]} == want

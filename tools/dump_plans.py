@@ -65,6 +65,13 @@ PLAN_QUERIES = [
         "unbounded at warehouse scale)",
     ),
     (
+        "ann_pq_trained",
+        "trained PQ: all m sub-space k-means fuse into one pass per "
+        "iteration (narrow assignment against an s-indexed codebook "
+        "literal; ONE (s, cid, pos) map-side-combined shuffle), then "
+        "the same zero-shuffle ADC scan as ann_pq_adc",
+    ),
+    (
         "ta_selfsim_spans",
         "duplicated-span scoring: ONE wide pass to distinct (doc, "
         "gram); the frequency agg and the dup-filter join reuse the "
