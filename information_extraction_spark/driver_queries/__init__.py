@@ -73,8 +73,10 @@ _CHANGED_THIS_ROUND = [
     "w9_time_travel",
     # Intra-corpus duplicated-span scoring (Lee et al. 2022 shape).
     "ta_selfsim_spans",
-    # PQ with Lloyd-TRAINED codebooks (m fused sub-space k-means).
+    # PQ with Lloyd-TRAINED codebooks (m fused sub-space k-means),
+    # and the IVFADC composite (coarse pruning + ADC rescore).
     "ann_pq_trained",
+    "ann_ivf_pq",
     # Consolidation layer above triple support, added this round:
     # functional-slot conflict resolution (struct-max argmax),
     # per-typed-predicate ontology profile, and k-bounded per-triple

@@ -2108,3 +2108,119 @@ def ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         exclude_id=qrow["vec_id"],
     )
+
+
+# --- IVF-PQ: coarse pruning + ADC rescore --------------------------------------
+#
+# The production ANN architecture (Jégou et al. §IV, IVFADC): the
+# coarse quantizer prunes to nprobe=2 inverted lists, and only those
+# candidates are scored — with the PQ distance table, not the full
+# vectors. Composes the oracle-checked IVF front half (cosine cell
+# argmax, probe list) with the oracle-checked ADC scan; candidates
+# broadcast to the scan exactly as in ann_ivf_probe, so the
+# embeddings side never shuffles and the ADC pass stays narrow.
+
+_IVF_PQ_ORACLE = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  ORDER BY vec_id LIMIT 8
+), qid AS (SELECT min(vec_id) AS q FROM embeddings),
+ac AS (
+  SELECT e.vec_id, c.cid, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.ce) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN cent c
+), a0 AS (
+  SELECT vec_id, cid,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+           AS cos6
+  FROM ac GROUP BY vec_id, cid
+), cell AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos6 DESC, cid) AS rn
+    FROM a0) t WHERE rn = 1
+), probe AS (
+  SELECT cid FROM (
+    SELECT a0.cid,
+           row_number() OVER (ORDER BY a0.cos6 DESC, a0.cid) AS rn
+    FROM a0 WHERE a0.vec_id = (SELECT q FROM qid)) t
+  WHERE rn <= 2
+), cand AS (
+  SELECT a.vec_id FROM cell a JOIN probe p USING (cid)
+  WHERE a.vec_id <> (SELECT q FROM qid)
+), e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), sub AS (
+  SELECT s FROM generate_series(0, 7) g(s)
+), cw AS (
+  SELECT sub.s, CAST(h.rn - 1 AS INT) AS cid,
+         h.v[(sub.s*8+1):(sub.s*8+8)] AS c
+  FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM e) h
+  CROSS JOIN sub WHERE h.rn <= 16
+), qv AS (
+  SELECT sub.s, h.v[(sub.s*8+1):(sub.s*8+8)] AS qs
+  FROM (SELECT v FROM e ORDER BY vec_id LIMIT 1) h CROSS JOIN sub
+), dtab AS (
+  SELECT cw.s, cw.cid,
+         list_sum(list_transform(list_zip(qv.qs, cw.c),
+                  p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+  FROM cw JOIN qv USING (s)
+), codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT ec.vec_id, cw.s, cw.cid,
+           row_number() OVER (PARTITION BY ec.vec_id, cw.s ORDER BY
+             list_sum(list_transform(
+               list_zip(ec.v[(cw.s*8+1):(cw.s*8+8)], cw.c),
+               p -> (p[1]-p[2])*(p[1]-p[2]))), cw.cid) AS rn
+    FROM (SELECT e.* FROM e JOIN cand USING (vec_id)) ec
+    CROSS JOIN cw)
+  WHERE rn = 1
+), adc AS (
+  SELECT a.vec_id,
+         ROUND(list_sum(list(dtab.d ORDER BY a.s)), 6) AS adc6
+  FROM codes a JOIN dtab ON dtab.s = a.s AND dtab.cid = a.cid
+  GROUP BY a.vec_id
+)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY adc6, vec_id) AS INT) AS rank,
+       ROUND(adc6, 4) AS adc
+FROM adc
+QUALIFY rank <= 10
+"""
+
+
+@_q("ann_ivf_pq", _IVF_PQ_ORACLE)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC): probe the query's nprobe=2 coarse cells, then
+    ADC-score ONLY those candidates against the PQ distance table —
+    the compose of _ivf_quantize's pruning and
+    pq_adc_topk_with_codebooks' zero-shuffle scan (candidates
+    broadcast; embeddings never shuffle)."""
+    from information_extraction_spark.operators.clustering import (
+        pq_adc_topk_with_codebooks,
+        pq_codebooks,
+    )
+
+    e = _spread(spark, _emb(spark, sf_dir), "vec_id").cache()
+    try:
+        cent_rows, assign, probe = _ivf_quantize(spark, e)
+        qid = cent_rows[0]["vec_id"]
+        cand = assign.filter(
+            F.col("cid").isin(probe) & (F.col("vec_id") != qid)
+        ).select("vec_id")
+        head = e.orderBy("vec_id").limit(16).collect()
+        cbs = pq_codebooks(
+            [list(map(float, r["embedding"])) for r in head], 8, 8
+        )
+        cand_vectors = e.join(F.broadcast(cand), "vec_id")
+        return pq_adc_topk_with_codebooks(
+            cand_vectors,
+            list(map(float, cent_rows[0]["embedding"])),
+            cbs,
+            k=10,
+        )
+    finally:
+        e.unpersist()

@@ -65,6 +65,13 @@ PLAN_QUERIES = [
         "unbounded at warehouse scale)",
     ),
     (
+        "ann_ivf_pq",
+        "IVFADC: the coarse quantizer prunes to nprobe=2 lists "
+        "(broadcast candidate ids — the embeddings side never "
+        "shuffles), then the zero-shuffle ADC scan scores only the "
+        "candidates",
+    ),
+    (
         "ann_pq_trained",
         "trained PQ: all m sub-space k-means fuse into one pass per "
         "iteration (narrow assignment against an s-indexed codebook "
