@@ -77,6 +77,8 @@ _CHANGED_THIS_ROUND = [
     # and the IVFADC composite (coarse pruning + ADC rescore).
     "ann_pq_trained",
     "ann_ivf_pq",
+    # Personalized PageRank (random walk with restart to a seed set).
+    "kg_pagerank_personalized",
     # Consolidation layer above triple support, added this round:
     # functional-slot conflict resolution (struct-max argmax),
     # per-typed-predicate ontology profile, and k-bounded per-triple

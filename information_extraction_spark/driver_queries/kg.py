@@ -1700,6 +1700,75 @@ def kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_sample(triples, fanout=4)
 
 
+def _ppr_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    step = """{dst} AS (
+  SELECT nd.n,
+         CASE WHEN nd.n IN (SELECT n FROM seeds) THEN 0.15 ELSE 0.0 END
+         + 0.85 * COALESCE(sum({src}.r / deg.d), 0.0) AS r
+  FROM nodes nd
+  LEFT JOIN e ON e.dst = nd.n
+  LEFT JOIN deg ON deg.src = e.src
+  LEFT JOIN {src} ON {src}.n = e.src
+  GROUP BY nd.n)"""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+  WHERE subject <> object
+), deg AS (
+  SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src
+), nodes AS (
+  SELECT src AS n FROM e UNION SELECT dst FROM e
+), seeds AS (
+  SELECT n FROM nodes ORDER BY n LIMIT 5
+), r0 AS (
+  SELECT n, CASE WHEN n IN (SELECT n FROM seeds)
+                 THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS r
+  FROM nodes),
+{step.format(src="r0", dst="r1")},
+{step.format(src="r1", dst="r2")},
+{step.format(src="r2", dst="r3")}
+SELECT n AS entity, ROUND(r, 6) AS pr FROM r3
+"""
+
+
+_PPR_ORACLE = _ppr_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_pagerank_personalized", _PPR_ORACLE)
+def kg_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) from the 5
+    lexicographically-smallest entities: teleport mass lands only on
+    the seed set, so ranks measure relevance TO those seeds
+    (operators/graph.pagerank with seeds). Same 3 power iterations /
+    chained-CTE oracle shape as kg_pagerank; 6dp rounding only at
+    the end."""
+    from information_extraction_spark.operators.graph import (
+        pagerank,
+        triple_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_pagerank_personalized"] = _ppr_oracle_sql(sf_dir)
+    edges = triple_edges(triples)
+    # The personalization set is bounded by definition — a bounded
+    # driver pick of the 5 smallest nodes (matches the oracle's
+    # ORDER BY n LIMIT 5).
+    seeds = [
+        r["n"]
+        for r in edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .orderBy("n")
+        .limit(5)
+        .collect()
+    ]
+    ranks = pagerank(edges, iterations=3, damping=0.85, seeds=seeds)
+    return ranks.select(
+        "entity", F.round("rank", 6).alias("pr")
+    )
+
+
 # --- Snapshot time travel, driver-visible ------------------------------------
 #
 # The emulated-Iceberg snapshot layer (operators/checkpoint.py:

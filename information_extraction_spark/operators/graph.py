@@ -503,12 +503,19 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
+    seeds: list[str] | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over directed (src, dst) edges.
 
     Returns (entity, rank) for every node appearing as either
-    endpoint, ranks unrounded doubles. rank_0 = 1.0 for all nodes;
-    rank_{i+1}(v) = (1-d) + d * Σ_{(u,v)∈E} rank_i(u) / outdeg(u).
+    endpoint, ranks unrounded doubles. Global variant (``seeds``
+    None): rank_0 = 1.0 for all nodes; rank_{i+1}(v) = (1-d) +
+    d * Σ_{(u,v)∈E} rank_i(u) / outdeg(u). PERSONALIZED variant
+    (``seeds`` = a bounded node list — a personalization set is
+    small by definition, so it rides the plan as an isin literal):
+    teleport mass lands only on the seeds — rank_0 = 1[v∈S],
+    rank_{i+1}(v) = (1-d)·1[v∈S] + d·Σ — the random-walk-with-
+    restart relevance of every entity to the seed set.
 
     The edge table (with out-degree attached) is localCheckpointed
     once and reused by every iteration; the per-iteration
@@ -525,7 +532,14 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
-    ranks = nodes.withColumn("r", F.lit(1.0))
+    if seeds is None:
+        base = F.lit(1.0 - damping)
+        init = F.lit(1.0)
+    else:
+        seed_ind = F.col("n").isin(list(seeds)).cast("double")
+        base = F.lit(1.0 - damping) * seed_ind
+        init = seed_ind
+    ranks = nodes.withColumn("r", init)
     for _ in range(iterations):
         contrib = (
             edges_deg.join(ranks, edges_deg.src == ranks.n)
@@ -539,7 +553,7 @@ def pagerank(
         ranks = nodes.join(contrib, "n", "left").select(
             "n",
             (
-                F.lit(1.0 - damping)
+                base
                 + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0))
             ).alias("r"),
         ).localCheckpoint()

@@ -531,3 +531,44 @@ def test_graph_diff_two_sided(spark):
         for r in graph_diff(base, new).collect()
     )
     assert got == [("b", "p", "y", "removed"), ("z", "q", "w", "added")]
+
+
+def _py_ppr(edges, seeds, iterations=3, damping=0.85):
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    ranks = {n: (1.0 if n in seeds else 0.0) for n in nodes}
+    for _ in range(iterations):
+        contrib = {n: 0.0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += ranks[s] / out[s]
+        ranks = {
+            n: (1 - damping) * (1.0 if n in seeds else 0.0)
+            + damping * contrib[n]
+            for n in nodes
+        }
+    return ranks
+
+
+def test_personalized_pagerank_teleports_to_seeds_only(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    seeds = ["d"]
+    got = {
+        r["entity"]: r["rank"]
+        for r in pagerank(df, iterations=3, seeds=seeds).collect()
+    }
+    want = _py_ppr(EDGES, set(seeds), iterations=3)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+    # mass flows d -> c -> {a,b}: everything reachable from the seed
+    # is positive, and the seed keeps its restart floor
+    assert got["d"] == pytest.approx(0.15, abs=1e-12)
+    assert all(got[n] > 0 for n in ("a", "b", "c"))
+    # seeding {a} instead: d is UNREACHABLE from a -> rank exactly 0
+    got_a = {
+        r["entity"]: r["rank"]
+        for r in pagerank(df, iterations=3, seeds=["a"]).collect()
+    }
+    assert got_a["d"] == 0.0

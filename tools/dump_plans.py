@@ -65,6 +65,13 @@ PLAN_QUERIES = [
         "unbounded at warehouse scale)",
     ),
     (
+        "kg_pagerank_personalized",
+        "personalized PageRank: same localCheckpointed-edges loop as "
+        "kg_pagerank; the seed set rides the plan as an isin literal "
+        "(a personalization set is bounded by definition) — no extra "
+        "join or shuffle over the global variant",
+    ),
+    (
         "ann_ivf_pq",
         "IVFADC: the coarse quantizer prunes to nprobe=2 lists "
         "(broadcast candidate ids — the embeddings side never "
