@@ -79,6 +79,8 @@ _CHANGED_THIS_ROUND = [
     "ann_ivf_pq",
     # Personalized PageRank (random walk with restart to a seed set).
     "kg_pagerank_personalized",
+    # SemDeDup keep-one: CC over the kmeans-blocked cosine pairs.
+    "dd_semdedup_keep",
     # Consolidation layer above triple support, added this round:
     # functional-slot conflict resolution (struct-max argmax),
     # per-typed-predicate ontology profile, and k-bounded per-triple

@@ -2224,3 +2224,78 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         e.unpersist()
+
+
+# --- SemDeDup: keep-one over the learned-blocking near-dup pairs --------------
+#
+# The APPLY step completing the embedding-dedup family (the analogue
+# of dd_dup_clusters for dd_embedding_cosine_kmeans): near-dup pairs
+# → connected components → every vector labeled with its cluster's
+# minimum member and a keep flag (keep exactly the representative;
+# singletons keep themselves). vec_ids ride the CC as zero-padded
+# strings so the component minimum is the NUMERIC minimum
+# (dd_dup_clusters' trick).
+
+_SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE prs AS (
+  {_EMB_COS_KMEANS_ORACLE.replace(chr(10), chr(10) + "  ")}
+), edges AS (
+  SELECT lpad(CAST(va AS VARCHAR), 10, '0') AS a,
+         lpad(CAST(vb AS VARCHAR), 10, '0') AS b
+  FROM prs
+), sym AS (
+  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
+), comp AS (
+  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+SELECT e.vec_id,
+       CAST(COALESCE(CAST(c.component AS BIGINT), e.vec_id) AS BIGINT)
+           AS cluster,
+       CAST(CASE WHEN COALESCE(CAST(c.component AS BIGINT), e.vec_id)
+                      = e.vec_id
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM embeddings e
+LEFT JOIN comp c ON c.node = lpad(CAST(e.vec_id AS VARCHAR), 10, '0')
+"""
+
+
+@_q("dd_semdedup_keep", _SEMDEDUP_ORACLE)
+def dd_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-one: connected components over the k-means-
+    blocked cosine pairs, every vector labeled (cluster, keep). The
+    CC label table is bounded by vectors-in-pairs — broadcast onto
+    the full table exactly like dd_dup_clusters' mapping join."""
+    from information_extraction_spark.operators.linking import (
+        connected_components,
+    )
+
+    pairs = dd_embedding_cosine_kmeans(spark, sf_dir)
+    pad = lambda c: F.format_string("%010d", F.col(c))  # noqa: E731
+    comps = connected_components(
+        pairs.select(pad("va").alias("src"), pad("vb").alias("dst"))
+    )
+    mapping = F.broadcast(
+        comps.select(
+            F.col("node").cast("bigint").alias("vec_id"),
+            F.col("component").cast("bigint").alias("_cl"),
+        )
+    )
+    e = _emb(spark, sf_dir).select("vec_id")
+    return (
+        e.join(mapping, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("_cl", F.col("vec_id")).cast("bigint").alias(
+                "cluster"
+            ),
+            (
+                F.coalesce("_cl", F.col("vec_id")) == F.col("vec_id")
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )

@@ -65,6 +65,12 @@ PLAN_QUERIES = [
         "unbounded at warehouse scale)",
     ),
     (
+        "dd_semdedup_keep",
+        "SemDeDup keep-one: the CC label table (bounded by vectors "
+        "in near-dup pairs) BROADCASTS onto the full vector table; "
+        "singletons coalesce to themselves — no second pass",
+    ),
+    (
         "kg_pagerank_personalized",
         "personalized PageRank: same localCheckpointed-edges loop as "
         "kg_pagerank; the seed set rides the plan as an isin literal "
