@@ -36,6 +36,14 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # HITS hubs/authorities — the bipartite-friendly centrality
+    # (integer micro-unit scores keep both engines in exact lockstep).
+    "kg_hits",
+    # Per-doc TF-IDF keywords and BM25 query-conditioned ranking —
+    # the retrieval/curation pair (broadcast df table, micro-unit
+    # contribution sums).
+    "ta_tfidf_topk",
+    "ta_bm25",
     # ER APPLICATION (pairs -> CC -> graph rewrite + support re-agg),
     # SHACL-style cardinality and domain/range validation against the
     # induced ontology, and fixed-iteration Lloyd k-means over the

@@ -1769,6 +1769,78 @@ def kg_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hits_oracle_sql(sf_dir: str) -> str:
+    # HITS as chained CTEs, one authority + one hub half-step per
+    # iteration. Scores are integer micro-units so every cross-row
+    # reduction (per-node contribution sum, global normalizer) is an
+    # exact BIGINT sum; the only FP ops are one double division of
+    # two exact integers and one round-half-away per half-step —
+    # single IEEE operations identical in DuckDB and Spark.
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    astep = """{a}r AS (
+  SELECT e.dst AS n, CAST(sum({h}.s) AS BIGINT) AS r
+  FROM e JOIN {h} ON {h}.n = e.src GROUP BY e.dst),
+{a} AS (
+  SELECT n, CAST(round(CAST(r AS DOUBLE) * 1000000.0 /
+       CAST((SELECT CAST(sum(r) AS BIGINT) FROM {a}r) AS DOUBLE))
+       AS BIGINT) AS s
+  FROM {a}r)"""
+    hstep = """{h}r AS (
+  SELECT e.src AS n, CAST(sum({a}.s) AS BIGINT) AS r
+  FROM e JOIN {a} ON {a}.n = e.dst GROUP BY e.src),
+{h} AS (
+  SELECT n, CAST(round(CAST(r AS DOUBLE) * 1000000.0 /
+       CAST((SELECT CAST(sum(r) AS BIGINT) FROM {h}r) AS DOUBLE))
+       AS BIGINT) AS s
+  FROM {h}r)"""
+    steps = ",\n".join(
+        astep.format(a=f"a{i}", h=f"h{i - 1}")
+        + ",\n"
+        + hstep.format(h=f"h{i}", a=f"a{i}")
+        for i in range(1, 4)
+    )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+  WHERE subject <> object
+), nodes AS (
+  SELECT src AS n FROM e UNION SELECT dst FROM e
+), h0 AS (
+  SELECT n, CAST(1000000 AS BIGINT) AS s FROM nodes
+),
+{steps}
+SELECT nd.n AS entity,
+       round(COALESCE(h3.s, 0) / 1e6, 6) AS hub,
+       round(COALESCE(a3.s, 0) / 1e6, 6) AS auth
+FROM nodes nd
+LEFT JOIN h3 ON h3.n = nd.n
+LEFT JOIN a3 ON a3.n = nd.n
+"""
+
+
+_HITS_ORACLE = _hits_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_hits", _HITS_ORACLE)
+def kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the materialized entity graph
+    (operators/graph.hits, 3 iterations, sum-normalized per
+    half-step). THE centrality for this corpus's bipartite extraction
+    graph: subjects (never objects) score as hubs, object phrases as
+    authorities — the mutual-reinforcement structure PageRank's
+    uniform teleport flattens, and the reason triangle counting was
+    skipped as structurally vacuous. Integer micro-unit scores keep
+    both engines in exact lockstep (see operator docstring)."""
+    from information_extraction_spark.operators.graph import (
+        hits,
+        triple_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_hits"] = _hits_oracle_sql(sf_dir)
+    return hits(triple_edges(triples), iterations=3)
+
+
 # --- Snapshot time travel, driver-visible ------------------------------------
 #
 # The emulated-Iceberg snapshot layer (operators/checkpoint.py:

@@ -2299,3 +2299,216 @@ def dd_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+# --- TF-IDF keyword extraction + BM25 retrieval --------------------------------
+#
+# The retrieval/curation pair every corpus pipeline carries: per-doc
+# salient terms (TF-IDF top-k — keyword tagging, topic labeling) and
+# query-conditioned ranking (BM25 — the dedup-against-eval and
+# "find documents like this" primitive). Tokenization is the corpus
+# convention (whitespace split, ta_quality's): both sides tokenize
+# identically.
+#
+# Scale shape: the document-frequency table is VOCAB-bounded (Heaps'
+# law), so it broadcasts; the corpus streams past it in one narrow
+# pass. TF-IDF's per-doc top-k is a row_number window partitioned by
+# doc_id — bounded per-partition state, one shuffle on doc_id (the
+# natural co-location key: tf is already grouped by it). BM25's
+# query-term set is TINY by definition (a query), so scoring is a
+# broadcast semi-join — the corpus never shuffles; only the
+# doc-sized contribution table aggregates.
+#
+# Float discipline: idf = ln(ratio) on identical doubles in both
+# engines (ta_perplexity precedent); BM25's per-doc sum crosses rows,
+# so each term contribution is quantized to 6dp INTEGER micro-units
+# first and summed exactly (the ×10^dp rule), then rounded to 4dp.
+
+_TFIDF_ORACLE = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM w
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM w GROUP BY doc_id, word
+), df AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+), scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rk
+  FROM scored
+)
+SELECT doc_id, word, tf, df, tfidf, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+@_q("ta_tfidf_topk", _TFIDF_ORACLE)
+def ta_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (idf = ln(N/df), raw tf).
+
+    The df table is vocab-bounded → broadcast; tf's groupBy(doc_id,
+    word) is the only corpus-sized shuffle and the row_number window
+    reuses its doc_id clustering. Rank ties break on the rounded
+    score then word, so the 5 rows are deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    w = _spread(spark, _docs(spark, sf_dir), "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = w.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    tf = tf.localCheckpoint()  # df + scoring both branch off tf
+    df_ = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    n = tf.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df")
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("tfidf").desc(), "word"
+        )
+    )
+    return scored.withColumn("rk", rk).filter(F.col("rk") <= 5)
+
+
+def _bm25_oracle_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS tot_len FROM dl
+), q AS (
+  SELECT word FROM w WHERE word NOT IN {_STOPWORDS}
+  GROUP BY word ORDER BY count(*) DESC, word LIMIT 3
+), tf AS (
+  SELECT w.doc_id, w.word, CAST(count(*) AS BIGINT) AS tf
+  FROM w JOIN q USING (word) GROUP BY w.doc_id, w.word
+), df AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+), contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(1000000.0 * (
+           ln((CAST(s.n_docs AS DOUBLE) - df.df + 0.5)
+              / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                * CAST(s.n_docs AS DOUBLE) / s.tot_len))
+         )) AS BIGINT) AS c
+  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats s
+), scored AS (
+  SELECT doc_id, round(CAST(sum(c) AS BIGINT) / 1e6, 4) AS bm25,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, bm25, n_terms,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rk
+FROM scored
+QUALIFY rk <= 20
+"""
+
+
+_BM25_ORACLE = _bm25_oracle_sql()
+
+
+@_q("ta_bm25", _BM25_ORACLE)
+def ta_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75, Lucene +1 idf) top-20 documents for a
+    deterministic query: the corpus's 3 most frequent non-stopword
+    terms (ties break lexicographically).
+
+    1/(1-b+b·dl/avgdl) is computed as dl·N/tot_len so avgdl never
+    exists as a rounded intermediate — one double expression chain on
+    exact integers, identical in both engines. Per-term contributions
+    quantize to integer micro-units before the per-doc sum (the
+    ×10^dp rule: cross-row double addition is order-dependent).
+    Top-20 is TakeOrderedAndProject on (score DESC, doc_id), never a
+    global sort."""
+    from pyspark.sql import Window
+
+    w = _spread(spark, _docs(spark, sf_dir), "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    w = w.localCheckpoint()  # doc lengths, query pick, tf all branch
+    dl = w.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot_len"),
+    )
+    q = (
+        w.filter(~F.col("word").isin(STOP))
+        .groupBy("word")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.col("_c").desc(), "word")
+        .limit(3)
+        .select("word")
+    )
+    tf = (
+        w.join(F.broadcast(q), "word")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    denom = F.col("tf") + 1.2 * (
+        0.25
+        + 0.75
+        * F.col("dl")
+        * F.col("n_docs").cast("double")
+        / F.col("tot_len")
+    )
+    contrib = (
+        tf.join(F.broadcast(df_), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            # Grouping matches the oracle exactly: 1e6 × (idf·tf'/D).
+            # IEEE double × is commutative but NOT associative — a
+            # different grouping is a different ulp.
+            F.round(1000000.0 * (idf * (F.col("tf") * 2.2) / denom))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("c").cast("long") / 1e6, 4).alias("bm25"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("bm25").desc(), "doc_id")
+    )
+    return (
+        scored.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+        .withColumn("rk", rk)
+    )

@@ -558,3 +558,85 @@ def pagerank(
             ).alias("r"),
         ).localCheckpoint()
     return ranks.select(F.col("n").alias("entity"), F.col("r").alias("rank"))
+
+
+def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over directed (src, dst)
+    edges: hub and authority scores, sum-normalized per half-step.
+
+    This is the bipartite-friendly centrality — on the extraction
+    graph (subjects never appear as objects) PageRank degenerates to
+    two tiers, while HITS is exactly the mutual-reinforcement the
+    bipartite structure calls for: subjects score as hubs, object
+    phrases as authorities. Returns (entity, hub, auth) for every
+    node on either side, absent side 0.
+
+    Cross-engine determinism (the DuckDB oracle must match to 9dp):
+    scores are carried as INTEGER micro-units (1.0 == 1_000_000), so
+    every reduction that crosses an exchange — the per-node
+    contribution sum AND the global normalizer — is an exact integer
+    sum, order-independent by construction. The only floating-point
+    ops are one double division of two exact integers and one
+    round-half-away per half-step, both single IEEE operations on
+    identical inputs in either engine (the ×10^dp integer-sum rule
+    from the kmeans/quantile work, NOTES_r4.md).
+
+    Scale shape: the edge table materializes once and is scanned per
+    half-step; what shuffles is the node-sized score vector (join
+    onto the edge key, then a map-side-combined sum). The normalizer
+    is a 1-row aggregate broadcast back — never a window over a
+    single partition. Lineage cut per iteration, as in pagerank().
+    Long-sum headroom: Σ contributions ≤ 1e6·|E| before the first
+    normalize and ≈1e6·indeg after, so the BIGINT path holds past
+    1e12 edges.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .unionAll(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _normalize(raw: DataFrame) -> DataFrame:
+        # raw: (n, r) with r an exact BIGINT sum of micro-unit scores.
+        tot = raw.agg(F.sum("r").cast("long").alias("_tot"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "n",
+            F.round(
+                F.col("r").cast("double")
+                * F.lit(1000000.0)
+                / F.col("_tot").cast("double")
+            )
+            .cast("long")
+            .alias("s"),
+        )
+
+    hub = nodes.select("n", F.lit(1000000).cast("long").alias("s"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub.withColumnRenamed("n", "src"), "src")
+            .groupBy(F.col("dst").alias("n"))
+            .agg(F.sum("s").cast("long").alias("r"))
+        )
+        auth = _normalize(a_raw).localCheckpoint()
+        h_raw = (
+            e.join(auth.withColumnRenamed("n", "dst"), "dst")
+            .groupBy(F.col("src").alias("n"))
+            .agg(F.sum("s").cast("long").alias("r"))
+        )
+        hub = _normalize(h_raw).localCheckpoint()
+    return (
+        nodes.join(hub.withColumnRenamed("s", "_h"), "n", "left")
+        .join(auth.withColumnRenamed("s", "_a"), "n", "left")
+        .select(
+            F.col("n").alias("entity"),
+            F.round(
+                F.coalesce(F.col("_h"), F.lit(0)).cast("double") / 1e6, 6
+            ).alias("hub"),
+            F.round(
+                F.coalesce(F.col("_a"), F.lit(0)).cast("double") / 1e6, 6
+            ).alias("auth"),
+        )
+    )

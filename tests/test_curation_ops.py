@@ -343,3 +343,116 @@ def test_selfsim_spans_brute_force(spark):
     # [a..h] qualifies
     n3, d3, r3 = got[3]
     assert d3 == 1 and r3 == round(1 / n3, 4)
+
+
+# --- TF-IDF top-k + BM25 -----------------------------------------------------
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+TFIDF_DOCS = [
+    (1, "apple banana apple cherry"),
+    (2, "banana banana date"),
+    (3, "cherry date date date the the"),
+]
+
+
+def test_tfidf_topk_scores_and_rank(spark, tmp_path):
+    import math
+
+    from information_extraction_spark.driver_queries.textdata import (
+        ta_tfidf_topk,
+    )
+
+    sf = _write_docs(spark, tmp_path, TFIDF_DOCS)
+    rows = ta_tfidf_topk(spark, sf).collect()
+    # Brute-force reference.
+    toks = {i: t.split(" ") for i, t in TFIDF_DOCS}
+    df = {}
+    for ws in toks.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    n = len(toks)
+    got = {(r["doc_id"], r["word"]): r for r in rows}
+    for (d, w), r in got.items():
+        tf = toks[d].count(w)
+        assert r["tf"] == tf and r["df"] == df[w]
+        assert r["tfidf"] == pytest.approx(
+            round(tf * math.log(n / df[w]), 4), abs=1e-9
+        )
+    # 'apple' is doc1's top term (tf=2, df=1 -> ln 3); corpus-wide
+    # words ('the' appears only in doc3 but df: banana=2, date=2,
+    # cherry=2) score lower per occurrence.
+    d1 = sorted(
+        (r for (d, _), r in got.items() if d == 1),
+        key=lambda r: r["rk"],
+    )
+    assert d1[0]["word"] == "apple" and d1[0]["rk"] == 1
+    # Every doc emits at most 5 rows, ranks dense from 1.
+    for d in (1, 2, 3):
+        rks = sorted(r["rk"] for (dd, _), r in got.items() if dd == d)
+        assert rks == list(range(1, len(rks) + 1)) and len(rks) <= 5
+
+
+def test_bm25_reference_and_ordering(spark, tmp_path):
+    import math
+
+    from information_extraction_spark.driver_queries.textdata import (
+        ta_bm25,
+    )
+
+    docs = [
+        (1, "date date date apple"),
+        (2, "date banana banana cherry cherry cherry"),
+        (3, "apple banana cherry plum plum"),
+        (4, "the the the the of of"),
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = ta_bm25(spark, sf).collect()
+    toks = {i: t.split(" ") for i, t in docs}
+    stop = {"the", "a", "of", "and", "to", "in", "is"}
+    freq = {}
+    for ws in toks.values():
+        for w in ws:
+            if w not in stop:
+                freq[w] = freq.get(w, 0) + 1
+    q = [w for w in sorted(freq, key=lambda w: (-freq[w], w))[:3]]
+    n = len(toks)
+    tot = sum(len(ws) for ws in toks.values())
+    dfq = {w: sum(1 for ws in toks.values() if w in ws) for w in q}
+    want = {}
+    for d, ws in toks.items():
+        s = 0
+        terms = 0
+        for w in q:
+            tf = ws.count(w)
+            if not tf:
+                continue
+            terms += 1
+            idf = math.log((n - dfq[w] + 0.5) / (dfq[w] + 0.5) + 1.0)
+            den = tf + 1.2 * (0.25 + 0.75 * len(ws) * float(n) / tot)
+            s += int(
+                math.floor(1000000.0 * (idf * (tf * 2.2) / den) + 0.5)
+            )
+        if terms:
+            want[d] = (round(s / 1e6, 4), terms)
+    got = {r["doc_id"]: r for r in rows}
+    assert set(got) == set(want)
+    for d, (s, terms) in want.items():
+        assert got[d]["bm25"] == pytest.approx(s, abs=2e-6)
+        assert got[d]["n_terms"] == terms
+    # Ranks follow (score desc, doc_id) exactly.
+    order = sorted(want, key=lambda d: (-want[d][0], d))
+    for i, d in enumerate(order, 1):
+        assert got[d]["rk"] == i
+    # The all-stopword doc matches no query term and is absent.
+    assert 4 not in got

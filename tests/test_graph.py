@@ -572,3 +572,86 @@ def test_personalized_pagerank_teleports_to_seeds_only(spark):
         for r in pagerank(df, iterations=3, seeds=["a"]).collect()
     }
     assert got_a["d"] == 0.0
+
+
+def _py_hits(edges, iterations=3):
+    """Independent reference with the operator's exact quantization:
+    integer micro-unit scores, per-half-step sum-normalize via one
+    double division + round-half-away."""
+    nodes = sorted({n for e in edges for n in e})
+    hub = {n: 1_000_000 for n in nodes}
+    auth = {}
+
+    def _half_away(x):
+        import math
+
+        return int(math.floor(x + 0.5))
+
+    def _step(scores, key_from, key_to):
+        raw = {}
+        for s, d in edges:
+            u, v = (s, d) if key_from == 0 else (d, s)
+            if u in scores:
+                raw[v] = raw.get(v, 0) + scores[u]
+        tot = sum(raw.values())
+        return {
+            n: _half_away(float(r) * 1_000_000.0 / float(tot))
+            for n, r in raw.items()
+        }
+
+    for _ in range(iterations):
+        auth = _step(hub, 0, 1)
+        hub = _step(auth, 1, 0)
+    return (
+        {n: hub.get(n, 0) / 1e6 for n in nodes},
+        {n: auth.get(n, 0) / 1e6 for n in nodes},
+    )
+
+
+HITS_EDGES = [
+    ("h1", "a1"),
+    ("h1", "a2"),
+    ("h2", "a1"),
+    ("h3", "a2"),
+    ("h3", "a3"),
+    ("h3", "a1"),  # h3 points at everything; a1 is cited by all hubs
+]
+
+
+def test_hits_matches_reference_and_bipartite_sides(spark):
+    from information_extraction_spark.operators.graph import hits
+
+    df = spark.createDataFrame(HITS_EDGES, "src string, dst string")
+    rows = hits(df, iterations=3).collect()
+    got_h = {r["entity"]: r["hub"] for r in rows}
+    got_a = {r["entity"]: r["auth"] for r in rows}
+    want_h, want_a = _py_hits(HITS_EDGES, iterations=3)
+    assert got_h == pytest.approx(want_h, abs=5e-7)
+    assert got_a == pytest.approx(want_a, abs=5e-7)
+    # Bipartite graph: pure hubs carry zero authority and vice versa.
+    for n in ("h1", "h2", "h3"):
+        assert got_a[n] == 0.0
+    for n in ("a1", "a2", "a3"):
+        assert got_h[n] == 0.0
+    # Mutual reinforcement: h3 (3 out-edges incl. the top authority)
+    # out-ranks h2 (1 edge); a1 (cited by all hubs) tops authorities.
+    assert got_h["h3"] > got_h["h1"] > got_h["h2"]
+    assert got_a["a1"] == max(got_a[n] for n in ("a1", "a2", "a3"))
+    # Each half-step sum-normalizes to ~1.0 in micro-units.
+    assert sum(got_h.values()) == pytest.approx(1.0, abs=5e-6)
+    assert sum(got_a.values()) == pytest.approx(1.0, abs=5e-6)
+
+
+def test_hits_directed_chain_scores_interior_both_ways(spark):
+    from information_extraction_spark.operators.graph import hits
+
+    edges = [("x", "y"), ("y", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = {r["entity"]: r for r in hits(df, iterations=2).collect()}
+    want_h, want_a = _py_hits(edges, iterations=2)
+    for n in ("x", "y", "z"):
+        assert rows[n]["hub"] == pytest.approx(want_h[n], abs=5e-7)
+        assert rows[n]["auth"] == pytest.approx(want_a[n], abs=5e-7)
+    # Interior node scores on BOTH sides; endpoints on one only.
+    assert rows["y"]["hub"] > 0.0 and rows["y"]["auth"] > 0.0
+    assert rows["x"]["auth"] == 0.0 and rows["z"]["hub"] == 0.0
