@@ -44,6 +44,9 @@ _CHANGED_THIS_ROUND = [
     # contribution sums).
     "ta_tfidf_topk",
     "ta_bm25",
+    # Streaming ingest-time exact dedup (dropDuplicatesWithinWatermark;
+    # re-crawl staged so every duplicate pair crosses a micro-batch).
+    "st_dedup",
     # ER APPLICATION (pairs -> CC -> graph rewrite + support re-agg),
     # SHACL-style cardinality and domain/range validation against the
     # induced ontology, and fixed-iteration Lloyd k-means over the

@@ -595,3 +595,81 @@ def st_support_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "ie_stream_support_", ("conv_id",), start,
         read_result,
     )
+
+
+# --- Streaming exact dedup (ingest-time, cross-micro-batch state) -----------
+#
+# The ingest-dedup every training-data pipeline runs: a re-crawl
+# delivers every document AGAIN under a fresh crawl id, and the
+# stream must emit each distinct content fingerprint exactly once.
+# Staged as 4 micro-batches — the original corpus in files 1-2, the
+# re-crawl (ids offset by 10M, later event times) in files 3-4 — so
+# EVERY duplicate pair crosses a micro-batch boundary and the state
+# store is 100% load-bearing: a per-batch dedup would emit all rows
+# twice.
+#
+# dropDuplicatesWithinWatermark is the scale-correct API: dedup state
+# keyed on the fingerprint is EVICTED once the watermark passes its
+# event time (plain dropDuplicates without the event-time column in
+# the key never evicts). The drain uses the module's documented
+# backfill watermark ('87600 hours' — file pickup order is not
+# event-time order), under which nothing evicts during the bounded
+# run; a live deployment shrinks the delay to its re-crawl horizon
+# and state stays bounded by fingerprints-per-horizon.
+
+_ST_DEDUP_ORACLE = """
+SELECT DISTINCT md5(text) AS fingerprint,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+@_q("st_dedup", _ST_DEDUP_ORACLE)
+def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    run_dir = tempfile.mkdtemp(prefix="ie_stream_dedup_")
+    try:
+        src = os.path.join(run_dir, "src")
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        crawl = d.select("doc_id", "text")
+        recrawl = crawl.select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+        )
+        # Two part files per crawl: 4 micro-batches at one file per
+        # trigger, duplicates always cross-batch.
+        crawl.repartition(2, "doc_id").write.mode("overwrite").parquet(src)
+        recrawl.repartition(2, "doc_id").write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        deduped = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_seconds(F.col("doc_id")))
+            .withWatermark("ts", "87600 hours")
+            .select(
+                F.md5("text").alias("fingerprint"),
+                F.length("text").cast("long").alias("n_chars"),
+                "ts",
+            )
+            .dropDuplicatesWithinWatermark(["fingerprint"])
+            .drop("ts")
+        )
+        name = f"st_dedup_{next(_COUNTER)}"
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", os.path.join(run_dir, "ckpt")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.sql(f"SELECT fingerprint, n_chars FROM {name}")
+        rows = out.collect()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

@@ -379,3 +379,48 @@ def test_session_window_gap_boundary_is_inclusive(spark):
     )
     t0 = got[0][1]  # epoch of 2024-01-01 00:00:00 in the session tz
     assert got == [(1, t0, 3), (1, t0 + 4201, 1), (2, t0, 1)]
+
+
+def test_streaming_dedup_suppresses_cross_batch_duplicates(
+    spark, tmp_path
+):
+    """st_dedup stages the corpus + a re-crawl as 4 micro-batches so
+    every duplicate pair crosses a batch boundary; the state store
+    must suppress the second arrival. Also pins that duplicates
+    already inside the base corpus collapse to one emission."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from information_extraction_spark.driver_queries.streamq import (
+        st_dedup,
+    )
+
+    docs = [
+        (1, "alpha beta"),
+        (2, "gamma delta"),
+        (3, "alpha beta"),  # in-corpus duplicate of doc 1
+        (4, "epsilon"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    out = st_dedup(spark, str(tmp_path)).collect()
+    # 8 arrivals (4 docs × 2 crawls) -> 3 distinct fingerprints.
+    assert len(out) == 3
+    got = {(r["fingerprint"], r["n_chars"]) for r in out}
+    want = {
+        (
+            spark.sql(
+                f"SELECT md5('{t}') f"
+            ).first()["f"],
+            len(t),
+        )
+        for _, t in docs
+    }
+    assert got == want
