@@ -9,11 +9,12 @@ from information_extraction_spark.driver_queries import (
     core2,
     core3,
     kg,
+    relational,
     streamq,
     textdata,
 )
 
-_MODULES = (core, core2, core3, kg, streamq, textdata)
+_MODULES = (core, core2, core3, kg, relational, streamq, textdata)
 
 QUERIES = {}
 ORACLES = {}
@@ -36,6 +37,17 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Relational operator classes added this round: backward-inclusive
+    # AS-OF join (union + running max, one shuffle — never a per-user
+    # cross product), bucketed range join (window-width time buckets in
+    # the join key), hypertable-style minute->hour rollup from
+    # mergeable partials, ROLLUP grouping sets, and a pinned-values
+    # pivot.
+    "j8_asof_join",
+    "j9_range_join",
+    "w10_hypertable_rollup",
+    "q7_rollup",
+    "q8_pivot",
     # HITS hubs/authorities — the bipartite-friendly centrality
     # (integer micro-unit scores keep both engines in exact lockstep).
     "kg_hits",

@@ -1,0 +1,330 @@
+"""Relational operator classes the catalog lacked: AS-OF join, range
+(interval) join, hypertable-style hierarchical rollup, ROLLUP
+grouping sets, and pivot. Each is the scale-honest Spark shape — the
+as-of and range joins never degenerate into per-key cross products,
+the rollup merges mergeable partials, and the pivot pins its value
+list instead of scanning to infer it.
+
+All five run over the synthetic `events` / `documents` tables and are
+value-checked against DuckDB (which has native ASOF JOIN / ROLLUP /
+FILTER aggregates, so the oracles are genuinely independent
+implementations, not restatements of the Spark plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_sec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a portable integer-seconds event time (TIMESTAMP_NTZ
+    does not cast to BIGINT in Spark 4; unix_timestamp matches DuckDB's
+    floor(epoch()) — the truncation rule every events query uses)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return e.withColumn(
+        "sec", F.unix_timestamp(F.col("ts").cast("timestamp"))
+    )
+
+
+# --- J8: AS-OF join (backward, inclusive) --------------------------------------
+#
+# Per purchase, the most recent view by the same user at or before the
+# purchase time — the attribution/feature-lookup join every
+# event-sourced pipeline needs and Spark has no native operator for.
+#
+# The scale-honest composition is union + running max, NOT a range
+# join: tag both sides, union, ONE shuffle on user_id, and a running
+# `max(view sec)` over (sec, side) order answers every probe in a
+# single sort pass. A naive non-equi join (p.sec >= v.sec) on user_id
+# degenerates into an O(views x purchases) product per hot user; the
+# window form is O(n log n) per user regardless of skew. Views sort
+# BEFORE purchases at equal sec (side 0 < 1), making the match
+# inclusive — exactly DuckDB's ASOF `p.sec >= v.sec`.
+#
+# At 100 TB both event streams arrive bucketed by user_id, so the one
+# exchange here is the join's only cost; the window never buffers
+# more than a user's events per task, and AQE splits a pathological
+# hot user via the range-partitioned sort.
+
+_J8_ORACLE = """
+WITH v AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+), p AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+)
+SELECT p.event_id, p.user_id,
+       p.sec AS purchase_sec,
+       v.sec AS view_sec,
+       p.sec - v.sec AS gap_s
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.sec >= v.sec
+"""
+
+
+@_q("j8_asof_join", _J8_ORACLE)
+def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_sec(spark, sf_dir)
+    views = e.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "sec",
+        F.lit(0).alias("side"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "sec", F.lit(1).alias("side")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = F.max(F.when(F.col("side") == 0, F.col("sec"))).over(w)
+    return (
+        views.unionByName(purchases)
+        .withColumn("view_sec", asof)
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("sec").alias("purchase_sec"),
+            "view_sec",
+            (F.col("sec") - F.col("view_sec")).alias("gap_s"),
+        )
+    )
+
+
+# --- J9: range (interval-containment) join --------------------------------------
+#
+# Per error event, the clicks by the same user inside the error's
+# [sec, sec + 600] investigation window. The classic range join;
+# Spark's only native plan for `ON user AND c.sec BETWEEN e.sec AND
+# e.sec+600` is an equi-join on user_id with the range as a residual
+# filter — every (error, click) pair of a hot user materializes
+# before filtering. The scale shape adds TIME to the join key: buckets
+# of exactly the window width (600 s), so every interval covers
+# exactly two buckets (floor((s+600)/600) = floor(s/600) + 1 always)
+# and every click lives in exactly one — the exploded equi-join on
+# (user_id, bucket) emits each true pair once, bounds the per-key
+# product by per-bucket density, and the BETWEEN rides in the join
+# condition so LEFT semantics keep zero-click errors.
+#
+# Monetary sums follow the integer-quantization rule: cents as
+# BIGINT, divided once at the end — identical doubles on both engines
+# regardless of summation order.
+
+_J9_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS esec
+  FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+), c AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS csec, value
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+)
+SELECT e.event_id, e.user_id, e.esec AS error_sec,
+       CAST(count(c.csec) AS BIGINT) AS n_clicks,
+       sum(CAST(round(c.value * 100) AS BIGINT)) / 100.0 AS click_value
+FROM e LEFT JOIN c
+  ON e.user_id = c.user_id AND c.csec BETWEEN e.esec AND e.esec + 600
+GROUP BY 1, 2, 3
+"""
+
+_J9_WIDTH = 600
+
+
+@_q("j9_range_join", _J9_ORACLE)
+def j9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_sec(spark, sf_dir)
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("sec").alias("esec")
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("sec").alias("csec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    err_b = err.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("esec") / _J9_WIDTH),
+                F.floor(F.col("esec") / _J9_WIDTH) + 1,
+            )
+        ),
+    )
+    clk_b = clk.withColumn("c_bucket", F.floor(F.col("csec") / _J9_WIDTH))
+    j = err_b.join(
+        clk_b,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("bucket") == F.col("c_bucket"))
+        & (F.col("csec") >= F.col("esec"))
+        & (F.col("csec") <= F.col("esec") + _J9_WIDTH),
+        "left",
+    )
+    return j.groupBy("event_id", "user_id", "esec").agg(
+        F.count("csec").cast("long").alias("n_clicks"),
+        (F.sum("cents") / F.lit(100.0)).alias("click_value"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("esec").alias("error_sec"),
+        "n_clicks",
+        "click_value",
+    )
+
+
+# --- W10: hypertable-style hierarchical rollup ----------------------------------
+#
+# The continuous-aggregate shape (TimescaleDB hypertable rollup): raw
+# events aggregate once into minute-level PARTIALS (count + cents
+# sum), and the hour level is re-aggregated FROM those partials, never
+# from raw — at 100 TB the minute table is the only thing the hourly
+# (or daily) rollup ever reads, and counts/sums are mergeable so the
+# two-level result is exactly the direct aggregate. n_active_minutes
+# falls out of the partial table for free (one row per active minute)
+# where the raw-side oracle needs a count(DISTINCT minute) — the
+# oracle aggregates RAW rows directly, so parity proves the partial
+# merge is lossless.
+
+_W10_ORACLE = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+       CAST(count(DISTINCT CAST(floor(epoch(ts) / 60) AS BIGINT))
+            AS BIGINT) AS n_active_minutes
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@_q("w10_hypertable_rollup", _W10_ORACLE)
+def w10_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_sec(spark, sf_dir)
+    minute = e.groupBy(
+        "event_type",
+        (F.floor(F.col("sec") / 60) * 60).alias("minute_start"),
+    ).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    return minute.groupBy(
+        "event_type",
+        (F.floor(F.col("minute_start") / 3600) * 3600)
+        .cast("long")
+        .alias("hour_start"),
+    ).agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        (F.sum("cents") / F.lit(100.0)).alias("sum_value"),
+        F.count("*").cast("long").alias("n_active_minutes"),
+    )
+
+
+# --- Q7: ROLLUP grouping sets ----------------------------------------------------
+#
+# GROUP BY ROLLUP(lang, source) over documents: per-(lang, source),
+# per-lang, and grand-total rows in ONE pass — Spark plans the
+# grouping sets via a single Expand (x3 rows) feeding one
+# map-side-combined shuffle, never three scans. grouping_id()
+# disambiguates the aggregate rows (both engines use the same
+# bit-per-column encoding, leftmost column = MSB; verified, and the
+# sentinel coalesce keeps NULL group keys out of the compare).
+
+_Q7_ORACLE = """
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+"""
+
+
+@_q("q7_rollup", _Q7_ORACLE)
+def q7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("(all)")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("(all)")).alias("source"),
+            "gid",
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+# --- Q8: pivot (long -> wide) ------------------------------------------------------
+#
+# Per-source document counts pivoted into one column per language.
+# The value list is PINNED (the 5-language corpus contract) — Spark's
+# two-pass values-inference scan is a full extra read of a 100 TB
+# table and an unbounded-width risk; with explicit values the pivot is
+# one map-side-combined shuffle. Absent combinations surface as NULL
+# from pivot-count and are coalesced to 0 to match the oracle's
+# FILTER aggregates.
+
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+_Q8_ORACLE = """
+SELECT source,
+       {cols},
+       CAST(count(*) AS BIGINT) AS total
+FROM documents
+GROUP BY source
+""".format(
+    cols=",\n       ".join(
+        f"CAST(count(*) FILTER (lang = '{g}') AS BIGINT) AS n_{g}"
+        for g in _LANGS
+    )
+)
+
+
+@_q("q8_pivot", _Q8_ORACLE)
+def q8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    wide = (
+        d.groupBy("source")
+        .pivot("lang", list(_LANGS))
+        # count("*") is invalid inside a Pivot aggregate (Spark 4
+        # INVALID_USAGE_OF_STAR_OR_REGEX) — count(lit(1)) is the
+        # same aggregate.
+        .agg(F.count(F.lit(1)).cast("long"))
+    )
+    total = sum(
+        (F.coalesce(F.col(g), F.lit(0)) for g in _LANGS), F.lit(0)
+    )
+    return wide.select(
+        "source",
+        *[
+            F.coalesce(F.col(g), F.lit(0)).cast("long").alias(f"n_{g}")
+            for g in _LANGS
+        ],
+        total.cast("long").alias("total"),
+    )

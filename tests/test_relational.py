@@ -1,0 +1,196 @@
+"""Hand-built semantics tests for the relational operator classes in
+driver_queries/relational.py: as-of join (backward, inclusive), the
+bucketed range join (boundary + cross-bucket cases), the hypertable
+minute->hour rollup (partial-merge losslessness), ROLLUP grouping
+sets, and the pinned-values pivot (absent combination -> 0)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_extraction_spark.driver_queries.relational import (
+    j8_asof_join,
+    j9_range_join,
+    q7_rollup,
+    q8_pivot,
+    w10_hypertable_rollup,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, sec_offset, user_id, event_type, value)."""
+    df = spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(seconds=s), u, t, v, "{}")
+            for i, s, u, t, v in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_asof_join_backward_inclusive(spark, tmp_path):
+    """Per purchase: the latest view at or BEFORE it. Covers the
+    equal-timestamp tie (inclusive), a later view that must not
+    match, and a purchase with no prior view (left row, null)."""
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # user 1: views at 10 and 50; purchases at 50 (tie -> 50),
+            # 40 (-> 10), and 5 (no prior view -> null).
+            (0, 10, 1, "view", 1.0),
+            (1, 50, 1, "view", 1.0),
+            (2, 50, 1, "purchase", 9.0),
+            (3, 40, 1, "purchase", 9.0),
+            (4, 5, 1, "purchase", 9.0),
+            # user 2: only a view AFTER its purchase -> null.
+            (5, 100, 2, "purchase", 9.0),
+            (6, 200, 2, "view", 1.0),
+        ],
+    )
+    got = {
+        r["event_id"]: (r["view_sec"], r["gap_s"])
+        for r in j8_asof_join(spark, sf).collect()
+    }
+    base = int(
+        spark.sql("SELECT unix_timestamp(timestamp'2024-01-01') s")
+        .first()["s"]
+    )
+    assert got == {
+        2: (base + 50, 0),
+        3: (base + 10, 30),
+        4: (None, None),
+        5: (None, None),
+    }
+
+
+def test_range_join_boundaries_and_cross_bucket(spark, tmp_path):
+    """Window is [esec, esec+600] INCLUSIVE on both ends; a click in
+    the error's second 600s bucket must still match exactly once; a
+    zero-click error survives with n_clicks=0."""
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # error at 100 -> window [100, 700].
+            (0, 100, 1, "error", 0.0),
+            (1, 100, 1, "click", 1.25),  # at start boundary
+            (2, 700, 1, "click", 2.50),  # at end boundary, bucket 1
+            (3, 701, 1, "click", 4.00),  # just outside
+            (4, 99, 1, "click", 8.00),  # just before
+            # error at 1000 for user 2: no clicks at all.
+            (5, 1000, 2, "error", 0.0),
+        ],
+    )
+    got = {
+        r["event_id"]: (r["n_clicks"], r["click_value"])
+        for r in j9_range_join(spark, sf).collect()
+    }
+    assert got == {0: (2, 3.75), 5: (0, None)}
+
+
+def test_range_join_no_duplicate_pairs(spark, tmp_path):
+    """The 2-bucket explode must emit each (error, click) pair once:
+    a click in the SAME bucket as the error matches via bucket k only
+    (its own bucket), never again via k+1."""
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (0, 0, 1, "error", 0.0),
+            (1, 10, 1, "click", 1.00),  # same bucket as the error
+        ],
+    )
+    got = j9_range_join(spark, sf).collect()
+    assert len(got) == 1 and got[0]["n_clicks"] == 1
+
+
+def test_hypertable_rollup_merges_partials_losslessly(spark, tmp_path):
+    """Hour row re-aggregated from minute partials == direct
+    aggregation, and n_active_minutes counts DISTINCT active minutes
+    (3 events across 2 minutes -> 2)."""
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (0, 0, 1, "click", 1.10),
+            (1, 30, 1, "click", 2.20),  # same minute as event 0
+            (2, 90, 1, "click", 3.30),  # second minute
+            (3, 3700, 1, "click", 5.00),  # next hour
+        ],
+    )
+    got = {
+        r["hour_start"]: (
+            r["n_events"],
+            r["sum_value"],
+            r["n_active_minutes"],
+        )
+        for r in w10_hypertable_rollup(spark, sf).collect()
+    }
+    base = int(
+        spark.sql("SELECT unix_timestamp(timestamp'2024-01-01') s")
+        .first()["s"]
+    )
+    assert got == {base: (3, 6.60, 2), base + 3600: (1, 5.00, 1)}
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, "t", lang, src, n) for i, (lang, src, n) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_rollup_levels_and_grouping_id(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [("en", "a", 10), ("en", "b", 20), ("fr", "a", 5)],
+    )
+    got = {
+        (r["lang"], r["source"], r["gid"]): (r["n_docs"], r["sum_chars"])
+        for r in q7_rollup(spark, sf).collect()
+    }
+    assert got == {
+        ("en", "a", 0): (1, 10),
+        ("en", "b", 0): (1, 20),
+        ("fr", "a", 0): (1, 5),
+        ("en", "(all)", 1): (2, 30),
+        ("fr", "(all)", 1): (1, 5),
+        ("(all)", "(all)", 3): (3, 35),
+    }
+
+
+def test_pivot_absent_combo_is_zero(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [("en", "a", 1), ("en", "a", 1), ("zh", "a", 1), ("fr", "b", 1)],
+    )
+    got = {
+        r["source"]: (
+            r["n_de"], r["n_en"], r["n_es"], r["n_fr"], r["n_zh"],
+            r["total"],
+        )
+        for r in q8_pivot(spark, sf).collect()
+    }
+    assert got == {
+        "a": (0, 2, 0, 0, 1, 3),
+        "b": (0, 0, 0, 1, 0, 1),
+    }

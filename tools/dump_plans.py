@@ -301,6 +301,38 @@ PLAN_QUERIES = [
         "shuffle); each update is ONE map-side-combined shuffle with "
         "k x dim groups; final plan is scan -> project -> round",
     ),
+    (
+        "j8_asof_join",
+        "AS-OF join as union + running max: ONE exchange on user_id "
+        "feeds a single sort/window — never a per-user non-equi "
+        "product; both event scans prune to (user_id, ts[, event_id])",
+    ),
+    (
+        "j9_range_join",
+        "range join with time IN the join key: window-width buckets "
+        "make the interval join an equi-join on (user_id, bucket) "
+        "(x2 Expand on the intervals side, one bucket per probe); "
+        "the BETWEEN rides as the join condition so LEFT semantics "
+        "keep zero-match rows",
+    ),
+    (
+        "w10_hypertable_rollup",
+        "hierarchical rollup: hour level aggregates the MINUTE "
+        "partial table (two map-side-combined exchanges over "
+        "progressively collapsed data); raw events are scanned once",
+    ),
+    (
+        "q7_rollup",
+        "ROLLUP grouping sets: one Expand (x3) into ONE map-side-"
+        "combined shuffle — never three scans of the table",
+    ),
+    (
+        "q8_pivot",
+        "pivot with PINNED values: one scan, two map-side-combined "
+        "exchanges over progressively collapsed data (Spark plans "
+        "pivot as agg-by-(source,lang) then pivot-agg-by-source) — "
+        "no values-inference pre-scan of the table",
+    ),
 ]
 
 
