@@ -45,6 +45,11 @@ _CHANGED_THIS_ROUND = [
     # pivot.
     "j8_asof_join",
     "j9_range_join",
+    # Graph analytics widened this round: synchronous label-propagation
+    # communities and multi-source BFS hop distances (frontier joins +
+    # LeftAnti vs visited) over the undirected entity graph.
+    "kg_label_propagation",
+    "kg_bfs_distances",
     "w10_hypertable_rollup",
     "q7_rollup",
     "q8_pivot",

@@ -1988,3 +1988,122 @@ def kg_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_diff(
         triples.filter(par == 0), triples.filter(par == 1)
     )
+
+
+def _lpa_oracle_sql(sf_dir: str) -> str:
+    # Synchronous LPA as chained CTEs: one (entity, label) count +
+    # one row_number argmax (cnt DESC, label ASC) per iteration —
+    # an independent restatement of the struct-min argmax.
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    step = """c{i} AS (
+  SELECT u.dst AS entity, l{p}.label, CAST(count(*) AS BIGINT) AS cnt
+  FROM u JOIN l{p} ON u.src = l{p}.entity GROUP BY 1, 2),
+l{i} AS (
+  SELECT entity, label FROM (
+    SELECT entity, label,
+           row_number() OVER (PARTITION BY entity
+                              ORDER BY cnt DESC, label) AS rn
+    FROM c{i}) WHERE rn = 1)"""
+    steps = ",\n".join(step.format(i=i, p=i - 1) for i in range(1, 4))
+    return f"""
+WITH e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+  WHERE subject <> object
+), u AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), l0 AS (
+  SELECT DISTINCT src AS entity, src AS label FROM u
+),
+{steps}
+SELECT entity, label AS community FROM l3
+"""
+
+
+_LPA_ORACLE = _lpa_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_label_propagation", _LPA_ORACLE)
+def kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the undirected
+    entity graph (operators/graph.label_propagation, 3 iterations,
+    neighbor-majority with lexicographic tie-break) — the cheap
+    community detector alongside the CC merge / PageRank / HITS
+    analytics. Fixed iterations make the output a deterministic
+    function of the graph (synchronous LPA oscillates on bipartite
+    structure — determinism, not convergence, is the contract a
+    parity-checked stage needs)."""
+    from information_extraction_spark.operators.graph import (
+        label_propagation,
+        triple_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_label_propagation"] = _lpa_oracle_sql(sf_dir)
+    return label_propagation(triple_edges(triples), iterations=3)
+
+
+def _bfs_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+  WHERE subject <> object
+), u AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), nodes AS (
+  SELECT DISTINCT src AS n FROM u
+), seeds AS (
+  SELECT n FROM nodes ORDER BY n LIMIT 5
+), v0 AS (
+  SELECT n, CAST(0 AS INT) AS dist FROM seeds
+), n1 AS (
+  SELECT DISTINCT u.dst AS n FROM u JOIN v0 ON u.src = v0.n
+  EXCEPT SELECT n FROM v0
+), v1 AS (
+  SELECT * FROM v0 UNION ALL SELECT n, CAST(1 AS INT) FROM n1
+), n2 AS (
+  SELECT DISTINCT u.dst AS n FROM u JOIN n1 ON u.src = n1.n
+  EXCEPT SELECT n FROM v1
+), v2 AS (
+  SELECT * FROM v1 UNION ALL SELECT n, CAST(2 AS INT) FROM n2
+), n3 AS (
+  SELECT DISTINCT u.dst AS n FROM u JOIN n2 ON u.src = n2.n
+  EXCEPT SELECT n FROM v2
+)
+SELECT n AS entity, dist FROM v2
+UNION ALL SELECT n, CAST(3 AS INT) FROM n3
+"""
+
+
+_BFS_ORACLE = _bfs_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_bfs_distances", _BFS_ORACLE)
+def kg_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (<= 3) from the 5
+    lexicographically-smallest entities over the UNDIRECTED entity
+    graph (operators/graph.bfs_distances) — kg_two_hop's single-seed
+    directed expansion generalized to a seed set with minimum-distance
+    semantics. Per hop only the FRONTIER joins the edge table, and a
+    LeftAnti against visited drops re-reached nodes (both sides
+    unbounded at warehouse scale — nothing broadcasts by assumption).
+    Seed pick matches the PPR rule (ORDER BY n LIMIT 5)."""
+    from information_extraction_spark.operators.graph import (
+        bfs_distances,
+        triple_edges,
+        undirected_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_bfs_distances"] = _bfs_oracle_sql(sf_dir)
+    edges = triple_edges(triples)
+    seeds = [
+        r["src"]
+        for r in undirected_edges(edges)
+        .select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(5)
+        .collect()
+    ]
+    return bfs_distances(edges, seeds, max_hops=3)

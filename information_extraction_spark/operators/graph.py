@@ -640,3 +640,110 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
             ).alias("auth"),
         )
     )
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Distinct UNDIRECTED edge set from directed (src, dst) edges:
+    both orientations, deduped. One map-side-combined distinct; the
+    result is localCheckpointed by the iterative consumers (LPA, BFS)
+    so the union+distinct runs once, not per iteration."""
+    return (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Fixed-iteration SYNCHRONOUS label propagation (Raghavan et al.
+    2007) over the undirected entity graph — the cheap community
+    detector (no modularity optimization, no global state).
+
+    Determinism contract (shared with the DuckDB oracle): labels start
+    as the node's own name; each iteration every node adopts the MOST
+    FREQUENT label among its neighbors (pure neighbor majority, no
+    self-vote), ties broken by the lexicographically smallest label;
+    all nodes update simultaneously. Returns (entity, community) after
+    ``iterations`` rounds.
+
+    Scale shape: the undirected edge table materializes once
+    (localCheckpoint) and is scanned per iteration; what shuffles each
+    round is the node-sized label vector — join onto the edge src key,
+    ONE map-side-combined (entity, label) count, then a struct-min
+    argmax per entity (never a whole-partition window). Lineage cut
+    per iteration (the pagerank loop's pattern). Synchronous LPA can
+    oscillate on bipartite graphs — a FIXED iteration count is the
+    point: the output is a deterministic function of the graph, which
+    is what a parity-checked pipeline stage needs.
+    """
+    u = undirected_edges(edges).localCheckpoint()
+    labels = u.select(F.col("src").alias("entity")).distinct().select(
+        "entity", F.col("entity").alias("label")
+    )
+    for _ in range(iterations):
+        counts = (
+            u.join(
+                labels.select(
+                    F.col("entity").alias("src"), "label"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("entity"), "label")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        # argmax by (cnt DESC, label ASC) == struct-min of
+        # (-cnt, label): one partial-aggregated shuffle, no window.
+        labels = (
+            counts.groupBy("entity")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("m")
+            )
+            .select("entity", F.col("m.l").alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select("entity", F.col("label").alias("community"))
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: list[str], max_hops: int = 3
+) -> DataFrame:
+    """Multi-source BFS over the undirected entity graph: minimum hop
+    distance (0..max_hops) from the seed set; nodes beyond max_hops
+    are absent. Returns (entity, dist).
+
+    Scale shape: per hop, the frontier (what changed last round — not
+    the full visited set) joins the localCheckpointed edge table on
+    src, and one LeftAnti against the visited table drops re-reached
+    nodes. Both sides of the anti-join are unbounded at warehouse
+    scale, so nothing broadcasts by assumption; the frontier join IS
+    the distributed expansion. Lineage cut per hop.
+    """
+    u = undirected_edges(edges).localCheckpoint()
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(s, 0) for s in seeds], "entity string, dist int"
+    ).localCheckpoint()
+    frontier = visited.select("entity")
+    for hop in range(1, max_hops + 1):
+        reached = (
+            u.join(
+                frontier.select(F.col("entity").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("entity"))
+            .distinct()
+        )
+        new = reached.join(visited, "entity", "left_anti").select(
+            "entity", F.lit(hop).cast("int").alias("dist")
+        )
+        visited = visited.unionAll(new).localCheckpoint()
+        frontier = new.select("entity")
+    return visited

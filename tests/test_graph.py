@@ -655,3 +655,89 @@ def test_hits_directed_chain_scores_interior_both_ways(spark):
     # Interior node scores on BOTH sides; endpoints on one only.
     assert rows["y"]["hub"] > 0.0 and rows["y"]["auth"] > 0.0
     assert rows["x"]["auth"] == 0.0 and rows["z"]["hub"] == 0.0
+
+
+def test_label_propagation_star_oscillates_deterministically(spark):
+    """Star x-{a,b,c}: synchronous LPA oscillates with period 2 —
+    fixed iterations make the output deterministic. Hand-worked:
+    l1 = {a,b,c: x; x: a}, l2 = {a,b,c: a; x: x},
+    l3 = {a,b,c: x; x: a}."""
+    from information_extraction_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "a"), ("x", "b"), ("x", "c")], "src string, dst string"
+    )
+    got3 = {
+        r["entity"]: r["community"]
+        for r in label_propagation(df, iterations=3).collect()
+    }
+    assert got3 == {"a": "x", "b": "x", "c": "x", "x": "a"}
+    got2 = {
+        r["entity"]: r["community"]
+        for r in label_propagation(df, iterations=2).collect()
+    }
+    assert got2 == {"a": "a", "b": "a", "c": "a", "x": "x"}
+
+
+def test_label_propagation_majority_converges(spark):
+    """Triangle a-b-c with pendant d-c: hand-worked rounds reach the
+    all-'a' community by iteration 2 and stay (majority count beats
+    the lexicographic tie-break: at round 2 node a sees {a: 2}, not
+    a tie)."""
+    from information_extraction_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    got = {
+        r["entity"]: r["community"]
+        for r in label_propagation(df, iterations=3).collect()
+    }
+    assert got == {n: "a" for n in "abcd"}
+
+
+def test_bfs_distances_min_over_paths_and_hop_cap(spark):
+    """Chain s-a-b-c-d plus shortcut s-b: b takes the MIN distance
+    (1 via the shortcut, not 2 via a); d is 3 hops via the shortcut;
+    nodes beyond max_hops are absent (max_hops=2 drops d)."""
+    from information_extraction_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    df = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "c"), ("c", "d"), ("s", "b")],
+        "src string, dst string",
+    )
+    got = {
+        r["entity"]: r["dist"]
+        for r in bfs_distances(df, ["s"], max_hops=3).collect()
+    }
+    assert got == {"s": 0, "a": 1, "b": 1, "c": 2, "d": 3}
+    capped = {
+        r["entity"]: r["dist"]
+        for r in bfs_distances(df, ["s"], max_hops=2).collect()
+    }
+    assert capped == {"s": 0, "a": 1, "b": 1, "c": 2}
+
+
+def test_bfs_distances_multi_source_undirected(spark):
+    """Seeds {s, d} on the chain: distances are min over sources and
+    edges traverse BOTH directions (c reaches 1 via d)."""
+    from information_extraction_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    df = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    got = {
+        r["entity"]: r["dist"]
+        for r in bfs_distances(df, ["s", "d"], max_hops=3).collect()
+    }
+    assert got == {"s": 0, "d": 0, "a": 1, "c": 1, "b": 2}

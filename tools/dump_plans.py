@@ -302,6 +302,21 @@ PLAN_QUERIES = [
         "k x dim groups; final plan is scan -> project -> round",
     ),
     (
+        "kg_label_propagation",
+        "synchronous LPA: the undirected edge table materializes "
+        "once; per iteration the node-sized label vector joins onto "
+        "the edge key, ONE map-side-combined (entity, label) count, "
+        "then a struct-min argmax — never a whole-partition window; "
+        "lineage cut per iteration",
+    ),
+    (
+        "kg_bfs_distances",
+        "multi-source BFS: per hop only the FRONTIER joins the "
+        "localCheckpointed edge table; one LeftAnti vs visited drops "
+        "re-reached nodes (both sides unbounded — no broadcast by "
+        "assumption); lineage cut per hop",
+    ),
+    (
         "j8_asof_join",
         "AS-OF join as union + running max: ONE exchange on user_id "
         "feeds a single sort/window — never a per-user non-equi "
