@@ -50,6 +50,12 @@ _CHANGED_THIS_ROUND = [
     # LeftAnti vs visited) over the undirected entity graph.
     "kg_label_propagation",
     "kg_bfs_distances",
+    # Semi-structured JSON extraction over events.props, the Python
+    # UDTF chunk-packing seam (Spark 4 lateral table function,
+    # Arrow-batched), and small-file compaction driven end-to-end.
+    "q9_json_props",
+    "p16_chunk_udtf",
+    "w11_compaction",
     "w10_hypertable_rollup",
     "q7_rollup",
     "q8_pivot",

@@ -1413,3 +1413,62 @@ def w8_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(q).over(w) / F.lit(100.0) / F.count("*").over(w), 4
         ).alias("avg_1h"),
     )
+
+
+# --- P16: Python UDTF (lateral table function) ---------------------------------
+#
+# Spark 4's Python UDTF seam, exercised end-to-end: a table function
+# that explodes each document into fixed 10-word training chunks via a
+# LATERAL join — the context-window packing step of an LLM data
+# pipeline, and the one Python-extension surface (scalar pandas UDF,
+# grouped applyInPandas, mapInPandas, applyInPandasWithState are all
+# already cataloged) the catalog lacked. useArrow=True batches rows
+# through Arrow like the kernel UDFs — never per-row pickling. The
+# UDTF sees one row at a time but whole docs never co-locate: the
+# explode is narrow, so chunking 100 TB is embarrassingly parallel.
+# The oracle re-derives the chunks with DuckDB list slicing over a
+# LATERAL generate_series — an independent implementation.
+
+_P16_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(
+         words[i * 10 + 1 : least((i + 1) * 10, len(words))], ' '
+       ) AS chunk,
+       CAST(least((i + 1) * 10, len(words)) - i * 10 AS INT) AS n_words
+FROM w, LATERAL (
+  SELECT unnest(generate_series(0,
+      CAST(ceil(len(words) / 10.0) AS BIGINT) - 1)) AS i
+) g
+"""
+
+_P16_CHUNK = 10
+
+
+@_q("p16_chunk_udtf", _P16_ORACLE)
+def p16_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_idx int, chunk string, n_words int",
+        useArrow=True,
+    )
+    class _ChunkText:
+        def eval(self, text):
+            words = text.split() if text else []
+            for i in range(0, len(words), _P16_CHUNK):
+                c = words[i : i + _P16_CHUNK]
+                yield (i // _P16_CHUNK, " ".join(c), len(c))
+
+    spark.udtf.register("ie_chunk_text", _ChunkText)
+    d = _t(spark, sf_dir, "documents")
+    view = f"ie_p16_docs_{abs(hash(sf_dir)) % 10**8}"
+    d.select("doc_id", "text").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT t.doc_id, c.chunk_idx, c.chunk, c.n_words
+        FROM {view} t, LATERAL ie_chunk_text(t.text) c
+        """
+    )

@@ -2107,3 +2107,56 @@ def kg_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return bfs_distances(edges, seeds, max_hops=3)
+
+
+def _compaction_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"SELECT subject, predicate, object FROM {g}"
+
+
+_COMPACTION_ORACLE = _compaction_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("w11_compaction", _COMPACTION_ORACLE)
+def w11_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction driven end-to-end (operators/
+    maintenance.compact_parquet_dir — the Iceberg rewriteDataFiles
+    analogue): the live extraction's triples are staged as 64 tiny
+    files (a streaming-ingest-shaped layout), compacted into
+    size-targeted files sorted within each file by (predicate,
+    subject), and read back. The oracle is the full golden multiset —
+    compaction must preserve content EXACTLY (row multiplicity
+    included) while fixing layout; the file-count/sort-order claims
+    are pinned in test_maintenance. target_bytes is scaled so the
+    tiny test table still exercises a real many-to-few rewrite."""
+    import shutil
+
+    from information_extraction_spark.operators.maintenance import (
+        _dir_bytes_files,
+        compact_parquet_dir,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["w11_compaction"] = _compaction_oracle_sql(sf_dir)
+    run = _tempfile.mkdtemp(prefix="ie_compact_")
+    try:
+        frag = os.path.join(run, "frag")
+        dst = os.path.join(run, "compacted")
+        triples.select("subject", "predicate", "object").repartition(
+            64
+        ).write.parquet(frag)
+        # ~4 output files at sf0.01 (the golden is KBs, not GBs —
+        # divide the real 128 MiB default down so the rewrite is
+        # genuinely many-to-few instead of everything-to-one).
+        src_bytes, _ = _dir_bytes_files(frag)
+        compact_parquet_dir(
+            spark,
+            frag,
+            dst,
+            target_bytes=max(1, src_bytes // 4),
+            sort_cols=("predicate", "subject"),
+        )
+        out = spark.read.parquet(dst).localCheckpoint()
+    finally:
+        shutil.rmtree(run, ignore_errors=True)
+    return out

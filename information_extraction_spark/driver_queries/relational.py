@@ -328,3 +328,39 @@ def q8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         total.cast("long").alias("total"),
     )
+
+
+# --- Q9: semi-structured (JSON) extraction ---------------------------------------
+#
+# The events table carries a JSON `props` column no other query
+# consumed — the semi-structured scan class. get_json_object evaluates
+# JVM-side (Jackson) inside the codegen span: the path extraction is a
+# narrow projection fused into the scan, then one map-side-combined
+# shuffle for the per-type profile. At 100 TB the right storage answer
+# is shredding hot keys into typed columns at ingest (or Spark 4's
+# VARIANT type); this query is the read-side op that works either way.
+# Sums stay integer-exact (the extracted key is integral by contract).
+
+_Q9_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_k,
+       CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@_q("q9_json_props", _Q9_ORACLE)
+def q9_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count(k).cast("long").alias("n_k"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+    )

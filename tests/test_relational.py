@@ -194,3 +194,40 @@ def test_pivot_absent_combo_is_zero(spark, tmp_path):
         "a": (0, 2, 0, 0, 1, 3),
         "b": (0, 0, 0, 1, 0, 1),
     }
+
+
+def test_chunk_udtf_boundaries_and_empty_text(spark, tmp_path):
+    """p16_chunk_udtf: exact 10-word docs produce one full chunk; 11
+    words spill a 1-word tail; empty/whitespace text emits no rows
+    (the doc disappears, matching the oracle's empty generate_series)."""
+    from information_extraction_spark.driver_queries.core3 import (
+        p16_chunk_udtf,
+    )
+
+    words = lambda n: " ".join(f"w{i}" for i in range(n))  # noqa: E731
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [("en", "a", 1)],  # overwritten below with explicit texts
+    )
+    df = spark.createDataFrame(
+        [
+            (0, words(10), "en", "a", 10),
+            (1, words(11), "en", "a", 11),
+            (2, "", "en", "a", 0),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk"], r["n_words"])
+        for r in p16_chunk_udtf(spark, sf).collect()
+    }
+    assert got == {
+        (0, 0): (words(10), 10),
+        (1, 0): (words(10), 10),
+        (1, 1): ("w10", 1),
+    }

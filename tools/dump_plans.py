@@ -302,6 +302,20 @@ PLAN_QUERIES = [
         "k x dim groups; final plan is scan -> project -> round",
     ),
     (
+        "q9_json_props",
+        "semi-structured scan: get_json_object evaluates JVM-side "
+        "inside the codegen span (narrow projection fused into the "
+        "scan), then one map-side-combined shuffle for the per-type "
+        "profile — no Python in the path",
+    ),
+    (
+        "p16_chunk_udtf",
+        "Python UDTF lateral join (Spark 4): Arrow-batched "
+        "BatchEvalPythonUDTF directly over the scan — completely "
+        "narrow (no exchange before the chunks); per-doc explode "
+        "never co-locates whole documents",
+    ),
+    (
         "kg_label_propagation",
         "synchronous LPA: the undirected edge table materializes "
         "once; per iteration the node-sized label vector joins onto "
