@@ -56,6 +56,10 @@ _CHANGED_THIS_ROUND = [
     "q9_json_props",
     "p16_chunk_udtf",
     "w11_compaction",
+    # ntile distribution bucketing (deterministic total order) and the
+    # pandas GROUPED_AGG UDAF seam (numpy median per bounded group).
+    "w12_ntile_deciles",
+    "a10_pandas_udaf",
     "w10_hypertable_rollup",
     "q7_rollup",
     "q8_pivot",

@@ -13,6 +13,8 @@ implementations, not restatements of the Spark plan).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -363,4 +365,88 @@ def q9_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).cast("long").alias("min_k"),
         F.max(k).cast("long").alias("max_k"),
         F.sum(k).cast("long").alias("sum_k"),
+    )
+
+
+# --- W12: ntile distribution bucketing --------------------------------------------
+#
+# Per event type, decile assignment over (value, event_id) order —
+# the deterministic total order matters: ordering on value alone
+# leaves tile boundaries among tied values engine-defined. Summary
+# output per (type, decile); ONE exchange on event_type serves the
+# ntile window, and the decile rollup pre-aggregates map-side.
+
+_W12_ORACLE = """
+WITH d AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM d GROUP BY 1, 2
+"""
+
+
+@_q("w12_ntile_deciles", _W12_ORACLE)
+def w12_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+# --- A10: pandas GROUPED_AGG UDAF ---------------------------------------------------
+#
+# The one pandas-UDF flavor the catalog lacked (scalar, grouped map,
+# mapInPandas, and applyInPandasWithState are all cataloged): a
+# grouped-aggregate UDAF — per event type, the interpolated median of
+# value via numpy over the Arrow-transferred group. Honest scale
+# note, in the operator's own voice: GROUPED_AGG is NOT a partial
+# aggregate — the whole group's column ships to one worker, so it is
+# only the right tool when groups are bounded (here: 5 types x
+# bounded batch) or after a pre-reduction; the unbounded-group exact
+# quantile is ta_length_quantiles' histogram sketch. Median is
+# FP-portable by construction: no summation — sort + at most one
+# midpoint of two quantized doubles, identical single IEEE ops in
+# numpy and DuckDB's quantile_cont.
+
+_A10_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       median(value) AS median_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@_q("a10_pandas_udaf", _A10_ORACLE)
+def a10_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def np_median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    # Spark refuses to mix pandas and JVM aggregates in one agg()
+    # (UNSUPPORTED: PANDAS_UDAF_IN_PIVOT-adjacent rule), so the row
+    # count is a pandas UDAF too — same Arrow transfer, no extra pass.
+    @pandas_udf("long")
+    def np_count(v: pd.Series) -> int:
+        return int(len(v))
+
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        np_count("value").alias("n"),
+        np_median("value").alias("median_value"),
     )

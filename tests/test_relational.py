@@ -231,3 +231,56 @@ def test_chunk_udtf_boundaries_and_empty_text(spark, tmp_path):
         (1, 0): (words(10), 10),
         (1, 1): ("w10", 1),
     }
+
+
+def test_ntile_deciles_deterministic_tie_order(spark, tmp_path):
+    """4 rows into ntile(10) -> tiles 1..4 with one row each; two
+    TIED values are split by event_id (the deterministic total
+    order), so the lower event_id lands in the earlier tile."""
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (0, 0, 1, "click", 5.0),
+            (1, 1, 1, "click", 5.0),  # tied with event 0
+            (2, 2, 1, "click", 1.0),
+            (3, 3, 1, "click", 9.0),
+        ],
+    )
+    from information_extraction_spark.driver_queries.relational import (
+        w12_ntile_deciles,
+    )
+
+    got = {
+        r["decile"]: (r["n"], r["min_value"], r["max_value"])
+        for r in w12_ntile_deciles(spark, sf).collect()
+    }
+    assert got == {
+        1: (1, 1.0, 1.0),
+        2: (1, 5.0, 5.0),  # event 0 (lower id) before event 1
+        3: (1, 5.0, 5.0),
+        4: (1, 9.0, 9.0),
+    }
+
+
+def test_pandas_udaf_median_interpolates(spark, tmp_path):
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (0, 0, 1, "click", 1.0),
+            (1, 1, 1, "click", 2.0),
+            (2, 2, 1, "click", 10.0),
+            (3, 3, 1, "click", 11.0),
+            (4, 4, 1, "error", 7.0),
+        ],
+    )
+    from information_extraction_spark.driver_queries.relational import (
+        a10_pandas_udaf,
+    )
+
+    got = {
+        r["event_type"]: (r["n"], r["median_value"])
+        for r in a10_pandas_udaf(spark, sf).collect()
+    }
+    assert got == {"click": (4, 6.0), "error": (1, 7.0)}
