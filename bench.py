@@ -214,6 +214,11 @@ def main() -> int:
         "kg_neighbor_sample",
         "ta_contamination",
         "ta_perplexity",
+        "j8_asof_join",
+        "j9_range_join",
+        "w10_hypertable_rollup",
+        "kg_label_propagation",
+        "p16_chunk_udtf",
         "kg_bio_decode",
         "p7_vocab_build",
         "st_windowed_counts",

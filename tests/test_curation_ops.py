@@ -348,7 +348,7 @@ def test_selfsim_spans_brute_force(spark):
 # --- TF-IDF top-k + BM25 -----------------------------------------------------
 
 
-def _write_docs(spark, tmp_path, rows):
+def _write_tfidf_docs(spark, tmp_path, rows):
     df = spark.createDataFrame(
         [(i, t, "en", "web", len(t)) for i, t in rows],
         "doc_id long, text string, lang string, source string, n_chars long",
@@ -373,7 +373,7 @@ def test_tfidf_topk_scores_and_rank(spark, tmp_path):
         ta_tfidf_topk,
     )
 
-    sf = _write_docs(spark, tmp_path, TFIDF_DOCS)
+    sf = _write_tfidf_docs(spark, tmp_path, TFIDF_DOCS)
     rows = ta_tfidf_topk(spark, sf).collect()
     # Brute-force reference.
     toks = {i: t.split(" ") for i, t in TFIDF_DOCS}
@@ -416,7 +416,7 @@ def test_bm25_reference_and_ordering(spark, tmp_path):
         (3, "apple banana cherry plum plum"),
         (4, "the the the the of of"),
     ]
-    sf = _write_docs(spark, tmp_path, docs)
+    sf = _write_tfidf_docs(spark, tmp_path, docs)
     rows = ta_bm25(spark, sf).collect()
     toks = {i: t.split(" ") for i, t in docs}
     stop = {"the", "a", "of", "and", "to", "in", "is"}
