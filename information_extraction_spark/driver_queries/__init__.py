@@ -37,6 +37,12 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # TPC-H reporting shapes (returned-item top-20, promotion share,
+    # large-volume HAVING rollup) and gaps-and-islands run compression.
+    "q10_returned_items",
+    "q14_promo_share",
+    "q18_large_orders",
+    "w13_event_runs",
     # Relational operator classes added this round: backward-inclusive
     # AS-OF join (union + running max, one shuffle — never a per-user
     # cross product), bucketed range join (window-width time buckets in

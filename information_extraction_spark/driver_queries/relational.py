@@ -450,3 +450,239 @@ def a10_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         np_count("value").alias("n"),
         np_median("value").alias("median_value"),
     )
+
+
+# --- Q10: returned-item reporting (TPC-H Q10 shape) -----------------------------
+#
+# Revenue lost to returns per customer in a quarter: lineitem ⋈
+# orders ⋈ customer ⋈ nation, filter l_returnflag='R' and a 3-month
+# o_orderdate window, top 20 customers by revenue. The classic
+# fact-fact-dim reporting join. Scale shape: both filters reach the
+# parquet scans as PushedFilters BEFORE the orderkey shuffle (the
+# date window prunes orders, the flag prunes lineitem); the
+# lineitem⋈orders join shuffles on orderkey (co-bucketed at
+# warehouse scale → zero exchange); revenue pre-aggregates per
+# custkey BEFORE the customer join, so the customer side joins one
+# row per customer, never per lineitem; the 25-row nation dim
+# broadcasts. Top 20 is TakeOrderedAndProject — per-partition heaps,
+# never a global sort. Money follows the integer-quantization rule:
+# cents as BIGINT, divided once at the end.
+
+_Q10_ORACLE = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT)) AS cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= DATE '1995-10-01'
+    AND o.o_orderdate <  DATE '1996-01-01'
+  GROUP BY 1
+)
+SELECT c.c_custkey, c.c_name, n.n_name,
+       rev.cents / 100.0 AS revenue,
+       c.c_acctbal
+FROM rev
+JOIN customer c ON c.c_custkey = rev.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY rev.cents DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@_q("q10_returned_items", _Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("cents") / F.lit(100.0)).alias("revenue"),
+            "c_acctbal",
+            "cents",
+        )
+        .orderBy(F.col("cents").desc(), "c_custkey")
+        .limit(20)
+        .drop("cents")
+    )
+
+
+# --- Q14: promotion revenue share (TPC-H Q14 shape) ------------------------------
+#
+# The conditional-aggregate share: what fraction of one month's
+# revenue came from PROMO parts. ONE pass over the month's lineitems
+# — the CASE rides inside the same sum, never two scans; the part
+# dim joins on partkey (broadcast at test scale, AQE's call at
+# warehouse scale where co-bucketing on partkey makes it exchange-
+# free). Both cent sums are BIGINT; the share is one double division
+# at the very end, identical across engines.
+
+_Q14_ORACLE = """
+SELECT
+  100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+        ELSE 0 END) AS DOUBLE)
+       / CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS DOUBLE) AS promo_share,
+  sum(CASE WHEN p.p_type = 'PROMO'
+        THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+        ELSE 0 END) / 100.0 AS promo_revenue,
+  sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+           AS BIGINT)) / 100.0 AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1995-09-01' AND l.l_shipdate < DATE '1995-10-01'
+"""
+
+
+@_q("q14_promo_share", _Q14_ORACLE)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))).alias(
+            "promo_cents"
+        ),
+        F.sum(cents).alias("total_cents"),
+    )
+    return agg.select(
+        (
+            F.lit(100.0)
+            * F.col("promo_cents").cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("promo_share"),
+        (F.col("promo_cents") / F.lit(100.0)).alias("promo_revenue"),
+        (F.col("total_cents") / F.lit(100.0)).alias("total_revenue"),
+    )
+
+
+# --- Q18: large-volume orders (TPC-H Q18 shape) ----------------------------------
+#
+# Orders whose total quantity exceeds a threshold, with their
+# customer — the HAVING-over-a-fact-rollup shape. The quantity
+# rollup happens FIRST (map-side partial sum on l_orderkey, the
+# natural fact bucketing key, then the HAVING prunes to the rare
+# heavy orders) so the orders/customer joins move only qualified
+# rows — at 100 TB the post-HAVING side is thousands of rows against
+# billions scanned. Quantities quantize ×100 (they are doubles in
+# the schema), divided back once.
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+  FROM lineitem
+  GROUP BY 1
+  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 18000
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS order_sec,
+       o.o_totalprice,
+       big.qty_c / 100.0 AS sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@_q("q18_large_orders", _Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(qc).alias("qty_c"))
+        .filter(F.col("qty_c") > 18000)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias(
+                "order_sec"
+            ),
+            "o_totalprice",
+            (F.col("qty_c") / F.lit(100.0)).alias("sum_qty"),
+        )
+    )
+
+
+# --- W13: gaps-and-islands (run-length sessionization) ---------------------------
+#
+# Contiguous runs of the same event_type per user — the
+# gaps-and-islands shape (SCD-2 interval derivation, flap detection,
+# state-change compression all reduce to it). Two stacked windows
+# and the final rollup all share ONE exchange: the change flag and
+# its running sum both partition by user_id, and the groupBy on
+# (user_id, run_id) is a ClusteredDistribution that user_id hash
+# partitioning already satisfies — Spark inserts no second shuffle
+# (plan verified). Order is total (sec, event_id) so runs are
+# deterministic under timestamp ties.
+
+_W13_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts)), event_id)
+), r AS (
+  SELECT user_id, event_type, sec,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM o
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+       CAST(count(*) AS BIGINT) AS run_len,
+       min(sec) AS start_sec, max(sec) AS end_sec
+FROM r GROUP BY 1, 2, 3
+"""
+
+
+@_q("w13_event_runs", _W13_ORACLE)
+def w13_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_sec(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = e.withColumn("chg", chg).withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count("*").cast("long").alias("run_len"),
+        F.min("sec").alias("start_sec"),
+        F.max("sec").alias("end_sec"),
+    )

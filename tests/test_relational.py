@@ -284,3 +284,172 @@ def test_pandas_udaf_median_interpolates(spark, tmp_path):
         for r in a10_pandas_udaf(spark, sf).collect()
     }
     assert got == {"click": (4, 6.0), "error": (1, 7.0)}
+
+
+# --- TPC-H Q10/Q14/Q18 shapes + gaps-and-islands ------------------------------
+
+
+def _write_tpch(spark, tmp_path, lineitem, orders, customer, part=None):
+    """Minimal TPC-H fixture. lineitem rows:
+    (orderkey, partkey, qty, extprice, discount, returnflag, shipdate);
+    orders: (orderkey, custkey, orderdate); customer: (custkey, name,
+    nationkey); part: (partkey, type)."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (ok, pk, 1, 1, float(q), float(e), float(disc), 0.0, rf, "O",
+             dt.datetime.fromisoformat(sd))
+            for ok, pk, q, e, disc, rf, sd in lineitem
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "lineitem.parquet")
+    )
+    spark.createDataFrame(
+        [
+            (ok, ck, "O", 100.0, dt.datetime.fromisoformat(od), "1-URGENT")
+            for ok, ck, od in orders
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    spark.createDataFrame(
+        [(ck, nm, nk, 0.0, "BUILDING") for ck, nm, nk in customer],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "customer.parquet")
+    )
+    spark.createDataFrame(
+        [(0, "ALPHA"), (1, "BETA")], "n_nationkey int, n_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "nation.parquet")
+    )
+    if part is not None:
+        spark.createDataFrame(
+            [(pk, f"p{pk}", "B", ty, 1, 1.0) for pk, ty in part],
+            "p_partkey long, p_name string, p_brand string, p_type string,"
+            " p_size int, p_retailprice double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "part.parquet")
+        )
+    return d
+
+
+def test_q10_filters_and_revenue(spark, tmp_path):
+    """Only returnflag='R' lineitems of orders inside the quarter
+    count; revenue is cents-exact; nation name joins through."""
+    from information_extraction_spark.driver_queries.relational import (
+        q10_returned_items,
+    )
+
+    sf = _write_tpch(
+        spark,
+        tmp_path,
+        lineitem=[
+            (1, 1, 1, 100.0, 0.10, "R", "1995-11-01"),  # 90.00 in
+            (1, 1, 1, 50.0, 0.00, "N", "1995-11-01"),   # wrong flag
+            (2, 1, 1, 40.0, 0.25, "R", "1995-11-02"),   # 30.00 in
+            (3, 1, 1, 99.0, 0.00, "R", "1995-11-03"),   # order outside window
+        ],
+        orders=[
+            (1, 10, "1995-10-15"),
+            (2, 11, "1995-12-31"),
+            (3, 12, "1996-01-01"),
+        ],
+        customer=[(10, "A", 0), (11, "B", 1), (12, "C", 0)],
+    )
+    rows = {r["c_custkey"]: r for r in q10_returned_items(spark, sf).collect()}
+    assert set(rows) == {10, 11}
+    assert rows[10]["revenue"] == 90.0 and rows[10]["n_name"] == "ALPHA"
+    assert rows[11]["revenue"] == 30.0 and rows[11]["n_name"] == "BETA"
+
+
+def test_q14_promo_share_exact(spark, tmp_path):
+    from information_extraction_spark.driver_queries.relational import (
+        q14_promo_share,
+    )
+
+    sf = _write_tpch(
+        spark,
+        tmp_path,
+        lineitem=[
+            (1, 1, 1, 30.0, 0.0, "N", "1995-09-10"),  # PROMO, 30.00
+            (1, 2, 1, 90.0, 0.0, "N", "1995-09-20"),  # STANDARD, 90.00
+            (1, 1, 1, 99.0, 0.0, "N", "1995-10-01"),  # outside month
+        ],
+        orders=[(1, 10, "1995-09-01")],
+        customer=[(10, "A", 0)],
+        part=[(1, "PROMO"), (2, "STANDARD")],
+    )
+    r = q14_promo_share(spark, sf).first()
+    assert r["promo_revenue"] == 30.0
+    assert r["total_revenue"] == 120.0
+    assert r["promo_share"] == 100.0 * 3000 / 12000
+
+
+def test_q18_having_threshold_is_strict(spark, tmp_path):
+    """sum(qty) must EXCEED 180 — an order summing exactly 180 is
+    excluded, 180.01 qualifies (cents-quantized comparison)."""
+    from information_extraction_spark.driver_queries.relational import (
+        q18_large_orders,
+    )
+
+    sf = _write_tpch(
+        spark,
+        tmp_path,
+        lineitem=[
+            (1, 1, 100.0, 1.0, 0.0, "N", "1995-09-10"),
+            (1, 1, 80.0, 1.0, 0.0, "N", "1995-09-11"),   # order 1: 180 exactly
+            (2, 1, 180.01, 1.0, 0.0, "N", "1995-09-12"),  # order 2: 180.01
+        ],
+        orders=[(1, 10, "1995-09-01"), (2, 11, "1995-09-02")],
+        customer=[(10, "A", 0), (11, "B", 1)],
+    )
+    rows = q18_large_orders(spark, sf).collect()
+    assert [r["o_orderkey"] for r in rows] == [2]
+    assert rows[0]["sum_qty"] == 180.01 and rows[0]["c_custkey"] == 11
+
+
+def test_w13_runs_split_and_tie_order(spark, tmp_path):
+    """A,A,B,A per user collapses to 3 runs with correct extents; an
+    equal-second tie orders by event_id so the run assignment is
+    deterministic."""
+    from information_extraction_spark.driver_queries.relational import (
+        w13_event_runs,
+    )
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (0, 10, 1, "A", 0.0),
+            (1, 20, 1, "A", 0.0),
+            (2, 30, 1, "B", 0.0),
+            (3, 40, 1, "A", 0.0),
+            # user 2: tie at sec 5 — event 4 (A) before event 5 (B) by id.
+            (4, 5, 2, "A", 0.0),
+            (5, 5, 2, "B", 0.0),
+        ],
+    )
+    base = int(
+        spark.sql("SELECT unix_timestamp(timestamp'2024-01-01') s").first()["s"]
+    )
+    got = sorted(
+        (r["user_id"], r["run_id"], r["event_type"], r["run_len"],
+         r["start_sec"] - base, r["end_sec"] - base)
+        for r in w13_event_runs(spark, sf).collect()
+    )
+    assert got == [
+        (1, 1, "A", 2, 10, 20),
+        (1, 2, "B", 1, 30, 30),
+        (1, 3, "A", 1, 40, 40),
+        (2, 1, "A", 1, 5, 5),
+        (2, 2, "B", 1, 5, 5),
+    ]
