@@ -10,11 +10,12 @@ from information_extraction_spark.driver_queries import (
     core3,
     kg,
     relational,
+    sketches,
     streamq,
     textdata,
 )
 
-_MODULES = (core, core2, core3, kg, relational, streamq, textdata)
+_MODULES = (core, core2, core3, kg, relational, sketches, streamq, textdata)
 
 QUERIES = {}
 ORACLES = {}
@@ -37,6 +38,15 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Distributed sketches (driver_queries/sketches.py): Count-Min
+    # frequency table (bounded d*w state, min-recovery load-bearing at
+    # w=16 < vocab), KMV bottom-k distinct estimation (bottom-k via
+    # TakeOrdered per-partition heaps == the KMV merge), and
+    # Bloom-filter join pruning (explicit universal hashes; the
+    # runtime-filter shape with an honest false-positive audit).
+    "a11_countmin_heavy",
+    "a12_kmv_distinct",
+    "j10_bloom_filter_join",
     # TPC-H reporting shapes (returned-item top-20, promotion share,
     # large-volume HAVING rollup) and gaps-and-islands run compression.
     "q10_returned_items",

@@ -1,0 +1,304 @@
+"""Distributed sketch operators: Count-Min frequency estimation
+(Cormode & Muthukrishnan 2005), KMV / bottom-k distinct-count
+estimation (Bar-Yossef et al. 2002), and Bloom-filter join pruning
+(Bloom 1970; the runtime-filter shape Spark's own
+spark.sql.optimizer.runtimeFilter.bloomFilter applies under AQE).
+
+These are the bounded-state summaries a 100 TB pipeline leans on
+when exact answers are unaffordable: the sketch state is O(d*w),
+O(k), or O(m) regardless of input size, every sketch is mergeable
+(map-side partials combine associatively), and the probe side never
+shuffles. Determinism contract: all hash functions are explicit —
+md5-derived 48-bit integers for strings, universal (a*k+b) mod p
+integer hashing for keys — so the DuckDB oracles recompute the SAME
+sketch bit-for-bit; nothing depends on engine-internal hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- Portable 48-bit string hash -------------------------------------------------
+#
+# First 12 hex digits of md5 as a BIGINT in [0, 2^48). Spark computes
+# it with conv(); DuckDB has no hex->int cast, so the oracle expands
+# the base-16 positional sum digit by digit (the ta_split idiom).
+
+_HEX = "0123456789abcdef"
+
+
+def _h48(col):
+    """Spark side: 48-bit md5 prefix as long."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def _h48_sql(expr: str) -> str:
+    """DuckDB side: identical 48-bit md5 prefix."""
+    terms = [
+        f"(strpos('{_HEX}', substring(md5({expr}), {k}, 1)) - 1)"
+        f" * {16 ** (12 - k)}"
+        for k in range(1, 13)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# --- A11: Count-Min sketch frequency estimation -----------------------------------
+#
+# Per-token frequency estimates from a d=3 x w=16 counter table. The
+# ONLY input-sized shuffle is the word-count aggregate (map-side
+# combined, the wordcount shape); the sketch itself aggregates from
+# those partials into d*w = 48 rows, and the estimate join probes
+# that 48-row table broadcast — at 100 TB the sketch state is still
+# 48 counters. w=16 is deliberately SMALLER than the 31-word
+# vocabulary so buckets genuinely collide and the min-over-rows
+# recovery is load-bearing (with w >> vocab every estimate would
+# trivially equal the true count and the sketch math would be dead
+# code); the CMS guarantee est >= true holds row by row. Output is
+# per word: true count and sketch estimate.
+
+_A11_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS true_n FROM tok GROUP BY 1
+), ex AS (
+  SELECT word, true_n, s.seed,
+         {_h48_sql("s.seed || word")} % 16 AS bucket
+  FROM wc CROSS JOIN (SELECT unnest(['a','b','c']) AS seed) s
+), cms AS (
+  SELECT seed, bucket, CAST(sum(true_n) AS BIGINT) AS bucket_n
+  FROM ex GROUP BY 1, 2
+)
+SELECT ex.word,
+       CAST(min(ex.true_n) AS BIGINT) AS true_n,
+       CAST(min(cms.bucket_n) AS BIGINT) AS cms_est
+FROM ex JOIN cms ON ex.seed = cms.seed AND ex.bucket = cms.bucket
+GROUP BY 1
+"""
+
+
+@_q("a11_countmin_heavy", _A11_ORACLE)
+def a11_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    wc = tok.groupBy("word").agg(F.count("*").cast("long").alias("true_n"))
+    ex = wc.withColumn(
+        "seed", F.explode(F.array(F.lit("a"), F.lit("b"), F.lit("c")))
+    ).withColumn("bucket", _h48(F.concat(F.col("seed"), F.col("word"))) % 16)
+    cms = ex.groupBy("seed", "bucket").agg(
+        F.sum("true_n").cast("long").alias("bucket_n")
+    )
+    est = ex.join(F.broadcast(cms), ["seed", "bucket"]).groupBy("word").agg(
+        F.min("true_n").cast("long").alias("true_n"),
+        F.min("bucket_n").cast("long").alias("cms_est"),
+    )
+    return est
+
+
+# --- A12: KMV (bottom-k) distinct-count sketch ------------------------------------
+#
+# Estimate the number of DISTINCT word trigrams in the corpus from
+# only the k=256 smallest 48-bit hash values: est = (k-1) * 2^48 /
+# h_(k) (Bar-Yossef et al. 2002). Shingling is a narrow in-row
+# transform (sequence + transform over the split array — no window,
+# no shuffle); the only exchange carries DISTINCT 8-byte hashes
+# (map-side partial distinct), and the bottom-k is
+# TakeOrderedAndProject — per-partition k-min heaps merged on the
+# driver, which IS the KMV merge operation, so the same plan runs
+# unchanged on 1000 executors. The estimate divides as BIGINT (div)
+# on both engines: (k-1)*2^48 = 255 * 2^48 < 2^63, no FP anywhere.
+# exact_distinct rides along to make the approximation error visible
+# (k=256 -> ~6% typical): the sketch answers from 256 longs what the
+# exact path needs the full distinct set for.
+
+_KMV_K = 256
+_KMV_NUM = (_KMV_K - 1) * (2**48)
+
+_A12_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), g AS (
+  SELECT DISTINCT w || ' ' || lead(w, 1) OVER win || ' '
+         || lead(w, 2) OVER win AS tri
+  FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+), gd AS (
+  SELECT tri FROM g WHERE tri IS NOT NULL
+), h AS (
+  SELECT DISTINCT {_h48_sql("tri")} AS h FROM gd
+), bk AS (
+  SELECT h FROM h ORDER BY h LIMIT {_KMV_K}
+), kth AS (
+  SELECT CAST(max(h) AS BIGINT) AS kth_hash,
+         CAST(count(*) AS BIGINT) AS n_hashes
+  FROM bk
+), ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM gd
+)
+SELECT kth.n_hashes, kth.kth_hash,
+       CAST({_KMV_NUM} // kth.kth_hash AS BIGINT) AS est_distinct,
+       ex.exact_distinct
+FROM kth CROSS JOIN ex
+"""
+
+
+@_q("a12_kmv_distinct", _A12_ORACLE)
+def a12_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tris = docs.select(
+        F.explode(
+            # sequence(0, n) DESCENDS when n < 0, so short texts need
+            # the explicit empty-array guard, not a greatest() clamp.
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+                " transform(sequence(0, size(split(text, ' ')) - 3),"
+                " i -> concat_ws(' ', split(text, ' ')[i],"
+                " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+                " ELSE array() END"
+            )
+        ).alias("tri")
+    )
+    hashes = tris.select(_h48(F.col("tri")).alias("h")).distinct()
+    bottomk = hashes.orderBy("h").limit(_KMV_K)
+    kth = bottomk.agg(
+        F.count("*").cast("long").alias("n_hashes"),
+        F.max("h").cast("long").alias("kth_hash"),
+    )
+    exact = tris.agg(
+        F.countDistinct("tri").cast("long").alias("exact_distinct")
+    )
+    return kth.crossJoin(exact).select(
+        "n_hashes",
+        "kth_hash",
+        F.expr(f"CAST({_KMV_NUM} div kth_hash AS BIGINT)").alias(
+            "est_distinct"
+        ),
+        "exact_distinct",
+    )
+
+
+# --- J10: Bloom-filter join pruning ------------------------------------------------
+#
+# The runtime-filter shape: build an m=8192-bit Bloom filter over the
+# PROMO part keys (3 universal integer hashes (a*key + b) mod p mod
+# m — explicit, so the oracle recomputes identical bits), broadcast
+# it, and prune the lineitem scan to rows that pass all three bit
+# probes BEFORE any join or shuffle. The fact side never exchanges:
+# the filter is a narrow map over the scan (at 100 TB this is the
+# difference between shuffling every lineitem into a join and
+# shuffling ~1/6 of them plus a bounded false-positive tail). The
+# query reports the honest audit: rows passing the filter, rows
+# truly matching (exact semi-check against the broadcast key set),
+# and the false positives the m=8192 sizing admits — Bloom
+# guarantees no false NEGATIVES, pinned by n_true == exact count.
+
+_BLOOM_M = 8192
+_BLOOM_P = 2147483647
+_BLOOM_HASHES = ((1000003, 17), (999983, 29), (888887, 41))
+
+
+def _bloom_pos_sql(key: str, a: int, b: int) -> str:
+    return f"((({a} * {key} + {b}) % {_BLOOM_P}) % {_BLOOM_M})"
+
+
+_J10_ORACLE = f"""
+WITH promo AS (
+  SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+), bits AS (
+  SELECT list(DISTINCT pos) AS bl FROM (
+    {" UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql('p_partkey', a, b)} AS pos FROM promo"
+        for a, b in _BLOOM_HASHES
+    )}
+  )
+), probe AS (
+  SELECT l.l_partkey,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT) AS cents,
+         {" AND ".join(
+             f"list_contains(bits.bl, {_bloom_pos_sql('l.l_partkey', a, b)})"
+             for a, b in _BLOOM_HASHES
+         )} AS pass,
+         l.l_partkey IN (SELECT p_partkey FROM promo) AS hit
+  FROM lineitem l CROSS JOIN bits
+)
+SELECT CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN pass AND NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       sum(CASE WHEN pass THEN cents ELSE 0 END) / 100.0 AS pass_revenue
+FROM probe
+"""
+
+
+@_q("j10_bloom_filter_join", _J10_ORACLE)
+def j10_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+
+    def pos(key_col, a: int, b: int):
+        return ((F.lit(a) * key_col + F.lit(b)) % _BLOOM_P) % _BLOOM_M
+
+    bits = (
+        promo.select(
+            F.explode(
+                F.array(
+                    *[pos(F.col("p_partkey"), a, b) for a, b in _BLOOM_HASHES]
+                )
+            ).alias("pos")
+        )
+        .agg(F.array_sort(F.collect_set("pos")).alias("bl"))
+    )
+    keys = promo.agg(F.collect_set("p_partkey").alias("ks"))
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    probe = l.crossJoin(F.broadcast(bits)).crossJoin(F.broadcast(keys))
+    pass_c = F.lit(True)
+    for a, b in _BLOOM_HASHES:
+        pass_c = pass_c & F.array_contains(
+            F.col("bl"), pos(F.col("l_partkey"), a, b)
+        )
+    probe = probe.withColumn("pass", pass_c).withColumn(
+        "hit", F.array_contains(F.col("ks"), F.col("l_partkey"))
+    )
+    return probe.agg(
+        F.sum(F.when(F.col("pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true"),
+        F.sum(F.when(F.col("pass") & ~F.col("hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        (
+            F.sum(F.when(F.col("pass"), F.col("cents")).otherwise(F.lit(0)))
+            / F.lit(100.0)
+        ).alias("pass_revenue"),
+    )

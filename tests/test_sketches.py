@@ -1,0 +1,144 @@
+"""Hand-verified semantics for the sketch operators: the portable
+48-bit md5 hash, Count-Min overestimation + min-recovery, KMV
+bottom-k estimation, and Bloom-filter no-false-negative + engineered
+false-positive behavior."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from information_extraction_spark.driver_queries.sketches import (
+    _BLOOM_HASHES,
+    _BLOOM_M,
+    _BLOOM_P,
+    _KMV_NUM,
+    a11_countmin_heavy,
+    a12_kmv_distinct,
+    j10_bloom_filter_join,
+    _h48,
+)
+
+
+def _py_h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _write_docs(spark, tmp_path, texts):
+    df = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def _write_parts_lineitem(spark, tmp_path, promo_keys, other_keys, probe_keys):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(k, f"p{k}", "B", "PROMO", 1, 1.0) for k in promo_keys]
+        + [(k, f"p{k}", "B", "STANDARD", 1, 1.0) for k in other_keys],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "part.parquet")
+    )
+    spark.createDataFrame(
+        [(1, k, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", None) for k in probe_keys],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "lineitem.parquet")
+    )
+    return d
+
+
+def test_h48_matches_hashlib(spark):
+    got = (
+        spark.range(1)
+        .select(_h48(F.lit("hello world")).alias("h"))
+        .first()["h"]
+    )
+    assert got == _py_h48("hello world")
+
+
+def test_countmin_matches_reference_and_overestimates(spark, tmp_path):
+    texts = ["a b a c", "b a d d d"]
+    sf = _write_docs(spark, tmp_path, texts)
+    true = {}
+    for t in texts:
+        for w in t.split(" "):
+            true[w] = true.get(w, 0) + 1
+    # Reference CMS with the same seeds/width.
+    table = {}
+    for w, n in true.items():
+        for s in "abc":
+            table[(s, _py_h48(s + w) % 16)] = (
+                table.get((s, _py_h48(s + w) % 16), 0) + n
+            )
+    expect = {
+        w: min(table[(s, _py_h48(s + w) % 16)] for s in "abc")
+        for w in true
+    }
+    rows = {r["word"]: r for r in a11_countmin_heavy(spark, sf).collect()}
+    assert set(rows) == set(true)
+    for w in true:
+        assert rows[w]["true_n"] == true[w]
+        assert rows[w]["cms_est"] == expect[w]
+        assert rows[w]["cms_est"] >= true[w]
+
+
+def test_kmv_small_universe_and_short_text_guard(spark, tmp_path):
+    # 4 distinct trigrams (< k) plus a 2-word doc that must contribute
+    # nothing (the sequence() guard) — n_hashes == exact_distinct and
+    # the estimate formula applies to the max hash.
+    sf = _write_docs(spark, tmp_path, ["a b c d e f", "x y"])
+    tris = ["a b c", "b c d", "c d e", "d e f"]
+    hashes = sorted(_py_h48(t) for t in tris)
+    r = a12_kmv_distinct(spark, sf).first()
+    assert r["exact_distinct"] == 4
+    assert r["n_hashes"] == 4
+    assert r["kth_hash"] == hashes[-1]
+    assert r["est_distinct"] == _KMV_NUM // hashes[-1]
+
+
+def _positions(k: int) -> set[int]:
+    return {((a * k + b) % _BLOOM_P) % _BLOOM_M for a, b in _BLOOM_HASHES}
+
+
+def test_bloom_no_false_negatives_and_engineered_false_positive(
+    spark, tmp_path
+):
+    promo = list(range(1, 400))
+    covered = set()
+    for k in promo:
+        covered |= _positions(k)
+    # Deterministically find a non-member whose three positions are all
+    # covered (false positive) and one with at least one uncovered
+    # position (true negative).
+    fp = tn = None
+    for k in range(1000, 200000):
+        if k in promo:
+            continue
+        if fp is None and _positions(k) <= covered:
+            fp = k
+        if tn is None and not (_positions(k) <= covered):
+            tn = k
+        if fp is not None and tn is not None:
+            break
+    assert fp is not None and tn is not None
+    probe = promo + [fp, tn]
+    sf = _write_parts_lineitem(
+        spark, tmp_path, promo, other_keys=[fp, tn], probe_keys=probe
+    )
+    r = j10_bloom_filter_join(spark, sf).first()
+    assert r["n_true"] == len(promo)          # no false negatives
+    assert r["n_pass"] == len(promo) + 1      # exactly the engineered fp
+    assert r["n_false_pos"] == 1
+    assert r["pass_revenue"] == 100.0 * (len(promo) + 1)
