@@ -38,6 +38,12 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # PMI bigram collocations (integer-ppm ratio — no cross-engine
+    # ln()) and Resource-Allocation link prediction over the
+    # materialized graph (object-blocked pairs, hub-degree cap,
+    # integer-ppm score).
+    "ta_pmi_collocations",
+    "kg_resource_alloc",
     # Distributed sketches (driver_queries/sketches.py): Count-Min
     # frequency table (bounded d*w state, min-recovery load-bearing at
     # w=16 < vocab), KMV bottom-k distinct estimation (bottom-k via

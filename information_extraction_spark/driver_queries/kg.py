@@ -2160,3 +2160,44 @@ def w11_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(run, ignore_errors=True)
     return out
+
+
+def _ra_oracle_sql(sf_dir: str) -> str:
+    # Same capped-universe semantics as linking.resource_alloc_pairs:
+    # hub objects above max_obj_deg leave the graph entirely; the
+    # score is pure BIGINT ppm on both engines.
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT subject, object FROM {g}
+), deg AS (
+  SELECT object, CAST(count(*) AS BIGINT) AS d
+  FROM e GROUP BY 1 HAVING count(*) <= 1000
+), se AS (
+  SELECT e.subject, e.object, CAST(1000000 // deg.d AS BIGINT) AS ppm
+  FROM e JOIN deg USING (object)
+)
+SELECT a.subject AS s1, b.subject AS s2,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       CAST(sum(a.ppm) AS BIGINT) AS ra_ppm
+FROM se a JOIN se b ON a.object = b.object AND a.subject < b.subject
+GROUP BY 1, 2
+"""
+
+
+@_q("kg_resource_alloc", _ra_oracle_sql("/root/testdata/sf0.01"))
+def kg_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction over the materialized
+    subject→object graph (operators/linking.resource_alloc_pairs):
+    subject pairs sharing objects, scored Σ 10^6 div d(o) — the
+    KG-completion primitive ranking which unconnected entity pairs
+    most plausibly deserve an edge. Blocked equi-join on the object
+    key with a hub-degree cap; integer-ppm score keeps both engines
+    exact."""
+    from information_extraction_spark.operators.linking import (
+        resource_alloc_pairs,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_resource_alloc"] = _ra_oracle_sql(sf_dir)
+    return resource_alloc_pairs(triples, max_obj_deg=1000, min_shared=1)

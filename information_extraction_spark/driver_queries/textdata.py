@@ -2512,3 +2512,92 @@ def ta_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn("rk", rk)
     )
+
+
+# --- PMI collocations ----------------------------------------------------------
+#
+# Pointwise-mutual-information bigram collocations (Church & Hanks
+# 1990) — the classic phrase-mining signal over a training corpus.
+# Integer-exact determinism: instead of comparing ln() outputs across
+# engines (libm vs JVM StrictMath can differ in the last ULP and a
+# 6dp round can straddle it), both sides emit the PMI *ratio* in
+# parts-per-million via pure BIGINT arithmetic — pmi_ratio_ppm =
+# (c_xy * N * 10^6) div (c_x * c_y), with N = total bigrams. PMI is
+# monotone in the ratio, so ranking/thresholding semantics are
+# identical; ln() is presentation, not computation. Scale shape:
+# bigram shingling is a narrow in-row transform; the bigram count is
+# ONE map-side-combined shuffle over 2-word keys; the unigram table
+# is vocabulary-sized and broadcasts into the two endpoint joins
+# (vocab >> memory would flip these to shuffle joins on the word
+# key — same plan semantics). The c_xy >= 5 support floor is the
+# standard collocation noise gate.
+
+_PMI_ORACLE = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), uni AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1
+), bg AS (
+  SELECT w AS w1, lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM w
+), bgc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+  FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(n_xy) AS BIGINT) AS n_bigrams FROM bgc
+)
+SELECT b.w1, b.w2, b.n_xy, u1.n AS n_x, u2.n AS n_y, tot.n_bigrams,
+       CAST((b.n_xy * tot.n_bigrams * 1000000) // (u1.n * u2.n)
+            AS BIGINT) AS pmi_ratio_ppm
+FROM bgc b
+JOIN uni u1 ON u1.word = b.w1
+JOIN uni u2 ON u2.word = b.w2
+CROSS JOIN tot
+WHERE b.n_xy >= 5
+"""
+
+
+@_q("ta_pmi_collocations", _PMI_ORACLE)
+def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    uni = toks.groupBy("word").agg(F.count("*").cast("long").alias("n"))
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+                " transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> struct(split(text, ' ')[i] AS w1,"
+                " split(text, ' ')[i+1] AS w2))"
+                " ELSE array() END"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bgc = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("n_xy")
+    )
+    tot = bgc.agg(F.sum("n_xy").cast("long").alias("n_bigrams"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("n").alias("n_x"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("n").alias("n_y"))
+    return (
+        bgc.filter(F.col("n_xy") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            "n_x",
+            "n_y",
+            "n_bigrams",
+            F.expr(
+                "CAST((n_xy * n_bigrams * 1000000) div (n_x * n_y)"
+                " AS BIGINT)"
+            ).alias("pmi_ratio_ppm"),
+        )
+    )

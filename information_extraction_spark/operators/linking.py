@@ -395,3 +395,52 @@ def canonicalize_triples(
         .drop("_s_key", "_o_key")
     )
     return out
+
+
+def resource_alloc_pairs(
+    triples: DataFrame,
+    max_obj_deg: int = 1000,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009)
+    over the subject→object graph: subject pairs that share objects
+    are scored by Σ 1/d(o) over the shared objects — a rare shared
+    object (low degree) is strong evidence the pair is related, a
+    common one is weak. The KG-completion companion to
+    :func:`er_candidates` (same blocking skeleton, different key —
+    the bare object, not the (predicate, object) slot — and a
+    degree-weighted score instead of set Jaccard).
+
+    Integer-exact determinism: the score is emitted in parts-per-
+    million as Σ (10^6 div d(o)) — pure BIGINT on any engine; 1/d is
+    monotone so ranking semantics survive the quantization.
+
+    Scale shape: candidate pairs come from an equi-join on the object
+    blocking key (per-key fan-out C(d(o), 2)); ``max_obj_deg`` drops
+    hub objects — the quadratic-blowup AND zero-signal tail at once
+    (for d(o) = 10^5 the pair count is 5·10^9 and each contributes
+    10 ppm — the index is dominated by rare objects, so the cap
+    changes scores only negligibly while bounding the join). Degrees
+    ride the edge table (one map-side-combined shuffle on object)
+    and join back ON the blocking key, so every shuffle is
+    object-keyed and entity-cardinality; nothing broadcasts.
+    """
+    edges = triples.select("subject", "object").distinct()
+    deg = edges.groupBy("object").agg(
+        F.count("*").cast("long").alias("_d")
+    ).filter(F.col("_d") <= max_obj_deg)
+    scored = edges.join(deg, "object").withColumn(
+        "_ppm", F.expr("CAST(1000000 div _d AS BIGINT)")
+    )
+    a = scored.select(F.col("subject").alias("s1"), "object", "_ppm")
+    b = scored.select(F.col("subject").alias("s2"), "object")
+    return (
+        a.join(b, "object")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.sum("_ppm").cast("long").alias("ra_ppm"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )

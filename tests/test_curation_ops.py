@@ -456,3 +456,20 @@ def test_bm25_reference_and_ordering(spark, tmp_path):
         assert got[d]["rk"] == i
     # The all-stopword doc matches no query term and is absent.
     assert 4 not in got
+
+
+def test_pmi_collocations_integer_ratio(spark, tmp_path):
+    """Two docs; 'a b' occurs 5x (passes the floor), 'b c' only 1x
+    (filtered). Ratio is exact BIGINT ppm."""
+    from information_extraction_spark.driver_queries.textdata import (
+        ta_pmi_collocations,
+    )
+
+    texts = ["a b a b a b c", "a b a b x"]
+    sf = _write_tfidf_docs(spark, tmp_path, list(enumerate(texts)))
+    rows = {(r["w1"], r["w2"]): r for r in ta_pmi_collocations(spark, sf).collect()}
+    assert set(rows) == {("a", "b")}
+    r = rows[("a", "b")]
+    # tokens: a=5, b=5, x=1, c=1 -> n_x=n_y=5; bigrams total 10; c_ab=5.
+    assert (r["n_xy"], r["n_x"], r["n_y"], r["n_bigrams"]) == (5, 5, 5, 10)
+    assert r["pmi_ratio_ppm"] == (5 * 10 * 1000000) // 25

@@ -298,3 +298,32 @@ def test_apply_er_merge_transitive_chain(spark):
         ("q", "o3"): 2,
         ("q", "o4"): 2,
     }
+
+
+def test_resource_alloc_scores_and_hub_cap(spark):
+    """Hand graph: s1,s2 share objects oA (deg 2 -> 500000 ppm) and
+    oB (deg 3 -> 333333 ppm); s2,s3 and s1,s3 share only oB; a hub
+    object above the cap contributes nothing."""
+    from information_extraction_spark.operators.linking import (
+        resource_alloc_pairs,
+    )
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = [
+        ("s1", "p", "oA"), ("s2", "p", "oA"),
+        ("s1", "p", "oB"), ("s2", "q", "oB"), ("s3", "p", "oB"),
+        # duplicate assertion must not double-count the edge:
+        ("s1", "q", "oA"),
+    ]
+    # hub object shared by 5 subjects, cap at 4 -> excluded entirely.
+    rows += [(f"s{i}", "p", "hub") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "subject string, predicate string, object string")
+    got = {
+        (r["s1"], r["s2"]): (r["n_shared"], r["ra_ppm"])
+        for r in resource_alloc_pairs(df, max_obj_deg=4).collect()
+    }
+    assert got == {
+        ("s1", "s2"): (2, 500000 + 333333),
+        ("s1", "s3"): (1, 333333),
+        ("s2", "s3"): (1, 333333),
+    }
