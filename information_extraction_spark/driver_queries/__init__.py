@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # mapInArrow columnar seam (zero-exchange pyarrow.compute stats)
+    # and the INTERSECT/EXCEPT set operators over (user, day) keys.
+    "p17_arrow_map",
+    "q11_set_ops",
     # PMI bigram collocations (integer-ppm ratio — no cross-engine
     # ln()) and Resource-Allocation link prediction over the
     # materialized graph (object-blocked pairs, hub-degree cap,

@@ -686,3 +686,104 @@ def w13_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sec").alias("start_sec"),
         F.max("sec").alias("end_sec"),
     )
+
+
+# --- P17: mapInArrow columnar seam ------------------------------------------------
+#
+# The last Python-execution seam the catalog lacked (scalar pandas
+# UDF, GROUPED_AGG, grouped map, mapInPandas, applyInPandasWithState
+# and the Arrow UDTF are all cataloged): DataFrame.mapInArrow — the
+# zero-copy path where Python sees raw pyarrow RecordBatches and
+# answers with compute-kernel calls, no pandas materialization, no
+# per-row Python. This is the seam a 100 TB multimodal decode stage
+# runs on (bytes in, features out, vectorized end to end); here it
+# computes per-document token counts / UTF-8 length / digit presence
+# with pyarrow.compute only. The plan is a single narrow
+# PythonMapInArrow over the scan — zero exchanges; batch size rides
+# spark.sql.execution.arrow.maxRecordsPerBatch, so executor memory is
+# bounded per batch regardless of input size.
+
+_P17_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_utf8,
+       regexp_matches(text, '[0-9]') AS has_digit
+FROM documents
+"""
+
+
+@_q("p17_arrow_map", _P17_ORACLE)
+def p17_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    pc.cast(
+                        pc.list_value_length(pc.split_pattern(text, " ")),
+                        pa.int32(),
+                    ),
+                    pc.cast(pc.utf8_length(text), pa.int32()),
+                    pc.match_substring_regex(text, "[0-9]"),
+                ],
+                names=["doc_id", "n_tokens", "n_utf8", "has_digit"],
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        stats,
+        "doc_id long, n_tokens int, n_utf8 int, has_digit boolean",
+    )
+
+
+# --- Q11: set operations (INTERSECT / EXCEPT) -------------------------------------
+#
+# The relational set operators driver-visible: (user, day) pairs
+# that both viewed AND purchased that day but had no error that day —
+# (view ∩ purchase) − error with SET (distinct) semantics. The key is
+# (user_id, day), not bare user_id: with bounded users over months of
+# events every user eventually does everything and the bare-key
+# result is structurally empty — the day dimension keeps all three
+# legs load-bearing (38/383 rows at sf0.001/0.01). Each leg pre-distincts map-side before
+# its user_id exchange (partial aggregate on an 8-byte key), so the
+# set operators move one row per distinct user per leg, never per
+# event; at 100 TB the three legs are three scans of the same
+# partition-pruned source with tiny exchanges. Spark plans INTERSECT
+# and EXCEPT as left-semi / left-anti joins over the distinct sets —
+# the same co-keyed shuffle every time, which AQE coalesces.
+
+_Q11_ORACLE = """
+WITH e AS (
+  -- BIGINT first, THEN integer-divide: DuckDB's // on a DOUBLE
+  -- (floor() returns DOUBLE) is plain division, and the outer CAST
+  -- would ROUND half-away — an off-by-one day at every boundary.
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events WHERE ts IS NOT NULL
+)
+(SELECT DISTINCT user_id, day FROM e WHERE event_type = 'view'
+ INTERSECT
+ SELECT DISTINCT user_id, day FROM e WHERE event_type = 'purchase')
+EXCEPT
+SELECT DISTINCT user_id, day FROM e WHERE event_type = 'error'
+"""
+
+
+@_q("q11_set_ops", _Q11_ORACLE)
+def q11_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_sec(spark, sf_dir).withColumn(
+        "day", F.floor(F.col("sec") / 86400).cast("long")
+    )
+
+    def leg(t: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == t)
+            .select("user_id", "day")
+            .distinct()
+        )
+
+    return leg("view").intersect(leg("purchase")).exceptAll(leg("error"))

@@ -453,3 +453,62 @@ def test_w13_runs_split_and_tie_order(spark, tmp_path):
         (2, 1, "A", 1, 5, 5),
         (2, 2, "B", 1, 5, 5),
     ]
+
+
+def test_arrow_map_stats_and_zero_exchange(spark, tmp_path):
+    from information_extraction_spark.driver_queries.relational import (
+        p17_arrow_map,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in
+         [(1, "hello world 42"), (2, "nodigits"), (3, "a b")]],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    rows = {r["doc_id"]: r for r in p17_arrow_map(spark, sf).collect()}
+    assert (rows[1]["n_tokens"], rows[1]["n_utf8"], rows[1]["has_digit"]) == (
+        3, 14, True,
+    )
+    assert (rows[2]["n_tokens"], rows[2]["has_digit"]) == (1, False)
+    assert rows[3]["n_tokens"] == 2
+    plan = (
+        p17_arrow_map(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # single narrow PythonMapInArrow
+
+
+def test_set_ops_day_keyed_semantics(spark, tmp_path):
+    """user 1 day 0: view+purchase, no error -> kept. user 1 day 1:
+    view+purchase+error -> excluded. user 2 day 0: view only ->
+    excluded. Duplicate events must not multiply rows (SET
+    semantics)."""
+    from information_extraction_spark.driver_queries.relational import (
+        q11_set_ops,
+    )
+
+    day = 86400
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (0, 10, 1, "view", 0.0),
+            (1, 20, 1, "view", 0.0),  # duplicate leg row, same day
+            (2, 30, 1, "purchase", 0.0),
+            (3, day + 10, 1, "view", 0.0),
+            (4, day + 20, 1, "purchase", 0.0),
+            (5, day + 30, 1, "error", 0.0),
+            (6, 40, 2, "view", 0.0),
+        ],
+    )
+    got = [(r["user_id"], r["day"]) for r in q11_set_ops(spark, sf).collect()]
+    base_day = (
+        int(
+            spark.sql("SELECT unix_timestamp(timestamp'2024-01-01') s")
+            .first()["s"]
+        )
+        // 86400
+    )
+    assert got == [(1, base_day)]
