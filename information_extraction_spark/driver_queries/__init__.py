@@ -42,6 +42,11 @@ _CHANGED_THIS_ROUND = [
     # and the INTERSECT/EXCEPT set operators over (user, day) keys.
     "p17_arrow_map",
     "q11_set_ops",
+    # ANN index QA: recall@k of the LSH bucket vs the brute-force
+    # truth (composition of two already-cataloged shapes), and the
+    # TPC-H Q15 arg-max-with-ties supplier report.
+    "ann_recall_audit",
+    "q15_top_supplier",
     # PMI bigram collocations (integer-ppm ratio — no cross-engine
     # ln()) and Resource-Allocation link prediction over the
     # materialized graph (object-blocked pairs, hub-degree cap,

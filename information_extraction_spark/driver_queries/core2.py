@@ -298,3 +298,131 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.vec_id").alias("vb"),
         F.col("a.bucket").alias("bucket"),
     )
+
+
+# --- ANN recall audit: LSH bucket vs brute-force truth ---------------------------
+#
+# The QA op every approximate index needs before it replaces the
+# exact path: recall@k of the LSH bucket against the brute-force
+# top-k for the same query vector. The candidate set is exactly
+# ann_lsh_bucketed's blocking (same planes, same signature), the
+# truth is exactly ann_cosine_topk's scan (same rounding ladder), so
+# this query value-checks their COMPOSITION — if either drifts, the
+# recall number moves and the oracle catches it. Scale shape: the
+# signature pass is the index build (one narrow projection + two
+# bounded aggs); the truth scan is one TakeOrderedAndProject; the
+# hit count joins the 10-row truth table broadcast against the
+# bucket — nothing quadratic anywhere. Recall itself is n_hits/k
+# with k fixed: an exact one-decimal double on both engines.
+
+_RECALL_K = 10
+
+_ANN_RECALL_ORACLE = f"""
+WITH u AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings
+), proj AS (
+  SELECT vec_id, j, sum(x * {_PLANE_COEF}) AS dot
+  FROM u CROSS JOIN generate_series(0, {_N_PLANES - 1}) g(j)
+  GROUP BY vec_id, j
+), sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM proj GROUP BY vec_id
+), qid AS (SELECT min(vec_id) AS q FROM embeddings),
+cand AS (
+  SELECT s.vec_id FROM sig s, sig qs, qid
+  WHERE qs.vec_id = qid.q AND s.bucket = qs.bucket
+    AND s.vec_id <> qid.q
+), p AS (
+  SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qe) AS DOUBLE) AS y
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding AS qe FROM embeddings, qid
+              WHERE vec_id = qid.q) q
+  WHERE e.vec_id <> (SELECT q FROM qid)
+), c AS (
+  SELECT vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+           AS cos6
+  FROM p GROUP BY vec_id
+), truth AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY cos6 DESC, vec_id) AS rnk
+    FROM c) t
+  WHERE rnk <= {_RECALL_K}
+)
+SELECT CAST({_RECALL_K} AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       count(*) / CAST({_RECALL_K} AS DOUBLE) AS recall
+FROM truth JOIN cand USING (vec_id)
+"""
+
+
+@_q("ann_recall_audit", _ANN_RECALL_ORACLE)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = _t(spark, sf_dir, "embeddings")
+    # Signature table — identical construction to ann_lsh_bucketed.
+    u = e.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).alias("d"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    planes = spark.range(0, _N_PLANES).select(
+        F.col("id").cast("int").alias("j")
+    )
+    coef = (((F.col("d") * 7 + F.col("j") * 13) % 5).cast("double")) - 2.0
+    sig = (
+        u.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * coef).alias("dot"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(F.col("dot") > 0, F.expr("shiftleft(1, j)")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+    )
+    qrow = e.orderBy("vec_id").limit(1).collect()[0]
+    qid = qrow["vec_id"]
+    qbucket = sig.filter(F.col("vec_id") == qid).collect()[0]["bucket"]
+    cand = sig.filter(
+        (F.col("bucket") == qbucket) & (F.col("vec_id") != qid)
+    ).select("vec_id")
+    # Brute-force truth — identical scan to ann_cosine_topk.
+    qvec = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
+    qnorm = math.sqrt(sum(float(v) * float(v) for v in qrow["embedding"]))
+
+    def dot(x, y):
+        prod = F.zip_with(
+            x, y, lambda p, q: p.cast("double") * q.cast("double")
+        )
+        return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+
+    cos = dot(F.col("embedding"), qvec) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * F.lit(qnorm)
+    )
+    truth = (
+        e.filter(F.col("vec_id") != qid)
+        .withColumn("cos6", F.round(cos, 6))
+        .orderBy(F.col("cos6").desc(), "vec_id")
+        .limit(_RECALL_K)
+        .select("vec_id")
+    )
+    n_cand = cand.count()
+    hits = F.broadcast(truth).join(cand, "vec_id").count()
+    return spark.createDataFrame(
+        [(_RECALL_K, n_cand, hits, hits / float(_RECALL_K))],
+        "k long, n_candidates long, n_hits long, recall double",
+    )

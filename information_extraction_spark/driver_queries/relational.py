@@ -787,3 +787,55 @@ def q11_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return leg("view").intersect(leg("purchase")).exceptAll(leg("error"))
+
+
+# --- Q15: top supplier (arg-max via scalar subquery) -----------------------------
+#
+# TPC-H Q15: the supplier(s) whose quarter revenue equals the global
+# maximum — the arg-max-with-ties shape (a correlated HAVING in the
+# spec; here the max is a 1-row aggregate broadcast into the filter,
+# which is how Spark should always run it: never a self-join on the
+# revenue table, never a global sort for one extremum). Revenue
+# pre-aggregates per suppkey map-side before its single shuffle; the
+# supplier dim joins after the filter, so it moves only the winners.
+# Cents as BIGINT throughout; ties (if any) all surface — the result
+# is a set, not LIMIT 1.
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1995-07-01' AND l_shipdate < DATE '1995-10-01'
+  GROUP BY 1
+), mx AS (SELECT max(cents) AS m FROM rev)
+SELECT s.s_suppkey, s.s_name, rev.cents / 100.0 AS total_revenue
+FROM rev CROSS JOIN mx
+JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.cents = mx.m
+"""
+
+
+@_q("q15_top_supplier", _Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-07-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = l.groupBy("l_suppkey").agg(F.sum(cents).alias("cents"))
+    mx = rev.agg(F.max("cents").alias("m"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("cents") == F.col("m"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("cents") / F.lit(100.0)).alias("total_revenue"),
+        )
+    )

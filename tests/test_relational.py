@@ -512,3 +512,67 @@ def test_set_ops_day_keyed_semantics(spark, tmp_path):
         // 86400
     )
     assert got == [(1, base_day)]
+
+
+def test_q15_argmax_surfaces_all_ties(spark, tmp_path):
+    from information_extraction_spark.driver_queries.relational import (
+        q15_top_supplier,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            # suppliers 1 and 2 tie at 150.00; supplier 3 trails;
+            # supplier 1's out-of-window row must not count.
+            (1, 1, 1, 1, 1.0, 150.0, 0.0, 0.0, "N", "O",
+             dt.datetime(1995, 8, 1)),
+            (2, 1, 2, 1, 1.0, 100.0, 0.0, 0.0, "N", "O",
+             dt.datetime(1995, 8, 2)),
+            (3, 1, 2, 1, 1.0, 50.0, 0.0, 0.0, "N", "O",
+             dt.datetime(1995, 9, 2)),
+            (4, 1, 3, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+             dt.datetime(1995, 8, 3)),
+            (5, 1, 1, 1, 1.0, 999.0, 0.0, 0.0, "N", "O",
+             dt.datetime(1995, 10, 1)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "lineitem.parquet")
+    )
+    spark.createDataFrame(
+        [(i, f"Supplier#{i}", 0, 0.0) for i in (1, 2, 3)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "supplier.parquet")
+    )
+    got = sorted(
+        (r["s_suppkey"], r["total_revenue"])
+        for r in q15_top_supplier(spark, sf).collect()
+    )
+    assert got == [(1, 150.0), (2, 150.0)]
+
+
+def test_ann_recall_audit_full_and_partial(spark, tmp_path):
+    """12 identical vectors share one LSH bucket: truth top-10 ⊆
+    candidates -> recall 1.0; an opposite-sign vector lands in a
+    different bucket and is neither candidate nor truth."""
+    from information_extraction_spark.driver_queries.core2 import (
+        ann_recall_audit,
+    )
+
+    sf = str(tmp_path)
+    vec = [1.0, 0.5, -0.25, 2.0]
+    rows = [(i, vec, 0) for i in range(12)]
+    rows.append((12, [-v for v in vec], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    r = ann_recall_audit(spark, sf).first()
+    assert r["n_candidates"] == 11
+    assert r["n_hits"] == 10
+    assert r["recall"] == 1.0
