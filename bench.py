@@ -219,6 +219,12 @@ def main() -> int:
         "w10_hypertable_rollup",
         "kg_label_propagation",
         "p16_chunk_udtf",
+        "q10_returned_items",
+        "a12_kmv_distinct",
+        "j10_bloom_filter_join",
+        "ta_pmi_collocations",
+        "kg_resource_alloc",
+        "p17_arrow_map",
         "kg_bio_decode",
         "p7_vocab_build",
         "st_windowed_counts",
