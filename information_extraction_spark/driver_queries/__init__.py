@@ -42,6 +42,9 @@ _CHANGED_THIS_ROUND = [
     # and the INTERSECT/EXCEPT set operators over (user, day) keys.
     "p17_arrow_map",
     "q11_set_ops",
+    # Post-clustering distance outlier gate (integer-exact 1.08x-mean
+    # rule over the x10^4-quantized distances).
+    "emb_outliers",
     # ANN index QA: recall@k of the LSH bucket vs the brute-force
     # truth (composition of two already-cataloged shapes), and the
     # TPC-H Q15 arg-max-with-ties supplier report.

