@@ -110,6 +110,42 @@ PLAN_QUERIES = [
         "global single-task sort (functions/ranking.py)",
     ),
     (
+        "w13_event_runs",
+        "gaps-and-islands: the change flag, its running sum, and the "
+        "(user_id, run_id) rollup all share ONE exchange — user_id "
+        "hash partitioning satisfies the rollup's clustering",
+    ),
+    (
+        "j10_bloom_filter_join",
+        "Bloom join pruning: the 8192-bit filter builds from the dim "
+        "side and BROADCASTS; the probe is a narrow map over the "
+        "lineitem scan — the fact side never exchanges",
+    ),
+    (
+        "a12_kmv_distinct",
+        "KMV sketch: one exchange of DISTINCT 8-byte hashes, then "
+        "TakeOrderedAndProject — per-partition k-min heaps ARE the "
+        "KMV merge; no global sort",
+    ),
+    (
+        "q10_returned_items",
+        "returned-item report: returnflag + date-window both reach "
+        "their scans as PushedFilters BEFORE the orderkey shuffle; "
+        "revenue pre-aggregates per customer before the dim joins; "
+        "top-20 is TakeOrderedAndProject",
+    ),
+    (
+        "p17_arrow_map",
+        "mapInArrow seam: a single narrow PythonMapInArrow over the "
+        "scan — zero exchanges, no pandas materialization",
+    ),
+    (
+        "ta_pmi_collocations",
+        "PMI collocations: narrow in-row shingling; ONE map-side-"
+        "combined bigram shuffle; the vocabulary-sized unigram table "
+        "broadcasts into both endpoint joins",
+    ),
+    (
         "p3_dp_segment",
         "broadcast frequency dict + narrow mapInPandas token explode "
         "(no shuffle before the result)",
