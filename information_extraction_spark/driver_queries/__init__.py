@@ -42,6 +42,11 @@ _CHANGED_THIS_ROUND = [
     # and the INTERSECT/EXCEPT set operators over (user, day) keys.
     "p17_arrow_map",
     "q11_set_ops",
+    # Streaming Count-Min maintenance (mergeable-sketch state via the
+    # generic versioned exactly-once merge; oracle = the batch CMS)
+    # and the TPC-H Q19 OR-of-ANDs derived-pushdown shape.
+    "st_cms_merge",
+    "q19_disjunctive_filter",
     # Post-clustering distance outlier gate (integer-exact 1.08x-mean
     # rule over the x10^4-quantized distances).
     "emb_outliers",

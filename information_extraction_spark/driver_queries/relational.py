@@ -839,3 +839,44 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") / F.lit(100.0)).alias("total_revenue"),
         )
     )
+
+
+# --- Q19: disjunctive predicate pushdown (TPC-H Q19 shape) ------------------------
+#
+# Revenue under an OR-of-ANDs across BOTH join sides: (PROMO parts in
+# small quantities) OR (STANDARD parts in mid quantities). The scale
+# point is what Catalyst does with the disjunction: it cannot push
+# the cross-table OR as-is, but it derives and pushes the per-table
+# WEAKENINGS — p_type IN ('PROMO','STANDARD') reaches the part scan
+# and the single-column quantity-range OR reaches the lineitem scan
+# as PushedFilters — while the exact OR evaluates as the post-join
+# residual. At 100 TB that derived pruning is the difference between
+# scanning every part row and a sixth of them.
+
+_Q19_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) / 100.0 AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_type = 'PROMO' AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_type = 'STANDARD' AND l.l_quantity BETWEEN 10 AND 30)
+"""
+
+
+@_q("q19_disjunctive_filter", _Q19_ORACLE)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cond = (
+        (F.col("p_type") == "PROMO") & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_type") == "STANDARD") & F.col("l_quantity").between(10, 30)
+    )
+    j = l.join(p, l.l_partkey == p.p_partkey).filter(cond)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return j.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.sum(cents) / F.lit(100.0)).alias("revenue"),
+    )

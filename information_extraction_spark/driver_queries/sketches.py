@@ -37,28 +37,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-# --- Portable 48-bit string hash -------------------------------------------------
-#
-# First 12 hex digits of md5 as a BIGINT in [0, 2^48). Spark computes
-# it with conv(); DuckDB has no hex->int cast, so the oracle expands
-# the base-16 positional sum digit by digit (the ta_split idiom).
-
-_HEX = "0123456789abcdef"
-
-
-def _h48(col):
-    """Spark side: 48-bit md5 prefix as long."""
-    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
-
-
-def _h48_sql(expr: str) -> str:
-    """DuckDB side: identical 48-bit md5 prefix."""
-    terms = [
-        f"(strpos('{_HEX}', substring(md5({expr}), {k}, 1)) - 1)"
-        f" * {16 ** (12 - k)}"
-        for k in range(1, 13)
-    ]
-    return "(" + " + ".join(terms) + ")"
+# Portable 48-bit string hash — shared with the streaming CMS merge
+# (functions/hashing.py); re-exported under the module-local names the
+# oracles and tests were written against.
+from information_extraction_spark.functions.hashing import (  # noqa: E402
+    h48 as _h48,
+    h48_sql as _h48_sql,
+)
 
 
 # --- A11: Count-Min sketch frequency estimation -----------------------------------

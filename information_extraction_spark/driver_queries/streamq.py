@@ -673,3 +673,70 @@ def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
+
+
+# --- Streaming Count-Min maintenance (mergeable-sketch state) ----------------
+#
+# The streaming face of a11_countmin_heavy: documents arrive as 4
+# genuine micro-batches, each contributes its (seed, bucket) partial
+# counts, and the versioned exactly-once state merge ADDS them —
+# mergeability is the whole reason sketches exist in streaming
+# pipelines (d×w counters of state forever, any two windows of
+# history combine by addition). After the drain the committed state
+# must equal the batch CMS over the full corpus — the oracle is the
+# batch table, so a double-merge (broken replay protection), a lost
+# batch, or a hash drift all fail the value check.
+
+from information_extraction_spark.functions.hashing import h48_sql as _h48s
+
+_ST_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), ex AS (
+  SELECT word, s.seed, {_h48s("s.seed || word")} % 16 AS bucket
+  FROM tok CROSS JOIN (SELECT unnest(['a','b','c']) AS seed) s
+)
+SELECT seed, bucket, CAST(count(*) AS BIGINT) AS bucket_n
+FROM ex GROUP BY 1, 2
+"""
+
+
+@_q("st_cms_merge", _ST_CMS_ORACLE)
+def st_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.streaming.ingest import (
+        latest_state,
+        start_streaming_cms_merge,
+    )
+
+    run_dir = tempfile.mkdtemp(prefix="ie_stream_cms_")
+    try:
+        src = os.path.join(run_dir, "src")
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        # 4 part files -> 4 genuine micro-batches at one file per
+        # trigger. Any split works: CMS additivity needs no
+        # co-partitioning contract (unlike n_convs in the support
+        # merge) — every token occurrence is in exactly one batch.
+        d.select("doc_id", "text").repartition(4, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_streaming_cms_merge(
+            spark,
+            stream,
+            os.path.join(run_dir, "state"),
+            os.path.join(run_dir, "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = latest_state(spark, os.path.join(run_dir, "state"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

@@ -184,6 +184,51 @@ def merge_support_batch(
     else merge into the committed version, write ``v=<k+1>``
     (overwriting any orphan from a crash), atomically advance the
     pointer, and prune superseded version dirs."""
+
+    def merge(merged_in: DataFrame) -> DataFrame:
+        return merged_in.groupBy("subject", "predicate", "object").agg(
+            F.sum("support").cast("long").alias("support"),
+            F.sum("n_convs").cast("long").alias("n_convs"),
+            F.min("first_turn").cast("int").alias("first_turn"),
+        )
+
+    merge_versioned_batch(spark, batch_support, state_dir, epoch_id, merge)
+
+
+def merge_cms_batch(
+    spark: SparkSession,
+    batch_counts: DataFrame,
+    state_dir: str,
+    epoch_id: int,
+) -> None:
+    """One epoch's Count-Min merge: CMS counters are ADDITIVE (every
+    token occurrence belongs to exactly one micro-batch, and the
+    sketch is a sum of per-occurrence indicator vectors), so the
+    state merge is a plain (seed, bucket) counter sum — the
+    mergeability that makes the sketch a streaming-native summary.
+    Same exactly-once versioned-commit machinery as the support
+    merge."""
+
+    def merge(merged_in: DataFrame) -> DataFrame:
+        return merged_in.groupBy("seed", "bucket").agg(
+            F.sum("bucket_n").cast("long").alias("bucket_n")
+        )
+
+    merge_versioned_batch(spark, batch_counts, state_dir, epoch_id, merge)
+
+
+def merge_versioned_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    epoch_id: int,
+    merge,
+) -> None:
+    """Generic exactly-once versioned state merge (the commit shape
+    merge_support_batch documents): skip replayed epochs, union the
+    committed version with the batch, apply ``merge``, write
+    ``v=<k+1>``, atomically swing the ``_committed`` pointer, prune
+    superseded versions."""
     import os
     import shutil
 
@@ -194,14 +239,10 @@ def merge_support_batch(
         old = spark.read.parquet(
             os.path.join(state_dir, f"v={committed[1]}")
         )
-        merged_in = old.unionByName(batch_support)
+        merged_in = old.unionByName(batch_df)
     else:
-        merged_in = batch_support
-    merged = merged_in.groupBy("subject", "predicate", "object").agg(
-        F.sum("support").cast("long").alias("support"),
-        F.sum("n_convs").cast("long").alias("n_convs"),
-        F.min("first_turn").cast("int").alias("first_turn"),
-    )
+        merged_in = batch_df
+    merged = merge(merged_in)
     new_v = (committed[1] + 1) if committed is not None else 0
     os.makedirs(state_dir, exist_ok=True)
     merged.write.mode("overwrite").parquet(
@@ -247,10 +288,54 @@ def committed_state(state_dir: str) -> tuple[int, int] | None:
     return int(epoch_s), int(version_s)
 
 
-def latest_support_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Read the COMMITTED state written by
-    start_streaming_support_merge (orphan uncommitted dirs from a
-    crash are ignored)."""
+def start_streaming_cms_merge(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    state_dir: str,
+    checkpoint_path: str,
+    width: int = 16,
+    seeds: tuple[str, ...] = ("a", "b", "c"),
+):
+    """foreachBatch streaming Count-Min maintenance: each micro-batch
+    of documents contributes its (seed, bucket) partial counts (the
+    same explicit md5-48bit bucketing as the batch a11 sketch), and
+    the versioned state MERGE adds them — after the stream drains,
+    the state table must equal the batch CMS over the full corpus
+    (the st_cms_merge catalog query value-checks exactly that).
+
+    This is the sketch's reason to exist in a streaming pipeline: the
+    live state is d×w counters regardless of how much text has
+    streamed past, and any window of history merges into any other by
+    addition — no raw recount, no unbounded keyed state."""
+    from information_extraction_spark.functions.hashing import h48
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        words = batch_df.select(
+            F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        seed_col = F.explode(F.array(*[F.lit(x) for x in seeds]))
+        counts = (
+            words.withColumn("seed", seed_col)
+            .withColumn(
+                "bucket", h48(F.concat(F.col("seed"), F.col("word"))) % width
+            )
+            .groupBy("seed", "bucket")
+            .agg(F.count("*").cast("long").alias("bucket_n"))
+        )
+        merge_cms_batch(spark, counts, state_dir, epoch_id)
+
+    return (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
+def latest_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the COMMITTED versioned state (orphan uncommitted dirs
+    from a crash are ignored)."""
     import os
 
     committed = committed_state(state_dir)
@@ -259,6 +344,12 @@ def latest_support_state(spark: SparkSession, state_dir: str) -> DataFrame:
             f"no committed state versions under {state_dir}"
         )
     return spark.read.parquet(os.path.join(state_dir, f"v={committed[1]}"))
+
+
+def latest_support_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Back-compat name: the committed state written by
+    start_streaming_support_merge."""
+    return latest_state(spark, state_dir)
 
 
 def start_conversation_sessions(

@@ -576,3 +576,29 @@ def test_ann_recall_audit_full_and_partial(spark, tmp_path):
     assert r["n_candidates"] == 11
     assert r["n_hits"] == 10
     assert r["recall"] == 1.0
+
+
+def test_q19_disjunct_boundaries(spark, tmp_path):
+    """Each disjunct admits only its own (type, quantity) region:
+    PROMO@20 in, PROMO@21 out, STANDARD@10 in, STANDARD@9 out,
+    MEDIUM@15 out regardless of quantity."""
+    from information_extraction_spark.driver_queries.relational import (
+        q19_disjunctive_filter,
+    )
+
+    sf = _write_tpch(
+        spark,
+        tmp_path,
+        lineitem=[
+            (1, 1, 20.0, 10.0, 0.0, "N", "1995-09-10"),
+            (1, 1, 21.0, 10.0, 0.0, "N", "1995-09-10"),
+            (1, 2, 10.0, 10.0, 0.0, "N", "1995-09-10"),
+            (1, 2, 9.0, 10.0, 0.0, "N", "1995-09-10"),
+            (1, 3, 15.0, 10.0, 0.0, "N", "1995-09-10"),
+        ],
+        orders=[(1, 10, "1995-09-01")],
+        customer=[(10, "A", 0)],
+        part=[(1, "PROMO"), (2, "STANDARD"), (3, "MEDIUM")],
+    )
+    r = q19_disjunctive_filter(spark, sf).first()
+    assert (r["n_rows"], r["revenue"]) == (2, 20.0)

@@ -424,3 +424,31 @@ def test_streaming_dedup_suppresses_cross_batch_duplicates(
         for _, t in docs
     }
     assert got == want
+
+
+def test_cms_merge_adds_and_skips_replayed_epoch(spark, tmp_path):
+    """CMS counters ADD across epochs; a replayed epoch_id is a no-op
+    (exactly-once), and the committed pointer survives."""
+    import os
+
+    from information_extraction_spark.streaming.ingest import (
+        latest_state,
+        merge_cms_batch,
+    )
+
+    state = os.path.join(str(tmp_path), "state")
+    b1 = spark.createDataFrame(
+        [("a", 3, 5), ("b", 3, 2)], "seed string, bucket int, bucket_n long"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 3, 7), ("c", 1, 1)], "seed string, bucket int, bucket_n long"
+    )
+    merge_cms_batch(spark, b1, state, epoch_id=0)
+    merge_cms_batch(spark, b2, state, epoch_id=1)
+    # Replay of epoch 1 (at-least-once delivery) must not double-add.
+    merge_cms_batch(spark, b2, state, epoch_id=1)
+    got = {
+        (r["seed"], r["bucket"]): r["bucket_n"]
+        for r in latest_state(spark, state).collect()
+    }
+    assert got == {("a", 3): 12, ("b", 3): 2, ("c", 1): 1}
