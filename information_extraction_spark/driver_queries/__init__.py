@@ -42,6 +42,9 @@ _CHANGED_THIS_ROUND = [
     # and the INTERSECT/EXCEPT set operators over (user, day) keys.
     "p17_arrow_map",
     "q11_set_ops",
+    # Ordered 3-step funnel analysis (chained conditional mins on the
+    # reused user_id exchange; ordering, not presence).
+    "w14_funnel",
     # Streaming Count-Min maintenance (mergeable-sketch state via the
     # generic versioned exactly-once merge; oracle = the batch CMS)
     # and the TPC-H Q19 OR-of-ANDs derived-pushdown shape.

@@ -880,3 +880,102 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         (F.sum(cents) / F.lit(100.0)).alias("revenue"),
     )
+
+
+# --- W14: funnel analysis (ordered 3-step sequence per user) ----------------------
+#
+# The product-analytics staple: how far does each user get through
+# view → purchase → error (step N counts only if it happens AT OR
+# AFTER step N-1 — ordering, not mere presence). Evaluated in ONE
+# pass with no self-joins: a single conditional min-aggregation per
+# step would be circular (step 2's floor is step 1's result), but
+# min-over-window composition collapses it — per user, v1 =
+# min(view sec); p1 = min(purchase sec >= v1); e1 = min(error sec >=
+# p1). The implementation runs ONE shuffle on user_id and evaluates
+# the three floors inside a single aggregate over the collected
+# per-user events? No — collecting events per user is unbounded
+# state. Instead: three chained aggregates, each map-side combined,
+# all hash-partitioned on user_id so Spark reuses the exchange — the
+# fact table is read once, the step tables are user-cardinality.
+# Conditional mins use null-propagation (min ignores nulls; a user
+# without step N-1 never reaches step N).
+
+_W14_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events WHERE ts IS NOT NULL
+), s1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN sec END) AS v1
+  FROM e GROUP BY 1
+), s2 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'purchase' AND e.sec >= s1.v1
+             THEN e.sec END) AS p1
+  FROM e JOIN s1 USING (user_id)
+  WHERE s1.v1 IS NOT NULL
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'error' AND e.sec >= s2.p1
+             THEN e.sec END) AS e1
+  FROM e JOIN s2 USING (user_id)
+  WHERE s2.p1 IS NOT NULL
+  GROUP BY 1
+)
+SELECT s1.user_id, s1.v1, s2.p1, s3.e1,
+       CAST(CASE WHEN s1.v1 IS NULL THEN 0
+                 WHEN s2.p1 IS NULL THEN 1
+                 WHEN s3.e1 IS NULL THEN 2
+                 ELSE 3 END AS INT) AS steps_completed
+FROM s1
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
+@_q("w14_funnel", _W14_ORACLE)
+def w14_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_sec(spark, sf_dir).select("user_id", "event_type", "sec")
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("sec"))).alias(
+            "v1"
+        )
+    )
+    s2 = (
+        e.join(s1.filter(F.col("v1").isNotNull()), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("sec") >= F.col("v1")),
+                    F.col("sec"),
+                )
+            ).alias("p1")
+        )
+    )
+    s3 = (
+        e.join(s2.filter(F.col("p1").isNotNull()), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "error")
+                    & (F.col("sec") >= F.col("p1")),
+                    F.col("sec"),
+                )
+            ).alias("e1")
+        )
+    )
+    steps = (
+        F.when(F.col("v1").isNull(), 0)
+        .when(F.col("p1").isNull(), 1)
+        .when(F.col("e1").isNull(), 2)
+        .otherwise(3)
+        .cast("int")
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", "v1", "p1", "e1", steps.alias("steps_completed"))
+    )

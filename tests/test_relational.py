@@ -602,3 +602,56 @@ def test_q19_disjunct_boundaries(spark, tmp_path):
     )
     r = q19_disjunctive_filter(spark, sf).first()
     assert (r["n_rows"], r["revenue"]) == (2, 20.0)
+
+
+def test_w14_funnel_ordering_not_presence(spark, tmp_path):
+    """Step N counts only at/after step N-1: user 2's purchase BEFORE
+    the view doesn't advance the funnel (the later one does); user
+    3's error before the purchase is ignored; user 4 stalls at view;
+    user 5 (no view) completes 0 steps."""
+    from information_extraction_spark.driver_queries.relational import (
+        w14_funnel,
+    )
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # user 1: clean view(10) -> purchase(20) -> error(30).
+            (0, 10, 1, "view", 0.0),
+            (1, 20, 1, "purchase", 0.0),
+            (2, 30, 1, "error", 0.0),
+            # user 2: purchase(5) precedes view(10); purchase(40) counts.
+            (3, 5, 2, "purchase", 0.0),
+            (4, 10, 2, "view", 0.0),
+            (5, 40, 2, "purchase", 0.0),
+            # user 3: error(15) before purchase(20) is ignored -> steps 2.
+            (6, 10, 3, "view", 0.0),
+            (7, 15, 3, "error", 0.0),
+            (8, 20, 3, "purchase", 0.0),
+            # user 4: view only.
+            (9, 10, 4, "view", 0.0),
+            # user 5: error only -> steps 0.
+            (10, 10, 5, "error", 0.0),
+        ],
+    )
+    base = int(
+        spark.sql("SELECT unix_timestamp(timestamp'2024-01-01') s")
+        .first()["s"]
+    )
+    got = {
+        r["user_id"]: (
+            None if r["v1"] is None else r["v1"] - base,
+            None if r["p1"] is None else r["p1"] - base,
+            None if r["e1"] is None else r["e1"] - base,
+            r["steps_completed"],
+        )
+        for r in w14_funnel(spark, sf).collect()
+    }
+    assert got == {
+        1: (10, 20, 30, 3),
+        2: (10, 40, None, 2),
+        3: (10, 20, None, 2),
+        4: (10, None, None, 1),
+        5: (None, None, None, 0),
+    }
