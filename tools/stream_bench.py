@@ -228,6 +228,59 @@ def main() -> int:
         a.join(b, join_cond).select("v_id", "p_id").sort("v_id", "p_id").collect()
     )
     join_parity = streamed_pairs == batch_pairs
+
+    # --- Streaming Count-Min maintenance leg -------------------------
+    # Documents drained as 4 micro-batches; each contributes its
+    # (seed, bucket) partial counts and the versioned exactly-once
+    # merge ADDS them (sketch mergeability). Exit gated on full row
+    # equality vs the batch CMS over the same corpus.
+    from information_extraction_spark.functions.hashing import h48
+    from information_extraction_spark.streaming.ingest import (
+        latest_state,
+        start_streaming_cms_merge,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    cms_src = os.path.join(base, "src_cms")
+    docs.select("doc_id", "text").repartition(4, "doc_id").write.mode(
+        "overwrite"
+    ).parquet(cms_src)
+    cms_state = os.path.join(base, "state_cms")
+    cms_stream = (
+        spark.readStream.schema(spark.read.parquet(cms_src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cms_src)
+    )
+    t0 = time.time()
+    q4 = start_streaming_cms_merge(
+        spark, cms_stream, cms_state, os.path.join(base, "ckpt_cms")
+    )
+    try:
+        q4.processAllAvailable()
+        cms_sec = time.time() - t0
+    finally:
+        q4.stop()
+    cms_stream_state = latest_state(spark, cms_state).cache()
+    n_cms_rows = cms_stream_state.count()
+    batch_cms = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .withColumn(
+            "seed", F.explode(F.array(F.lit("a"), F.lit("b"), F.lit("c")))
+        )
+        .withColumn(
+            "bucket", h48(F.concat(F.col("seed"), F.col("word"))) % 16
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").cast("long").alias("bucket_n"))
+        .cache()
+    )
+    cms_parity = (
+        cms_stream_state.exceptAll(batch_cms).count() == 0
+        and batch_cms.exceptAll(cms_stream_state).count() == 0
+    )
+    batch_cms.unpersist()
+    cms_stream_state.unpersist()
     n_pairs = len(streamed_pairs)
 
     md = f"""# Streaming ingest throughput — tools/stream_bench.py
@@ -290,6 +343,22 @@ state; parquet append sink.
 | events/sec | {n_events / join_sec:.0f} |
 | attribution pairs | {n_pairs} |
 | pair set equals the batch join | {join_parity} |
+
+## Streaming Count-Min maintenance (mergeable-sketch state)
+
+The documents table ({n_docs} docs) staged as 4 doc_id-hash chunks
+(one micro-batch each); every batch's (seed, bucket) partial counts
+ADD into the versioned exactly-once state (streaming/ingest.py
+merge_cms_batch) — live sketch state is 48 counters regardless of
+how much text has streamed past.
+
+| metric | value |
+|---|---|
+| documents streamed | {n_docs} |
+| end-to-end drain | {cms_sec:.2f}s |
+| docs/sec | {n_docs / cms_sec:.0f} |
+| occupied (seed, bucket) counters | {n_cms_rows} |
+| state equals the batch CMS (full row equality) | {cms_parity} |
 """
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
@@ -299,7 +368,12 @@ state; parquet append sink.
     shutil.rmtree(base, ignore_errors=True)
     return (
         0
-        if (n_stream == n_batch and support_parity and join_parity)
+        if (
+            n_stream == n_batch
+            and support_parity
+            and join_parity
+            and cms_parity
+        )
         else 1
     )
 
