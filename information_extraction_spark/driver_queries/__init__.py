@@ -42,6 +42,9 @@ _CHANGED_THIS_ROUND = [
     # and the INTERSECT/EXCEPT set operators over (user, day) keys.
     "p17_arrow_map",
     "q11_set_ops",
+    # Cross-extractor agreement audit (rule-based vs NN detections,
+    # FULL OUTER on the provenance key; integer-ppm Jaccard).
+    "a13_extractor_agreement",
     # Ordered 3-step funnel analysis (chained conditional mins on the
     # reused user_id exchange; ordering, not presence).
     "w14_funnel",

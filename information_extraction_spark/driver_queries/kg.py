@@ -2201,3 +2201,95 @@ def kg_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = kg_extract_triples(spark, sf_dir)
     ORACLES["kg_resource_alloc"] = _ra_oracle_sql(sf_dir)
     return resource_alloc_pairs(triples, max_obj_deg=1000, min_shared=1)
+
+
+def _agreement_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    n = f"read_parquet('{_golden_path('nn', sf_dir)}/*.parquet')"
+    return f"""
+WITH r AS (
+  SELECT DISTINCT conv_id, turn_idx, predicate FROM {g}
+  WHERE CAST(regexp_extract(conv_id, '^doc(\\d+)\\.', 1) AS BIGINT)
+        % {_NN_DOC_MOD} = 0
+), nn AS (
+  SELECT DISTINCT conv_id, turn_idx, predicate FROM {n}
+), j AS (
+  SELECT COALESCE(r.predicate, nn.predicate) AS predicate,
+         (r.conv_id IS NOT NULL) AS in_r,
+         (nn.conv_id IS NOT NULL) AS in_nn
+  FROM r FULL OUTER JOIN nn
+    ON r.conv_id = nn.conv_id AND r.turn_idx = nn.turn_idx
+   AND r.predicate = nn.predicate
+)
+SELECT predicate,
+       CAST(sum(CASE WHEN in_r AND in_nn THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       CAST(sum(CASE WHEN in_r AND NOT in_nn THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rules_only,
+       CAST(sum(CASE WHEN in_nn AND NOT in_r THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nn_only,
+       CAST(sum(CASE WHEN in_r AND in_nn THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS jaccard_ppm
+FROM j GROUP BY 1
+"""
+
+
+@_q("a13_extractor_agreement", _agreement_oracle_sql("/root/testdata/sf0.01"))
+def a13_extractor_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-extractor agreement audit: the rule-based pipeline vs the
+    BiLSTM-CRF NN extractor on the SAME transcript subset (the NN
+    query's doc_id % 50 slice), per predicate — both/rules-only/
+    nn-only DETECTION counts ((conv, turn, predicate) granularity)
+    and set-Jaccard in integer ppm. The QA table that decides whether
+    a model swap is safe (the reference's dual-model comparison
+    workflow, re-expressed as one query). Granularity note: with the
+    synthetic deterministic checkpoint the NN's exact SPANS never
+    coincide with the rule-based ones (span-level n_both is
+    identically zero — measured, not assumed), so the driver-visible
+    audit keys on detection, where all three cells are populated
+    (102 rules / 183 nn / 12 both at sf0.01); a real trained
+    checkpoint would tighten the key back to the full (s, p, o).
+    Scale shape: both sides collapse to DISTINCT detection keys first
+    (map-side partial distinct), the FULL OUTER join runs on the
+    shared 3-column key — co-keyed shuffles at detection cardinality,
+    never event cardinality — and the predicate rollup is map-side
+    combined; nothing broadcasts by assumption."""
+    key = ["conv_id", "turn_idx", "predicate"]
+    rules = (
+        kg_extract_triples(spark, sf_dir)
+        .filter(
+            F.regexp_extract("conv_id", r"^doc(\d+)\.", 1).cast("long")
+            % _NN_DOC_MOD
+            == 0
+        )
+        .select(*key)
+        .distinct()
+        .withColumn("in_r", F.lit(True))
+    )
+    nn = (
+        kg_nn_extract(spark, sf_dir)
+        .select(*key)
+        .distinct()
+        .withColumn("in_nn", F.lit(True))
+    )
+    ORACLES["a13_extractor_agreement"] = _agreement_oracle_sql(sf_dir)
+    j = rules.join(nn, key, "full_outer").select(
+        "predicate",
+        F.coalesce("in_r", F.lit(False)).alias("in_r"),
+        F.coalesce("in_nn", F.lit(False)).alias("in_nn"),
+    )
+    return j.groupBy("predicate").agg(
+        F.sum(F.when(F.col("in_r") & F.col("in_nn"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both"),
+        F.sum(F.when(F.col("in_r") & ~F.col("in_nn"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rules_only"),
+        F.sum(F.when(F.col("in_nn") & ~F.col("in_r"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nn_only"),
+        F.expr(
+            "CAST(sum(CASE WHEN in_r AND in_nn THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("jaccard_ppm"),
+    )
