@@ -42,6 +42,9 @@ _CHANGED_THIS_ROUND = [
     # and the INTERSECT/EXCEPT set operators over (user, day) keys.
     "p17_arrow_map",
     "q11_set_ops",
+    # CDC log compaction to current state — upserts + tombstone
+    # DELETEs, latest-op-wins via one struct-max shuffle.
+    "w15_cdc_apply",
     # Cross-extractor agreement audit (rule-based vs NN detections,
     # FULL OUTER on the provenance key; integer-ppm Jaccard).
     "a13_extractor_agreement",

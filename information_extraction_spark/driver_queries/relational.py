@@ -979,3 +979,60 @@ def w14_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s3, "user_id", "left")
         .select("user_id", "v1", "p1", "e1", steps.alias("steps_completed"))
     )
+
+
+# --- W15: CDC log compaction (upserts + DELETES -> current state) -----------------
+#
+# The change-data-capture materialization the catalog's merges lacked
+# the D of: the event stream is a per-user changelog (any ordinary
+# event upserts the user's current row; an 'error' event is the
+# tombstone/DELETE), and the query compacts it to current state —
+# per user, the LATEST op wins, and a user whose latest op is the
+# tombstone has NO row (Kafka log-compaction / Iceberg MERGE WITH
+# DELETE semantics). ONE map-side-combined shuffle: the latest op is
+# a struct-ordered max over (sec, event_id, ...) — never a whole-log
+# window, never a self-join on max(ts); order is total because
+# event_id breaks timestamp ties. The struct max carries a string
+# field, so Spark plans the SortAggregate pair (its fallback for
+# string-typed max buffers — same documented shape as
+# kg_functional_resolve), still map-side partial.
+
+_W15_ORACLE = """
+WITH log AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events WHERE ts IS NOT NULL
+), latest AS (
+  SELECT user_id, event_id, event_type, value, sec, op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY sec DESC, event_id DESC) AS rn
+  FROM log
+)
+SELECT user_id, event_type AS current_type, value AS current_value,
+       sec AS updated_sec
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@_q("w15_cdc_apply", _W15_ORACLE)
+def w15_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_sec(spark, sf_dir)
+    op = F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+        F.lit("U")
+    )
+    latest = (
+        e.withColumn("op", op)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("sec", "event_id", "op", "event_type", "value")
+            ).alias("w")
+        )
+    )
+    return latest.filter(F.col("w.op") != "D").select(
+        "user_id",
+        F.col("w.event_type").alias("current_type"),
+        F.col("w.value").alias("current_value"),
+        F.col("w.sec").alias("updated_sec"),
+    )

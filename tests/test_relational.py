@@ -655,3 +655,41 @@ def test_w14_funnel_ordering_not_presence(spark, tmp_path):
         4: (10, None, None, 1),
         5: (None, None, None, 0),
     }
+
+
+def test_w15_cdc_latest_op_wins_and_tombstone_deletes(spark, tmp_path):
+    """Latest op per user wins with (sec, event_id) tie-break; a
+    trailing tombstone removes the row; an upsert AFTER a tombstone
+    restores it."""
+    from information_extraction_spark.driver_queries.relational import (
+        w15_cdc_apply,
+    )
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # user 1: upsert then tombstone -> gone.
+            (0, 10, 1, "view", 1.0),
+            (1, 20, 1, "error", 0.0),
+            # user 2: tombstone then upsert -> restored with the upsert.
+            (2, 10, 2, "error", 0.0),
+            (3, 20, 2, "purchase", 7.5),
+            # user 3: same-sec tie -> higher event_id (click) wins.
+            (4, 30, 3, "view", 1.0),
+            (5, 30, 3, "click", 2.0),
+        ],
+    )
+    base = int(
+        spark.sql("SELECT unix_timestamp(timestamp'2024-01-01') s")
+        .first()["s"]
+    )
+    got = {
+        r["user_id"]: (r["current_type"], r["current_value"],
+                       r["updated_sec"] - base)
+        for r in w15_cdc_apply(spark, sf).collect()
+    }
+    assert got == {
+        2: ("purchase", 7.5, 20),
+        3: ("click", 2.0, 30),
+    }
