@@ -42,6 +42,12 @@ _CHANGED_THIS_ROUND = [
     # and the INTERSECT/EXCEPT set operators over (user, day) keys.
     "p17_arrow_map",
     "q11_set_ops",
+    # Deterministic weighted sampling (the domain-mix APPLY step:
+    # hash-threshold keep decisions, pure BIGINT) and AMIE-style
+    # horn-rule mining over the graph (bounded (s,o)-keyed expansion,
+    # integer-ppm confidence).
+    "ta_weighted_sample",
+    "kg_rule_mining",
     # CDC log compaction to current state — upserts + tombstone
     # DELETEs, latest-op-wins via one struct-max shuffle.
     "w15_cdc_apply",

@@ -2293,3 +2293,73 @@ def a13_extractor_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div count(*) AS BIGINT)"
         ).alias("jaccard_ppm"),
     )
+
+
+def _rule_mining_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH so AS (
+  SELECT DISTINCT subject, object, predicate FROM {g}
+), body AS (
+  SELECT predicate, CAST(count(*) AS BIGINT) AS n_body
+  FROM so GROUP BY 1
+), rules AS (
+  SELECT a.predicate AS p_body, b.predicate AS p_head,
+         CAST(count(*) AS BIGINT) AS support
+  FROM so a JOIN so b
+    ON a.subject = b.subject AND a.object = b.object
+   AND a.predicate <> b.predicate
+  GROUP BY 1, 2
+)
+SELECT r.p_body, r.p_head, r.support, body.n_body,
+       CAST(r.support * 1000000 // body.n_body AS BIGINT)
+         AS confidence_ppm
+FROM rules r JOIN body ON body.predicate = r.p_body
+WHERE r.support >= 2
+"""
+
+
+@_q("kg_rule_mining", _rule_mining_oracle_sql("/root/testdata/sf0.01"))
+def kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style horn-rule mining over the materialized graph:
+    directional implications p_body(x,y) => p_head(x,y) with support
+    (entity pairs asserting both) and confidence = support /
+    |pairs asserting p_body| in integer ppm — the KG-completion
+    signal that proposes new edges wherever a high-confidence body
+    fires without its head. Scale shape: the pair table collapses to
+    DISTINCT (s, o, predicate) first; predicates per pair are
+    schema-bounded (<= 50), so the rule expansion is a bounded
+    collect_set explosion keyed on the (s, o) pair — never a triple-
+    table self-join whose hot pairs square (same discipline as
+    kg_pred_cooccur, different key). Body counts ride a second
+    map-side-combined shuffle at predicate cardinality and broadcast
+    into the confidence join."""
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_rule_mining"] = _rule_mining_oracle_sql(sf_dir)
+    so = triples.select("subject", "object", "predicate").distinct()
+    body = so.groupBy("predicate").agg(
+        F.count("*").cast("long").alias("n_body")
+    )
+    per_pair = so.groupBy("subject", "object").agg(
+        F.collect_set("predicate").alias("ps")
+    )
+    rules = (
+        per_pair.select(F.explode("ps").alias("p_body"), "ps")
+        .select("p_body", F.explode("ps").alias("p_head"))
+        .filter(F.col("p_body") != F.col("p_head"))
+        .groupBy("p_body", "p_head")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return rules.join(
+        F.broadcast(body.withColumnRenamed("predicate", "p_body")),
+        "p_body",
+    ).select(
+        "p_body",
+        "p_head",
+        "support",
+        "n_body",
+        F.expr("CAST(support * 1000000 div n_body AS BIGINT)").alias(
+            "confidence_ppm"
+        ),
+    )

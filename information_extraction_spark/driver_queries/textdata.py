@@ -2668,3 +2668,98 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ratio_ppm"),
         )
     )
+
+
+# --- Deterministic weighted sampling (the domain-mix APPLY step) ---------------
+#
+# ta_domain_mix computes per-language keep RATES; this op APPLIES
+# them the only way a 100 TB pipeline can afford: keep doc d iff
+# h48(doc_id) < rate * 2^48 — a pure narrow filter on the scan,
+# reproducible forever (reruns, backfills, and late shards make
+# identical keep decisions with zero coordination; rand() would
+# re-roll per run and per task retry, and a task retry under rand()
+# even breaks exactly-once sinks). The comparison is pure BIGINT:
+# the 4dp-rounded rate becomes rate4 = round(rate*10^4) and the test
+# is h48 * 10^4 < rate4 * 2^48 (both sides < 2^63). The rate table
+# is language-bounded and broadcasts; the per-language kept counts
+# audit that the realized fraction tracks the rate.
+
+from information_extraction_spark.functions.hashing import (  # noqa: E402
+    h48 as _h48w,
+    h48_sql as _h48w_sql,
+)
+
+_WSAMPLE_ORACLE = f"""
+WITH per AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(lang_tokens) AS DOUBLE) AS total,
+         CAST(count(*) AS DOUBLE) AS n_langs
+  FROM per
+), rates AS (
+  SELECT lang, n_docs,
+         CAST(round(round(LEAST(1.0, (tot.total / tot.n_langs)
+                                     / per.lang_tokens), 4) * 10000)
+              AS BIGINT) AS rate4
+  FROM per CROSS JOIN tot
+), kept AS (
+  SELECT d.doc_id, d.lang
+  FROM documents d JOIN rates r USING (lang)
+  WHERE {_h48w_sql("CAST(d.doc_id AS VARCHAR)")} * 10000
+        < r.rate4 * 281474976710656
+)
+SELECT r.lang, r.rate4, r.n_docs,
+       CAST(count(kept.doc_id) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept ON kept.lang = r.lang
+GROUP BY 1, 2, 3
+"""
+
+
+@_q("ta_weighted_sample", _WSAMPLE_ORACLE)
+def ta_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    per = d.select(
+        "lang", F.size(F.split("text", " ")).cast("long").alias("nt")
+    ).groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("lang_tokens"),
+    )
+    tot = per.agg(
+        F.sum("lang_tokens").cast("double").alias("total"),
+        F.count("*").cast("double").alias("n_langs"),
+    )
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("total") / F.col("n_langs"))
+                    / F.col("lang_tokens"),
+                ),
+                4,
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("rate4"),
+    )
+    kept = d.join(F.broadcast(rates), "lang").filter(
+        _h48w(F.col("doc_id").cast("string")) * 10000
+        < F.col("rate4") * F.lit(2**48)
+    )
+    # LEFT join from the rate table so a language sampled to zero
+    # still reports its (rate4, n_kept=0) audit row.
+    kept_counts = kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_kept")
+    )
+    return rates.join(kept_counts, "lang", "left").select(
+        "lang",
+        "rate4",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

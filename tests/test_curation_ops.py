@@ -473,3 +473,31 @@ def test_pmi_collocations_integer_ratio(spark, tmp_path):
     # tokens: a=5, b=5, x=1, c=1 -> n_x=n_y=5; bigrams total 10; c_ab=5.
     assert (r["n_xy"], r["n_x"], r["n_y"], r["n_bigrams"]) == (5, 5, 5, 10)
     assert r["pmi_ratio_ppm"] == (5 * 10 * 1000000) // 25
+
+
+def test_weighted_sample_matches_hashlib_decisions(spark, tmp_path):
+    """The keep decision is exactly h48(doc_id)*10^4 < rate4*2^48,
+    recomputed here with hashlib; a language sampled to zero still
+    reports its audit row."""
+    import hashlib
+
+    from information_extraction_spark.driver_queries.textdata import (
+        ta_weighted_sample,
+    )
+
+    # en: 9 docs x 8 tokens = 72; de: 1 doc x 8 tokens = 8.
+    # total=80, n_langs=2, target=40 -> en rate = 40/72 = 0.5556,
+    # de rate = 1.0 (capped).
+    rows = [(i, "a b c d e f g h", "en") for i in range(9)]
+    rows.append((99, "a b c d e f g h", "de"))
+    sf = _write_docs(spark, tmp_path, rows, "wsample_sf")
+    got = {r["lang"]: r for r in ta_weighted_sample(spark, sf).collect()}
+    assert got["de"]["rate4"] == 10000 and got["de"]["n_kept"] == 1
+    assert got["en"]["rate4"] == 5556
+    expect_en = sum(
+        1
+        for i in range(9)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) * 10000
+        < 5556 * 2**48
+    )
+    assert got["en"]["n_kept"] == expect_en
