@@ -48,6 +48,9 @@ _CHANGED_THIS_ROUND = [
     # integer-ppm confidence).
     "ta_weighted_sample",
     "kg_rule_mining",
+    # Rule APPLICATION: propose head edges where a >=0.5-confidence
+    # body fires and the head is absent (LeftAnti on the edge key).
+    "kg_rule_apply",
     # CDC log compaction to current state — upserts + tombstone
     # DELETEs, latest-op-wins via one struct-max shuffle.
     "w15_cdc_apply",

@@ -2363,3 +2363,97 @@ def kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "confidence_ppm"
         ),
     )
+
+
+def _rule_apply_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH so AS (
+  SELECT DISTINCT subject, object, predicate FROM {g}
+), body AS (
+  SELECT predicate, CAST(count(*) AS BIGINT) AS n_body
+  FROM so GROUP BY 1
+), rules AS (
+  SELECT a.predicate AS p_body, b.predicate AS p_head,
+         CAST(count(*) AS BIGINT) AS support
+  FROM so a JOIN so b
+    ON a.subject = b.subject AND a.object = b.object
+   AND a.predicate <> b.predicate
+  GROUP BY 1, 2
+), conf AS (
+  SELECT r.p_body, r.p_head,
+         CAST(r.support * 1000000 // body.n_body AS BIGINT) AS c_ppm
+  FROM rules r JOIN body ON body.predicate = r.p_body
+  WHERE r.support >= 2
+    AND r.support * 1000000 // body.n_body >= 500000
+), fired AS (
+  SELECT so.subject, so.object, conf.p_head, conf.c_ppm
+  FROM so JOIN conf ON conf.p_body = so.predicate
+), missing AS (
+  SELECT f.* FROM fired f
+  LEFT JOIN so ON so.subject = f.subject AND so.object = f.object
+             AND so.predicate = f.p_head
+  WHERE so.predicate IS NULL
+)
+SELECT subject, object, p_head AS predicate,
+       CAST(max(c_ppm) AS BIGINT) AS best_confidence_ppm,
+       CAST(count(*) AS BIGINT) AS n_rules_firing
+FROM missing GROUP BY 1, 2, 3
+"""
+
+
+@_q("kg_rule_apply", _rule_apply_oracle_sql("/root/testdata/sf0.01"))
+def kg_rule_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The completion step over kg_rule_mining's rules: wherever a
+    rule with confidence >= 0.5 fires (its body edge exists) but the
+    head edge is MISSING, propose the head edge, ranked by the best
+    firing rule's confidence (and how many distinct rules propose
+    it). Scale shape: the bounded rule table (<= 50x50) broadcasts
+    into the edge scan; the head-existence check is a LeftAnti join
+    on the (s, o, p) key — both sides edge-cardinality, co-keyed, no
+    broadcast assumed; the final rollup is map-side combined. This is
+    the anti-join-after-inference shape every materialized-view /
+    completion pipeline runs: propose only what is absent."""
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_rule_apply"] = _rule_apply_oracle_sql(sf_dir)
+    so = triples.select("subject", "object", "predicate").distinct()
+    body = so.groupBy("predicate").agg(
+        F.count("*").cast("long").alias("n_body")
+    )
+    per_pair = so.groupBy("subject", "object").agg(
+        F.collect_set("predicate").alias("ps")
+    )
+    rules = (
+        per_pair.select(F.explode("ps").alias("p_body"), "ps")
+        .select("p_body", F.explode("ps").alias("p_head"))
+        .filter(F.col("p_body") != F.col("p_head"))
+        .groupBy("p_body", "p_head")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    conf = (
+        rules.join(
+            body.withColumnRenamed("predicate", "p_body"), "p_body"
+        )
+        .withColumn(
+            "c_ppm",
+            F.expr("CAST(support * 1000000 div n_body AS BIGINT)"),
+        )
+        .filter(F.col("c_ppm") >= 500000)
+        .select("p_body", "p_head", "c_ppm")
+    )
+    fired = so.join(
+        F.broadcast(conf), so.predicate == conf.p_body
+    ).select("subject", "object", "p_head", "c_ppm")
+    existing = so.select(
+        "subject", "object", F.col("predicate").alias("p_head")
+    )
+    missing = fired.join(
+        existing, ["subject", "object", "p_head"], "left_anti"
+    )
+    return missing.groupBy(
+        "subject", "object", F.col("p_head").alias("predicate")
+    ).agg(
+        F.max("c_ppm").cast("long").alias("best_confidence_ppm"),
+        F.count("*").cast("long").alias("n_rules_firing"),
+    )
