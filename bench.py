@@ -220,6 +220,11 @@ def main() -> int:
         "kg_label_propagation",
         "p16_chunk_udtf",
         "q10_returned_items",
+        "w14_funnel",
+        "w15_cdc_apply",
+        "kg_rule_mining",
+        "ta_weighted_sample",
+        "q19_disjunctive_filter",
         "a12_kmv_distinct",
         "j10_bloom_filter_join",
         "ta_pmi_collocations",
