@@ -42,6 +42,10 @@ _CHANGED_THIS_ROUND = [
     # and the INTERSECT/EXCEPT set operators over (user, day) keys.
     "p17_arrow_map",
     "q11_set_ops",
+    # BPE merge training (Sennrich get_stats + fixed-3x non-overlap
+    # replace merge; vocabulary-cardinality state, 1-row argmax
+    # collects per round).
+    "p18_bpe_train",
     # Deterministic weighted sampling (the domain-mix APPLY step:
     # hash-threshold keep decisions, pure BIGINT) and AMIE-style
     # horn-rule mining over the graph (bounded (s,o)-keyed expansion,

@@ -2763,3 +2763,131 @@ def ta_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+# --- BPE merge training (tokenizer training, fixed 3 merges) --------------------
+#
+# The tokenizer-TRAINING op the catalog's apply-side (p4 wordpiece,
+# p8 index/pad) consumes the output of: Sennrich-style byte-pair
+# encoding over the corpus vocabulary — repeatedly merge the most
+# frequent adjacent symbol pair, weighted by word frequency. Three
+# fixed merge rounds (fixed iteration count = the determinism
+# contract, as for k-means/PageRank/LPA). Pair counting is the
+# standard get_stats (ALL adjacent pairs); the merge applies a
+# non-overlapping left-to-right string replace of ' l r ' -> ' lr '
+# a FIXED 3 times (one application can leave a residual pair inside
+# a same-char run because the match consumes the shared delimiter —
+# 3 applications cover runs to length ~8; both engines implement the
+# identical fixed semantics, and the unit test pins the run case).
+# Scale shape: training runs on the DISTINCT-word table (vocabulary
+# cardinality, not corpus cardinality — the wordcount shuffle is the
+# only input-sized exchange); each round's argmax is a 1-row
+# TakeOrdered collect (the same bounded driver collect as k-means
+# centroids); the merge itself is a narrow map. Tie-break:
+# (count DESC, left, right) — total order, both engines.
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle_sql() -> str:
+    parts = [
+        """
+WITH wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1
+), s0 AS (
+  SELECT word, cnt,
+         ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s
+  FROM wc
+)"""
+    ]
+    for i in range(_BPE_ROUNDS):
+        parts.append(
+            f""", u{i} AS (
+  SELECT word, cnt,
+         unnest(string_split(trim(s), ' ')) AS sym,
+         generate_subscripts(string_split(trim(s), ' '), 1) AS pos
+  FROM s{i}
+), p{i} AS (
+  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+    SELECT cnt, sym AS l,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r
+    FROM u{i})
+  WHERE r IS NOT NULL GROUP BY 1, 2
+), b{i} AS (
+  SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1
+), s{i + 1} AS (
+  SELECT word, cnt,
+         replace(replace(replace(s,
+           ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+           ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+           ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ')
+           AS s
+  FROM s{i} CROSS JOIN b{i} b
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INT) AS rank, l AS left_sym,"
+        f" r AS right_sym, n AS pair_count FROM b{i}"
+        for i in range(_BPE_ROUNDS)
+    )
+    parts.append("\n" + selects)
+    return "".join(parts)
+
+
+@_q("p18_bpe_train", _bpe_oracle_sql())
+def p18_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    state = wc.select(
+        "word",
+        "cnt",
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")
+        ).alias("s"),
+    ).localCheckpoint()
+    merges = []
+    for i in range(_BPE_ROUNDS):
+        syms = state.select(
+            "cnt", F.split(F.trim(F.col("s")), " ").alias("a")
+        )
+        pairs = syms.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(a) >= 2 THEN"
+                    " transform(sequence(0, size(a) - 2),"
+                    " i -> struct(a[i] AS l, a[i+1] AS r))"
+                    " ELSE array() END"
+                )
+            ).alias("p"),
+        ).select("cnt", "p.l", "p.r")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((i + 1, best["l"], best["r"], best["n"]))
+        # The corpus is space-tokenized words, so the learned symbols
+        # never contain spaces or quotes — the literals are safe to
+        # inline into the replace expression.
+        new_s = F.expr(
+            f"replace(replace(replace(s,"
+            f" ' {best['l']} {best['r']} ', ' {best['l']}{best['r']} '),"
+            f" ' {best['l']} {best['r']} ', ' {best['l']}{best['r']} '),"
+            f" ' {best['l']} {best['r']} ', ' {best['l']}{best['r']} ')"
+        )
+        # localCheckpoint per round: the merge is data-dependent, so
+        # cut lineage exactly as the other fixed-iteration loops do.
+        state = state.withColumn("s", new_s).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, pair_count long"
+    )

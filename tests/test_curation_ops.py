@@ -501,3 +501,30 @@ def test_weighted_sample_matches_hashlib_decisions(spark, tmp_path):
         < 5556 * 2**48
     )
     assert got["en"]["n_kept"] == expect_en
+
+
+def test_bpe_train_merges_and_same_char_run(spark, tmp_path):
+    """Hand corpus: 'abab' x3 + 'aaaa' x2. Round 1: (a,b) count 6
+    beats (a,a) count 6? No — abab has pairs ab,ba,ab -> ab=6, ba=3;
+    aaaa has aa=6 (3 pairs x2). Tie ab vs aa at 6 -> ('a','a') wins
+    lexicographically. The merge collapses 'a a a a' to 'aa aa'
+    (the 3x-replace covers the same-char run). Round 2: ab=6 wins."""
+    from information_extraction_spark.driver_queries.textdata import (
+        p18_bpe_train,
+    )
+
+    rows = [(0, "abab abab abab", "en"), (1, "aaaa aaaa", "en")]
+    sf = _write_docs(spark, tmp_path, rows, "bpe_sf")
+    got = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in p18_bpe_train(spark, sf).collect()
+    ]
+    got.sort()
+    assert got[0] == (1, "a", "a", 6)
+    assert got[1] == (2, "a", "b", 6)
+    # Round 3 operates on 'ab ab' x3 (from a b a b after no a-a in it?)
+    # -- 'abab' split is 'a b a b': round 1 merged nothing there
+    # (no ' a a '), round 2 merged to 'ab ab' (pairs ab=6 ba=3;
+    # 3x replace turns ' a b a b ' -> ' ab ab '); round 3's top pair
+    # is (ab, ab) with count 3.
+    assert got[2] == (3, "ab", "ab", 3)
