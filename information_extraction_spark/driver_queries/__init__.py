@@ -38,6 +38,12 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Entity co-mention graph (capped conv_id self-join), fixed-round
+    # 2-core peel over it, and TransE hash-embedding triple scoring
+    # with per-predicate min-md5 negatives.
+    "kg_comention",
+    "kg_kcore",
+    "kg_transe_score",
     # mapInArrow columnar seam (zero-exchange pyarrow.compute stats)
     # and the INTERSECT/EXCEPT set operators over (user, day) keys.
     "p17_arrow_map",

@@ -2457,3 +2457,220 @@ def kg_rule_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_ppm").cast("long").alias("best_confidence_ppm"),
         F.count("*").cast("long").alias("n_rules_firing"),
     )
+
+
+# --- Entity co-mention graph + k-core + translational scoring -------------
+#
+# Three post-construction consumers that need a REAL entity-entity
+# graph or an embedding seam. The triple graph on this corpus is
+# bipartite (subjects never appear as objects), so chain joins and
+# triangle-ish analytics over it are structurally vacuous — the
+# co-mention graph (subjects asserted in the same conversation) is
+# the standard way KG pipelines obtain an entity-entity topology, and
+# k-core over it is the noise filter.
+
+
+def _comention_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH cs AS (
+  SELECT DISTINCT conv_id, subject FROM {g}
+), small AS (
+  SELECT conv_id FROM cs GROUP BY 1 HAVING count(*) <= 64
+), k AS (
+  SELECT cs.conv_id, cs.subject FROM cs JOIN small USING (conv_id)
+)
+SELECT a.subject AS e1, b.subject AS e2,
+       CAST(count(DISTINCT a.conv_id) AS BIGINT) AS n_convs
+FROM k a JOIN k b
+  ON a.conv_id = b.conv_id AND a.subject < b.subject
+GROUP BY 1, 2
+"""
+
+
+@_q("kg_comention", _comention_oracle_sql("/root/testdata/sf0.01"))
+def kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention graph (operators/graph.comention_pairs):
+    pairs of distinct subjects asserted in the same conversation with
+    conversation-evidence counts — the relation-discovery signal KG
+    construction mines when no schema predicate connects two entities,
+    and the entity-entity topology the bipartite triple graph cannot
+    provide. Capped self-equi-join on conv_id (a conversation with
+    > 64 distinct subjects exits the universe — quadratic fanout,
+    zero signal), map-side-combined rollups on both sides."""
+    from information_extraction_spark.operators.graph import (
+        comention_pairs,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_comention"] = _comention_oracle_sql(sf_dir)
+    return comention_pairs(triples, max_conv_entities=64)
+
+
+def _kcore_oracle_sql(sf_dir: str) -> str:
+    # 3 peel rounds as chained CTEs over the co-mention edge base:
+    # per round a degree count and a both-endpoints semi filter — an
+    # independent restatement of the Spark loop's semi-joins.
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    step = """d{i} AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM u{p} GROUP BY 1),
+k{i} AS (SELECT src FROM d{i} WHERE d >= 2),
+u{i} AS (
+  SELECT u.src, u.dst FROM u{p} u
+  WHERE u.src IN (SELECT src FROM k{i})
+    AND u.dst IN (SELECT src FROM k{i}))"""
+    steps = ",\n".join(step.format(i=i, p=i - 1) for i in range(1, 4))
+    return f"""
+WITH cs AS (
+  SELECT DISTINCT conv_id, subject FROM {g}
+), small AS (
+  SELECT conv_id FROM cs GROUP BY 1 HAVING count(*) <= 64
+), kk AS (
+  SELECT cs.conv_id, cs.subject FROM cs JOIN small USING (conv_id)
+), e AS (
+  SELECT DISTINCT a.subject AS src, b.subject AS dst
+  FROM kk a JOIN kk b
+    ON a.conv_id = b.conv_id AND a.subject <> b.subject
+), u0 AS (SELECT src, dst FROM e),
+{steps}
+SELECT src AS entity, CAST(count(*) AS BIGINT) AS degree
+FROM u3 GROUP BY 1
+"""
+
+
+@_q("kg_kcore", _kcore_oracle_sql("/root/testdata/sf0.01"))
+def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round 2-core peel (operators/graph.kcore_peel, 3 rounds)
+    over the co-mention entity graph: iteratively drops entities whose
+    current co-mention degree falls below 2 — the dense-subgraph
+    noise filter separating well-attested entities from one-off
+    extraction artifacts. Per round: one map-side-combined degree
+    count plus two semi-joins on already-keyed endpoints; lineage cut
+    per round (the CC/PageRank loop pattern)."""
+    from information_extraction_spark.operators.graph import (
+        comention_pairs,
+        kcore_peel,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_kcore"] = _kcore_oracle_sql(sf_dir)
+    edges = comention_pairs(triples, max_conv_entities=64).select(
+        F.col("e1").alias("src"), F.col("e2").alias("dst")
+    )
+    return kcore_peel(edges, k=2, rounds=3)
+
+
+def _transe_components_sql(expr: str) -> list[str]:
+    from information_extraction_spark.functions.hashing import h48_sql
+
+    out = []
+    for i in range(4):
+        inner = expr + " || '#" + str(i) + "'"
+        out.append(f"({h48_sql(inner)} % 1000)")
+    return out
+
+
+def _transe_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    s = _transe_components_sql("t.subject")
+    p = _transe_components_sql("t.predicate")
+    o = _transe_components_sql("t.object")
+    ns = _transe_components_sql("t.neg_object")
+    pos = " + ".join(
+        f"({s[i]} + {p[i]} - {o[i]}) * ({s[i]} + {p[i]} - {o[i]})"
+        for i in range(4)
+    )
+    neg = " + ".join(
+        f"({s[i]} + {p[i]} - {ns[i]}) * ({s[i]} + {p[i]} - {ns[i]})"
+        for i in range(4)
+    )
+    return f"""
+WITH tr AS (
+  SELECT DISTINCT subject, predicate, object FROM {g}
+), cand AS (
+  SELECT predicate, object AS neg_object FROM (
+    SELECT predicate, object,
+           row_number() OVER (PARTITION BY predicate
+                              ORDER BY md5(object), object) AS rn
+    FROM (SELECT DISTINCT predicate, object FROM tr)
+  ) WHERE rn = 1
+), t AS (
+  SELECT tr.subject, tr.predicate, tr.object, cand.neg_object
+  FROM tr JOIN cand USING (predicate)
+)
+SELECT t.subject, t.predicate, t.object, t.neg_object,
+       CAST({pos} AS BIGINT) AS pos_score,
+       CAST({neg} AS BIGINT) AS neg_score,
+       CAST(({neg}) - ({pos}) AS BIGINT) AS margin
+FROM t
+"""
+
+
+@_q("kg_transe_score", _transe_oracle_sql("/root/testdata/sf0.01"))
+def kg_transe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Translational (TransE, Bordes et al. 2013) triple scoring over
+    deterministic feature-hash embeddings: every entity/predicate maps
+    to a d=4 integer vector via the portable 48-bit md5 hash (the
+    feature-hashing trick — in a trained pipeline this inline hash is
+    replaced by a broadcast or co-keyed join against the learned
+    embedding table; the hash keeps the seam exact cross-engine), and
+    each distinct triple is scored ||e_s + r_p - e_o||^2 in pure
+    BIGINT against a per-predicate corrupted negative (the min-md5
+    object of that predicate — kg_neg_sampling's deterministic-pick
+    rule), emitting the margin a KG-embedding trainer would rank on.
+
+    Scale shape: the embedding 'lookup' is a narrow projection (no
+    join, no shuffle); the only aggregations are the triple distinct
+    and the 50-row per-predicate argmin, which broadcasts back onto
+    the fact side."""
+    from information_extraction_spark.functions.hashing import h48
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_transe_score"] = _transe_oracle_sql(sf_dir)
+    tr = triples.select("subject", "predicate", "object").distinct()
+
+    def comp(col, i):
+        return (h48(F.concat(col, F.lit(f"#{i}"))) % 1000).cast("long")
+
+    cand = (
+        tr.select("predicate", "object")
+        .distinct()
+        .groupBy("predicate")
+        .agg(
+            F.min(
+                F.struct(
+                    F.md5("object").alias("h"),
+                    F.col("object").alias("o"),
+                )
+            ).alias("m")
+        )
+        .select("predicate", F.col("m.o").alias("neg_object"))
+    )
+    t = tr.join(F.broadcast(cand), "predicate")
+    pos = sum(
+        (
+            comp(F.col("subject"), i)
+            + comp(F.col("predicate"), i)
+            - comp(F.col("object"), i)
+        )
+        ** 2
+        for i in range(4)
+    )
+    neg = sum(
+        (
+            comp(F.col("subject"), i)
+            + comp(F.col("predicate"), i)
+            - comp(F.col("neg_object"), i)
+        )
+        ** 2
+        for i in range(4)
+    )
+    return t.select(
+        "subject",
+        "predicate",
+        "object",
+        "neg_object",
+        pos.cast("long").alias("pos_score"),
+        neg.cast("long").alias("neg_score"),
+        (neg - pos).cast("long").alias("margin"),
+    )

@@ -747,3 +747,80 @@ def bfs_distances(
         visited = visited.unionAll(new).localCheckpoint()
         frontier = new.select("entity")
     return visited
+
+
+def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+    """Fixed-round k-core peel over the undirected entity graph: each
+    round drops every node whose CURRENT degree is below ``k`` (and
+    the edges touching it), simultaneously. Returns the surviving
+    (entity, degree) after ``rounds`` peels — the dense-subgraph
+    filter KG pipelines run to separate well-attested entities from
+    extraction noise (a true k-core needs peel-to-fixpoint; a FIXED
+    round count is the determinism contract shared with the chained
+    DuckDB CTE oracle, same reasoning as label_propagation, and in
+    practice the peel converges in a few rounds on power-law graphs).
+
+    Scale shape: the undirected edge table materializes once; each
+    round is ONE map-side-combined degree count (node-sized output)
+    plus two semi-joins filtering the edge table on its already-keyed
+    endpoints — no windows, no broadcast-by-assumption (the surviving
+    node set is unbounded at warehouse scale; Catalyst/AQE may still
+    choose broadcast when a round's survivor table is small). Lineage
+    cut per round.
+    """
+    u = undirected_edges(edges).localCheckpoint()
+    for _ in range(rounds):
+        deg = u.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("src")
+        u = (
+            u.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint()
+        )
+    return (
+        u.groupBy(F.col("src").alias("entity"))
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+
+
+def comention_pairs(
+    triples: DataFrame, max_conv_entities: int = 64
+) -> DataFrame:
+    """Entity co-mention graph: pairs of DISTINCT subjects asserted in
+    the same conversation, with evidence counts — the relation-
+    discovery signal KG construction mines when the schema has no
+    predicate connecting two entities (they co-occur, so a relation
+    may exist). Unlike the triple graph itself (bipartite on this
+    corpus: subjects and object phrases never overlap), co-mention
+    connects subjects to subjects, so the result is a real entity-
+    entity graph downstream analytics (k-core, communities) can use.
+
+    Returns (e1, e2, n_convs) with e1 < e2.
+
+    Scale shape: ONE map-side-combined distinct to (conv_id, subject),
+    a degree count on conv_id, and a capped self-equi-join on the
+    conv_id key — a conversation mentioning more than
+    ``max_conv_entities`` distinct subjects leaves the universe
+    entirely (its C(k,2) pair fanout is quadratic and its co-mention
+    signal is noise — the same stop-key rule as the ER blocker), so
+    per-conv pair production is bounded by C(cap, 2). The final
+    (e1, e2) rollup is map-side combined.
+    """
+    cs = triples.select("conv_id", "subject").distinct()
+    small = (
+        cs.groupBy("conv_id")
+        .agg(F.count("*").alias("n_ent"))
+        .filter(F.col("n_ent") <= max_conv_entities)
+        .select("conv_id")
+    )
+    cs = cs.join(small, "conv_id", "left_semi")
+    a = cs.select("conv_id", F.col("subject").alias("e1"))
+    b = cs.select("conv_id", F.col("subject").alias("e2"))
+    return (
+        a.join(b, "conv_id")
+        .filter(F.col("e1") < F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.countDistinct("conv_id").cast("long").alias("n_convs"))
+    )
