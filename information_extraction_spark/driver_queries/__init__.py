@@ -38,6 +38,11 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Degree-ordered triangle counting + local clustering coefficient
+    # over the co-mention graph, and fixed-round power-iteration PCA
+    # projections over the embedding table.
+    "kg_triangles",
+    "emb_pca_power",
     # Entity co-mention graph (capped conv_id self-join), fixed-round
     # 2-core peel over it, and TransE hash-embedding triple scoring
     # with per-predicate min-md5 negatives.

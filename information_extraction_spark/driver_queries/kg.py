@@ -2674,3 +2674,69 @@ def kg_transe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         neg.cast("long").alias("neg_score"),
         (neg - pos).cast("long").alias("margin"),
     )
+
+
+def _triangles_oracle_sql(sf_dir: str) -> str:
+    # Id-ordered triangle enumeration over the co-mention edge base —
+    # deliberately NOT the Spark plan's degree-ordered orientation
+    # (the triangle set is orientation-invariant, so the simple
+    # id-ordered restatement checks the optimized plan exactly).
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH cs AS (
+  SELECT DISTINCT conv_id, subject FROM {g}
+), small AS (
+  SELECT conv_id FROM cs GROUP BY 1 HAVING count(*) <= 64
+), kk AS (
+  SELECT cs.conv_id, cs.subject FROM cs JOIN small USING (conv_id)
+), e AS (
+  SELECT DISTINCT a.subject AS e1, b.subject AS e2
+  FROM kk a JOIN kk b
+    ON a.conv_id = b.conv_id AND a.subject < b.subject
+), tri AS (
+  SELECT t1.e1 AS a, t1.e2 AS b, t2.e2 AS c
+  FROM e t1
+  JOIN e t2 ON t2.e1 = t1.e2
+  JOIN e t3 ON t3.e1 = t1.e1 AND t3.e2 = t2.e2
+), pern AS (
+  SELECT entity, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS entity FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY 1
+), deg AS (
+  SELECT entity, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT e1 AS entity FROM e UNION ALL SELECT e2 FROM e)
+  GROUP BY 1
+)
+SELECT d.entity, d.degree,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN d.degree >= 2
+                 THEN 2 * 1000000 * COALESCE(p.triangles, 0)
+                      // (d.degree * (d.degree - 1))
+                 ELSE 0 END AS BIGINT) AS lcc_ppm
+FROM deg d LEFT JOIN pern p USING (entity)
+"""
+
+
+@_q("kg_triangles", _triangles_oracle_sql("/root/testdata/sf0.01"))
+def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle count + local clustering coefficient over
+    the co-mention graph (operators/graph.triangle_counts): wedges
+    enumerated on the DEGREE-ORDERED orientation (compact-forward —
+    out-degree bounded O(sqrt(m)) under hub skew, so the wedge
+    self-join never concentrates a power-law hub's deg^2 pairs on one
+    reducer), closed by an equi-join on the (u, v) edge key; the
+    id-ordered DuckDB oracle checks the orientation-invariant result
+    exactly. LCC in integer ppm (floor), degree-1 nodes pinned to 0."""
+    from information_extraction_spark.operators.graph import (
+        comention_pairs,
+        triangle_counts,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_triangles"] = _triangles_oracle_sql(sf_dir)
+    edges = comention_pairs(triples, max_conv_entities=64).select(
+        F.col("e1").alias("src"), F.col("e2").alias("dst")
+    )
+    return triangle_counts(edges)

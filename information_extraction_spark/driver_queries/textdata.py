@@ -2891,3 +2891,102 @@ def p18_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left_sym string, right_sym string, pair_count long"
     )
+
+
+# --- Power-iteration PCA projection -------------------------------------------
+#
+# Top principal direction of the mean-centered embedding table by
+# fixed-round power iteration (the curation pipeline's 1-D spectral
+# coordinate). The oracle chains one (dot, position-sum, normalize)
+# CTE trio per round — the fixed-iteration-as-chained-CTEs pattern of
+# emb_kmeans/kg_pagerank — with every cross-row sum quantized to
+# integer micro-units (BIGINT adds commute; unordered double sums do
+# not) and every per-row fold running in position order.
+
+
+def _pca_oracle_sql(
+    dim: int = 64, iterations: int = 3, round_dp: int = 6
+) -> str:
+    import math as _math
+
+    v0 = round(
+        _math.floor(abs(1.0 / _math.sqrt(dim)) * 10**round_dp + 0.5)
+        / 10**round_dp,
+        round_dp,
+    )
+    parts = [
+        f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), nn AS (SELECT count(*) AS n FROM e),
+ms AS (
+  SELECT i, sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS s
+  FROM e CROSS JOIN generate_series(1, {dim}) g(i)
+  GROUP BY i
+), mean AS (
+  SELECT list(round(CAST(s AS DOUBLE) / 1000000.0 / nn.n, {round_dp})
+              ORDER BY i) AS m
+  FROM ms, nn GROUP BY nn.n
+), c AS (
+  SELECT vec_id,
+         list_transform(list_zip(v, (SELECT m FROM mean)),
+                        p -> p[1] - p[2]) AS x
+  FROM e
+), v0 AS (
+  SELECT list_transform(range(1, {dim + 1}),
+                        i -> CAST({v0!r} AS DOUBLE)) AS v
+)"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""", d{t} AS (
+  SELECT vec_id, x,
+         list_sum(list_transform(list_zip(x, (SELECT v FROM v{t - 1})),
+                                 p -> p[1] * p[2])) AS dot
+  FROM c
+), s{t} AS (
+  SELECT i, sum(CAST(round(dot * x[i] * 1000000) AS BIGINT)) AS s
+  FROM d{t} CROSS JOIN generate_series(1, {dim}) g(i)
+  GROUP BY i
+), u{t} AS (
+  SELECT list(CAST(s AS DOUBLE) / 1000000.0 ORDER BY i) AS u FROM s{t}
+), v{t} AS (
+  SELECT list_transform(
+           u, y -> round(y / sqrt(list_sum(list_transform(u, z -> z * z))),
+                         {round_dp})) AS v
+  FROM u{t}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vec_id,
+       ROUND(list_sum(list_transform(
+               list_zip(x, (SELECT v FROM v{iterations})),
+               p -> p[1] * p[2])), 4) + 0.0 AS proj
+FROM c"""
+    )
+    return "".join(parts)
+
+
+_PCA_ORACLE = _pca_oracle_sql()
+
+
+@_q("emb_pca_power", _PCA_ORACLE)
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the top principal direction
+    (operators/clustering.power_iteration_pca, 3 power-iteration
+    rounds): the d×d covariance never materializes — each round is
+    one narrow in-order dot map plus ONE map-side-combined shuffle
+    keyed on the dim positions (dim groups at any corpus size) and a
+    dim-scalar driver collect. Cross-row sums quantize to integer
+    micro-units; iterates round half-away to 6dp; sign pinned by the
+    constant positive init."""
+    from information_extraction_spark.operators.clustering import (
+        power_iteration_pca,
+    )
+
+    return power_iteration_pca(
+        _spread(spark, _emb(spark, sf_dir), "vec_id"), dim=64, iterations=3
+    )

@@ -402,3 +402,96 @@ def pq_adc_topk_with_codebooks(
     return vectors.sparkSession.createDataFrame(
         rows, "vec_id long, rank int, adc double"
     )
+
+
+def _dot(v, c):
+    """Dot product of two array<double> columns, accumulated in
+    position order (same deterministic fold as _dist2)."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def power_iteration_pca(
+    vectors: DataFrame,
+    dim: int = 64,
+    iterations: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top principal direction of the mean-centered embedding table by
+    FIXED-round power iteration on the covariance operator, returning
+    each vector's projection onto it — the 1-D curation coordinate
+    (sort-by-first-PC sharding, spectral outlier triage, the seed
+    direction for PCA-tree partitioning) training-data pipelines
+    derive before any heavier factorization. Returns (vec_id, proj)
+    with proj = round(<x - mean, v_final>, 4).
+
+    The d×d covariance never materializes: each round computes
+    sum_rows((x·v) * x) directly — a mat-vec against the data — so
+    the cost per round is one narrow map (the in-order dot) plus ONE
+    map-side-combined shuffle keyed on the dim positions (dim groups
+    regardless of corpus size), and the driver collect is exactly
+    dim scalars per round (the kmeans/IVF bounded-collect rule).
+
+    Determinism contract (shared with the DuckDB oracle, the
+    emb_kmeans playbook): per-row contributions quantize to integer
+    micro-units before the cross-row sum (BIGINT adds commute — a
+    double sum over an unordered shuffle does not); the per-row dot
+    folds in position order (identical IEEE doubles both engines);
+    the mean and each normalized iterate round half-away-from-zero to
+    ``round_dp``; the init is the constant unit vector
+    round(1/sqrt(dim), round_dp). Sign is pinned by the init.
+    """
+    e = vectors.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("x"),
+    )
+    n = e.count()
+    pos = e.select(F.posexplode("x").alias("i", "xi"))
+    msums = (
+        pos.groupBy("i")
+        .agg(F.sum(F.round(F.col("xi") * 1e6).cast("long")).alias("s"))
+        .collect()
+    )
+    by_i = {r["i"]: r["s"] for r in msums}
+    mean = [
+        _round_half_away((by_i.get(i, 0) / 1e6) / n, round_dp)
+        for i in range(dim)
+    ]
+    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    c = e.select(
+        "vec_id",
+        F.zip_with("x", mean_lit, lambda x, m: x - m).alias("x"),
+    )
+    v = [_round_half_away(1.0 / math.sqrt(dim), round_dp)] * dim
+    for _ in range(iterations):
+        v_lit = F.array(*[F.lit(float(vi)) for vi in v])
+        d = c.withColumn("dot", _dot(F.col("x"), v_lit))
+        srows = (
+            d.select("dot", F.posexplode("x").alias("i", "xi"))
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("dot") * F.col("xi") * 1e6).cast("long")
+                ).alias("s")
+            )
+            .collect()
+        )
+        s_by_i = {r["i"]: r["s"] for r in srows}
+        comps = [s_by_i.get(i, 0) / 1e6 for i in range(dim)]
+        acc = 0.0
+        for ci in comps:
+            acc += ci * ci
+        norm = math.sqrt(acc)
+        v = [_round_half_away(ci / norm, round_dp) for ci in comps]
+    v_lit = F.array(*[F.lit(float(vi)) for vi in v])
+    # + 0.0 canonicalizes IEEE negative zero: DuckDB's round keeps
+    # the sign of a tiny negative rounded to zero (-0.0), Spark's
+    # BigDecimal round cannot represent it — the engines would
+    # otherwise disagree on the string form of the same value.
+    return c.select(
+        "vec_id",
+        (F.round(_dot(F.col("x"), v_lit), 4) + F.lit(0.0)).alias("proj"),
+    )

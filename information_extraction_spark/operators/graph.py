@@ -824,3 +824,101 @@ def comention_pairs(
         .groupBy("e1", "e2")
         .agg(F.countDistinct("conv_id").cast("long").alias("n_convs"))
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected graph given as canonical (src < dst) edges — the
+    community-cohesion audit KG pipelines run on the co-mention graph
+    (a high-LCC entity sits inside a tight clique of co-asserted
+    entities; a zero-LCC hub is a star center, usually a generic
+    term). Returns (entity, degree, triangles, lcc_ppm) with
+    lcc_ppm = floor(2 * triangles * 10^6 / (degree * (degree - 1)))
+    for degree >= 2 else 0 — pure BIGINT, exact cross-engine.
+
+    Scale shape (the part that survives a 100 TB co-mention graph):
+    triangles are enumerated on the DEGREE-ORDERED orientation
+    (each edge points from its (degree, id)-smaller endpoint to the
+    larger — the compact-forward / Ortmann-Brandes rule), so every
+    node's out-degree is O(sqrt(m)) regardless of hub skew, and the
+    wedge self-join that dominates the cost produces
+    sum(outdeg^2) = O(m^1.5) candidate rows instead of the
+    O(sum(deg^2)) a hub-centered id-ordered enumeration pays — on a
+    power-law graph with a degree-10^6 hub that is the difference
+    between 10^12 wedges at one reducer and a balanced join. The
+    triangle SET is orientation-invariant, so the id-ordered DuckDB
+    oracle checks it exactly. Three shuffles beyond the degree
+    count: the wedge self-join on the shared center, the closing
+    equi-join on the (u, v) edge key, and the per-node rollup.
+    """
+    und = undirected_edges(edges)
+    deg = und.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    # Orient each undirected edge by (degree, id): annotate both
+    # endpoints with their degree (two equi-joins on the node key),
+    # keep the canonical direction only.
+    e = (
+        edges.select("src", "dst")
+        .join(deg.withColumnRenamed("deg", "sdeg"), "src")
+        .join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("deg").alias("ddeg")
+            ),
+            "dst",
+        )
+    )
+    fwd = F.struct(F.col("sdeg"), F.col("src")) < F.struct(
+        F.col("ddeg"), F.col("dst")
+    )
+    o = e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("b"),
+        F.when(fwd, F.col("sdeg")).otherwise(F.col("ddeg")).alias("adeg"),
+        F.when(fwd, F.col("ddeg")).otherwise(F.col("sdeg")).alias("bdeg"),
+    )
+    # Wedges at the oriented center a: out-neighbor pairs in rank
+    # order; close with the oriented edge (u, v).
+    w = (
+        o.alias("x")
+        .join(o.alias("y"), F.col("x.a") == F.col("y.a"))
+        .filter(
+            F.struct(F.col("x.bdeg"), F.col("x.b"))
+            < F.struct(F.col("y.bdeg"), F.col("y.b"))
+        )
+        .select(
+            F.col("x.a").alias("center"),
+            F.col("x.b").alias("u"),
+            F.col("y.b").alias("v"),
+        )
+    )
+    tri = w.join(
+        o.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+    )
+    per_node = (
+        tri.select(F.col("center").alias("entity"))
+        .unionAll(tri.select(F.col("u").alias("entity")))
+        .unionAll(tri.select(F.col("v").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        deg.select(F.col("src").alias("entity"), F.col("deg").alias("degree"))
+        .join(per_node, "entity", "left")
+        .select(
+            "entity",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias(
+                "triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "CAST(2 * 1000000 * coalesce(triangles, 0)"
+                    " div (degree * (degree - 1)) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_ppm"),
+        )
+    )

@@ -301,3 +301,49 @@ def test_emb_outliers_integer_rule_parity(spark, tmp_path):
     }
     assert got == want
     assert want, "fixture must produce at least one outlier"
+
+
+def test_power_iteration_pca_recovers_dominant_axis(spark):
+    # Vectors spread along axis 0 with small axis-1 jitter: the top
+    # principal direction is ~e0, so projections must order with the
+    # (centered) first coordinate and carry ~its magnitude.
+    import numpy as np
+    from information_extraction_spark.operators.clustering import (
+        power_iteration_pca,
+    )
+
+    dim = 8
+    rows = []
+    for i in range(40):
+        v = [0.0] * dim
+        v[0] = float(i)  # dominant spread
+        v[1] = float((i * 7) % 5) * 0.01  # jitter
+        rows.append((i, v))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["proj"]
+        for r in power_iteration_pca(df, dim=dim, iterations=3).collect()
+    }
+    projs = [got[i] for i in range(40)]
+    # monotone in the dominant coordinate (sign fixed by the init)
+    assert all(b > a for a, b in zip(projs, projs[1:]))
+    centered = np.arange(40) - 19.5
+    corr = np.corrcoef(np.array(projs), centered)[0, 1]
+    assert corr > 0.9999
+
+
+def test_power_iteration_pca_projection_sums_to_zero(spark):
+    # Mean-centering contract: projections of centered data onto any
+    # fixed direction sum to ~0 (up to the 6dp mean rounding).
+    from information_extraction_spark.operators.clustering import (
+        power_iteration_pca,
+    )
+
+    rows = [(i, [float((i * 13) % 7), float((i * 5) % 11)]) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = power_iteration_pca(df, dim=2, iterations=3).collect()
+    assert abs(sum(r["proj"] for r in out)) < 0.01

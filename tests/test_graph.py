@@ -844,3 +844,48 @@ def test_transe_margin_zero_when_negative_equals_object(spark):
     )
     got = {r["neg_object"] for r in cand.collect()}
     assert got == {neg}
+
+
+def test_triangle_counts_clique_plus_pendant(spark):
+    # 4-clique {1,2,3,4} plus pendant 5 attached to 4:
+    # nodes 1-3: deg 3, 3 triangles, lcc = 1.0 (10^6 ppm);
+    # node 4: deg 4, 3 triangles, lcc = 6/12 = 0.5;
+    # node 5: deg 1, 0 triangles, lcc pinned 0.
+    from pyspark.sql import functions as F
+
+    from information_extraction_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in clique] + [("4", "5")],
+        "src string, dst string",
+    )
+    got = {
+        r["entity"]: (r["degree"], r["triangles"], r["lcc_ppm"])
+        for r in triangle_counts(edges).collect()
+    }
+    assert got == {
+        "1": (3, 3, 1000000),
+        "2": (3, 3, 1000000),
+        "3": (3, 3, 1000000),
+        "4": (4, 3, 500000),
+        "5": (1, 0, 0),
+    }
+
+
+def test_triangle_counts_star_has_none(spark):
+    # A hub star has wedges but zero triangles — the degree-ordered
+    # orientation must not fabricate closures.
+    from information_extraction_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(6)], "src string, dst string"
+    )
+    rows = triangle_counts(edges).collect()
+    assert all(r["triangles"] == 0 and r["lcc_ppm"] == 0 for r in rows)
+    hub = [r for r in rows if r["entity"] == "h"][0]
+    assert hub["degree"] == 6
