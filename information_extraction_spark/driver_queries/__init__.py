@@ -43,6 +43,10 @@ _CHANGED_THIS_ROUND = [
     # projections over the embedding table.
     "kg_triangles",
     "emb_pca_power",
+    # Daily cohort retention matrix (one user-keyed shuffle) and the
+    # TPC-H Q4 EXISTS/semi-join shape (late-shipped orders).
+    "w16_retention",
+    "q4_order_priority",
     # Entity co-mention graph (capped conv_id self-join), fixed-round
     # 2-core peel over it, and TransE hash-embedding triple scoring
     # with per-predicate min-md5 negatives.

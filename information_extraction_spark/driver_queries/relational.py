@@ -1036,3 +1036,139 @@ def w15_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.value").alias("current_value"),
         F.col("w.sec").alias("updated_sec"),
     )
+
+
+# --- W16: weekly cohort retention ------------------------------------------------
+#
+# The product-analytics cohort matrix: users grouped by the DAY of
+# their FIRST event; for each later day, the fraction still active
+# (day granularity because the driver corpus spans 30 days — the
+# bucket width is the only knob; the shape is the weekly/monthly
+# retention matrix unchanged).
+# The scale-honest shape is ONE user-keyed shuffle: a single groupBy
+# user collects (first day, distinct active days) — per-user state
+# bounded by the corpus lifetime in DAYS, not by event volume — and
+# the offset explosion + (cohort, offset) rollup are map-side
+# combined over bounded groups; cohort sizes broadcast back (one row
+# per calendar day). A naive two-pass (first-event join activity)
+# shuffles the full event log twice. Days are integer epoch-day
+# buckets (sec div 86400) — pure BIGINT both engines, no
+# date_trunc locale/tz surface at all.
+
+_W16_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS wk
+  FROM events WHERE ts IS NOT NULL
+), uw AS (
+  SELECT DISTINCT user_id, wk FROM e
+), fw AS (
+  SELECT user_id, min(wk) AS cohort_day FROM uw GROUP BY 1
+), act AS (
+  SELECT fw.cohort_day, uw.wk - fw.cohort_day AS day_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM uw JOIN fw USING (user_id)
+  GROUP BY 1, 2
+), cs AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM fw GROUP BY 1
+)
+SELECT a.cohort_day, CAST(a.day_offset AS BIGINT) AS day_offset,
+       a.n_active, c.n_cohort,
+       CAST(a.n_active * 1000000 // c.n_cohort AS BIGINT) AS retention_ppm
+FROM act a JOIN cs c USING (cohort_day)
+"""
+
+
+@_q("w16_retention", _W16_ORACLE)
+def w16_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_sec(spark, sf_dir).select(
+        "user_id", F.expr("sec div 86400").alias("wk")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_day"),
+        F.collect_set("wk").alias("wks"),
+    )
+    act = (
+        per_user.select(
+            "cohort_day", F.explode("wks").alias("wk")
+        )
+        .groupBy(
+            "cohort_day",
+            (F.col("wk") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    cs = per_user.groupBy("cohort_day").agg(
+        F.count("*").cast("long").alias("n_cohort")
+    )
+    return act.join(F.broadcast(cs), "cohort_day").select(
+        "cohort_day",
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "n_active",
+        "n_cohort",
+        F.expr("CAST(n_active * 1000000 div n_cohort AS BIGINT)").alias(
+            "retention_ppm"
+        ),
+    )
+
+
+# --- Q4: order priority with EXISTS (TPC-H Q4 shape) -----------------------------
+#
+# Orders in a 3-month window having at least one LATE-SHIPPED line
+# (shipped > 60 days after the order date — this corpus's lineitem
+# carries l_shipdate, not commit/receipt, so the late predicate
+# adapts while keeping Q4's defining shape: an EXISTS decorrelated
+# into a LEFT SEMI join that never duplicates orders however many
+# lines match). The date window filters orders BEFORE the semi join
+# (partition-prunable at the scan on a date-partitioned warehouse),
+# the semi join moves only qualified keys, and the priority rollup
+# is a bounded-group map-side count. Seconds-integer date math both
+# engines (the q18/order_sec rule).
+
+_Q4_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS osec
+  FROM orders
+  WHERE CAST(floor(epoch(o_orderdate)) AS BIGINT) >= 820454400
+    AND CAST(floor(epoch(o_orderdate)) AS BIGINT) < 828316800
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND CAST(floor(epoch(l.l_shipdate)) AS BIGINT) > o.osec + 5184000)
+GROUP BY 1
+"""
+
+
+@_q("q4_order_priority", _Q4_ORACLE)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .withColumn(
+            "osec",
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp")),
+        )
+        .filter(
+            (F.col("osec") >= 820454400) & (F.col("osec") < 828316800)
+        )
+        .select("o_orderkey", "o_orderpriority", "osec")
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.unix_timestamp(F.col("l_shipdate").cast("timestamp")).alias(
+            "ssec"
+        ),
+    )
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.ssec > o.osec + F.lit(5184000)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )

@@ -693,3 +693,93 @@ def test_w15_cdc_latest_op_wins_and_tombstone_deletes(spark, tmp_path):
         2: ("purchase", 7.5, 20),
         3: ("click", 2.0, 30),
     }
+
+
+def test_w16_retention_hand_case(spark, tmp_path):
+    # u1 first active day 0, active days {0,1,3}; u2 first day 0,
+    # active {0}; u3 first day 1, active {1,3}. Cohort day0 has 2
+    # users: offsets 0 (2 active), 1 (1), 3 (1); cohort day1 has 1
+    # user: offsets 0 and 2.
+    import datetime as dt
+
+    import information_extraction_spark.driver_queries.relational as R
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid, days in [(1, [0, 1, 3]), (2, [0]), (3, [1, 3])]:
+        for d in days:
+            rows.append((eid, base + dt.timedelta(days=d, hours=2), uid, "view", 1.0, "{}"))
+            eid += 1
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = str(tmp_path / "w16")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/events.parquet")
+    got = {
+        (r["cohort_day"], r["day_offset"]): (
+            r["n_active"],
+            r["n_cohort"],
+            r["retention_ppm"],
+        )
+        for r in R.w16_retention(spark, d).collect()
+    }
+    day0 = 19723  # 2024-01-01 epoch-days
+    assert got[(day0, 0)] == (2, 2, 1000000)
+    assert got[(day0, 1)] == (1, 2, 500000)
+    assert got[(day0, 3)] == (1, 2, 500000)
+    assert got[(day0 + 1, 0)] == (1, 1, 1000000)
+    assert got[(day0 + 1, 2)] == (1, 1, 1000000)
+    assert len(got) == 5
+
+
+def test_q4_semi_join_counts_orders_not_lines(spark, tmp_path):
+    # An order with THREE late lines counts once; an order with only
+    # on-time lines does not count; an order outside the date window
+    # never enters.
+    import datetime as dt
+
+    import pandas as pd
+
+    import information_extraction_spark.driver_queries.relational as R
+
+    in_win = dt.datetime(1996, 2, 1)
+    out_win = dt.datetime(1997, 2, 1)
+    orders = pd.DataFrame(
+        [
+            (1, 10, "O", 1.0, in_win, "1-URGENT"),
+            (2, 11, "O", 1.0, in_win, "1-URGENT"),
+            (3, 12, "O", 1.0, out_win, "1-URGENT"),
+        ],
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    )
+    late = in_win + dt.timedelta(days=90)
+    ontime = in_win + dt.timedelta(days=10)
+    lineitem = pd.DataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+            (1, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+            (1, 1, 1, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+            (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ontime),
+            (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", out_win + dt.timedelta(days=90)),
+        ],
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    )
+    d = str(tmp_path / "q4")
+    spark.createDataFrame(orders).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(lineitem).write.parquet(f"{d}/lineitem.parquet")
+    got = {
+        r["o_orderpriority"]: r["order_count"]
+        for r in R.q4_order_priority(spark, d).collect()
+    }
+    assert got == {"1-URGENT": 1}
