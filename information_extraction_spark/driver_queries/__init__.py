@@ -38,6 +38,12 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # HyperLogLog distinct estimation (register-wise max merge; raw
+    # estimate only — no small-range linear counting at this
+    # cardinality) and the batch-GD linear-regression TRAINING loop
+    # (dim+1-group gradient shuffle per round, weights as literals).
+    "a14_hll_distinct",
+    "emb_linreg_gd",
     # Degree-ordered triangle counting + local clustering coefficient
     # over the co-mention graph, and fixed-round power-iteration PCA
     # projections over the embedding table.

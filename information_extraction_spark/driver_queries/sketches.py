@@ -287,3 +287,102 @@ def j10_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("pass_revenue"),
     )
+
+
+# --- A14: HyperLogLog distinct estimation -----------------------------------------
+#
+# The industry-standard distinct counter (Flajolet et al. 2007) over
+# the corpus 5-char shingle stream: m=64 registers, each holding the
+# max leading-zero rank of the hashed values routed to it. Unlike
+# KMV (a12), HLL needs NO pre-distinct and NO per-partition heaps —
+# max is idempotent over duplicates, so the ONLY input-sized work is
+# a narrow map and the single map-side-combined 64-group max
+# aggregate; sketch state is 64 bytes-ish at any corpus size and
+# merges by register-wise max (the mergeable-partials contract the
+# streaming CMS uses). The exact countDistinct runs alongside as the
+# audit column (it is the expensive one — one shingle-keyed shuffle).
+#
+# Determinism: h48 md5 hashing; register = h % 64; rank = leading
+# zeros of the remaining 42-bit value + 1, computed as
+# 43 - length(bin(w)) — INTEGER string ops, no cross-engine
+# floor(log2()) boundary risk. The harmonic-mean estimate folds
+# 2^-rank terms (exact powers of two) in register order on both
+# sides; raw HLL only — the shingle cardinality is far above the
+# 2.5m small-range-correction regime, so linear counting (and its
+# cross-engine ln()) stays out of the compared columns.
+
+_A14_ORACLE = f"""
+WITH sh AS (
+  SELECT unnest(list_transform(
+           range(1, greatest(length(text) - 4, 0) + 1),
+           i -> substring(text, CAST(i AS INT), 5))) AS s
+  FROM documents
+), hx AS (
+  SELECT {_h48_sql("s")} AS h FROM sh
+), r AS (
+  SELECT h % 64 AS register,
+         CASE WHEN h // 64 = 0 THEN 43
+              ELSE 43 - length(bin(h // 64)) END AS rank
+  FROM hx
+), regs AS (
+  SELECT register, CAST(max(rank) AS BIGINT) AS max_rank
+  FROM r GROUP BY 1
+), fullr AS (
+  SELECT g.j AS register, COALESCE(regs.max_rank, 0) AS m
+  FROM generate_series(0, 63) g(j)
+  LEFT JOIN regs ON regs.register = g.j
+), sl AS (
+  SELECT list(CAST(m AS BIGINT) ORDER BY register) AS ms FROM fullr
+), est AS (
+  SELECT CAST(round(
+           0.709 * 4096
+           / list_sum(list_transform(ms, x -> power(2.0, -x)))
+           * 10000) AS BIGINT) AS est_e4
+  FROM sl
+), td AS (
+  SELECT CAST(count(DISTINCT s) AS BIGINT) AS true_distinct FROM sh
+)
+SELECT regs.register, regs.max_rank, est.est_e4, td.true_distinct
+FROM regs, est, td
+"""
+
+
+@_q("a14_hll_distinct", _A14_ORACLE)
+def a14_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    positions = F.when(
+        F.length("text") >= 5, F.sequence(F.lit(1), F.length("text") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = docs.withColumn("pos", F.explode(positions)).select(
+        F.expr("substring(text, pos, 5)").alias("s")
+    )
+    h = _h48(F.col("s"))
+    w = (h / F.lit(64)).cast("long")  # h div 64 (h >= 0)
+    rank = F.when(w == 0, F.lit(43)).otherwise(
+        F.lit(43) - F.length(F.bin(w))
+    )
+    regs = (
+        sh.select((h % 64).alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").cast("long").alias("max_rank"))
+    )
+    # Bounded collect: exactly <=64 register maxima; the estimate
+    # folds in register order, mirroring the oracle's ordered list.
+    got = {r["register"]: r["max_rank"] for r in regs.collect()}
+    acc = 0.0
+    for j in range(64):
+        acc += 2.0 ** -got.get(j, 0)
+    import math as _math
+
+    est = int(
+        _math.copysign(
+            _math.floor(abs(0.709 * 4096 / acc * 10000) + 0.5), 1.0
+        )
+    )
+    true_d = sh.distinct().count()
+    return regs.select(
+        "register",
+        "max_rank",
+        F.lit(est).cast("long").alias("est_e4"),
+        F.lit(true_d).cast("long").alias("true_distinct"),
+    )

@@ -2990,3 +2990,90 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_pca(
         _spread(spark, _emb(spark, sf_dir), "vec_id"), dim=64, iterations=3
     )
+
+
+# --- Batch gradient-descent linear regression ---------------------------------
+#
+# The TRAINING loop seam (not inference): fixed-round full-batch GD
+# of the label column on the embedding features. Per round the oracle
+# chains (residual, position-sums, weight-update, bias-update) CTEs —
+# the emb_kmeans / emb_pca_power fixed-iteration playbook, with the
+# bias gradient riding the same pass as a 65th aggregate.
+
+
+def _linreg_oracle_sql(
+    dim: int = 64, iterations: int = 3, lr: float = 0.1, round_dp: int = 6
+) -> str:
+    parts = [
+        f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS x,
+         CAST(label AS DOUBLE) AS y
+  FROM embeddings
+), nn AS (SELECT count(*) AS n FROM e),
+w0 AS (
+  SELECT i, CAST(0.0 AS DOUBLE) AS wv
+  FROM generate_series(1, {dim}) g(i)
+), b0 AS (SELECT CAST(0.0 AS DOUBLE) AS bv)"""
+    ]
+    for t in range(1, iterations + 1):
+        p = t - 1
+        parts.append(
+            f""", d{t} AS (
+  SELECT vec_id, x, y,
+         list_sum(list_transform(
+           list_zip(x, (SELECT list(wv ORDER BY i) FROM w{p})),
+           p -> p[1] * p[2])) + (SELECT bv FROM b{p}) - y AS err
+  FROM e
+), s{t} AS (
+  SELECT i, sum(CAST(round(err * x[i] * 1000000) AS BIGINT)) AS s
+  FROM d{t} CROSS JOIN generate_series(1, {dim}) g(i)
+  GROUP BY i
+), sb{t} AS (
+  SELECT sum(CAST(round(err * 1000000) AS BIGINT)) AS s FROM d{t}
+), w{t} AS (
+  SELECT w.i,
+         round(w.wv - {lr!r} * (2.0 * (CAST(s.s AS DOUBLE) / 1000000.0)
+                                / nn.n), {round_dp}) AS wv
+  FROM w{p} w JOIN s{t} s USING (i), nn
+), b{t} AS (
+  SELECT round(b.bv - {lr!r} * (2.0 * (CAST(sb.s AS DOUBLE) / 1000000.0)
+                                / nn.n), {round_dp}) AS bv
+  FROM b{p} b, sb{t} sb, nn
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vec_id,
+       ROUND(list_sum(list_transform(
+               list_zip(x, (SELECT list(wv ORDER BY i) FROM w{iterations})),
+               p -> p[1] * p[2])) + (SELECT bv FROM b{iterations}), 4)
+       + 0.0 AS pred
+FROM e"""
+    )
+    return "".join(parts)
+
+
+_LINREG_ORACLE = _linreg_oracle_sql()
+
+
+@_q("emb_linreg_gd", _LINREG_ORACLE)
+def emb_linreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector prediction after 3 full-batch GD rounds of label on
+    the embedding features (operators/clustering.linreg_gd): each
+    round is one narrow residual map plus ONE map-side-combined
+    shuffle keyed on the dim positions (dim+1 bounded groups — the
+    bias gradient is a second aggregate on the same pass) and a
+    dim+1-scalar driver collect; weights re-enter as plan literals.
+    Micro-unit quantized gradient sums; half-away 6dp updates."""
+    from information_extraction_spark.operators.clustering import (
+        linreg_gd,
+    )
+
+    return linreg_gd(
+        _spread(spark, _emb(spark, sf_dir), "vec_id"),
+        dim=64,
+        iterations=3,
+        lr=0.1,
+    )

@@ -495,3 +495,77 @@ def power_iteration_pca(
         "vec_id",
         (F.round(_dot(F.col("x"), v_lit), 4) + F.lit(0.0)).alias("proj"),
     )
+
+
+def linreg_gd(
+    vectors: DataFrame,
+    dim: int = 64,
+    iterations: int = 3,
+    lr: float = 0.1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Distributed batch gradient descent for least-squares linear
+    regression of the integer ``label`` column on the embedding
+    features — the training-loop seam itself (not just inference):
+    the quality-score / density-model fits a curation pipeline runs
+    are exactly this loop at larger dim. Fixed ``iterations`` full-
+    batch rounds from w = 0, b = 0; returns (vec_id, pred) with
+    pred = round(<x, w_final> + b_final, 4).
+
+    Scale shape: each round is one narrow map (the in-order dot +
+    residual) and ONE map-side-combined shuffle keyed on the dim
+    positions (dim+1 groups at any corpus size — the bias gradient
+    rides the same pass as a second aggregate); the driver collect
+    is dim+1 scalars per round (the PCA/kmeans bounded-collect rule).
+    The model never materializes row-wise — weights re-enter each
+    round as plan literals.
+
+    Determinism contract (the power_iteration_pca playbook): per-row
+    residual contributions quantize to integer micro-units before the
+    cross-row BIGINT sum; the update arithmetic is the fixed
+    expression w - lr * (2 * (S/1e6) / n) rounded half-away to
+    ``round_dp``, mirrored verbatim by the DuckDB oracle's chained
+    per-round CTEs; gradient: d/dw MSE = (2/n) * sum(err * x).
+    """
+    e = vectors.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("x"),
+        F.col("label").cast("double").alias("y"),
+    )
+    n = e.count()
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(iterations):
+        w_lit = F.array(*[F.lit(float(wi)) for wi in w])
+        d = e.withColumn(
+            "err", _dot(F.col("x"), w_lit) + F.lit(float(b)) - F.col("y")
+        )
+        srows = (
+            d.select("err", F.posexplode("x").alias("i", "xi"))
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("err") * F.col("xi") * 1e6).cast("long")
+                ).alias("s")
+            )
+            .collect()
+        )
+        sb = d.agg(
+            F.sum(F.round(F.col("err") * 1e6).cast("long")).alias("s")
+        ).collect()[0]["s"]
+        s_by_i = {r["i"]: r["s"] for r in srows}
+        w = [
+            _round_half_away(
+                w[i] - lr * (2.0 * (s_by_i.get(i, 0) / 1e6) / n), round_dp
+            )
+            for i in range(dim)
+        ]
+        b = _round_half_away(b - lr * (2.0 * (sb / 1e6) / n), round_dp)
+    w_lit = F.array(*[F.lit(float(wi)) for wi in w])
+    return e.select(
+        "vec_id",
+        (
+            F.round(_dot(F.col("x"), w_lit) + F.lit(float(b)), 4)
+            + F.lit(0.0)
+        ).alias("pred"),
+    )

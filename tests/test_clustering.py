@@ -347,3 +347,76 @@ def test_power_iteration_pca_projection_sums_to_zero(spark):
     )
     out = power_iteration_pca(df, dim=2, iterations=3).collect()
     assert abs(sum(r["proj"] for r in out)) < 0.01
+
+
+def test_linreg_gd_matches_sequential_mirror(spark):
+    # The distributed loop must equal a pure-Python mirror of the
+    # same quantized update rule, prediction for prediction.
+    from information_extraction_spark.operators.clustering import (
+        _round_half_away,
+        linreg_gd,
+    )
+
+    dim, n, iters, lr = 4, 20, 3, 0.1
+    rows = []
+    for i in range(n):
+        x = [((i * (j + 3)) % 7) / 7.0 for j in range(dim)]
+        y = (i * 5) % 3
+        rows.append((i, x, y))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r["vec_id"]: r["pred"]
+        for r in linreg_gd(df, dim=dim, iterations=iters, lr=lr).collect()
+    }
+
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(iters):
+        s = [0] * dim
+        sb = 0
+        for _, x, y in rows:
+            acc = 0.0
+            for xi, wi in zip(x, w):
+                acc += xi * wi
+            err = acc + b - float(y)
+            for j in range(dim):
+                s[j] += int(
+                    _round_half_away(err * x[j] * 1e6, 0)
+                )
+            sb += int(_round_half_away(err * 1e6, 0))
+        w = [
+            _round_half_away(w[j] - lr * (2.0 * (s[j] / 1e6) / n), 6)
+            for j in range(dim)
+        ]
+        b = _round_half_away(b - lr * (2.0 * (sb / 1e6) / n), 6)
+    for i, x, y in rows:
+        acc = 0.0
+        for xi, wi in zip(x, w):
+            acc += xi * wi
+        exp = _round_half_away(acc + b, 4) + 0.0
+        assert got[i] == exp
+
+
+def test_linreg_gd_loss_decreases(spark):
+    # Three rounds must fit better than zero rounds on a linearly
+    # generated target.
+    from information_extraction_spark.operators.clustering import (
+        linreg_gd,
+    )
+
+    rows = [
+        (i, [float(i % 5), float((i * 3) % 4)], (i % 5) * 2 + 1)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r["vec_id"]: r["pred"]
+        for r in linreg_gd(df, dim=2, iterations=3, lr=0.05).collect()
+    }
+    mse3 = sum((got[i] - y) ** 2 for i, _, y in rows) / len(rows)
+    mse0 = sum(float(y) ** 2 for _, _, y in rows) / len(rows)
+    assert mse3 < mse0 * 0.8

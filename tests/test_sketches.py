@@ -142,3 +142,46 @@ def test_bloom_no_false_negatives_and_engineered_false_positive(
     assert r["n_pass"] == len(promo) + 1      # exactly the engineered fp
     assert r["n_false_pos"] == 1
     assert r["pass_revenue"] == 100.0 * (len(promo) + 1)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # m=64 registers -> relative error ~1.04/sqrt(64) = 13%; assert a
+    # loose 3-sigma bound on the real sf0.001 shingle stream.
+    import information_extraction_spark.driver_queries.sketches as S
+
+    out = S.a14_hll_distinct(spark, "/root/testdata/sf0.001").collect()
+    est = out[0]["est_e4"] / 10000.0
+    true = out[0]["true_distinct"]
+    assert true > 1000  # raw-HLL regime, far above 2.5*m
+    assert abs(est / true - 1.0) < 0.4
+    # register table is the sketch: <=64 rows, ranks in [1, 43]
+    assert len(out) <= 64
+    assert all(1 <= r["max_rank"] <= 43 for r in out)
+
+
+def test_hll_rank_matches_pure_python(spark):
+    # The Spark-side rank expression must equal the reference
+    # definition: leading zeros of the 42-bit remainder + 1.
+    import hashlib
+
+    from pyspark.sql import functions as F
+    import information_extraction_spark.driver_queries.sketches as S
+
+    vals = ["alpha", "beta", "gamma", "delta"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    h = S._h48(F.col("s"))
+    w = (h / F.lit(64)).cast("long")
+    rank = F.when(w == 0, F.lit(43)).otherwise(
+        F.lit(43) - F.length(F.bin(w))
+    )
+    got = {
+        r["s"]: (r["reg"], r["rank"])
+        for r in df.select(
+            "s", (h % 64).alias("reg"), rank.alias("rank")
+        ).collect()
+    }
+    for v in vals:
+        hv = int(hashlib.md5(v.encode()).hexdigest()[:12], 16)
+        wv = hv // 64
+        exp_rank = 43 if wv == 0 else 42 - wv.bit_length() + 1
+        assert got[v] == (hv % 64, exp_rank)
