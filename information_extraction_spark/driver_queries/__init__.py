@@ -44,6 +44,14 @@ _CHANGED_THIS_ROUND = [
     # (dim+1-group gradient shuffle per round, weights as literals).
     "a14_hll_distinct",
     "emb_linreg_gd",
+    # TPC-H Q13/Q17/Q22 adaptations: pre-filtered LEFT OUTER count
+    # distribution (the zero-bucket is load-bearing), correlated
+    # per-part avg-quantity threshold via aggregate-then-broadcast
+    # join-back, and scalar-subquery + LEFT ANTI dormant customers
+    # with an exact integer cross-multiply balance bar.
+    "q13_cust_distribution",
+    "q17_small_qty_revenue",
+    "q22_dormant_customers",
     # Degree-ordered triangle counting + local clustering coefficient
     # over the co-mention graph, and fixed-round power-iteration PCA
     # projections over the embedding table.

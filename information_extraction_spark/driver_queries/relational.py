@@ -1172,3 +1172,196 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("order_count")
     )
+
+
+# --- Q13: customer order-count distribution ------------------------------------
+#
+# TPC-H Q13 adapted to this schema: the histogram of per-customer
+# order counts INCLUDING zero-order customers — the shape is a LEFT
+# OUTER join whose right side is pre-filtered (here: non-URGENT
+# orders only). The filter MUST apply before the join: filtering
+# after would silently drop the zero-count bucket, which is the
+# entire point of the query (the reference check below counts
+# customers whose only orders are urgent as c_count = 0).
+#
+# Scale shape: one shuffle on c_custkey shared by the join and the
+# first count (AQE reuses the exchange); the second groupBy is over
+# the bounded count domain (~tens of groups) — map-side combined,
+# trivially small. count("o_orderkey") counts NON-NULLs, matching
+# SQL count(column) over the outer join's null-extended rows.
+
+_Q13_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey FROM orders
+  WHERE o_orderpriority <> '1-URGENT'
+), cc AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM cc GROUP BY 1
+"""
+
+
+@_q("q13_cust_distribution", _Q13_ORACLE)
+def q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+# --- Q17: small-quantity revenue vs per-part average ---------------------------
+#
+# TPC-H Q17's correlated-scalar-subquery shape: revenue from
+# lineitems whose quantity is below 20% of that part's own average
+# quantity, per brand. The correlated subquery decorrelates into an
+# aggregate-then-join-back: per-part avg over the SAME filtered scan,
+# then an equi-join on l_partkey. The per-part aggregate output is
+# |parts|-sized — far smaller than lineitem — so it broadcasts; the
+# fact table never shuffles.
+#
+# Determinism: l_quantity is integer-valued (verified on the driver
+# corpus), so sum/avg are exact in double (integer arithmetic below
+# 2^53, order-independent); the 0.2*avg threshold is one double
+# multiply of identical operands in both engines. Revenue quantizes
+# per row to integer 100ths (l_extendedprice is ~2dp) before the
+# cross-row sum — the x10^dp rule — and divides back at the end.
+
+_Q17_ORACLE = """
+WITH li AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand IN ('Brand#11', 'Brand#23', 'Brand#35')
+), pa AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+  FROM li GROUP BY 1
+)
+SELECT li.p_brand,
+       CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum(CAST(round(li.l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue
+FROM li JOIN pa ON li.l_partkey = pa.l_partkey
+WHERE li.l_quantity < pa.qty_cut
+GROUP BY 1
+"""
+
+
+@_q("q17_small_qty_revenue", _Q17_ORACLE)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#23", "Brand#35"))
+        .select("p_partkey", "p_brand")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    pa = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(pa), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_small"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("revenue"),
+        )
+    )
+
+
+# --- Q22: dormant high-balance customers ---------------------------------------
+#
+# TPC-H Q22's shape on this schema: customers with NO order since
+# 2001-01-01 (the anti-join leg) whose account balance exceeds the
+# average balance of all positive-balance customers (the scalar
+# aggregate subquery leg), reported per market segment.
+#
+# Scale shape: the scalar threshold is ONE map-side-combined global
+# aggregate (2 scalars to the driver as plan literals is avoided —
+# the comparison stays distributed via a broadcast crossJoin of the
+# 1-row aggregate); the dormancy check is a LEFT ANTI equi-join on
+# c_custkey against the date-pruned orders scan (the filter pushes to
+# the parquet scan, so at 100 TB only the recent partitions read).
+#
+# Determinism: balances quantize to integer 10^-4 units (bal4); the
+# above-average comparison is the exact integer cross-multiply
+# bal4 * n_pos > total4 — no double division anywhere near the
+# boundary, so both engines pick identical customer sets.
+
+_Q22_ORACLE = """
+WITH b AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 10000) AS BIGINT) AS bal4
+  FROM customer
+), t AS (
+  SELECT CAST(sum(bal4) AS BIGINT) AS total4,
+         CAST(count(*) AS BIGINT) AS n_pos
+  FROM b WHERE bal4 > 0
+), dormant AS (
+  SELECT b.* FROM b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = b.c_custkey
+      AND CAST(floor(epoch(o.o_orderdate)) AS BIGINT) >= 978307200)
+)
+SELECT d.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(d.bal4) AS BIGINT) AS sum_bal4
+FROM dormant d, t
+WHERE d.bal4 * t.n_pos > t.total4
+GROUP BY 1
+"""
+
+
+@_q("q22_dormant_customers", _Q22_ORACLE)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 10000).cast("long").alias("bal4"),
+    )
+    t = b.filter(F.col("bal4") > 0).agg(
+        F.sum("bal4").cast("long").alias("total4"),
+        F.count("*").cast("long").alias("n_pos"),
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .withColumn(
+            "osec",
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp")),
+        )
+        .filter(F.col("osec") >= 978307200)
+        .select("o_custkey")
+    )
+    dormant = b.join(
+        recent, b.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return (
+        dormant.crossJoin(F.broadcast(t))
+        .filter(F.col("bal4") * F.col("n_pos") > F.col("total4"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_custs"),
+            F.sum("bal4").cast("long").alias("sum_bal4"),
+        )
+    )

@@ -783,3 +783,113 @@ def test_q4_semi_join_counts_orders_not_lines(spark, tmp_path):
         for r in R.q4_order_priority(spark, d).collect()
     }
     assert got == {"1-URGENT": 1}
+
+
+def test_q13_zero_order_bucket_survives_prefilter(spark, tmp_path):
+    """The right-side filter must apply BEFORE the left join: a
+    customer whose only orders are URGENT lands in the c_count=0
+    bucket (filtering after the join would drop them entirely)."""
+    import information_extraction_spark.driver_queries.relational as R
+
+    d = str(tmp_path / "q13")
+    spark.createDataFrame(
+        [(1, "a", 0, 0.0, "B"), (2, "b", 0, 0.0, "B"), (3, "c", 0, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
+    day = dt.datetime(1996, 1, 1)
+    spark.createDataFrame(
+        [
+            # cust 1: two non-urgent -> c_count 2
+            (10, 1, "O", 1.0, day, "5-LOW"),
+            (11, 1, "O", 1.0, day, "5-LOW"),
+            # cust 2: ONLY urgent -> c_count 0 (the load-bearing case)
+            (12, 2, "O", 1.0, day, "1-URGENT"),
+            # cust 3: no orders at all -> c_count 0
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    got = {
+        r["c_count"]: r["custdist"]
+        for r in R.q13_cust_distribution(spark, d).collect()
+    }
+    assert got == {2: 1, 0: 2}
+
+
+def test_q17_threshold_is_per_part_and_strict(spark, tmp_path):
+    """The 0.2*avg cut is computed per part over the SAME brand-
+    filtered scan; the comparison is strict <, and other-brand
+    lineitems never contribute to a part's average."""
+    import information_extraction_spark.driver_queries.relational as R
+
+    d = str(tmp_path / "q17")
+    spark.createDataFrame(
+        [
+            (1, "p1", "Brand#11", "T", 1, 1.0),
+            (2, "p2", "Brand#99", "T", 1, 1.0),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.parquet(f"{d}/part.parquet")
+    day = dt.datetime(1996, 1, 1)
+    rows = [
+        # part 1: quantities 1, 9, 50 -> avg 20, cut 4.0.
+        # qty 1 passes (< 4); qty 4 would NOT (strict) — use 9/50 as
+        # the non-passing bulk. extprice 10.0 on the passing row.
+        (100, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", day),
+        (100, 1, 1, 2, 9.0, 99.0, 0.0, 0.0, "N", "O", day),
+        (101, 1, 1, 1, 50.0, 99.0, 0.0, 0.0, "N", "O", day),
+        # part 2 is Brand#99 (not selected): must not appear at all.
+        (102, 2, 1, 1, 1.0, 77.0, 0.0, 0.0, "N", "O", day),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    out = R.q17_small_qty_revenue(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["p_brand"] == "Brand#11"
+    assert r["n_small"] == 1
+    assert r["revenue"] == 10.0
+
+
+def test_q22_dormant_and_above_average_balance(spark, tmp_path):
+    """Dormancy = NO order at/after the 2001-01-01 cutoff (an old
+    order does not disqualify); the balance bar is the average over
+    positive balances only, compared by exact integer cross-multiply."""
+    import information_extraction_spark.driver_queries.relational as R
+
+    d = str(tmp_path / "q22")
+    # Positive balances: 300, 300, 100 -> avg 233.33; the negative
+    # balance stays out of the bar. Only bal 300 clears it.
+    spark.createDataFrame(
+        [
+            (1, "a", 0, 300.0, "SEG1"),   # above avg, dormant -> kept
+            (2, "b", 0, 300.0, "SEG1"),   # above avg, RECENT order -> out
+            (3, "c", 0, 100.0, "SEG2"),   # below avg -> out
+            (4, "d", 0, -50.0, "SEG2"),   # negative, below avg -> out
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
+    old = dt.datetime(1999, 6, 1)
+    recent = dt.datetime(2001, 6, 1)
+    spark.createDataFrame(
+        [
+            (10, 1, "O", 1.0, old, "5-LOW"),     # old order: still dormant
+            (11, 2, "O", 1.0, recent, "5-LOW"),  # recent: not dormant
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    out = R.q22_dormant_customers(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["c_mktsegment"] == "SEG1"
+    assert r["n_custs"] == 1
+    assert r["sum_bal4"] == 3000000
