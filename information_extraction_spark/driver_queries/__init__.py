@@ -52,6 +52,14 @@ _CHANGED_THIS_ROUND = [
     "q13_cust_distribution",
     "q17_small_qty_revenue",
     "q22_dormant_customers",
+    # Gopher-style repetition quality signals (within-row bigram
+    # transform, deterministic tie-broken top bigram), the signed
+    # random-projection JL sketch (md5-parity sign matrix, zero
+    # shuffles, exact micro-unit output), and the first-order Markov
+    # event-transition matrix (one lead() window shuffle).
+    "ta_repetition",
+    "emb_rproj",
+    "w17_markov",
     # Degree-ordered triangle counting + local clustering coefficient
     # over the co-mention graph, and fixed-round power-iteration PCA
     # projections over the embedding table.

@@ -1365,3 +1365,66 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal4").cast("long").alias("sum_bal4"),
         )
     )
+
+
+# --- W17: first-order Markov transition matrix ----------------------------------
+#
+# Per-user event sequences -> the (src, dst) transition count matrix
+# and floor-ppm transition probabilities: the behavioral-model /
+# session-analysis primitive (and the KG analog of predicate-sequence
+# mining on transcripts). Transitions pair each event with the NEXT
+# event of the same user under the deterministic total order
+# (sec, event_id) — ties broken by event_id so both engines see the
+# same successor.
+#
+# Scale shape: ONE shuffle on user_id for the lead() window (no
+# self-join — the naive e1 x e2 "next event" join is quadratic per
+# hot user); the (src, dst) count and the per-src total are tiny
+# bounded aggregates over the event-type domain, and the probability
+# join broadcasts the per-src totals. p_ppm is BIGINT floor division
+# (Spark `div` == DuckDB `//`) — exact in both engines.
+
+_W17_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events WHERE ts IS NOT NULL
+), nx AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY sec, event_id) AS dst
+  FROM e
+), t AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n_trans
+  FROM nx WHERE dst IS NOT NULL GROUP BY 1, 2
+), st AS (
+  SELECT src, CAST(sum(n_trans) AS BIGINT) AS src_total FROM t GROUP BY 1
+)
+SELECT t.src, t.dst, t.n_trans,
+       (t.n_trans * 1000000) // st.src_total AS p_ppm
+FROM t JOIN st USING (src)
+"""
+
+
+@_q("w17_markov", _W17_ORACLE)
+def w17_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_sec(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    t = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n_trans"))
+    )
+    st = t.groupBy("src").agg(
+        F.sum("n_trans").cast("long").alias("src_total")
+    )
+    return t.join(F.broadcast(st), "src").select(
+        "src",
+        "dst",
+        "n_trans",
+        F.expr("(n_trans * 1000000) div src_total").alias("p_ppm"),
+    )

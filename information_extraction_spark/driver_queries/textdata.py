@@ -3077,3 +3077,203 @@ def emb_linreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=3,
         lr=0.1,
     )
+
+
+# --- Gopher-style repetition signals -------------------------------------------
+#
+# The quality-filter family's repetition leg (Rae et al. 2021 §A1.1
+# shape, adapted to the whitespace-token corpus): per document, the
+# fraction of token occurrences whose token repeats within the doc,
+# and the share of bigram slots taken by the single most frequent
+# bigram. High values flag boilerplate / degenerate generations — the
+# standard pre-training curation gate alongside ta_quality.
+#
+# Scale shape: the bigram list is built WITHIN the row by a
+# higher-order transform (no self-join, no window); both count
+# aggregations shuffle once on (doc_id, gram) with map-side combine
+# and re-aggregate on the same doc_id key (one exchange reused). The
+# top-bigram pick is deterministic under ties: max count first, then
+# lexicographic min — computed as agg + filter-join-back, never a
+# nondeterministic max_by.
+#
+# Integer discipline: both fractions are ppm via BIGINT floor
+# division (Spark `div` == DuckDB `//`); docs with fewer than 2
+# tokens have no bigram slots and are excluded on both sides.
+
+_TA_REP_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), w AS (
+  SELECT doc_id, unnest(ws) AS word FROM d
+), wc AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+  FROM w GROUP BY 1, 2
+), tok AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup
+  FROM wc GROUP BY 1
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i + 1])) AS gram
+  FROM d
+), bc AS (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+  FROM bg GROUP BY 1, 2
+), bt AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(max(c) AS BIGINT) AS max_c
+  FROM bc GROUP BY 1
+), top AS (
+  SELECT bc.doc_id, min(bc.gram) AS top_bigram
+  FROM bc JOIN bt ON bc.doc_id = bt.doc_id AND bc.c = bt.max_c
+  GROUP BY 1
+)
+SELECT tok.doc_id, tok.n_tokens,
+       (tok.dup * 1000000) // tok.n_tokens AS dup_token_ppm,
+       top.top_bigram,
+       (bt.max_c * 1000000) // bt.n_bigrams AS top_bigram_ppm
+FROM tok JOIN bt ON tok.doc_id = bt.doc_id
+JOIN top ON tok.doc_id = top.doc_id
+"""
+
+
+@_q("ta_repetition", _TA_REP_ORACLE)
+def ta_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _spread(spark, _docs(spark, sf_dir), "doc_id")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    wc = (
+        d.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tok = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("dup"),
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> concat(ws[i], ' ', ws[i + 1]))"
+            )
+        ).alias("gram"),
+    )
+    bc = grams.groupBy("doc_id", "gram").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    bt = bc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("max_c"),
+    )
+    top = (
+        bc.join(bt, "doc_id")
+        .filter(F.col("c") == F.col("max_c"))
+        .groupBy("doc_id")
+        .agg(F.min("gram").alias("top_bigram"))
+    )
+    return (
+        tok.join(bt, "doc_id")
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("(dup * 1000000) div n_tokens").alias("dup_token_ppm"),
+            "top_bigram",
+            F.expr("(max_c * 1000000) div n_bigrams").alias(
+                "top_bigram_ppm"
+            ),
+        )
+    )
+
+
+# --- Signed random projection (Johnson-Lindenstrauss sketch) --------------------
+#
+# Dimensionality reduction for the embedding table: project the
+# 64-dim vectors onto 16 fixed ±1 hyperplane directions — the JL /
+# SimHash-style sketch that feeds cheap downstream clustering and the
+# coarse leg of two-stage ANN. The sign matrix is a pure function of
+# (in_dim, out_dim) via the portable h48 md5 parity, so BOTH engines
+# (and any executor, any round) regenerate it bit-identically —
+# nothing random at runtime, nothing shipped but 16 literal arrays.
+#
+# Scale shape: entirely within-row (zip_with + aggregate fold per
+# output dim) — a narrow map with ZERO shuffles and no UDF; the
+# posexplode only widens rows 16x after the arithmetic. Determinism:
+# per-component contributions quantize to integer micro-units inside
+# the row fold and the projection stays in exact BIGINT micro-units —
+# a final 4dp double round would land on .5 boundaries where Spark's
+# BigDecimal HALF_UP and DuckDB's binary-double round() disagree.
+
+
+def _rproj_signs(in_dim: int = 64, out_dim: int = 16) -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:12], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+_RPROJ_H = _h48w_sql("CAST(i.i AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)")
+
+_RPROJ_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS x
+  FROM embeddings
+), m AS (
+  SELECT i.i AS i, j.j AS j,
+         CASE WHEN {_RPROJ_H} % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM generate_series(0, 63) i(i)
+  CROSS JOIN generate_series(0, 15) j(j)
+), c AS (
+  SELECT e.vec_id, m.j,
+         CAST(round(e.x[m.i + 1] * m.s * 1000000) AS BIGINT) AS cu
+  FROM e CROSS JOIN m
+)
+SELECT vec_id, CAST(j AS INT) AS out_dim,
+       CAST(sum(cu) AS BIGINT) AS proj_u6
+FROM c GROUP BY 1, 2
+"""
+
+
+@_q("emb_rproj", _RPROJ_ORACLE)
+def emb_rproj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    signs = _rproj_signs()
+    e = _spread(spark, _emb(spark, sf_dir), "vec_id").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("x"),
+    )
+    projs = []
+    for j in range(16):
+        s_lit = F.array(*[F.lit(s) for s in signs[j]])
+        cu = F.zip_with(
+            F.col("x"),
+            s_lit,
+            lambda a, b: F.round(a * b * 1000000).cast("long"),
+        )
+        projs.append(
+            F.aggregate(cu, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        )
+    return e.select(
+        "vec_id",
+        F.posexplode(F.array(*projs)).alias("out_dim", "proj_u6"),
+    )

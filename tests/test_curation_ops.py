@@ -528,3 +528,87 @@ def test_bpe_train_merges_and_same_char_run(spark, tmp_path):
     # 3x replace turns ' a b a b ' -> ' ab ab '); round 3's top pair
     # is (ab, ab) with count 3.
     assert got[2] == (3, "ab", "ab", 3)
+
+
+def test_ta_repetition_hand_built(spark, tmp_dir):
+    """dup fraction counts ALL occurrences of repeated tokens; the
+    top bigram is the max-count gram with lexicographic-min tie
+    break; one-token docs are excluded (no bigram slots)."""
+    from information_extraction_spark.driver_queries.textdata import (
+        ta_repetition,
+    )
+
+    d = _write_docs(
+        spark,
+        tmp_dir,
+        [
+            # tokens: a a b -> n=3, dup=2 (both a's). bigrams:
+            # "a a" x1, "a b" x1 -> tie, top = "a a", ppm 500000.
+            (0, "a a b", "en"),
+            # all distinct -> dup 0; bigrams all unique; top is the
+            # lexicographic min "b c" vs "c d" vs "b c"? grams are
+            # b c, c d -> top "b c" at 500000.
+            (1, "b c d", "en"),
+            # single token: excluded entirely.
+            (2, "solo", "en"),
+        ],
+        "rep",
+    )
+    got = {r["doc_id"]: r for r in ta_repetition(spark, d).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n_tokens"] == 3
+    assert got[0]["dup_token_ppm"] == (2 * 1000000) // 3
+    assert got[0]["top_bigram"] == "a a"
+    assert got[0]["top_bigram_ppm"] == 500000
+    assert got[1]["dup_token_ppm"] == 0
+    assert got[1]["top_bigram"] == "b c"
+
+
+def test_emb_rproj_matches_hashlib_reference(spark, tmp_dir):
+    """The sign matrix is md5-parity of 'i:j'; projections are exact
+    integer micro-unit sums of the per-component contributions."""
+    import numpy as np
+
+    from information_extraction_spark.driver_queries.textdata import (
+        _rproj_signs,
+        emb_rproj,
+    )
+
+    signs = _rproj_signs()
+    # Independent recomputation of two entries straight from hashlib.
+    assert signs[0][0] == (
+        1 if int(_md5("0:0")[:12], 16) % 2 == 0 else -1
+    )
+    assert signs[7][63] == (
+        1 if int(_md5("63:7")[:12], 16) % 2 == 0 else -1
+    )
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(3, 64).astype("float32")
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [v.tolist() for v in vecs],
+            "label": [0, 1, 2],
+        }
+    )
+    d = os.path.join(tmp_dir, "rproj")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    got = {
+        (r["vec_id"], r["out_dim"]): r["proj_u6"]
+        for r in emb_rproj(spark, d).collect()
+    }
+    for vid in range(3):
+        x = vecs[vid].astype("float64")
+        for j in range(16):
+            want = sum(
+                int(
+                    np.copysign(
+                        np.floor(abs(x[i] * signs[j][i] * 1e6) + 0.5), 
+                        x[i] * signs[j][i],
+                    )
+                )
+                for i in range(64)
+            )
+            assert got[(vid, j)] == want, (vid, j)

@@ -893,3 +893,38 @@ def test_q22_dormant_and_above_average_balance(spark, tmp_path):
     assert r["c_mktsegment"] == "SEG1"
     assert r["n_custs"] == 1
     assert r["sum_bal4"] == 3000000
+
+
+def test_w17_markov_order_and_ppm(spark, tmp_path):
+    """Transitions follow the (sec, event_id) total order — the
+    equal-timestamp tie breaks by event_id — and p_ppm is floor
+    division of per-src counts."""
+    import information_extraction_spark.driver_queries.relational as R
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # user 1: view(10) -> click(20) -> click(20, higher id)
+            # -> buy(30): transitions view->click, click->click,
+            # click->buy.
+            (0, 10, 1, "view", 1.0),
+            (1, 20, 1, "click", 1.0),
+            (2, 20, 1, "click", 1.0),
+            (3, 30, 1, "buy", 1.0),
+            # user 2: view -> buy (single transition; last event of a
+            # user emits nothing).
+            (4, 5, 2, "view", 1.0),
+            (5, 6, 2, "buy", 1.0),
+        ],
+    )
+    got = {
+        (r["src"], r["dst"]): (r["n_trans"], r["p_ppm"])
+        for r in R.w17_markov(spark, sf).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 500000),
+        ("view", "buy"): (1, 500000),
+        ("click", "click"): (1, 500000),
+        ("click", "buy"): (1, 500000),
+    }
