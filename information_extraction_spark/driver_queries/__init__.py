@@ -60,6 +60,14 @@ _CHANGED_THIS_ROUND = [
     "ta_repetition",
     "emb_rproj",
     "w17_markov",
+    # CUBE grouping sets (one Expand + one shuffle, all four sets),
+    # int8 symmetric embedding quantization (within-row pure-BIGINT
+    # half-away codes, zero shuffles), and neighborhood-Jaccard link
+    # prediction (object-blocked pairs, degrees over the SAME
+    # hub-capped universe, union via d1+d2-shared).
+    "q12_cube",
+    "emb_quantize",
+    "kg_jaccard_neighbors",
     # Degree-ordered triangle counting + local clustering coefficient
     # over the co-mention graph, and fixed-round power-iteration PCA
     # projections over the embedding table.

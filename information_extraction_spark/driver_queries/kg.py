@@ -2740,3 +2740,49 @@ def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e1").alias("src"), F.col("e2").alias("dst")
     )
     return triangle_counts(edges)
+
+
+def _jaccard_nb_oracle_sql(sf_dir: str) -> str:
+    # Same hub-capped universe as linking.jaccard_neighbor_pairs:
+    # degrees AND pairs both come from the capped edge set, union
+    # size via d1 + d2 - shared; pure BIGINT ppm.
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT subject, object FROM {g}
+), cap AS (
+  SELECT e.subject, e.object FROM e
+  JOIN (SELECT object FROM e GROUP BY 1 HAVING count(*) <= 1000) k
+  USING (object)
+), ds AS (
+  SELECT subject, CAST(count(*) AS BIGINT) AS d FROM cap GROUP BY 1
+), p AS (
+  SELECT a.subject AS s1, b.subject AS s2,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM cap a JOIN cap b ON a.object = b.object AND a.subject < b.subject
+  GROUP BY 1, 2
+)
+SELECT p.s1, p.s2, p.n_shared,
+       CAST((p.n_shared * 1000000) // (d1.d + d2.d - p.n_shared)
+            AS BIGINT) AS jaccard_ppm
+FROM p JOIN ds d1 ON p.s1 = d1.subject
+JOIN ds d2 ON p.s2 = d2.subject
+"""
+
+
+@_q("kg_jaccard_neighbors", _jaccard_nb_oracle_sql("/root/testdata/sf0.01"))
+def kg_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the materialized
+    subject→object graph (operators/linking.jaccard_neighbor_pairs):
+    the size-normalized companion to kg_resource_alloc — |N(a)∩N(b)| /
+    |N(a)∪N(b)| in integer ppm, union size derived from per-subject
+    degrees (never a materialized union), pairs blocked on the object
+    key with the hub cap, degrees computed over the SAME capped
+    universe."""
+    from information_extraction_spark.operators.linking import (
+        jaccard_neighbor_pairs,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_jaccard_neighbors"] = _jaccard_nb_oracle_sql(sf_dir)
+    return jaccard_neighbor_pairs(triples, max_obj_deg=1000, min_shared=1)

@@ -1428,3 +1428,45 @@ def w17_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trans",
         F.expr("(n_trans * 1000000) div src_total").alias("p_ppm"),
     )
+
+
+# --- Q12: CUBE grouping sets -----------------------------------------------------
+#
+# The full CUBE over (lang, source) — all four grouping sets in one
+# pass, where q7's ROLLUP emits only the prefix hierarchy. Spark
+# expands CUBE into a single Expand + one map-side-combined hash
+# aggregate (NOT one scan per grouping set); at 100 TB that is 4x the
+# aggregate rows but still exactly one shuffle. The grouping_id bit
+# encoding (lang bit 2, source bit 1) matches DuckDB's GROUPING()
+# ordering; NULL group keys coalesce to '(all)' so real NULL data
+# can't collide with the subtotal rows' sentinel.
+
+_Q12_ORACLE = """
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE(lang, source)
+"""
+
+
+@_q("q12_cube", _Q12_ORACLE)
+def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("(all)")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("(all)")).alias("source"),
+            "gid",
+            "n_docs",
+            "sum_chars",
+        )
+    )

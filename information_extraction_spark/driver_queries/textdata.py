@@ -3277,3 +3277,77 @@ def emb_rproj(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.posexplode(F.array(*projs)).alias("out_dim", "proj_u6"),
     )
+
+
+# --- Int8 symmetric embedding quantization --------------------------------------
+#
+# The vector-storage compressor: per-vector symmetric int8
+# quantization (q_i = round(x_i * 127 / max|x|), scale kept
+# alongside) — 4x smaller vectors for the ANN candidate tier, the
+# same layout faiss/ScaNN storage uses. Entirely within-row: one
+# narrow map, ZERO shuffles; the posexplode widens after the
+# arithmetic (the emb_rproj shape).
+#
+# Integer discipline end-to-end: components quantize to micro-units
+# (xi6), the per-vector max rides array_max, and the int8 code is the
+# EXACT half-away-from-zero rounding of xi6*127/m6 computed purely in
+# BIGINT — sign(n) * ((|n|*254 + m6) div (2*m6)) — because a double
+# x*127/maxabs would round differently across engines on .5
+# boundaries. Negative operands never reach div/(//), whose
+# truncate-vs-floor semantics differ between Spark and DuckDB.
+
+_QUANT_ORACLE = """
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(round(v * 1000000) AS BIGINT)) AS xi6
+  FROM embeddings
+), m AS (
+  SELECT vec_id, xi6,
+         list_max(list_transform(xi6, v -> abs(v))) AS m6
+  FROM e
+), q AS (
+  SELECT vec_id, m6, i.i AS dim_i,
+         CASE WHEN xi6[i.i + 1] >= 0 THEN 1 ELSE -1 END
+           * ((abs(xi6[i.i + 1]) * 254 + m6) // (2 * m6)) AS q
+  FROM m CROSS JOIN generate_series(0, 63) i(i)
+  WHERE m6 > 0
+)
+SELECT vec_id, CAST(dim_i AS INT) AS dim_i, CAST(q AS BIGINT) AS q,
+       CAST(m6 AS BIGINT) AS m6
+FROM q
+"""
+
+
+@_q("emb_quantize", _QUANT_ORACLE)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _spread(spark, _emb(spark, sf_dir), "vec_id").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda v: F.round(v * 1000000).cast("long"),
+        ).alias("xi6"),
+    )
+    m = e.withColumn(
+        "m6", F.array_max(F.transform("xi6", lambda v: F.abs(v)))
+    ).filter(F.col("m6") > 0)
+    # Pure-BIGINT half-away rounding; `div` on the non-negative
+    # numerator matches DuckDB's floor `//` exactly (a double `/`
+    # then cast would mis-truncate exact integer quotients). The
+    # greatest(m6, 1) guard is for ANSI mode only: Catalyst folds
+    # this transform into the SAME codegen stage as the m6 > 0
+    # filter (as a shared subexpression evaluated before the
+    # predicate), so the expression must be total even though m6 = 0
+    # rows never survive; for surviving rows greatest is identity.
+    q = m.withColumn(
+        "qs",
+        F.expr(
+            "transform(xi6, v -> (CASE WHEN v >= 0 THEN 1 ELSE -1 END)"
+            " * ((abs(v) * 254 + m6) div (2 * greatest(m6, 1L))))"
+        ),
+    )
+    return q.select(
+        "vec_id", F.posexplode("qs").alias("dim_i", "q"), "m6"
+    ).select(
+        "vec_id", "dim_i", F.col("q").cast("long").alias("q"), "m6"
+    )

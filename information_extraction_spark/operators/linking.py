@@ -444,3 +444,67 @@ def resource_alloc_pairs(
         )
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def jaccard_neighbor_pairs(
+    triples: DataFrame,
+    max_obj_deg: int = 1000,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the subject→object
+    graph: subject pairs scored |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the
+    set-overlap companion to :func:`resource_alloc_pairs` (same
+    object-key blocking, but a symmetric size-normalized score
+    instead of a degree-weighted sum). Reference workflow parity:
+    this is the ER-adjacent "how similar are two entities' object
+    neighborhoods" signal the alias dictionary can't provide.
+
+    The union size never materializes a union: |A ∪ B| =
+    d(a) + d(b) - |A ∩ B| from the per-subject degrees, so the only
+    joins are the object-blocked pair join and two subject-keyed
+    degree joins on the (already pair-aggregated, far smaller) pair
+    table. Degrees are computed over the SAME hub-capped edge
+    universe the pairs come from — consistent set semantics (a
+    dropped hub object is dropped from numerator and denominator
+    alike). Score is integer ppm: n*10^6 div (d1+d2-n), pure BIGINT.
+
+    Scale shape mirrors resource_alloc_pairs: per-object fan-out is
+    C(d(o), 2) bounded by ``max_obj_deg``; every shuffle is keyed
+    (object, then s1, then s2) and the degree table is
+    entity-cardinality — broadcast when small, hash-join otherwise
+    (left to AQE, since entity counts vary by corpus).
+    """
+    edges = triples.select("subject", "object").distinct()
+    deg_o = (
+        edges.groupBy("object")
+        .agg(F.count("*").cast("long").alias("_do"))
+        .filter(F.col("_do") <= max_obj_deg)
+    )
+    capped = edges.join(deg_o.select("object"), "object")
+    deg_s = capped.groupBy("subject").agg(
+        F.count("*").cast("long").alias("_ds")
+    )
+    a = capped.select(F.col("subject").alias("s1"), "object")
+    b = capped.select(F.col("subject").alias("s2"), "object")
+    pairs = (
+        a.join(b, "object")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(deg_s.withColumnRenamed("subject", "s1"), "s1")
+        .withColumnRenamed("_ds", "_d1")
+        .join(deg_s.withColumnRenamed("subject", "s2"), "s2")
+        .withColumnRenamed("_ds", "_d2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            F.expr(
+                "CAST((n_shared * 1000000)"
+                " div (_d1 + _d2 - n_shared) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -420,3 +420,35 @@ def test_linreg_gd_loss_decreases(spark):
     mse3 = sum((got[i] - y) ** 2 for i, _, y in rows) / len(rows)
     mse0 = sum(float(y) ** 2 for _, _, y in rows) / len(rows)
     assert mse3 < mse0 * 0.8
+
+
+def test_emb_quantize_exact_halfaway_and_zero_vector(spark, tmp_path):
+    """Int8 codes are the exact half-away rounding of xi6*127/m6 in
+    pure BIGINT; the max-component quantizes to ±127 exactly; an
+    all-zero vector is excluded (no scale)."""
+    import os
+
+    import pandas as pd
+
+    from information_extraction_spark.driver_queries.textdata import (
+        emb_quantize,
+    )
+
+    vecs = [
+        # max |x| = 0.5 -> m6 = 500000. x=0.25 -> 63.5 -> half-away 64.
+        [0.5, -0.25, 0.0] + [0.0] * 61,
+        [0.0] * 64,  # excluded
+    ]
+    pdf = pd.DataFrame(
+        {"vec_id": [0, 1], "embedding": vecs, "label": [0, 0]}
+    )
+    d = str(tmp_path / "qz")
+    spark.createDataFrame(pdf).write.parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    rows = emb_quantize(spark, d).collect()
+    assert {r["vec_id"] for r in rows} == {0}
+    got = {r["dim_i"]: (r["q"], r["m6"]) for r in rows}
+    assert got[0] == (127, 500000)
+    assert got[1] == (-64, 500000)   # -63.5 rounds away to -64
+    assert got[2] == (0, 500000)

@@ -327,3 +327,43 @@ def test_resource_alloc_scores_and_hub_cap(spark):
         ("s1", "s3"): (1, 333333),
         ("s2", "s3"): (1, 333333),
     }
+
+
+def test_jaccard_neighbors_consistent_capped_universe(spark):
+    """Degrees and pairs share the hub-capped edge set: dropping a
+    hub shrinks BOTH intersection and union. Hand graph: N(s1) =
+    {oA, oB}, N(s2) = {oA, oB, oC} -> J = 2/3; with a hub edge added
+    to both, the capped score is UNCHANGED (the hub leaves the
+    universe), while an uncapped run would score 3/4."""
+    from information_extraction_spark.operators.linking import (
+        jaccard_neighbor_pairs,
+    )
+
+    rows = [
+        ("s1", "p", "oA"), ("s2", "p", "oA"),
+        ("s1", "p", "oB"), ("s2", "p", "oB"),
+        ("s2", "p", "oC"),
+        # duplicate assertion: distinct() must collapse it.
+        ("s1", "q", "oA"),
+    ]
+    rows += [(f"s{i}", "p", "hub") for i in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, "subject string, predicate string, object string"
+    )
+    got = {
+        (r["s1"], r["s2"]): (r["n_shared"], r["jaccard_ppm"])
+        for r in jaccard_neighbor_pairs(df, max_obj_deg=4).collect()
+    }
+    # capped: d(s1)=2, d(s2)=3, shared=2 -> 2*1e6 div 3 = 666666.
+    assert got[("s1", "s2")] == (2, 666666)
+    # hub pairs (e.g. s3,s4) share ONLY the hub -> absent entirely.
+    assert ("s3", "s4") not in got
+    # uncapped control: hub joins the universe; s1,s2 now share 3 of
+    # 4 -> 750000, and a hub-only pair (N = {hub} on both sides) is
+    # a perfect match: union = 1, J = 1.
+    unc = {
+        (r["s1"], r["s2"]): (r["n_shared"], r["jaccard_ppm"])
+        for r in jaccard_neighbor_pairs(df, max_obj_deg=100).collect()
+    }
+    assert unc[("s1", "s2")] == (3, 750000)
+    assert unc[("s3", "s4")] == (1, 1000000)
