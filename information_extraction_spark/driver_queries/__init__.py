@@ -68,6 +68,14 @@ _CHANGED_THIS_ROUND = [
     "q12_cube",
     "emb_quantize",
     "kg_jaccard_neighbors",
+    # PPJoin-style prefix-filtered shingle containment (sub-document
+    # dup detection; lossless rarest-prefix blocking vs an all-pairs
+    # oracle), percent_rank/cume_dist distribution ranks as exact
+    # BIGINT ppm, and the stream-static broadcast enrich join
+    # (per-user batch profile joined to the purchase stream).
+    "dd_containment",
+    "w18_dist_ranks",
+    "st_enrich",
     # Degree-ordered triangle counting + local clustering coefficient
     # over the co-mention graph, and fixed-round power-iteration PCA
     # projections over the embedding table.

@@ -1470,3 +1470,62 @@ def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_chars",
         )
     )
+
+
+# --- W18: percent_rank / cume_dist distribution ranks ---------------------------
+#
+# Per-event-type distribution position of each purchase-value event —
+# the feature-engineering window pair the catalog lacked (ntile gives
+# buckets; these give the exact empirical CDF position). Both emerge
+# from ONE event_type-keyed window sort: a unique total order
+# (value, event_id) makes rank == row_number, so percent_rank is
+# (rn-1)/(n-1) and cume_dist is rn/n — emitted as exact BIGINT ppm
+# floor divisions rather than engine-native doubles (the two engines'
+# double formulas agree mathematically but not bit-wise at .5 ulp
+# boundaries; integers always agree).
+
+_W18_ORACLE = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v2
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT event_id, event_type, v2,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY v2, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+)
+SELECT event_id, event_type, v2,
+       CAST(((rn - 1) * 1000000) // greatest(n - 1, 1) AS BIGINT)
+         AS pct_rank_ppm,
+       CAST((rn * 1000000) // n AS BIGINT) AS cume_ppm
+FROM r
+"""
+
+
+@_q("w18_dist_ranks", _W18_ORACLE)
+def w18_dist_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v2", "event_id")
+    wn = Window.partitionBy("event_type")
+    # row_number() is INT — widen BEFORE the *10^6 (ANSI overflow at
+    # rn > 2147 otherwise; surfaced at sf0.1).
+    r = e.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).withColumn("n", F.count("*").over(wn).cast("long"))
+    return r.select(
+        "event_id",
+        "event_type",
+        "v2",
+        F.expr(
+            "CAST(((rn - 1) * 1000000) div greatest(n - 1, 1) AS BIGINT)"
+        ).alias("pct_rank_ppm"),
+        F.expr("CAST((rn * 1000000) div n AS BIGINT)").alias("cume_ppm"),
+    )

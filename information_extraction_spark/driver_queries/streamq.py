@@ -740,3 +740,96 @@ def st_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
+
+
+# --- Stream-static enrich join -----------------------------------------------
+#
+# The feature-lookup join every online pipeline runs: the live event
+# stream enriched with per-user HISTORICAL features from a static
+# (batch-maintained) profile table. Structured Streaming re-binds
+# the static side per micro-batch; the static plan here is a
+# map-side-combined aggregate over the batch events table that stays
+# broadcast-sized per user universe — at 100 TB the profile table is
+# a bucketed parquet dim refreshed by the batch pipeline and the
+# join hint stays the same. Purchases only on the stream side keep
+# the output event-bounded.
+#
+# Integer discipline: values quantize to cents (v2) before the
+# cross-row profile sums; enrichment emits BIGINT cents and counts.
+# The oracle is the same enrichment as batch SQL — a streamed
+# partition of the input must produce exactly the batch join.
+
+_ST_ENRICH_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v2
+  FROM events WHERE value IS NOT NULL
+), prof AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS user_n,
+         CAST(sum(v2) AS BIGINT) AS user_total2
+  FROM e GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.v2, prof.user_n, prof.user_total2
+FROM e JOIN prof USING (user_id)
+WHERE e.event_type = 'purchase'
+"""
+
+
+@_q("st_enrich", _ST_ENRICH_ORACLE)
+def st_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    run_dir = tempfile.mkdtemp(prefix="ie_stream_enrich_")
+    try:
+        src = os.path.join(run_dir, "src")
+        events = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).filter(F.col("value").isNotNull())
+        events.repartition(4, "event_id").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        # Static side: per-user profile aggregated from the batch
+        # table (broadcast: user-profile rows are dim-scale here).
+        prof = (
+            events.select(
+                "user_id",
+                F.round(F.col("value") * 100).cast("long").alias("v2"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("long").alias("user_n"),
+                F.sum("v2").cast("long").alias("user_total2"),
+            )
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "event_id",
+                "user_id",
+                F.round(F.col("value") * 100).cast("long").alias("v2"),
+            )
+        )
+        enriched = stream.join(F.broadcast(prof), "user_id")
+        name = f"st_enrich_{next(_COUNTER)}"
+        q = (
+            enriched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", os.path.join(run_dir, "ckpt")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.sql(
+            f"SELECT event_id, user_id, v2, user_n, user_total2"
+            f" FROM {name}"
+        )
+        rows = out.collect()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

@@ -3351,3 +3351,131 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "dim_i", F.col("q").cast("long").alias("q"), "m6"
     )
+
+
+# --- Shingle-set containment (PPJoin prefix-filter) ----------------------------
+#
+# Asymmetric near-dup: is the smaller document's shingle set (near-)
+# CONTAINED in the larger's — the sub-document duplication case
+# (quotes, boilerplate inclusion, re-posts with additions) that
+# symmetric Jaccard under-scores: a 100-line doc fully pasted into a
+# 10,000-line doc has Jaccard ~0.01 but containment 1.0.
+#
+# Scale path — the PPJoin/prefix-filter algorithm (Xiao et al. 2008,
+# published; implemented from the paper's idea, no reference
+# counterpart): containment(A→B) >= 0.8 means A misses at most
+# floor(0.2|A|) of its shingles in B, so at least one of A's
+# floor(0.2|A|)+1 RAREST shingles (global ascending document
+# frequency, shingle as tie-break — rare tokens make candidate lists
+# short) must appear in B. Candidates therefore come from an
+# equi-join of A-prefixes against full shingle postings — LOSSLESS
+# for the threshold (pigeonhole), linear in posting-list sizes, never
+# an all-pairs join. Exact verification (array_intersect on the
+# collected sets) runs only on surviving pairs behind the pushdown
+# barrier. Threshold 0.6 (allowed misses floor(0.4|A|), prefix
+# floor(0.4|A|)+1) — the corpus's containment distribution puts real
+# pairs at 0.6-0.8 and none at 0.8 on the demo slice.
+#
+# Scope: single-language slice (lang = 'en', doc_id % 3 = 0) — the
+# all-pairs oracle proving the blocked plan lossless is quadratic by
+# nature, so the demo slice keeps it tractable; the Spark plan itself
+# carries no quadratic stage. Threshold test is exact integer
+# (5i >= 3*na <=> floor ppm >= 600000).
+
+_CONTAIN_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE lang = 'en' AND doc_id % 3 = 0
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                               i -> substring(text, CAST(i AS INT), 5))) AS s
+  FROM d
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+), i AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.da, i.db, x.n AS na, y.n AS nb, i.i,
+       CAST((i.i * 1000000) // x.n AS BIGINT) AS cont_ppm
+FROM i JOIN sz x ON i.da = x.doc_id JOIN sz y ON i.db = y.doc_id
+WHERE (x.n < y.n OR (x.n = y.n AND i.da < i.db)) AND i.i * 5 >= 3 * x.n
+"""
+
+
+@_q("dd_containment", _CONTAIN_ORACLE)
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from information_extraction_spark.functions.barrier import (
+        pushdown_barrier,
+    )
+
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("lang") == "en") & (F.col("doc_id") % 3 == 0)
+    )
+    positions = F.when(
+        F.length("text") >= 5, F.sequence(F.lit(1), F.length("text") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (
+        _spread(spark, docs, "doc_id")
+        .withColumn("pos", F.explode(positions))
+        .select("doc_id", F.expr("substring(text, pos, 5)").alias("s"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    dfreq = sh.groupBy("s").agg(
+        F.count("*").cast("long").alias("dfreq")
+    )
+    w = Window.partitionBy("doc_id").orderBy("dfreq", "s")
+    prefix = (
+        sh.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sz, "doc_id")
+        .filter(F.col("rn") <= F.expr("(n * 2) div 5") + 1)
+        .select(F.col("doc_id").alias("da"), "s")
+    )
+    cand = (
+        prefix.join(
+            sh.select(F.col("doc_id").alias("db"), "s"), "s"
+        )
+        .filter(F.col("da") != F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("s")).alias("ws")
+    )
+    pa = sets.select(
+        F.col("doc_id").alias("da"),
+        F.col("ws").alias("wa"),
+        F.size("ws").cast("long").alias("na"),
+    )
+    pb = sets.select(
+        F.col("doc_id").alias("db"),
+        F.col("ws").alias("wb"),
+        F.size("ws").cast("long").alias("nb"),
+    )
+    pairs = (
+        cand.join(pa, "da")
+        .join(pb, "db")
+        .filter(
+            (F.col("na") < F.col("nb"))
+            | ((F.col("na") == F.col("nb")) & (F.col("da") < F.col("db")))
+        )
+        .withColumn(
+            "i", F.size(F.array_intersect("wa", "wb")).cast("long")
+        )
+    )
+    return pairs.filter(
+        pushdown_barrier(F.col("i") * 5 >= F.col("na") * 3)
+    ).select(
+        "da",
+        "db",
+        "na",
+        "nb",
+        "i",
+        F.expr("(i * 1000000) div na").alias("cont_ppm"),
+    )

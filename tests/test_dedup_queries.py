@@ -277,3 +277,63 @@ def test_incremental_lsh_matches_bruteforce_and_is_broadcast(
     mtime = _os.path.getmtime(path + ".meta.json")
     assert write_lsh_index(spark, adv_sf_dir) == path
     assert _os.path.getmtime(path + ".meta.json") == mtime
+
+
+def test_containment_matches_bruteforce_and_direction(spark, tmp_dir):
+    """dd_containment's prefix-filtered plan vs a brute-force all-
+    pairs Spark computation of the same definition on a corpus with a
+    genuine sub-document inclusion; also pins the direction rule (the
+    SMALLER set is the contained side; ties break by doc_id)."""
+    from information_extraction_spark.driver_queries.textdata import (
+        dd_containment,
+    )
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # doc 0: a slice of doc 3 -> containment(0 -> 3) high.
+        (0, big[:30]),
+        (3, big),
+        # unrelated doc.
+        (6, "xx yy zz qq ww ee rr tt uu ii oo pp"),
+        # exact duplicate of doc 0 (equal sizes: tie -> da < db).
+        (9, big[:30]),
+        # below shingle width: contributes no shingles, must not crash.
+        (12, "abc"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["t"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    d = os.path.join(tmp_dir, "contain_sf")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = {
+        (r["da"], r["db"]): (r["na"], r["nb"], r["i"], r["cont_ppm"])
+        for r in dd_containment(spark, d).collect()
+    }
+    # Brute force the same definition in Python.
+    sh = {
+        i: {t[k: k + 5] for k in range(len(t) - 4)}
+        for i, t in rows
+        if len(t) >= 5 and i % 3 == 0
+    }
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a == b:
+                continue
+            na, nb = len(sh[a]), len(sh[b])
+            if not (na < nb or (na == nb and a < b)):
+                continue
+            i = len(sh[a] & sh[b])
+            if 5 * i >= 3 * na:
+                want[(a, b)] = (na, nb, i, (i * 1000000) // na)
+    assert got == want
+    assert (0, 3) in got        # the inclusion pair survives
+    assert (0, 9) in got        # equal-size exact dup, da < db
