@@ -243,6 +243,12 @@ def main() -> int:
         "ta_fingerprint",
         "q1_pricing_summary",
         "q3_shipping_priority",
+        "a14_hll_distinct",
+        "emb_linreg_gd",
+        "dd_containment",
+        "kg_jaccard_neighbors",
+        "ta_repetition",
+        "emb_rproj",
     ]
     if args.skip_queries:
         bench_queries = []

@@ -76,6 +76,14 @@ _CHANGED_THIS_ROUND = [
     "dd_containment",
     "w18_dist_ranks",
     "st_enrich",
+    # Exact mergeable bitmap distinct counting (63-bit words, bit_or
+    # merge + bit_count), Z-order Morton tiles (pure-arithmetic bit
+    # interleave; layout pruning pinned in pytest), and exact-integer
+    # second-moment accumulation (mergeable covariance numerators,
+    # within-row inline over literal index pairs).
+    "a15_bitmap_users",
+    "w19_zorder_tiles",
+    "emb_moments",
     # Degree-ordered triangle counting + local clustering coefficient
     # over the co-mention graph, and fixed-round power-iteration PCA
     # projections over the embedding table.

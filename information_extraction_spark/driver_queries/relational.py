@@ -1529,3 +1529,64 @@ def w18_dist_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_rank_ppm"),
         F.expr("CAST((rn * 1000000) div n AS BIGINT)").alias("cume_ppm"),
     )
+
+
+# --- W19: Z-order (Morton) interleave tiles --------------------------------------
+#
+# Multi-dimensional data layout: interleaving the bits of two cluster
+# keys (user bucket x hour bucket, 8 bits each) gives a 1-D sort key
+# under which RANGES of z are 2-D tiles — files written in z order
+# carry tight min/max on BOTH dimensions, so a 2-D selective scan
+# prunes files the way a 1-D sort only could for its leading column
+# (the Delta/Iceberg OPTIMIZE ZORDER layout, recomputed here as pure
+# arithmetic — identical formula text in both engines; no UDF, no
+# shuffle for the z computation itself; one bounded tile aggregate).
+# The file-level pruning claim is pinned in tests/test_relational.py
+# (z-sorted write -> both dimensions' per-file spans shrink).
+
+_W19_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id % 256 AS ub,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 256 AS tb
+  FROM events WHERE ts IS NOT NULL
+), z AS (
+  SELECT event_id,
+         ((ub // 1) % 2) * 1 + ((tb // 1) % 2) * 2 + ((ub // 2) % 2) * 4 + ((tb // 2) % 2) * 8 + ((ub // 4) % 2) * 16 + ((tb // 4) % 2) * 32 + ((ub // 8) % 2) * 64 + ((tb // 8) % 2) * 128 + ((ub // 16) % 2) * 256 + ((tb // 16) % 2) * 512 + ((ub // 32) % 2) * 1024 + ((tb // 32) % 2) * 2048 + ((ub // 64) % 2) * 4096 + ((tb // 64) % 2) * 8192 + ((ub // 128) % 2) * 16384 + ((tb // 128) % 2) * 32768 AS zval
+  FROM e
+)
+SELECT zval // 4096 AS tile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(zval) AS BIGINT) AS min_z,
+       CAST(max(zval) AS BIGINT) AS max_z
+FROM z GROUP BY 1
+"""
+
+
+@_q("w19_zorder_tiles", _W19_ORACLE)
+def w19_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_sec(spark, sf_dir).select(
+        "event_id",
+        F.expr("user_id % 256").alias("ub"),
+        F.expr("(sec div 3600) % 256").alias("tb"),
+    )
+    z = e.select(
+        "event_id",
+        F.expr("((ub div 1) % 2) * 1L + ((tb div 1) % 2) * 2L + ((ub div 2) % 2) * 4L + ((tb div 2) % 2) * 8L + ((ub div 4) % 2) * 16L + ((tb div 4) % 2) * 32L + ((ub div 8) % 2) * 64L + ((tb div 8) % 2) * 128L + ((ub div 16) % 2) * 256L + ((tb div 16) % 2) * 512L + ((ub div 32) % 2) * 1024L + ((tb div 32) % 2) * 2048L + ((ub div 64) % 2) * 4096L + ((tb div 64) % 2) * 8192L + ((ub div 128) % 2) * 16384L + ((tb div 128) % 2) * 32768L").alias("zval"),
+    )
+    return z.groupBy(F.expr("zval div 4096").alias("tile")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("zval").cast("long").alias("min_z"),
+        F.max("zval").cast("long").alias("max_z"),
+    )
+
+
+def zorder_value(ub_col, tb_col):
+    """The 8x8-bit Morton interleave as a Column (test hook)."""
+    u, t = ub_col, tb_col
+    acc = None
+    for b in range(8):
+        term = (F.floor(u / 2**b).cast("long") % 2) * (2 ** (2 * b)) + (
+            F.floor(t / 2**b).cast("long") % 2
+        ) * (2 ** (2 * b + 1))
+        acc = term if acc is None else acc + term
+    return acc

@@ -386,3 +386,63 @@ def a14_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(est).cast("long").alias("est_e4"),
         F.lit(true_d).cast("long").alias("true_distinct"),
     )
+
+
+# --- A15: bitmap distinct (roaring-style 63-bit words) ------------------------
+#
+# Daily distinct users as OR-merged fixed-width bitmaps — the
+# bitmap-index representation (roaring's dense container) that makes
+# distinct-count MERGEABLE like the HLL above but EXACT: each user
+# sets one bit in word user_id div 63, per-day words merge with
+# bit_or (idempotent over duplicate events — no pre-distinct), and
+# the day's distinct count is the sum of bit_count over its words.
+# State per day is bounded by the id universe (|users|/63 words),
+# and two date ranges combine by word-wise OR — the partial-merge
+# contract warehouse rollups need.
+#
+# 63 bits per word (bits 0..62) keeps the sign bit out of play: both
+# engines then agree on shift/OR/bit_count without two's-complement
+# edge cases. One map-side-combined shuffle on (day, word); the
+# per-day total rides a bounded window over the day's words.
+
+_A15_ORACLE = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         user_id // 63 AS word,
+         CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT) AS bit
+  FROM events WHERE ts IS NOT NULL
+), w AS (
+  SELECT day, word, bit_or(bit) AS bits
+  FROM e GROUP BY 1, 2
+)
+SELECT day, word, bits,
+       CAST(sum(bit_count(bits)) OVER (PARTITION BY day) AS BIGINT)
+         AS day_distinct
+FROM w
+"""
+
+
+@_q("a15_bitmap_users", _A15_ORACLE)
+def a15_bitmap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            F.expr(
+                "unix_timestamp(cast(ts as timestamp)) div 86400"
+            ).alias("day"),
+            F.expr("user_id div 63").alias("word"),
+            F.expr(
+                "shiftleft(1L, cast(user_id % 63 as int))"
+            ).alias("bit"),
+        )
+    )
+    w = e.groupBy("day", "word").agg(F.expr("bit_or(bit)").alias("bits"))
+    return w.withColumn(
+        "day_distinct",
+        F.sum(F.bit_count("bits"))
+        .over(Window.partitionBy("day"))
+        .cast("long"),
+    )

@@ -3479,3 +3479,68 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         F.expr("(i * 1000000) div na").alias("cont_ppm"),
     )
+
+
+# --- Second-moment accumulation (covariance numerators) --------------------------
+#
+# The distributed statistics pass a whitening/PCA-preprocessing stage
+# runs: exact integer accumulation of the first-8-dimension second
+# moments — Σ x_i·x_j for every i <= j — plus the marginal sums and
+# the count, from which covariance/correlation are one driver-side
+# division away. Emitting the NUMERATORS in BIGINT micro-units (the
+# ×10^dp rule) instead of finished covariances keeps both engines
+# bit-exact AND keeps the partials mergeable: two corpus shards'
+# moment tables combine by plain addition, the property streaming /
+# incremental stats need.
+#
+# Scale shape: the 36 (i, j) products are built WITHIN the row by
+# inline() over literal index pairs — no self-join on vec_id, no
+# double explode; the only shuffle is the 36-group (plus 8 marginal)
+# map-side-combined aggregate. At any corpus size the output is 36
+# rows.
+
+_MOM_PAIRS = [(i, j) for i in range(8) for j in range(8) if i <= j]
+
+_MOMENTS_ORACLE = """
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), p AS (
+  SELECT i.i AS i, j.j AS j
+  FROM generate_series(0, 7) i(i) JOIN generate_series(0, 7) j(j)
+    ON i.i <= j.j
+), s AS (
+  SELECT p.i, p.j,
+         CAST(sum(CAST(round(e.x[p.i + 1] * e.x[p.j + 1] * 1000000)
+                       AS BIGINT)) AS BIGINT) AS sij6,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e CROSS JOIN p GROUP BY 1, 2
+), m AS (
+  SELECT g.i AS i,
+         CAST(sum(CAST(round(e.x[g.i + 1] * 1000000) AS BIGINT))
+              AS BIGINT) AS s6
+  FROM e CROSS JOIN generate_series(0, 7) g(i) GROUP BY 1
+)
+SELECT s.i, s.j, s.n, s.sij6, mi.s6 AS si6, mj.s6 AS sj6
+FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i
+"""
+
+
+@_q("emb_moments", _MOMENTS_ORACLE)
+def emb_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _spread(spark, _emb(spark, sf_dir), "vec_id").select(
+        F.col("embedding").cast("array<double>").alias("x")
+    )
+    pair_structs = ", ".join(
+        f"struct({i} as i, {j} as j,"
+        f" cast(round(x[{i}] * x[{j}] * 1000000) as bigint) as cij6,"
+        f" cast(round(x[{i}] * 1000000) as bigint) as ci6,"
+        f" cast(round(x[{j}] * 1000000) as bigint) as cj6)"
+        for i, j in _MOM_PAIRS
+    )
+    rows = e.select(F.expr(f"inline(array({pair_structs}))"))
+    return rows.groupBy("i", "j").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cij6").cast("long").alias("sij6"),
+        F.sum("ci6").cast("long").alias("si6"),
+        F.sum("cj6").cast("long").alias("sj6"),
+    )

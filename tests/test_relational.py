@@ -928,3 +928,86 @@ def test_w17_markov_order_and_ppm(spark, tmp_path):
         ("click", "click"): (1, 500000),
         ("click", "buy"): (1, 500000),
     }
+
+
+def test_zorder_value_interleaves_and_tiles_cluster_both_dims(
+    spark, tmp_path
+):
+    """zorder_value interleaves bits (hand cases), and a z-sorted
+    file layout bounds BOTH dimensions' per-file spans — the pruning
+    property a 1-D sort only gives its leading column."""
+    import information_extraction_spark.driver_queries.relational as R
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (255, 255), (3, 5)], "ub long, tb long"
+    )
+    got = {
+        (r["ub"], r["tb"]): r["z"]
+        for r in df.select(
+            "ub", "tb", R.zorder_value(F.col("ub"), F.col("tb")).alias("z")
+        ).collect()
+    }
+    # bit b of ub -> z bit 2b; bit b of tb -> z bit 2b+1.
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(255, 255)] == 65535
+    # ub=3 (011), tb=5 (101) -> z = 1 + 4 + 2*... hand: ub bits 0,1;
+    # tb bits 0,2 -> z = 2^0 + 2^2 + 2^1 + 2^5 = 39.
+    assert got[(3, 5)] == 39
+    # Layout evidence: 256 points on a 16x16 grid, written as 4 files
+    # sorted by z vs sorted by ub only. Under z order every file's
+    # ub-span AND tb-span cover at most half the domain; under the
+    # 1-D sort the non-leading tb spans the full domain.
+    pts = spark.createDataFrame(
+        [(u, t) for u in range(16) for t in range(16)], "ub long, tb long"
+    ).withColumn("z", R.zorder_value(F.col("ub"), F.col("tb")))
+    zdir = str(tmp_path / "zsorted")
+    pts.repartitionByRange(4, "z").write.parquet(zdir)
+    spans = (
+        spark.read.parquet(zdir)
+        .groupBy(F.spark_partition_id())
+        .agg(
+            (F.max("ub") - F.min("ub")).alias("du"),
+            (F.max("tb") - F.min("tb")).alias("dt"),
+        )
+        .collect()
+    )
+    assert all(r["du"] <= 8 and r["dt"] <= 8 for r in spans)
+    udir = str(tmp_path / "usorted")
+    pts.repartitionByRange(4, "ub").write.parquet(udir)
+    uspans = (
+        spark.read.parquet(udir)
+        .groupBy(F.spark_partition_id())
+        .agg((F.max("tb") - F.min("tb")).alias("dt"))
+        .collect()
+    )
+    assert all(r["dt"] == 15 for r in uspans)  # full-domain tb spans
+
+
+def test_a15_bitmap_counts_distinct_users_exactly(spark, tmp_path):
+    """Duplicate events set the same bit (idempotent OR); users 63
+    apart land in different words; day_distinct is exact."""
+    from information_extraction_spark.driver_queries.sketches import (
+        a15_bitmap_users,
+    )
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (0, 10, 1, "view", 1.0),
+            (1, 20, 1, "view", 1.0),     # same user, same day
+            (2, 30, 64, "view", 1.0),    # word 1 (64 div 63)
+            (3, 40, 62, "view", 1.0),    # word 0, bit 62
+            (4, 86410, 1, "view", 1.0),  # next day
+        ],
+    )
+    rows = a15_bitmap_users(spark, sf).collect()
+    days = sorted({r["day"] for r in rows})
+    d0, d1 = days
+    by = {(r["day"], r["word"]): r for r in rows}
+    assert by[(d0, 0)]["bits"] == (1 << 1) | (1 << 62)
+    assert by[(d0, 1)]["bits"] == 1 << 1  # user 64 -> bit 64 % 63 = 1
+    assert by[(d0, 0)]["day_distinct"] == 3
+    assert by[(d1, 0)]["day_distinct"] == 1
