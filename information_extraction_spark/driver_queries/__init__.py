@@ -84,6 +84,13 @@ _CHANGED_THIS_ROUND = [
     "a15_bitmap_users",
     "w19_zorder_tiles",
     "emb_moments",
+    # Predicate implication/subsumption mining (same-direction (s,o)
+    # pair-key self-join; the reverse variant is structurally empty
+    # on this schema and documented as such), the TPC-H Q16 distinct-
+    # aggregate shape, and the integer-exact daily drift monitor.
+    "kg_pred_implication",
+    "q16_supplier_variety",
+    "w21_drift_monitor",
     # Degree-ordered triangle counting + local clustering coefficient
     # over the co-mention graph, and fixed-round power-iteration PCA
     # projections over the embedding table.

@@ -2786,3 +2786,65 @@ def kg_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = kg_extract_triples(spark, sf_dir)
     ORACLES["kg_jaccard_neighbors"] = _jaccard_nb_oracle_sql(sf_dir)
     return jaccard_neighbor_pairs(triples, max_obj_deg=1000, min_shared=1)
+
+
+def _pred_implication_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT subject, predicate, object FROM {g}
+), np AS (
+  SELECT predicate, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1
+), ov AS (
+  SELECT a.predicate AS p, b.predicate AS q,
+         CAST(count(*) AS BIGINT) AS n_overlap
+  FROM e a JOIN e b
+    ON a.subject = b.subject AND a.object = b.object
+   AND a.predicate <> b.predicate
+  GROUP BY 1, 2
+)
+SELECT ov.p, ov.q, ov.n_overlap,
+       CAST((ov.n_overlap * 1000000) // np.n AS BIGINT) AS imp_ppm
+FROM ov JOIN np ON ov.p = np.predicate
+"""
+
+
+@_q("kg_pred_implication",
+    _pred_implication_oracle_sql("/root/testdata/sf0.01"))
+def kg_pred_implication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate implication/subsumption mining over the materialized
+    graph — the ontology-induction step that finds directed predicate
+    pairs (p -> q) whose edge sets overlap on the same (subject,
+    object) pairs: a high imp_ppm = |pairs of p also asserted under
+    q| / |p| flags q as a superproperty (or systematic co-assertion)
+    of p. (The reverse-direction variant — (s,p,o) vs (o,q,s) — is
+    structurally empty on this schema: subject and object
+    vocabularies are disjoint, measured 0 overlap at every sf, so the
+    catalog carries the same-direction miner that has real support.)
+
+    Scale shape: ONE equi-join of the distinct edge table with itself
+    on the (subject, object) pair key — edge-cardinality shuffles
+    only — then a |P|²-bounded aggregate; per-predicate totals
+    broadcast back. Exact BIGINT ppm."""
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_pred_implication"] = _pred_implication_oracle_sql(sf_dir)
+    e = triples.select("subject", "predicate", "object").distinct()
+    np_ = e.groupBy("predicate").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = e.select("subject", "object", F.col("predicate").alias("p"))
+    b = e.select("subject", "object", F.col("predicate").alias("q"))
+    ov = (
+        a.join(b, ["subject", "object"])
+        .filter(F.col("p") != F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return ov.join(
+        F.broadcast(np_.withColumnRenamed("predicate", "p")), "p"
+    ).select(
+        "p",
+        "q",
+        "n_overlap",
+        F.expr("(n_overlap * 1000000) div n").alias("imp_ppm"),
+    )

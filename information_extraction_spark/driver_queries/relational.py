@@ -1590,3 +1590,122 @@ def zorder_value(ub_col, tb_col):
         ) * (2 ** (2 * b + 1))
         acc = term if acc is None else acc + term
     return acc
+
+
+# --- Q16: supplier variety (distinct aggregate) ----------------------------------
+#
+# TPC-H Q16's shape on this schema: how many DISTINCT suppliers serve
+# each (brand, size) part segment, excluding one brand. The plan
+# shape under test is the partial-distinct aggregate: Spark expands
+# count(DISTINCT l_suppkey) into a two-phase aggregate — first a
+# (brand, size, suppkey) distinct (map-side combined), then the
+# count — so the fact table shuffles once at distinct-key
+# cardinality, never collecting per-group sets.
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#45' AND p.p_size IN (1, 2, 3, 4)
+GROUP BY 1, 2
+"""
+
+
+@_q("q16_supplier_variety", _Q16_ORACLE)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & F.col("p_size").isin(1, 2, 3, 4)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias(
+                "supplier_cnt"
+            ),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+# --- W21: daily drift monitor ------------------------------------------------------
+#
+# The data-quality drift gate a continuously-ingesting pipeline runs:
+# flag days whose mean purchase value exceeds 2x the trailing
+# all-history mean. The comparison is the exact integer
+# cross-multiply day_sum2 * prior_n > 2 * prior_sum2 * day_n — no
+# double means anywhere near the decision boundary, so both engines
+# flag identical days. Day zero (empty history) compares 0 > 0 and
+# is correctly unflagged without a special case.
+#
+# One day-keyed aggregate, then a single-partition window over the
+# DAY table (bounded: one row per day) — the window never touches
+# event cardinality.
+
+_W21_ORACLE = """
+WITH d AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS day_n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS day_sum2
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), t AS (
+  SELECT day, day_n, day_sum2,
+         CAST(coalesce(sum(day_n) OVER w, 0) AS BIGINT) AS prior_n,
+         CAST(coalesce(sum(day_sum2) OVER w, 0) AS BIGINT) AS prior_sum2
+  FROM d
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING)
+)
+SELECT day, day_n, day_sum2, prior_n, prior_sum2,
+       day_sum2 * prior_n > 2 * prior_sum2 * day_n AS drift_flag
+FROM t
+"""
+
+
+@_q("w21_drift_monitor", _W21_ORACLE)
+def w21_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_sec(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    d = (
+        e.select(
+            F.expr("sec div 86400").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("v2"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("day_n"),
+            F.sum("v2").cast("long").alias("day_sum2"),
+        )
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = d.withColumn(
+        "prior_n", F.coalesce(F.sum("day_n").over(w), F.lit(0)).cast("long")
+    ).withColumn(
+        "prior_sum2",
+        F.coalesce(F.sum("day_sum2").over(w), F.lit(0)).cast("long"),
+    )
+    return t.select(
+        "day",
+        "day_n",
+        "day_sum2",
+        "prior_n",
+        "prior_sum2",
+        (
+            F.col("day_sum2") * F.col("prior_n")
+            > 2 * F.col("prior_sum2") * F.col("day_n")
+        ).alias("drift_flag"),
+    )

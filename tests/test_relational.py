@@ -1011,3 +1011,31 @@ def test_a15_bitmap_counts_distinct_users_exactly(spark, tmp_path):
     assert by[(d0, 1)]["bits"] == 1 << 1  # user 64 -> bit 64 % 63 = 1
     assert by[(d0, 0)]["day_distinct"] == 3
     assert by[(d1, 0)]["day_distinct"] == 1
+
+
+def test_w21_drift_flag_exact_boundary(spark, tmp_path):
+    """Flag iff day mean STRICTLY exceeds 2x trailing mean (integer
+    cross-multiply); day zero (no history) never flags."""
+    import information_extraction_spark.driver_queries.relational as R
+
+    day = 86400
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # day 0: two purchases mean 1.00 -> no history, no flag.
+            (0, 10, 1, "purchase", 1.00),
+            (1, 20, 1, "purchase", 1.00),
+            # day 1: mean exactly 2x trailing (2.00) -> NOT flagged.
+            (2, day + 10, 1, "purchase", 2.00),
+            # day 2: trailing mean (1+1+2)/3 = 4/3; 2x = 8/3; a 2.70
+            # purchase strictly exceeds -> flagged.
+            (3, 2 * day + 10, 1, "purchase", 2.70),
+            # non-purchase noise must not enter.
+            (4, 2 * day + 20, 1, "view", 99.0),
+        ],
+    )
+    got = {r["day"]: r["drift_flag"] for r in
+           R.w21_drift_monitor(spark, sf).collect()}
+    days = sorted(got)
+    assert [got[d] for d in days] == [False, False, True]
