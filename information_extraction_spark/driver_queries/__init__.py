@@ -91,6 +91,14 @@ _CHANGED_THIS_ROUND = [
     "kg_pred_implication",
     "q16_supplier_variety",
     "w21_drift_monitor",
+    # Co-object meta-path (p1, p2) profile (the chain variant is
+    # structurally empty on this schema — documented in the
+    # docstring), k-NN similarity-graph construction, and FaceNet-
+    # style hard-negative triplet mining (both over the kmeans-
+    # blocked pair universe with deterministic tie-broken ranking).
+    "kg_metapath_profile",
+    "emb_knn_graph",
+    "emb_triplet_mining",
     # Degree-ordered triangle counting + local clustering coefficient
     # over the co-mention graph, and fixed-round power-iteration PCA
     # projections over the embedding table.

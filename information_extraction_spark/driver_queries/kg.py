@@ -2848,3 +2848,66 @@ def kg_pred_implication(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.expr("(n_overlap * 1000000) div n").alias("imp_ppm"),
     )
+
+
+def _metapath_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT subject, predicate, object FROM {g}
+)
+SELECT a.predicate AS p1, b.predicate AS p2,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT (a.subject, b.subject)) AS BIGINT)
+         AS n_endpoint_pairs
+FROM e a JOIN e b
+  ON a.object = b.object AND a.subject < b.subject
+GROUP BY 1, 2
+"""
+
+
+@_q("kg_metapath_profile", _metapath_oracle_sql("/root/testdata/sf0.01"))
+def kg_metapath_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-path statistics of the materialized graph: the V-shaped
+    2-step pattern s1 -p1-> m <-p2- s2 through a shared object — how
+    many concrete paths each (p1, p2) pattern has and how many
+    DISTINCT (s1, s2) endpoint pairs it connects. This is the
+    schema-level profile that ranks meta-paths for PRA-style relation
+    features; kg_resource_alloc is its instance-level consumer (same
+    co-object join, entity-granular). The chain-shaped variant
+    (a.object = b.subject) is structurally EMPTY on this schema —
+    object and subject vocabularies are disjoint in surface form
+    (measured 0 at every sf; kg_two_hop goes undirected for the same
+    reason) — so the catalog carries the V-pattern that has support.
+    Endpoint pairs are ordered s1 < s2, making each unordered edge
+    pair count exactly once, deterministically.
+
+    Scale shape: ONE equi-join of the distinct edge table with itself
+    on the shared-object key (edge-cardinality shuffle; hub caps live
+    in the instance-level consumers), then a |P|²-bounded aggregate
+    whose count-distinct runs as the two-phase partial-distinct
+    expand — no per-group set collection."""
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_metapath_profile"] = _metapath_oracle_sql(sf_dir)
+    e = triples.select("subject", "predicate", "object").distinct()
+    a = e.select(
+        F.col("subject").alias("s1"),
+        F.col("predicate").alias("p1"),
+        "object",
+    )
+    b = e.select(
+        F.col("subject").alias("s2"),
+        F.col("predicate").alias("p2"),
+        "object",
+    )
+    return (
+        a.join(b, "object")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("p1", "p2")
+        .agg(
+            F.count("*").cast("long").alias("n_paths"),
+            F.countDistinct("s1", "s2")
+            .cast("long")
+            .alias("n_endpoint_pairs"),
+        )
+    )

@@ -3544,3 +3544,152 @@ def emb_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ci6").cast("long").alias("si6"),
         F.sum("cj6").cast("long").alias("sj6"),
     )
+
+
+# --- k-NN similarity graph (learned-blocking construction) -----------------------
+#
+# GNN / semi-supervised prep: the top-4 cosine neighbor list of EVERY
+# vector, candidates blocked on the learned k-means cluster (the
+# dd_embedding_cosine_kmeans universe — never an unblocked self-join;
+# the recall trade of learned blocking is inherent and documented
+# there). Ranking is fully deterministic: (cos4 DESC, neighbor id
+# ASC) under a row_number window keyed on the anchor — ties at equal
+# rounded similarity always resolve the same way in both engines.
+
+_KNN_GRAPH_ORACLE = f"""
+WITH km AS (
+  SELECT vec_id, cid FROM ({_kmeans_oracle_sql()})
+), p AS (
+  SELECT a.vec_id AS src, b.vec_id AS nb,
+         a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a
+  JOIN km ka ON ka.vec_id = a.vec_id
+  JOIN km kb ON kb.cid = ka.cid
+  JOIN embeddings b ON b.vec_id = kb.vec_id AND a.vec_id <> b.vec_id
+), u AS (
+  SELECT src, nb, CAST(unnest(ea) AS DOUBLE) AS xa,
+         CAST(unnest(eb) AS DOUBLE) AS xb
+  FROM p
+), c AS (
+  SELECT src, nb,
+         round(sum(xa * xb)
+               / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4) AS cos4
+  FROM u GROUP BY src, nb
+)
+SELECT src, nb, CAST(rn AS BIGINT) AS rank, cos4 FROM (
+  SELECT src, nb, cos4,
+         row_number() OVER (
+           PARTITION BY src ORDER BY cos4 DESC, nb) AS rn
+  FROM c)
+WHERE rn <= 4
+"""
+
+
+def _knn_pairs(spark: SparkSession, sf_dir: str):
+    """Within-cluster directed cosine pairs (src, nb, cos4, labels)."""
+    from pyspark.sql import Window
+
+    from information_extraction_spark.operators.clustering import (
+        lloyd_kmeans,
+    )
+
+    e0 = _spread(spark, _emb(spark, sf_dir), "vec_id")
+    assigned = lloyd_kmeans(e0, k=8, iterations=3).select("vec_id", "cid")
+    e = e0.join(assigned, "vec_id").withColumn(
+        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    )
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("src"),
+        F.col("a.label").alias("src_label"),
+        F.col("b.vec_id").alias("nb"),
+        F.col("b.label").alias("nb_label"),
+        F.round(cos, 4).alias("cos4"),
+    )
+
+
+@_q("emb_knn_graph", _KNN_GRAPH_ORACLE)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos4").desc(), F.col("nb")
+    )
+    return (
+        _knn_pairs(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 4)
+        .select("src", "nb", "rank", "cos4")
+    )
+
+
+# --- Hard-negative triplet mining -------------------------------------------------
+#
+# Metric-learning data prep: for each anchor, the HARDEST in-cluster
+# negative — the most cosine-similar vector carrying a DIFFERENT
+# label (semi-hard mining à la FaceNet, done corpus-wide as one
+# query). Same blocked pair universe as the k-NN graph; the argmax is
+# a row_number over (cos4 DESC, nb ASC) after the label-mismatch
+# filter, so ties resolve identically in both engines.
+
+_TRIPLET_ORACLE = f"""
+WITH km AS (
+  SELECT vec_id, cid FROM ({_kmeans_oracle_sql()})
+), p AS (
+  SELECT a.vec_id AS src, a.label AS src_label,
+         b.vec_id AS nb, b.label AS nb_label,
+         a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a
+  JOIN km ka ON ka.vec_id = a.vec_id
+  JOIN km kb ON kb.cid = ka.cid
+  JOIN embeddings b ON b.vec_id = kb.vec_id AND a.vec_id <> b.vec_id
+  WHERE a.label <> b.label
+), u AS (
+  SELECT src, src_label, nb, nb_label,
+         CAST(unnest(ea) AS DOUBLE) AS xa,
+         CAST(unnest(eb) AS DOUBLE) AS xb
+  FROM p
+), c AS (
+  SELECT src, src_label, nb, nb_label,
+         round(sum(xa * xb)
+               / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4) AS cos4
+  FROM u GROUP BY src, src_label, nb, nb_label
+)
+SELECT src, CAST(src_label AS BIGINT) AS src_label,
+       nb AS hard_neg, CAST(nb_label AS BIGINT) AS neg_label, cos4
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY src ORDER BY cos4 DESC, nb) AS rn
+  FROM c)
+WHERE rn = 1
+"""
+
+
+@_q("emb_triplet_mining", _TRIPLET_ORACLE)
+def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos4").desc(), F.col("nb")
+    )
+    return (
+        _knn_pairs(spark, sf_dir)
+        .filter(F.col("src_label") != F.col("nb_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src",
+            F.col("src_label").cast("long").alias("src_label"),
+            F.col("nb").alias("hard_neg"),
+            F.col("nb_label").cast("long").alias("neg_label"),
+            "cos4",
+        )
+    )

@@ -452,3 +452,66 @@ def test_emb_quantize_exact_halfaway_and_zero_vector(spark, tmp_path):
     assert got[0] == (127, 500000)
     assert got[1] == (-64, 500000)   # -63.5 rounds away to -64
     assert got[2] == (0, 500000)
+
+
+def test_knn_graph_and_triplet_mining_hand_case(spark, tmp_path):
+    """Deterministic ranking: neighbors order by (cos4 DESC, nb ASC);
+    triplet mining picks the most-similar DIFFERENT-label vector and
+    skips a same-label one even when it is closer. Fixture note:
+    k-means init takes the 8 SMALLEST vec_ids as centroids, so the
+    clustered test vectors carry ids 8-10 (they fall into id 0's
+    cluster); ids 1-7 are far-off singleton fillers."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from information_extraction_spark.driver_queries.textdata import (
+        emb_knn_graph,
+        emb_triplet_mining,
+    )
+
+    base = [1.0] + [0.0] * 63
+    near = lambda eps: [1.0, eps] + [0.0] * 62  # noqa: E731
+    vecs = [base]
+    for d in range(7):          # ids 1..7: far singleton fillers
+        v = [0.0] * 64
+        v[20 + d] = 1.0
+        vecs.append(v)
+    vecs += [near(0.01), near(0.02), near(0.03)]  # ids 8, 9, 10
+    labels = [0, 2, 2, 2, 2, 2, 2, 2, 0, 1, 1]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(11)),
+            "embedding": vecs,
+            "label": labels,
+        }
+    )
+    d = str(tmp_path / "knn")
+    spark.createDataFrame(pdf).write.parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    got = {
+        (r["src"], r["rank"]): r["nb"]
+        for r in emb_knn_graph(spark, d).collect()
+        if r["src"] == 8
+    }
+    # Expected order for anchor 8 among cluster {0, 8, 9, 10}:
+    # (cos4 DESC, nb ASC) computed independently in numpy.
+    X = np.array(vecs)
+    cl = [0, 9, 10]
+    cos4 = {
+        j: round(float(X[8] @ X[j] /
+                       (np.linalg.norm(X[8]) * np.linalg.norm(X[j]))), 4)
+        for j in cl
+    }
+    want = [j for j in sorted(cl, key=lambda j: (-cos4[j], j))]
+    assert [got[(8, k)] for k in (1, 2, 3)] == want
+    t = {
+        r["src"]: (r["hard_neg"], r["neg_label"])
+        for r in emb_triplet_mining(spark, d).collect()
+    }
+    # Anchor 8 (label 0): candidates with a DIFFERENT label in its
+    # cluster are 9 and 10 (label 1); 9 is closer -> the hard
+    # negative, even though 0 (same label) is closer still.
+    assert t[8] == (9, 1)
