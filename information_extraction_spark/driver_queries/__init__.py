@@ -99,6 +99,14 @@ _CHANGED_THIS_ROUND = [
     "kg_metapath_profile",
     "emb_knn_graph",
     "emb_triplet_mining",
+    # SCD Type-2 dimension history from the CDC log (one key-ordered
+    # window sort: lead + row_number share it), the top-decile
+    # revenue-concentration Pareto report (exact ceil(n/10) integer
+    # cut), and ingest-order n-gram novelty scoring (min-doc-per-gram
+    # shuffle, the Lee et al. 2022 signal pointed inward).
+    "w22_scd2_history",
+    "q20_revenue_concentration",
+    "ta_novelty",
     # Degree-ordered triangle counting + local clustering coefficient
     # over the co-mention graph, and fixed-round power-iteration PCA
     # projections over the embedding table.

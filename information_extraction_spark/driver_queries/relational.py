@@ -1709,3 +1709,133 @@ def w21_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 2 * F.col("prior_sum2") * F.col("day_n")
         ).alias("drift_flag"),
     )
+
+
+# --- W22: SCD Type-2 dimension build from the CDC log ------------------------------
+#
+# The other face of w15's log compaction: instead of latest-wins
+# current state, the FULL slowly-changing-dimension history — every
+# change event becomes a versioned row with an explicit validity
+# interval [valid_from, valid_to), valid_to = the key's next change
+# (NULL while current), version = change ordinal, plus the
+# is_current flag; a tombstone closes the interval chain without
+# opening a row of its own downstream (it still versions — its
+# interval records the deletion window, op='D').
+#
+# ONE shuffle on the dimension key: lead() and row_number() share the
+# same (sec, event_id)-ordered window sort, so history assembly costs
+# exactly one exchange + one sort regardless of how many versions a
+# key has. The (sec, event_id) order is total — timestamp ties can't
+# produce nondeterministic interval chains.
+
+_W22_ORACLE = """
+WITH log AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       op, event_type,
+       CAST(round(value * 100) AS BIGINT) AS value2,
+       sec AS valid_from,
+       lead(sec) OVER w AS valid_to,
+       (lead(sec) OVER w IS NULL) AS is_current
+FROM log
+WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+"""
+
+
+@_q("w22_scd2_history", _W22_ORACLE)
+def w22_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_sec(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value2"),
+        "sec",
+        F.when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    return e.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        "op",
+        "event_type",
+        "value2",
+        F.col("sec").alias("valid_from"),
+        F.lead("sec").over(w).alias("valid_to"),
+        F.lead("sec").over(w).isNull().alias("is_current"),
+    )
+
+
+# --- Q20: revenue concentration (Pareto report) -------------------------------------
+#
+# What share of total revenue do the top-decile customers carry —
+# the concentration/skew report that decides whether a pipeline
+# needs hot-key handling at all. Exact integer end-to-end: revenue
+# in cents, the decile cut is ceil(n/10) by revenue-DESC rank
+# (customer id breaks ties totally), and the share is BIGINT ppm.
+# Two bounded shuffles: the per-customer rollup (map-side combined)
+# and ONE single-partition window over the CUSTOMER table — customer
+# cardinality, never order cardinality; the global total rides the
+# same window pass.
+
+_Q20_ORACLE = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev2
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT o_custkey, rev2,
+         row_number() OVER (ORDER BY rev2 DESC, o_custkey) AS rn,
+         count(*) OVER () AS n,
+         sum(rev2) OVER () AS total2
+  FROM r
+)
+SELECT CAST(count(*) AS BIGINT) AS top_customers,
+       CAST(max(n) AS BIGINT) AS all_customers,
+       CAST(sum(rev2) AS BIGINT) AS top_rev2,
+       CAST(max(total2) AS BIGINT) AS total_rev2,
+       CAST((sum(rev2) * 1000000) // max(total2) AS BIGINT) AS share_ppm
+FROM ranked
+WHERE rn * 10 <= n + 9
+"""
+
+
+@_q("q20_revenue_concentration", _Q20_ORACLE)
+def q20_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("c2"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("c2").cast("long").alias("rev2"))
+    )
+    w = Window.orderBy(F.col("rev2").desc(), F.col("o_custkey"))
+    wall = Window.partitionBy()
+    ranked = (
+        r.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count("*").over(wall).cast("long"))
+        .withColumn("total2", F.sum("rev2").over(wall).cast("long"))
+    )
+    # top decile: rn <= ceil(n/10)  <=>  rn*10 <= n+9 (pure BIGINT).
+    return ranked.filter(
+        F.col("rn") * 10 <= F.col("n") + 9
+    ).agg(
+        F.count("*").cast("long").alias("top_customers"),
+        F.max("n").cast("long").alias("all_customers"),
+        F.sum("rev2").cast("long").alias("top_rev2"),
+        F.max("total2").cast("long").alias("total_rev2"),
+        F.expr(
+            "CAST((sum(rev2) * 1000000) div max(total2) AS BIGINT)"
+        ).alias("share_ppm"),
+    )

@@ -3693,3 +3693,77 @@ def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos4",
         )
     )
+
+
+# --- N-gram novelty scoring -------------------------------------------------------
+#
+# Curation-order novelty: per document, what fraction of its word
+# 8-grams has NEVER appeared in an earlier document (doc_id order —
+# the crawl/ingest order a dedup-aware sampler consumes). The
+# Lee et al. (2022) "what does this doc add" signal: near-1 novelty
+# is fresh content, near-0 is boilerplate the corpus already holds.
+#
+# Scale shape: the ONLY shuffle keyed on the gram string is the
+# min-doc_id-per-gram aggregate (map-side combined); novelty then
+# re-aggregates on doc_id. A gram's first bearer scores it novel —
+# no per-pair comparisons, no quadratic stage, exactly the
+# ta_contamination gram machinery pointed inward. Distinct grams per
+# doc (set semantics, like ta_selfsim_spans); docs with fewer than 8
+# tokens carry no grams and are excluded on both sides. BIGINT ppm.
+
+_NOVELTY_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 8
+), g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ws) - 6),
+                i -> array_to_string(ws[i:i+7], ' '))) AS gram
+  FROM w
+), first_seen AS (
+  SELECT gram, CAST(min(doc_id) AS BIGINT) AS first_doc FROM g GROUP BY 1
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST((sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             * 1000000) // count(*) AS BIGINT) AS novelty_ppm
+FROM g JOIN first_seen f ON g.gram = f.gram
+GROUP BY 1
+"""
+
+
+@_q("ta_novelty", _NOVELTY_ORACLE)
+def ta_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _spread(spark, _docs(spark, sf_dir), "doc_id")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 8)
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 8),"
+                " i -> array_join(slice(ws, i + 1, 8), ' '))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    first_seen = g.groupBy("gram").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    scored = g.join(first_seen, "gram").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(
+            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_novel"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.expr("(n_novel * 1000000) div n_grams").alias("novelty_ppm"),
+    )

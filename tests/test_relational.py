@@ -1039,3 +1039,61 @@ def test_w21_drift_flag_exact_boundary(spark, tmp_path):
            R.w21_drift_monitor(spark, sf).collect()}
     days = sorted(got)
     assert [got[d] for d in days] == [False, False, True]
+
+
+def test_w22_scd2_intervals_chain_and_tombstone_versions(spark, tmp_path):
+    """Versions chain with half-open adjacency (valid_to = next
+    valid_from), only the last is current, and a tombstone closes
+    the chain as a versioned 'D' row."""
+    import information_extraction_spark.driver_queries.relational as R
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (0, 10, 1, "view", 1.00),
+            (1, 20, 1, "click", 2.00),
+            (2, 30, 1, "error", 0.0),   # tombstone
+            (3, 5, 2, "view", 3.00),    # single-version user
+        ],
+    )
+    rows = {
+        (r["user_id"], r["version"]): r
+        for r in R.w22_scd2_history(spark, sf).collect()
+    }
+    base = int(
+        spark.sql("SELECT unix_timestamp(timestamp'2024-01-01') s")
+        .first()["s"]
+    )
+    v1, v2, v3 = rows[(1, 1)], rows[(1, 2)], rows[(1, 3)]
+    assert (v1["valid_from"], v1["valid_to"]) == (base + 10, base + 20)
+    assert (v2["valid_from"], v2["valid_to"]) == (base + 20, base + 30)
+    assert v3["valid_to"] is None and v3["is_current"] and v3["op"] == "D"
+    assert not v1["is_current"] and not v2["is_current"]
+    assert rows[(2, 1)]["is_current"]
+
+
+def test_q20_decile_cut_and_share_exact(spark, tmp_path):
+    """ceil(n/10) customers make the top decile (n=11 -> 2) and the
+    share is exact integer ppm."""
+    import information_extraction_spark.driver_queries.relational as R
+
+    day = dt.datetime(1996, 1, 1)
+    # 11 customers: revenues 110, 100, 90, ..., 10 (cents-exact).
+    orders = [
+        (i, i, "O", float(110 - 10 * i), day, "5-LOW") for i in range(11)
+    ]
+    d = str(tmp_path / "q20")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    r = R.q20_revenue_concentration(spark, d).collect()[0]
+    assert r["all_customers"] == 11
+    assert r["top_customers"] == 2      # ceil(11/10)
+    total = sum(110 - 10 * i for i in range(11)) * 100
+    top = (110 + 100) * 100
+    assert r["total_rev2"] == total and r["top_rev2"] == top
+    assert r["share_ppm"] == (top * 1000000) // total
