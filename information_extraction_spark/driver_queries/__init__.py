@@ -38,6 +38,18 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # TPC-H Q2/Q11/Q21 adaptations: correlated argmin via one
+    # lexicographic struct-min (min-balance supplier per brand),
+    # group-vs-global-scalar HAVING with the exact integer
+    # cross-multiply threshold, and the multi-EXISTS blame report
+    # (LEFT SEMI + LEFT ANTI against the same late-pair table).
+    "q2_min_cost_supplier",
+    "q11_revenue_share",
+    "q21_waiting_suppliers",
+    # Ontology subproperty closure: 3 path-doubling rounds over the
+    # bounded predicate hierarchy, inference applied to the 50-row
+    # per-predicate aggregate (never the raw assertion table).
+    "kg_ontology_closure",
     # HyperLogLog distinct estimation (register-wise max merge; raw
     # estimate only — no small-range linear counting at this
     # cardinality) and the batch-GD linear-regression TRAINING loop

@@ -2911,3 +2911,105 @@ def kg_metapath_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_endpoint_pairs"),
         )
     )
+
+
+# --- Ontology subproperty closure + inference --------------------------------
+#
+# Schema-level reasoning over the 50-relation ontology: predicates
+# chain into subproperty hierarchies (here the deterministic rule
+# relk ⊑ rel(k-7) — each predicate's parent is the previous predicate
+# of its subject-type class T{k%7}; rel00..rel06 are roots, depth 8),
+# and every assertion of a subproperty is implicitly an assertion of
+# each ancestor. The query emits, per predicate: its own assertion
+# count, the INFERRED count (self + all descendants — what a
+# SPARQL-entailment consumer of the graph would see), and the size of
+# its descendant cone.
+#
+# Scale shape: the ontology is METADATA — a bounded dim (49 edges) —
+# so the fact table collapses to per-predicate counts FIRST (one
+# map-side-combined shuffle over 50 groups at any corpus size), and
+# all closure work (3 path-doubling self-joins covering depth 2^3=8)
+# runs on the tiny pair table; every join there broadcasts. The big
+# data is never joined to the closure — only the 50-row aggregate is.
+#
+# The DuckDB oracle computes the closure independently via
+# WITH RECURSIVE over the same derived edge rule (reference parity:
+# the reference's schema file is a static predicate list —
+# data/all_50_schemas — with no hierarchy; the subproperty rule here
+# is the deterministic sandbox stand-in for an ontology dim).
+
+
+def _ontology_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH RECURSIVE direct AS (
+  SELECT predicate, CAST(count(*) AS BIGINT) AS direct_n
+  FROM {g} GROUP BY 1
+), edges AS (
+  SELECT 'rel' || lpad(CAST(k AS VARCHAR), 2, '0') AS des,
+         'rel' || lpad(CAST(k - 7 AS VARCHAR), 2, '0') AS anc
+  FROM generate_series(7, 49) t(k)
+), closure(des, anc) AS (
+  SELECT predicate, predicate FROM direct
+  UNION
+  SELECT c.des, e.anc FROM closure c JOIN edges e ON c.anc = e.des
+), inferred AS (
+  SELECT c.anc AS predicate,
+         CAST(sum(d.direct_n) AS BIGINT) AS inferred_n,
+         CAST(count(*) AS BIGINT) AS n_cone
+  FROM closure c JOIN direct d ON c.des = d.predicate
+  GROUP BY 1
+)
+SELECT i.predicate, coalesce(d.direct_n, 0) AS direct_n,
+       i.inferred_n, i.n_cone
+FROM inferred i LEFT JOIN direct d USING (predicate)
+"""
+
+
+_ONTOLOGY_ORACLE = _ontology_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_ontology_closure", _ONTOLOGY_ORACLE)
+def kg_ontology_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_ontology_closure"] = _ontology_oracle_sql(sf_dir)
+    direct = triples.groupBy("predicate").agg(
+        F.count("*").cast("long").alias("direct_n")
+    )
+    edges = spark.createDataFrame(
+        [(f"rel{k:02d}", f"rel{k - 7:02d}") for k in range(7, N_PREDICATES)],
+        "des string, anc string",
+    )
+    # Path doubling (operators/graph.transitive_closure): 3 rounds
+    # cover the depth-8 chains; fixed iteration count ==
+    # deterministic output for a bounded ontology.
+    from information_extraction_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    paths = transitive_closure(edges, doubling_rounds=3)
+    identity = direct.select(
+        F.col("predicate").alias("des"), F.col("predicate").alias("anc")
+    )
+    closure = paths.unionByName(identity).distinct()
+    inferred = (
+        closure.join(
+            F.broadcast(direct),
+            closure.des == direct.predicate,
+        )
+        .groupBy("anc")
+        .agg(
+            F.sum("direct_n").cast("long").alias("inferred_n"),
+            F.count("*").cast("long").alias("n_cone"),
+        )
+    )
+    return inferred.join(
+        F.broadcast(direct),
+        inferred.anc == direct.predicate,
+        "left",
+    ).select(
+        F.col("anc").alias("predicate"),
+        F.coalesce(F.col("direct_n"), F.lit(0)).cast("long").alias("direct_n"),
+        "inferred_n",
+        "n_cone",
+    )

@@ -1839,3 +1839,231 @@ def q20_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sum(rev2) * 1000000) div max(total2) AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+# --- Q2: cheapest-supplier-per-brand (correlated argmin join-back) ---------------
+#
+# TPC-H Q2's defining shape on this schema (no partsupp table): per
+# part brand, the minimum supplier account balance among suppliers
+# who actually shipped that brand, plus the arg-min supplier (ties
+# broken by the smaller s_suppkey). Q2's correlated subquery
+# `ps_supplycost = (SELECT min(...) ...)` is exactly this
+# min-then-join-back; the Spark form fuses both legs into ONE
+# aggregate via a lexicographic struct-min, so the correlated
+# subquery costs a single shuffle instead of agg + re-join.
+#
+# Scale shape: lineitem⋈part projects to (p_brand, l_suppkey) and
+# collapses through a DISTINCT *before* touching supplier — the
+# (brand, supplier) universe is bounded by |brands|x|suppliers|, so
+# the expensive fact scan reduces early. supplier is the smallest
+# dim → broadcast. The final argmin is min(struct(bal4, suppkey)):
+# one map-side-combined aggregate over 25 brand groups, never a
+# per-brand window over ranked rows.
+#
+# Determinism: balances quantize to 10^-4 integer units; the struct
+# orders (bal4, s_suppkey) so equal balances resolve to the smaller
+# key in both engines.
+
+_Q2_ORACLE = """
+WITH bs AS (
+  SELECT DISTINCT p.p_brand, l.l_suppkey
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), sb AS (
+  SELECT bs.p_brand, bs.l_suppkey,
+         CAST(round(s.s_acctbal * 10000) AS BIGINT) AS bal4
+  FROM bs JOIN supplier s ON bs.l_suppkey = s.s_suppkey
+), m AS (
+  SELECT p_brand, min(bal4) AS min_bal4 FROM sb GROUP BY 1
+)
+SELECT m.p_brand, m.min_bal4,
+       CAST(min(sb.l_suppkey) AS BIGINT) AS s_suppkey
+FROM m JOIN sb ON sb.p_brand = m.p_brand AND sb.bal4 = m.min_bal4
+GROUP BY 1, 2
+"""
+
+
+@_q("q2_min_cost_supplier", _Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 10000).cast("long").alias("bal4"),
+    )
+    bs = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("p_brand", "l_suppkey")
+        .distinct()
+    )
+    sb = bs.join(F.broadcast(sup), bs.l_suppkey == sup.s_suppkey)
+    best = sb.groupBy("p_brand").agg(
+        F.min(F.struct(F.col("bal4"), F.col("s_suppkey"))).alias("m")
+    )
+    return best.select(
+        "p_brand",
+        F.col("m.bal4").alias("min_bal4"),
+        F.col("m.s_suppkey").cast("long").alias("s_suppkey"),
+    )
+
+
+# --- Q11: global-share HAVING (scalar-subquery threshold) ------------------------
+#
+# TPC-H Q11's shape: per part type, total line revenue, keeping only
+# types whose revenue exceeds 1/200 of the GLOBAL total — the
+# group-vs-global-scalar HAVING every "important segments" report
+# uses. The global total is a second aggregate over the same partials,
+# NOT a second scan: the per-type aggregate computes once, the 1-row
+# global sum derives from it and broadcasts back via crossJoin, so
+# lineitem is read exactly once.
+#
+# Determinism: revenue in integer micro-units
+# (round(price*(1-disc)*10^4) summed as BIGINT); the threshold is the
+# exact integer cross-multiply rev4 * 200 > total4 — no doubles near
+# the boundary.
+
+_Q11_ORACLE = """
+WITH pt AS (
+  SELECT p.p_type,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                             * 10000) AS BIGINT)) AS BIGINT) AS rev4
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+), t AS (
+  SELECT CAST(sum(rev4) AS BIGINT) AS total4 FROM pt
+)
+SELECT pt.p_type, pt.rev4,
+       (pt.rev4 * 1000000) // t.total4 AS share_ppm
+FROM pt, t
+WHERE pt.rev4 * 200 > t.total4
+"""
+
+
+@_q("q11_revenue_share", _Q11_ORACLE)
+def q11_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        )
+        .cast("long")
+        .alias("rev4_line"),
+    )
+    pt = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(F.sum("rev4_line").cast("long").alias("rev4"))
+    )
+    total = pt.agg(F.sum("rev4").cast("long").alias("total4"))
+    return (
+        pt.crossJoin(F.broadcast(total))
+        .filter(F.col("rev4") * 200 > F.col("total4"))
+        .select(
+            "p_type",
+            "rev4",
+            F.expr("(rev4 * 1000000) div total4").alias("share_ppm"),
+        )
+    )
+
+
+# --- Q21: suppliers who kept orders waiting (multi-EXISTS self-join) -------------
+#
+# TPC-H Q21's shape on this schema (no commit/receipt dates): a
+# supplier "kept an order waiting" when they shipped a line more than
+# 60 days after the order date, on a multi-supplier order where
+# (EXISTS) another supplier also supplied a line and (NOT EXISTS) any
+# OTHER supplier was also late. The count of such orders per supplier
+# is the classic blame report — and the plan is the canonical
+# semi-join + anti-join pair against the same self-joined fact.
+#
+# Scale shape: lineitem⋈orders is the one big-big join (equi on
+# l_orderkey; both sides arrive bucketed by orderkey at warehouse
+# scale → zero-exchange). The late-line table then collapses to
+# DISTINCT (orderkey, suppkey) BEFORE the self-joins, and both the
+# LEFT SEMI (some other supplier on the order) and LEFT ANTI (no
+# other late supplier) are equi-joins on l_orderkey with the
+# suppkey-inequality as a join-level residual — never a per-order
+# cross product materialized. Ties/dups: everything is DISTINCT
+# (order, supplier) pairs, so the final count is exact.
+
+_Q21_ORACLE = """
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CAST(floor(epoch(l.l_shipdate)) AS BIGINT)
+           - CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS lag_s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lo
+), late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lo
+  WHERE lag_s > 60 * 86400
+)
+SELECT l1.l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+WHERE EXISTS (
+    SELECT 1 FROM pairs p
+    WHERE p.l_orderkey = l1.l_orderkey
+      AND p.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM late l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+GROUP BY 1
+"""
+
+
+@_q("q21_waiting_suppliers", _Q21_ORACLE)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.unix_timestamp(F.col("l_shipdate").cast("timestamp")).alias(
+            "ship_s"
+        ),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias(
+            "order_s"
+        ),
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("ship_s") - F.col("order_s")).alias("lag_s"),
+    )
+    # One pass computes both derived pair tables; localCheckpoint cuts
+    # the shared lineage so the big join executes once, not thrice.
+    pairs_all = (
+        lo.select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("lag_s") > 60 * 86400).alias("is_late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("is_late"))
+        .localCheckpoint()
+    )
+    late = pairs_all.filter(F.col("is_late"))
+    l2 = late.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    p2 = pairs_all.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    return (
+        late.join(
+            p2,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_semi",
+        )
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_anti",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )

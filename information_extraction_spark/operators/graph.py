@@ -922,3 +922,32 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             .alias("lcc_ppm"),
         )
     )
+
+
+def transitive_closure(
+    edges: DataFrame, doubling_rounds: int = 3
+) -> DataFrame:
+    """Transitive closure of a BOUNDED edge table via path doubling:
+    after round i the pair set holds every (des, anc) reachable in
+    1..2^i hops, so ``doubling_rounds`` rounds cover paths up to
+    2^rounds edges. Meant for metadata-sized graphs (ontology
+    subproperty/subclass dims, org hierarchies): every self-join is
+    broadcast-sized, the distinct dedups the exploding union each
+    round, and the round count is FIXED — deterministic output with
+    no driver-side convergence probe. Do NOT point this at an
+    entity-scale graph; use the hash-min connected-components loop
+    (operators/linking) there instead.
+
+    Input/output columns: (des, anc); output excludes identity pairs
+    unless present in the input.
+    """
+    paths = edges.select("des", "anc")
+    for _ in range(doubling_rounds):
+        a, b = paths.alias("a"), paths.alias("b")
+        ext = a.join(
+            F.broadcast(b), F.col("a.anc") == F.col("b.des")
+        ).select(
+            F.col("a.des").alias("des"), F.col("b.anc").alias("anc")
+        )
+        paths = paths.unionByName(ext).distinct()
+    return paths

@@ -889,3 +889,47 @@ def test_triangle_counts_star_has_none(spark):
     assert all(r["triangles"] == 0 and r["lcc_ppm"] == 0 for r in rows)
     hub = [r for r in rows if r["entity"] == "h"][0]
     assert hub["degree"] == 6
+
+
+def test_transitive_closure_chain_diamond_and_cycle(spark):
+    """Path doubling closes a depth-5 chain in 3 rounds (2^3 >= 5),
+    merges diamond paths without duplicates, and on a 2-cycle yields
+    both cross pairs plus the self-reachability pairs."""
+    from information_extraction_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")],
+        "des string, anc string",
+    )
+    got = {
+        (r["des"], r["anc"])
+        for r in transitive_closure(chain, doubling_rounds=3).collect()
+    }
+    want = {
+        (x, y)
+        for i, x in enumerate("abcdef")
+        for j, y in enumerate("abcdef")
+        if j > i
+    }
+    assert got == want
+
+    diamond = spark.createDataFrame(
+        [("s", "l"), ("s", "r"), ("l", "t"), ("r", "t")],
+        "des string, anc string",
+    )
+    got = {
+        (r["des"], r["anc"])
+        for r in transitive_closure(diamond, doubling_rounds=2).collect()
+    }
+    assert got == {("s", "l"), ("s", "r"), ("l", "t"), ("r", "t"), ("s", "t")}
+
+    cycle = spark.createDataFrame(
+        [("x", "y"), ("y", "x")], "des string, anc string"
+    )
+    got = {
+        (r["des"], r["anc"])
+        for r in transitive_closure(cycle, doubling_rounds=2).collect()
+    }
+    assert got == {("x", "y"), ("y", "x"), ("x", "x"), ("y", "y")}

@@ -1097,3 +1097,124 @@ def test_q20_decile_cut_and_share_exact(spark, tmp_path):
     top = (110 + 100) * 100
     assert r["total_rev2"] == total and r["top_rev2"] == top
     assert r["share_ppm"] == (top * 1000000) // total
+
+
+def test_q2_argmin_ties_break_to_smaller_suppkey(spark, tmp_path):
+    """Per brand the minimum balance wins; at equal minimum balance
+    the SMALLER suppkey is the arg-min (struct ordering), and a
+    supplier who never shipped the brand can't win even with the
+    lowest balance overall."""
+    import information_extraction_spark.driver_queries.relational as R
+
+    d = str(tmp_path / "q2")
+    spark.createDataFrame(
+        [
+            (1, "p1", "Brand#11", "T", 1, 1.0),
+            (2, "p2", "Brand#22", "T", 1, 1.0),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.parquet(f"{d}/part.parquet")
+    spark.createDataFrame(
+        [
+            (7, "s7", 0, 10.0),   # ships Brand#11 only
+            (5, "s5", 0, 10.0),   # ships Brand#11 only — tie, smaller key
+            (9, "s9", 0, -99.0),  # lowest balance, ships Brand#22 only
+        ],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.parquet(f"{d}/supplier.parquet")
+    day = dt.datetime(1996, 1, 1)
+    rows = [
+        (100, 1, 7, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", day),
+        (100, 1, 5, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", day),
+        (101, 2, 9, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", day),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    out = {r["p_brand"]: r for r in R.q2_min_cost_supplier(spark, d).collect()}
+    assert out["Brand#11"]["s_suppkey"] == 5       # tie -> smaller key
+    assert out["Brand#11"]["min_bal4"] == 100000
+    assert out["Brand#22"]["s_suppkey"] == 9       # per-brand, not global
+    assert out["Brand#22"]["min_bal4"] == -990000
+
+
+def test_q11_threshold_is_strict_and_exact(spark, tmp_path):
+    """The 1/200 global-share bar is the exact integer cross-multiply
+    rev4 * 200 > total4: a type at EXACTLY 0.5% is excluded (strict),
+    one micro-unit above passes."""
+    import information_extraction_spark.driver_queries.relational as R
+
+    d = str(tmp_path / "q11")
+    spark.createDataFrame(
+        [
+            (1, "p", "B", "TYPE_A", 1, 1.0),
+            (2, "p", "B", "TYPE_B", 1, 1.0),
+            (3, "p", "B", "TYPE_C", 1, 1.0),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.parquet(f"{d}/part.parquet")
+    day = dt.datetime(1996, 1, 1)
+    # total = 200.0 -> total4 = 2_000_000. TYPE_A = 1.0 (exactly
+    # 0.5%: 10_000 * 200 == 2_000_000 -> OUT). TYPE_B = 1.0001
+    # (one unit above -> IN). TYPE_C = the bulk.
+    rows = [
+        (100, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", day),
+        (101, 2, 1, 1, 1.0, 1.0001, 0.0, 0.0, "N", "O", day),
+        (102, 3, 1, 1, 1.0, 197.9999, 0.0, 0.0, "N", "O", day),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    out = {r["p_type"]: r for r in R.q11_revenue_share(spark, d).collect()}
+    assert set(out) == {"TYPE_B", "TYPE_C"}
+    assert out["TYPE_B"]["rev4"] == 10001
+    assert out["TYPE_B"]["share_ppm"] == 5000  # floor(10001e6/2000000)
+
+
+def test_q21_semi_and_anti_legs(spark, tmp_path):
+    """A late supplier counts an order only when ANOTHER supplier is
+    on it (semi leg) and NO other supplier is late on it (anti leg);
+    two late suppliers on one order blame nobody; a late line on a
+    single-supplier order blames nobody."""
+    import information_extraction_spark.driver_queries.relational as R
+
+    d = str(tmp_path / "q21")
+    t0 = dt.datetime(1996, 1, 1)
+    late_day = dt.datetime(1996, 4, 1)   # 91 days > 60 -> late
+    ok_day = dt.datetime(1996, 2, 1)     # 31 days -> on time
+    spark.createDataFrame(
+        [
+            (100, 1, "O", 1.0, t0, "5-LOW"),  # s1 late, s2 on time -> blame s1
+            (101, 1, "O", 1.0, t0, "5-LOW"),  # s1 and s2 BOTH late -> nobody
+            (102, 1, "O", 1.0, t0, "5-LOW"),  # s3 late, sole supplier -> nobody
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    rows = [
+        (100, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late_day),
+        (100, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ok_day),
+        (101, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late_day),
+        (101, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", late_day),
+        (102, 1, 3, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late_day),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    out = {r["l_suppkey"]: r["numwait"] for r in
+           R.q21_waiting_suppliers(spark, d).collect()}
+    assert out == {1: 1}

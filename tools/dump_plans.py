@@ -398,6 +398,26 @@ PLAN_QUERIES = [
         "pivot as agg-by-(source,lang) then pivot-agg-by-source) — "
         "no values-inference pre-scan of the table",
     ),
+    (
+        "q2_min_cost_supplier",
+        "correlated argmin: the fact join collapses to DISTINCT "
+        "(brand, supplier) before the 100-row supplier dim "
+        "BROADCASTS; min + argmin fuse into ONE struct-min "
+        "aggregate — no per-brand window, no agg-then-rejoin",
+    ),
+    (
+        "q11_revenue_share",
+        "global-share HAVING: lineitem scanned ONCE; the 1-row "
+        "global total derives from the per-type partials and "
+        "broadcasts back — never a second fact scan for the scalar",
+    ),
+    (
+        "q21_waiting_suppliers",
+        "multi-EXISTS blame report: one big-big equi-join, then the "
+        "localCheckpointed DISTINCT pair table feeds both the LEFT "
+        "SEMI and LEFT ANTI self-joins (equi on orderkey, suppkey "
+        "inequality as join residual — no per-order cross product)",
+    ),
 ]
 
 
