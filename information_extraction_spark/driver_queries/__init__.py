@@ -50,6 +50,17 @@ _CHANGED_THIS_ROUND = [
     # bounded predicate hierarchy, inference applied to the 50-row
     # per-predicate aggregate (never the raw assertion table).
     "kg_ontology_closure",
+    # Large-star/small-star CC (Kiveris SoCC'14): O(log^2 n) rounds
+    # with a shrinking edge set — third implementation of the
+    # entity-linking labels, same recursive-CTE oracle.
+    "kg_cc_largestar",
+    # Key-skew profile: heavy hitters via TakeOrdered + max/mean
+    # imbalance ppm over the collapsed per-key count table.
+    "w23_skew_profile",
+    # Cross-document repeated spans (exact substring dedup): one
+    # shuffle on the gram hash, big-big join back, per-doc island
+    # merge over surviving positions only.
+    "dd_dup_spans",
     # HyperLogLog distinct estimation (register-wise max merge; raw
     # estimate only — no small-range linear counting at this
     # cardinality) and the batch-GD linear-regression TRAINING loop

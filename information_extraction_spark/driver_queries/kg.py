@@ -3013,3 +3013,29 @@ def kg_ontology_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inferred_n",
         "n_cone",
     )
+
+
+@_q("kg_cc_largestar", _LINKING_ORACLE)
+def kg_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same alias graph and recursive-CTE oracle as
+    kg_entity_linking, computed by the large-star/small-star
+    two-phase contraction (operators/linking.cc_two_phase — Kiveris
+    et al. SoCC'14) instead of the hash-min loop: O(log^2 n) rounds
+    vs O(diameter), with the shuffled edge set SHRINKING each round.
+    A third independent implementation of the same labels (hash-min,
+    driver union-find, two-phase stars) all pinned to one oracle."""
+    from information_extraction_spark.operators.linking import (
+        alias_edges,
+        cc_two_phase,
+    )
+    from information_extraction_spark.sources.from_documents import (
+        alias_chain_pairs,
+        vocabulary,
+    )
+
+    pairs = alias_chain_pairs(vocabulary(spark, sf_dir))
+    alias_df = spark.createDataFrame(pairs, "canonical string, alias string")
+    return cc_two_phase(alias_edges(alias_df)).select(
+        F.col("node").alias("surface"),
+        F.col("component").alias("canonical_id"),
+    )

@@ -2067,3 +2067,72 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count("*").cast("long").alias("numwait"))
     )
+
+
+# --- W23: key-skew profile (heavy hitters + imbalance ratio) ---------------------
+#
+# The diagnostic a 100 TB pipeline runs BEFORE choosing a shuffle
+# strategy: per-key cardinality over the join/aggregation key, the
+# top-5 heavy hitters with their traffic share, and the global
+# imbalance ratio max/mean (in ppm — the direct read on how badly the
+# hottest reducer exceeds the average; >~3x says salt or let AQE
+# split). The engine's own skew handling (functions/skew.py salting,
+# AQE skew-join) is tuned by exactly this number.
+#
+# Scale shape: ONE map-side-combined shuffle to per-key counts; the
+# top-5 is a TakeOrdered (per-partition heaps, no global sort); the
+# global stats are a second 1-row aggregate over the already-
+# collapsed count table, broadcast back. Determinism: ties on count
+# break by user_id; ratios are BIGINT ppm floor divisions.
+
+_W23_ORACLE = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(n_events) AS BIGINT) AS total,
+         CAST(max(n_events) AS BIGINT) AS max_n
+  FROM c
+), top AS (
+  SELECT user_id, n_events,
+         row_number() OVER (ORDER BY n_events DESC, user_id) AS rank
+  FROM c
+)
+SELECT t.rank, t.user_id, t.n_events,
+       (t.n_events * 1000000) // g.total AS share_ppm,
+       (g.max_n * g.n_keys * 1000000) // g.total AS skew_ppm
+FROM top t, g
+WHERE t.rank <= 5
+"""
+
+
+@_q("w23_skew_profile", _W23_ORACLE)
+def w23_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    g = c.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n_events").cast("long").alias("total"),
+        F.max("n_events").cast("long").alias("max_n"),
+    )
+    # TakeOrderedAndProject (per-partition heaps), NOT a global
+    # row_number window — the count table is one row per distinct
+    # key, which at warehouse scale is billions of rows; the rank is
+    # assigned afterwards on the 5 surviving rows.
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    top = (
+        c.orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(5)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    return top.crossJoin(F.broadcast(g)).select(
+        "rank",
+        "user_id",
+        "n_events",
+        F.expr("(n_events * 1000000) div total").alias("share_ppm"),
+        F.expr("(max_n * n_keys * 1000000) div total").alias("skew_ppm"),
+    )

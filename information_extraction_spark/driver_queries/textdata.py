@@ -3767,3 +3767,86 @@ def ta_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_novel",
         F.expr("(n_novel * 1000000) div n_grams").alias("novelty_ppm"),
     )
+
+
+# --- Cross-document repeated spans (exact substring dedup) -----------------------
+#
+# The deduplicate-text-datasets semantic (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better"): find the maximal runs
+# of text REPEATED VERBATIM across documents — boilerplate, license
+# headers, syndicated passages — as candidates for span-level removal
+# (where doc-level MinHash would either keep the duplication or drop
+# a mostly-unique document). A position is "duplicated" when its word
+# 8-gram occurs in >= 2 DISTINCT documents; consecutive duplicated
+# positions merge into one span (gaps-and-islands), reported with its
+# word extent (a run of k consecutive 8-grams covers k+7 words).
+#
+# Scale shape: gram table built in one narrow pass (md5 keys — never
+# ship raw 8-grams); duplicated grams found with ONE map-side-combined
+# shuffle on the gram hash (count(distinct doc) >= 2); the join back
+# is the one big-big equi-join (both sides are corpus-sized — no
+# broadcast assumed, unlike ta_contamination's small eval side); the
+# island merge is a per-doc window over only the SURVIVING positions.
+# The suffix-array original is a single-machine algorithm; the
+# gram-anchor formulation is its shuffle-native equivalent (8-gram
+# resolution instead of arbitrary-length suffixes).
+
+_DUP_SPANS_ORACLE = """
+WITH grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(string_split(text, ' ')[i:i+7], ' ')) AS g
+  FROM documents,
+       unnest(range(1, greatest(len(string_split(text, ' ')) - 7, 0) + 1)) t(i)
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT DISTINCT gr.doc_id, gr.pos FROM grams gr JOIN dup USING (g)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS anchor
+  FROM hits
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS start_pos,
+       CAST(max(pos) AS BIGINT) AS end_pos,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) + 7 AS BIGINT) AS span_words
+FROM isl
+GROUP BY doc_id, anchor
+"""
+
+
+@_q("dd_dup_spans", _DUP_SPANS_ORACLE)
+def dd_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    positions = F.when(
+        F.size(words) >= 8, F.sequence(F.lit(1), F.size(words) - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = d.withColumn("pos", F.explode(positions)).select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice(words, F.col("pos"), 8))).alias("g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("g")
+    )
+    hits = (
+        grams.join(dup, "g").select("doc_id", "pos").distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "anchor", F.col("pos") - F.row_number().over(w)
+    )
+    return isl.groupBy("doc_id", "anchor").agg(
+        F.min("pos").cast("long").alias("start_pos"),
+        F.max("pos").cast("long").alias("end_pos"),
+        F.count("*").cast("long").alias("n_grams"),
+        (F.count("*") + 7).cast("long").alias("span_words"),
+    ).drop("anchor")

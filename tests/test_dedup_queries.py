@@ -337,3 +337,55 @@ def test_containment_matches_bruteforce_and_direction(spark, tmp_dir):
     assert got == want
     assert (0, 3) in got        # the inclusion pair survives
     assert (0, 9) in got        # equal-size exact dup, da < db
+
+
+def test_dup_spans_islands_merge_and_boundaries(spark, tmp_dir):
+    """Two docs share a 10-word verbatim passage (3 consecutive dup
+    8-grams -> ONE span of 10 words); a unique doc emits nothing; two
+    separated shared passages in one doc stay TWO islands."""
+    from information_extraction_spark.driver_queries.textdata import (
+        dd_dup_spans,
+    )
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"           # 10 words
+    shared2 = "z1 z2 z3 z4 z5 z6 z7 z8"                 # exactly 8
+    rows = [
+        # doc 0: shared at positions 1..10, then unique filler, then
+        # shared2 — two islands.
+        (0, shared + " u1 u2 u3 u4 u5 " + shared2),
+        # doc 1: shared embedded after 2 unique words.
+        (1, "a1 a2 " + shared + " b1 b2"),
+        # doc 2: carries shared2 only.
+        (2, "c1 " + shared2 + " c2 c3 c4 c5 c6 c7"),
+        # doc 3: fully unique, long enough to emit grams.
+        (3, " ".join(f"q{i}" for i in range(12))),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["t"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    d = os.path.join(tmp_dir, "dupspans_sf")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = {
+        (r["doc_id"], r["start_pos"]): (
+            r["end_pos"], r["n_grams"], r["span_words"]
+        )
+        for r in dd_dup_spans(spark, d).collect()
+    }
+    # doc 0: shared -> grams at pos 1..3 (10 words = 3 dup 8-grams);
+    # shared2 starts at word 16 -> single gram at pos 16.
+    assert got[(0, 1)] == (3, 3, 10)
+    assert got[(0, 16)] == (16, 1, 8)
+    # doc 1: shared starts at word 3 -> dup grams at pos 3..5.
+    assert got[(1, 3)] == (5, 3, 10)
+    # doc 2: shared2 at word 2 -> one gram at pos 2.
+    assert got[(2, 2)] == (2, 1, 8)
+    # no spans for doc 3, and no extras anywhere.
+    assert len(got) == 4

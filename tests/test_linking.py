@@ -367,3 +367,44 @@ def test_jaccard_neighbors_consistent_capped_universe(spark):
     }
     assert unc[("s1", "s2")] == (3, 750000)
     assert unc[("s3", "s4")] == (1, 1000000)
+
+
+def test_cc_two_phase_matches_hash_min_on_random_graphs(spark):
+    """Large-star/small-star must produce byte-identical labels to
+    connected_components on adversarial shapes: a long chain (worst
+    case for hash-min), a star rooted at the LARGEST id, islands, and
+    seeded random graphs with dup/self edges."""
+    import random
+
+    from information_extraction_spark.operators.linking import cc_two_phase
+
+    cases = [
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)],  # chain
+        [("z", f"m{i}") for i in range(6)],  # star at max id
+        [("b", "a"), ("b", "c"), ("x", "y"), ("q", "q")],  # islands+self
+    ]
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 18
+        cases.append(
+            [
+                (f"v{rng.randrange(n):02d}", f"v{rng.randrange(n):02d}")
+                for _ in range(22)
+            ]
+        )
+    for pairs in cases:
+        e = _edges(spark, pairs)
+        want = {
+            r["node"]: r["component"]
+            for r in connected_components(e).collect()
+        }
+        got = {
+            r["node"]: r["component"] for r in cc_two_phase(e).collect()
+        }
+        # connected_components keeps self-loop-only nodes; cc_two_phase
+        # drops self loops up front, so compare on the shared universe
+        # after restoring those singletons.
+        for k in set(want) - set(got):
+            assert want[k] == k
+            got[k] = k
+        assert got == want

@@ -1218,3 +1218,24 @@ def test_q21_semi_and_anti_legs(spark, tmp_path):
     out = {r["l_suppkey"]: r["numwait"] for r in
            R.q21_waiting_suppliers(spark, d).collect()}
     assert out == {1: 1}
+
+
+def test_w23_skew_profile_ties_and_ppm(spark, tmp_path):
+    """Heavy-hitter ties break by user_id; share and skew ratios are
+    exact BIGINT ppm floors. Users 1..6 with counts 4,4,2,1,1,1 ->
+    13 events over 6 keys, max 4: skew = floor(4*6e6/13) = 1846153."""
+    import information_extraction_spark.driver_queries.relational as R
+
+    rows, eid = [], 0
+    for u, n in [(2, 4), (1, 4), (3, 2), (4, 1), (5, 1), (6, 1)]:
+        for _ in range(n):
+            rows.append((eid, 10 + eid, u, "view", 1.0))
+            eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = R.w23_skew_profile(spark, d).collect()
+    by_rank = {r["rank"]: r for r in out}
+    assert len(out) == 5
+    assert by_rank[1]["user_id"] == 1 and by_rank[2]["user_id"] == 2
+    assert by_rank[1]["share_ppm"] == 307692  # floor(4e6/13)
+    assert by_rank[1]["skew_ppm"] == 1846153  # floor(4*6e6/13)
+    assert by_rank[5]["n_events"] == 1
