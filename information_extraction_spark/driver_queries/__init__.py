@@ -61,6 +61,16 @@ _CHANGED_THIS_ROUND = [
     # shuffle on the gram hash, big-big join back, per-doc island
     # merge over surviving positions only.
     "dd_dup_spans",
+    # Right-to-be-forgotten cascade: broadcast deletion dim, one
+    # conditional-sum shuffle on (s,p,o), delete-vs-retain audit.
+    "kg_forget_propagate",
+    # Schema-evolution read: mergeSchema union over two snapshot
+    # generations (g2 added n_convs), NULL-tolerant aggregates.
+    "w24_schema_evolve",
+    # Salted two-phase hot-key aggregation, driver-visible: (key,
+    # salt) partials + composite-key distinct; oracle is the plain
+    # GROUP BY.
+    "w25_salted_agg",
     # HyperLogLog distinct estimation (register-wise max merge; raw
     # estimate only — no small-range linear counting at this
     # cardinality) and the batch-GD linear-regression TRAINING loop

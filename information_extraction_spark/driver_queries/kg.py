@@ -3039,3 +3039,196 @@ def kg_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("surface"),
         F.col("component").alias("canonical_id"),
     )
+
+
+# --- Deletion-request propagation (right-to-be-forgotten) --------------------
+#
+# The privacy op a production KG MUST support: a set of conversations
+# is deleted at the source (GDPR/CCPA requests), and the graph has to
+# answer — per triple — whether any evidence survives. A triple whose
+# ONLY supporting conversations are deleted must be removed; one with
+# surviving evidence is retained with decremented support counts.
+# Exactly the provenance-aware cascade that doc-level deletes in a
+# lake (Iceberg row-level DELETE) do NOT give you, because triples
+# aggregate across conversations.
+#
+# Scale shape: deletion requests are a DIM (thousands of ids against
+# a 10^12-turn corpus) → broadcast LEFT SEMI flag onto the assertion
+# table, then ONE map-side-combined shuffle on (s, p, o) computing
+# (total, removed) as conditional sums in the same pass — never two
+# scans, never a second join. Output carries the audit columns an
+# erasure report needs.
+
+_FORGET_MOD = 17  # delete doc_id % 17 == 3 (~6% of conversations)
+
+
+def _forget_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH a AS (
+  SELECT subject, predicate, object, conv_id, n_convs_removed.deleted AS del
+  FROM (
+    SELECT subject, predicate, object, conv_id,
+           CAST(regexp_extract(conv_id, 'doc(\\d+)', 1) AS BIGINT)
+             % {_FORGET_MOD} = 3 AS deleted
+    FROM {g}
+  ) n_convs_removed
+)
+SELECT subject, predicate, object,
+       CAST(count(*) AS BIGINT) AS support_before,
+       CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT)
+         AS support_removed,
+       CAST(sum(CASE WHEN del THEN 0 ELSE 1 END) AS BIGINT)
+         AS support_after,
+       CASE WHEN sum(CASE WHEN del THEN 0 ELSE 1 END) = 0
+            THEN 'delete' ELSE 'retain' END AS action
+FROM a
+GROUP BY 1, 2, 3
+HAVING sum(CASE WHEN del THEN 1 ELSE 0 END) > 0
+"""
+
+
+_FORGET_ORACLE = _forget_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_forget_propagate", _FORGET_ORACLE)
+def kg_forget_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_forget_propagate"] = _forget_oracle_sql(sf_dir)
+    # The deletion-request dim, built as an explicit table (the shape
+    # real requests arrive in) — broadcast onto the assertion stream.
+    requests = (
+        triples.select("conv_id")
+        .distinct()
+        .filter(
+            F.regexp_extract("conv_id", r"doc(\d+)", 1).cast("long")
+            % _FORGET_MOD
+            == 3
+        )
+        .withColumn("deleted", F.lit(True))
+    )
+    flagged = triples.join(
+        F.broadcast(requests), "conv_id", "left"
+    ).withColumn("del", F.coalesce("deleted", F.lit(False)))
+    return (
+        flagged.groupBy("subject", "predicate", "object")
+        .agg(
+            F.count("*").cast("long").alias("support_before"),
+            F.sum(F.col("del").cast("long"))
+            .cast("long")
+            .alias("support_removed"),
+            F.sum((~F.col("del")).cast("long"))
+            .cast("long")
+            .alias("support_after"),
+        )
+        .filter(F.col("support_removed") > 0)
+        .withColumn(
+            "action",
+            F.when(F.col("support_after") == 0, F.lit("delete")).otherwise(
+                F.lit("retain")
+            ),
+        )
+    )
+
+
+# --- Schema evolution read (mergeSchema across snapshot generations) ----------
+#
+# The lake-format concern w9_time_travel does not cover: a graph
+# table whose WRITER EVOLVED — generation 1 wrote (s, p, o, support),
+# generation 2 added an n_convs column — must stay readable as ONE
+# table, old files yielding NULL for the added column (Iceberg/Delta
+# schema evolution; plain-parquet Spark expresses it as a mergeSchema
+# read). The query proves the union read end-to-end: per predicate,
+# row counts per generation column-presence, and aggregates where the
+# evolved column is NULL-tolerant.
+#
+# Scale shape: mergeSchema costs a footer-schema union at planning
+# time (per-file, driver-side — at warehouse scale you PIN the merged
+# schema in a catalog instead of re-deriving it per query, which is
+# exactly what the .meta.json sidecar stands in for); the scan itself
+# stays one pass, columns pruned to the three the aggregate needs.
+
+
+def _evolve_paths(sf_dir: str) -> tuple[str, str]:
+    base = _golden_path("schema_evolve", sf_dir)
+    return (
+        base.replace(".parquet", "_g1.parquet"),
+        base.replace(".parquet", "_g2.parquet"),
+    )
+
+
+def write_evolved_snapshots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize the two generations write-once behind a meta
+    sidecar committed after BOTH writes: g1 = even-parity support
+    table (no n_convs), g2 = odd-parity with the added column."""
+    import json
+    import os
+
+    from information_extraction_spark.operators.graph import triple_support
+
+    _ensure_golden_dir()
+    g1, g2 = _evolve_paths(sf_dir)
+    meta = g1 + ".meta.json"
+    if os.path.exists(meta):
+        return g1, g2
+    triples = kg_extract_triples(spark, sf_dir)
+    spo = triples.withColumn(
+        "par",
+        F.regexp_extract("conv_id", r"doc(\d+)", 1).cast("long") % 2,
+    ).localCheckpoint()
+    sup_even = triple_support(spo.filter(F.col("par") == 0))
+    sup_odd = triple_support(spo.filter(F.col("par") == 1))
+    sup_even.select("subject", "predicate", "object", "support").write.mode(
+        "overwrite"
+    ).parquet(g1)
+    sup_odd.select(
+        "subject", "predicate", "object", "support", "n_convs"
+    ).write.mode("overwrite").parquet(g2)
+    with open(meta, "w") as fh:
+        json.dump({"generations": 2, "added": ["n_convs"]}, fh)
+    return g1, g2
+
+
+def _evolve_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH spo AS (
+  SELECT subject, predicate, object, conv_id,
+         CAST(regexp_extract(conv_id, 'doc(\\d+)', 1) AS BIGINT) % 2 AS par
+  FROM {g}
+), sup AS (
+  SELECT predicate, par,
+         CAST(count(*) AS BIGINT) AS support,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+  FROM spo GROUP BY subject, predicate, object, par
+)
+SELECT predicate,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_evolved_rows,
+       CAST(sum(support) AS BIGINT) AS sum_support,
+       CAST(sum(CASE WHEN par = 1 THEN n_convs ELSE 0 END) AS BIGINT)
+         AS sum_n_convs
+FROM sup
+GROUP BY 1
+"""
+
+
+_EVOLVE_ORACLE = _evolve_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("w24_schema_evolve", _EVOLVE_ORACLE)
+def w24_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g1, g2 = write_evolved_snapshots(spark, sf_dir)
+    ORACLES["w24_schema_evolve"] = _evolve_oracle_sql(sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(g1, g2)
+    return merged.groupBy("predicate").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("n_convs").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_evolved_rows"),
+        F.sum("support").cast("long").alias("sum_support"),
+        F.sum(F.coalesce("n_convs", F.lit(0)))
+        .cast("long")
+        .alias("sum_n_convs"),
+    )

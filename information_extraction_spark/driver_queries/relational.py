@@ -2136,3 +2136,69 @@ def w23_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_events * 1000000) div total").alias("share_ppm"),
         F.expr("(max_n * n_keys * 1000000) div total").alias("skew_ppm"),
     )
+
+
+# --- W25: salted two-phase aggregation on a hot key ------------------------------
+#
+# The explicit-salting groupBy the north rule names, driver-visible:
+# events aggregate per event_type — a ~5-value domain, i.e. EVERY key
+# is a monster key at warehouse scale, the one case map-side combine
+# alone can't always save (a high-cardinality agg buffer, or a
+# count-distinct, forces rows to the reducer). The plan is the
+# canonical two-phase shape via functions/skew.salted_count +
+# a salted partial for the value sums: phase 1 groups on (key, salt)
+# — 16 reducers share each hot key — phase 2 merges the ≤16 partials
+# per key. Both shuffles are map-side-combined; phase 2 moves at most
+# |keys| x buckets rows. Values are provably identical to the plain
+# groupBy (the DuckDB oracle IS the plain aggregation).
+
+_W25_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+         AS sum_value4
+FROM events
+WHERE event_type IS NOT NULL
+GROUP BY 1
+"""
+
+
+@_q("w25_salted_agg", _W25_ORACLE)
+def w25_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.functions.skew import with_salt
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            "user_id",
+            F.round(F.col("value") * 10000).cast("long").alias("v4"),
+        )
+    )
+    salted = with_salt(e, buckets=16)
+    # Phase 1: per (key, salt) partials; phase 2 merges ≤16 rows per
+    # key. No per-key unbounded state anywhere.
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("v4").cast("long").alias("s4"),
+    )
+    sums = partial.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum("s4").cast("long").alias("sum_value4"),
+    )
+    # Distinct users: shuffle on the COMPOSITE (key, user) — users
+    # spread a hot event_type across all reducers, so this needs no
+    # salt; the per-key count then moves one row per (key, user).
+    # (Never collect_set per key: that rebuilds the monster key as
+    # aggregate state.)
+    users = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    return sums.join(F.broadcast(users), "event_type").select(
+        "event_type", "n_events", "n_users", "sum_value4"
+    )

@@ -418,6 +418,27 @@ PLAN_QUERIES = [
         "SEMI and LEFT ANTI self-joins (equi on orderkey, suppkey "
         "inequality as join residual — no per-order cross product)",
     ),
+    (
+        "w25_salted_agg",
+        "salted two-phase hot-key aggregation: phase 1 groups on "
+        "(key, _salt) map-side-combined, phase 2 merges <=16 partial "
+        "rows per key; the distinct-user leg shuffles on the "
+        "COMPOSITE key (no per-key set state); tiny final broadcast "
+        "join",
+    ),
+    (
+        "dd_dup_spans",
+        "repeated-span detection: ONE shuffle on the md5 gram key "
+        "finds duplicated grams, one big-big join back (no broadcast "
+        "assumed — both sides corpus-sized), island merge windows "
+        "only the surviving positions per doc",
+    ),
+    (
+        "w23_skew_profile",
+        "skew diagnostics: per-key counts map-side-combined, top-5 "
+        "via TakeOrderedAndProject (never a global row_number over "
+        "the key table), 1-row global stats broadcast back",
+    ),
 ]
 
 
