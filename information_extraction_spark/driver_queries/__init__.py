@@ -71,6 +71,10 @@ _CHANGED_THIS_ROUND = [
     # salt) partials + composite-key distinct; oracle is the plain
     # GROUP BY.
     "w25_salted_agg",
+    # Link-prediction ranking eval (MRR / Hits@k): broadcast top-16
+    # candidate pool, pure-BIGINT TransE distances, exact integer
+    # MRR; closes the embedding train->score->eval loop.
+    "kg_embedding_eval",
     # HyperLogLog distinct estimation (register-wise max merge; raw
     # estimate only — no small-range linear counting at this
     # cardinality) and the batch-GD linear-regression TRAINING loop

@@ -3232,3 +3232,128 @@ def w24_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_n_convs"),
     )
+
+
+# --- KG-embedding ranking evaluation (MRR / Hits@k) ---------------------------
+#
+# The consumer that closes the embedding-training loop
+# (kg_transe_score emits margins, kg_neg_sampling emits corrupted
+# negatives — this evaluates): for every distinct triple, rank the
+# TRUE object among a fixed candidate pool (the top-16 most-supported
+# objects) by TransE distance ||e_s + r_p - e_c||^2, then report
+# per-predicate MRR and Hits@{1,3,10} — the standard link-prediction
+# protocol (filtered-candidates variant with a bounded pool; the full
+# protocol ranks against ALL entities, which at warehouse scale is
+# exactly this plan with the pool sharded instead of broadcast).
+#
+# Scale shape: the pool is a BOUNDED dim (TakeOrdered top-16,
+# broadcast); scoring is pure per-row arithmetic after a 16x narrow
+# expansion (no shuffle to score); the rank collapses back with one
+# map-side-combined aggregate on the triple key and the report is a
+# 50-group aggregate. Determinism: scores are exact BIGINTs from the
+# 48-bit md5 feature hash; score ties rank by candidate string; MRR
+# is the exact integer floor(sum(1e6 div rank) div n).
+
+
+def _embeval_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    s = _transe_components_sql("t.subject")
+    p = _transe_components_sql("t.predicate")
+    o = _transe_components_sql("t.object")
+    c = _transe_components_sql("pool.cand")
+    so = " + ".join(
+        f"({s[i]} + {p[i]} - {o[i]}) * ({s[i]} + {p[i]} - {o[i]})"
+        for i in range(4)
+    )
+    sc = " + ".join(
+        f"({s[i]} + {p[i]} - {c[i]}) * ({s[i]} + {p[i]} - {c[i]})"
+        for i in range(4)
+    )
+    return f"""
+WITH tr AS (
+  SELECT DISTINCT subject, predicate, object FROM {g}
+), pool AS (
+  SELECT object AS cand FROM (
+    SELECT object, row_number() OVER (ORDER BY count(*) DESC, object)
+             AS rn
+    FROM tr GROUP BY object
+  ) WHERE rn <= 16
+), ranked AS (
+  SELECT t.subject, t.predicate, t.object,
+         1 + sum(CASE WHEN pool.cand <> t.object AND
+                      (({sc}) < ({so}) OR
+                       (({sc}) = ({so}) AND pool.cand < t.object))
+                 THEN 1 ELSE 0 END) AS rnk
+  FROM tr t CROSS JOIN pool
+  GROUP BY t.subject, t.predicate, t.object
+)
+SELECT predicate,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(sum(1000000 // rnk) // count(*) AS BIGINT) AS mrr_ppm,
+       CAST(sum(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits1,
+       CAST(sum(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits3,
+       CAST(sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits10
+FROM ranked
+GROUP BY 1
+"""
+
+
+_EMBEVAL_ORACLE = _embeval_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_embedding_eval", _EMBEVAL_ORACLE)
+def kg_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.functions.hashing import h48
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_embedding_eval"] = _embeval_oracle_sql(sf_dir)
+    tr = triples.select("subject", "predicate", "object").distinct()
+
+    def comp(col, i):
+        return (h48(F.concat(col, F.lit(f"#{i}"))) % 1000).cast("long")
+
+    def dist(subj, pred, obj):
+        return sum(
+            (
+                (comp(subj, i) + comp(pred, i) - comp(obj, i))
+                * (comp(subj, i) + comp(pred, i) - comp(obj, i))
+            )
+            for i in range(4)
+        )
+
+    pool = (
+        tr.groupBy("object")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("object"))
+        .limit(16)
+        .select(F.col("object").alias("cand"))
+    )
+    scored = tr.withColumn(
+        "so", dist(F.col("subject"), F.col("predicate"), F.col("object"))
+    )
+    expanded = scored.crossJoin(F.broadcast(pool)).withColumn(
+        "sc", dist(F.col("subject"), F.col("predicate"), F.col("cand"))
+    )
+    better = (
+        (F.col("cand") != F.col("object"))
+        & (
+            (F.col("sc") < F.col("so"))
+            | ((F.col("sc") == F.col("so")) & (F.col("cand") < F.col("object")))
+        )
+    ).cast("long")
+    ranked = (
+        expanded.groupBy("subject", "predicate", "object")
+        .agg((F.lit(1) + F.sum(better)).cast("long").alias("rnk"))
+    )
+    return ranked.groupBy("predicate").agg(
+        F.count("*").cast("long").alias("n_triples"),
+        F.expr("CAST(sum(1000000 div rnk) div count(*) AS BIGINT)").alias(
+            "mrr_ppm"
+        ),
+        F.sum((F.col("rnk") <= 1).cast("long")).cast("long").alias("hits1"),
+        F.sum((F.col("rnk") <= 3).cast("long")).cast("long").alias("hits3"),
+        F.sum((F.col("rnk") <= 10).cast("long")).cast("long").alias("hits10"),
+    )
