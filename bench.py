@@ -249,6 +249,12 @@ def main() -> int:
         "kg_jaccard_neighbors",
         "ta_repetition",
         "emb_rproj",
+        "kg_cc_largestar",
+        "dd_dup_spans",
+        "kg_embedding_eval",
+        "kg_forget_propagate",
+        "q21_waiting_suppliers",
+        "w25_salted_agg",
     ]
     if args.skip_queries:
         bench_queries = []
