@@ -38,6 +38,16 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Blocked thresholded Levenshtein near-dup: the character-level
+    # complement to dd_ngram_jaccard — same lossless (lang, 20-char
+    # band ±1) blocking, Ukkonen-banded 3-arg levenshtein behind the
+    # pushdown barrier.
+    "dd_edit_distance",
+    # Deequ-style data-quality constraint suite: one conditional
+    # aggregate per single-table check, LEFT ANTI FK legs (dim
+    # broadcast; big-big side collapsed to DISTINCT keys first),
+    # exact integer pass_ppm.
+    "w26_dq_audit",
     # TPC-H Q2/Q11/Q21 adaptations: correlated argmin via one
     # lexicographic struct-min (min-balance supplier per brand),
     # group-vs-global-scalar HAVING with the exact integer

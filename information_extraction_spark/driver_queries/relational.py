@@ -2202,3 +2202,188 @@ def w25_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.join(F.broadcast(users), "event_type").select(
         "event_type", "n_events", "n_users", "sum_value4"
     )
+
+
+# --- W26: Deequ-style data-quality constraint suite ---------------------------
+#
+# The pre-ingest audit every production pipeline runs before trusting
+# a new snapshot (Schelter et al., "Automating large-scale data
+# quality verification", VLDB'18): one row per declared constraint
+# with evaluated/failed counts and an exact integer pass rate. Scale
+# shape: each single-table check is ONE conditional aggregate pass
+# (map-side combined to one row — uniqueness rides count DISTINCT's
+# partial-distinct expand, never a self-join); referential checks are
+# LEFT ANTI joins (customer dim broadcasts; the lineitem→orders
+# big-big anti first collapses the fact side to DISTINCT keys so the
+# shuffle moves keys, not line items). The final union moves 7 rows.
+# Passing checks (FK integrity, key uniqueness, domain conformance)
+# are as load-bearing as failing ones (c_acctbal/s_acctbal >= 0 fails
+# on 122 + 6 rows at sf0.01): the audit's job is to PROVE the pass.
+
+_W26_ORACLE = """
+WITH checks AS (
+  SELECT 'orders.o_orderkey unique' AS check_name,
+         CAST(count(*) AS BIGINT) AS n_evaluated,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_failed
+  FROM orders
+  UNION ALL
+  SELECT 'orders.o_custkey fk customer',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem.l_orderkey fk orders',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'customer.c_acctbal >= 0',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'supplier.s_acctbal >= 0',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM supplier
+  UNION ALL
+  SELECT 'orders.o_orderstatus in domain',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0
+                  ELSE 1 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'events.event_type complete',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM events
+)
+SELECT check_name, n_evaluated, n_failed,
+       CAST((n_evaluated - n_failed) * 1000000 // n_evaluated AS BIGINT)
+         AS pass_ppm
+FROM checks
+"""
+
+
+@_q("w26_dq_audit", _W26_ORACLE)
+def w26_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+
+    def _check(name: str, n_eval, n_fail) -> DataFrame:
+        return n_eval.crossJoin(n_fail).select(
+            F.lit(name).alias("check_name"),
+            F.col("n_evaluated"),
+            F.col("n_failed"),
+            (
+                (F.col("n_evaluated") - F.col("n_failed"))
+                * F.lit(1000000)
+                / F.col("n_evaluated")
+            )
+            .cast("long")
+            .alias("pass_ppm"),
+        )
+
+    def _agg_check(name: str, df: DataFrame, fail_cond) -> DataFrame:
+        one = df.agg(
+            F.count("*").cast("long").alias("n_evaluated"),
+            F.sum(F.when(fail_cond, 1).otherwise(0))
+            .cast("long")
+            .alias("n_failed"),
+        )
+        return one.select(
+            F.lit(name).alias("check_name"),
+            "n_evaluated",
+            "n_failed",
+            (
+                (F.col("n_evaluated") - F.col("n_failed"))
+                * F.lit(1000000)
+                / F.col("n_evaluated")
+            )
+            .cast("long")
+            .alias("pass_ppm"),
+        )
+
+    # Uniqueness: partial-distinct aggregate, one row out.
+    uniq = orders.agg(
+        F.count("*").cast("long").alias("n_evaluated"),
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("n_failed"),
+    )
+    uniq = uniq.select(
+        F.lit("orders.o_orderkey unique").alias("check_name"),
+        "n_evaluated",
+        "n_failed",
+        (
+            (F.col("n_evaluated") - F.col("n_failed"))
+            * F.lit(1000000)
+            / F.col("n_evaluated")
+        )
+        .cast("long")
+        .alias("pass_ppm"),
+    )
+    # FK orders→customer: the dim broadcasts; orphans = LEFT ANTI.
+    o_total = orders.agg(F.count("*").cast("long").alias("n_evaluated"))
+    o_orphans = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count("*").cast("long").alias("n_failed"))
+    )
+    fk_cust = _check("orders.o_custkey fk customer", o_total, o_orphans)
+    # FK lineitem→orders: big-big — collapse the probe side to
+    # DISTINCT keys first (the anti join then shuffles keys, and the
+    # violation count weights each missing key by its line count).
+    l_total = lineitem.agg(F.count("*").cast("long").alias("n_evaluated"))
+    l_keys = lineitem.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_lines")
+    )
+    l_orphans = (
+        l_keys.join(
+            orders.select("o_orderkey"),
+            l_keys["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(
+            F.coalesce(F.sum("n_lines"), F.lit(0))
+            .cast("long")
+            .alias("n_failed")
+        )
+    )
+    fk_line = _check("lineitem.l_orderkey fk orders", l_total, l_orphans)
+    out = (
+        uniq.unionByName(fk_cust)
+        .unionByName(fk_line)
+        .unionByName(
+            _agg_check(
+                "customer.c_acctbal >= 0", customer, F.col("c_acctbal") < 0
+            )
+        )
+        .unionByName(
+            _agg_check(
+                "supplier.s_acctbal >= 0", supplier, F.col("s_acctbal") < 0
+            )
+        )
+        .unionByName(
+            _agg_check(
+                "orders.o_orderstatus in domain",
+                orders,
+                ~F.col("o_orderstatus").isin("O", "F", "P"),
+            )
+        )
+        .unionByName(
+            _agg_check(
+                "events.event_type complete",
+                events,
+                F.col("event_type").isNull(),
+            )
+        )
+    )
+    return out

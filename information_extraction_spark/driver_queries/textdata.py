@@ -3850,3 +3850,60 @@ def dd_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_grams"),
         (F.count("*") + 7).cast("long").alias("span_words"),
     ).drop("anchor")
+
+
+# --- Edit-distance near-dup (blocked, thresholded Levenshtein) ----------------
+#
+# The character-level complement to the token-level dd_ngram_jaccard:
+# OCR noise, typo variants, and template fills that token Jaccard
+# misses (one changed character per word kills every shingle) sit
+# within a small edit distance. Blocking is the SAME lossless
+# (lang, 20-char band ±1) trick — levenshtein(a,b) >= |len(a)-len(b)|,
+# so distance <= 20 implies the length band differs by at most 1 —
+# and the distance itself runs THRESHOLDED (Spark's 3-arg
+# levenshtein, Ukkonen banding: O(k·n) per pair instead of O(n²),
+# returning -1 past the cap) so a 100 TB corpus pays the quadratic DP
+# only inside the k-band of surviving candidates. The barrier keeps
+# even that out of the join condition (it would run twice per
+# candidate as a pushed predicate).
+
+_EDIT_ORACLE = """
+WITH d AS (SELECT doc_id, lang, text, n_chars FROM documents)
+SELECT a.doc_id AS da, b.doc_id AS db,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= 20
+WHERE levenshtein(a.text, b.text) <= 20
+"""
+
+
+@_q("dd_edit_distance", _EDIT_ORACLE)
+def dd_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.functions.barrier import (
+        pushdown_barrier,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text", "n_chars")
+    d = _spread(spark, d, "doc_id")
+    bucket = F.floor(F.col("n_chars") / 20)
+    a = d.withColumn(
+        "bkt", F.explode(F.array(bucket - 1, bucket, bucket + 1))
+    ).alias("a")
+    b = d.withColumn("bkt", bucket).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # lossless prune: levenshtein >= |len diff|
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20),
+    ).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        # thresholded: bails out of the DP past 20 edits, returns -1
+        F.levenshtein(F.col("a.text"), F.col("b.text"), 20)
+        .cast("long")
+        .alias("dist"),
+    )
+    return pairs.filter(pushdown_barrier(F.col("dist") >= 0))

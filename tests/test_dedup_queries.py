@@ -389,3 +389,53 @@ def test_dup_spans_islands_merge_and_boundaries(spark, tmp_dir):
     assert got[(2, 2)] == (2, 1, 8)
     # no spans for doc 3, and no extras anywhere.
     assert len(got) == 4
+
+
+def test_edit_distance_threshold_blocking_and_band_boundary(spark, tmp_dir):
+    """Hand-built corpus pinning: exact distance values, the <=20
+    inclusion boundary, 21-edit exclusion, cross-band pairs (lengths
+    19 vs 39 share no bucket but bucket±1 probing finds them), and
+    cross-lang silence."""
+    from information_extraction_spark.driver_queries.textdata import (
+        dd_edit_distance,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog tonight"  # 52
+    rows = [
+        (0, base, "en"),
+        (1, base[:-1] + "s", "en"),                 # 1 substitution
+        (2, base + "XXXXXXXXXXXXXXXXXXXX", "en"),   # +20 appended
+        (3, base + "Y" * 21, "en"),                 # 21 edits: excluded
+        (4, base, "de"),                            # other lang: silent
+        # band boundary: 19 chars (bucket 0) vs 39 chars (bucket 1),
+        # distance exactly 20 — found only via the ±1 bucket probe.
+        (5, "a" * 19, "en"),
+        (6, "a" * 39, "en"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": ["t"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    d = os.path.join(tmp_dir, "editdist_sf")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = {
+        (r["da"], r["db"]): r["dist"]
+        for r in dd_edit_distance(spark, d).collect()
+    }
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 20
+    assert got[(5, 6)] == 20
+    # doc 1 vs 2: substitution undone + 20 appends = 21 -> excluded?
+    # No: 1->2 is base[:-1]+"s" vs base+20X: distance 1 (restore 't')
+    # + 20 inserts = 21 -> must be absent.
+    assert (1, 2) not in got
+    assert (0, 3) not in got           # 21 edits
+    assert all(da != 4 and db != 4 for (da, db) in got)  # lang block
+    assert set(got) == {(0, 1), (0, 2), (5, 6)}

@@ -1239,3 +1239,66 @@ def test_w23_skew_profile_ties_and_ppm(spark, tmp_path):
     assert by_rank[1]["share_ppm"] == 307692  # floor(4e6/13)
     assert by_rank[1]["skew_ppm"] == 1846153  # floor(4*6e6/13)
     assert by_rank[5]["n_events"] == 1
+
+
+def test_w26_dq_audit_violations_and_exact_ppm(spark, tmp_path):
+    """Every check fires on a hand-built corrupt snapshot: duplicate
+    order key, FK orphans on both reference legs (the lineitem leg
+    weighted by LINE count, not key count), negative balances, an
+    out-of-domain status, a NULL event_type — and pass_ppm is the
+    exact integer floor."""
+    import datetime as dt
+
+    import information_extraction_spark.driver_queries.relational as R
+
+    d = str(tmp_path / "dq")
+    day = dt.datetime(1996, 1, 1)
+    spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0, day, "1-URGENT"),
+            (1, 10, "F", 6.0, day, "1-URGENT"),   # dup orderkey
+            (2, 99, "X", 7.0, day, "1-URGENT"),   # orphan cust + bad status
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(10, "c", 0, -1.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [(20, "s", 0, 3.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.parquet(f"{d}/supplier.parquet")
+    li = [
+        (1, 1, 20, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", day),
+        (7, 1, 20, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", day),  # orphan x2
+        (7, 1, 20, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", day),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, day, 1, None, 1.0, "{}"), (2, day, 1, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    got = {
+        r["check_name"]: (r["n_evaluated"], r["n_failed"], r["pass_ppm"])
+        for r in R.w26_dq_audit(spark, d).collect()
+    }
+    assert got["orders.o_orderkey unique"] == (3, 1, 666666)
+    assert got["orders.o_custkey fk customer"] == (3, 1, 666666)
+    # orphan key 7 carries TWO lines -> 2 failed of 3 lines.
+    assert got["lineitem.l_orderkey fk orders"] == (3, 2, 333333)
+    assert got["customer.c_acctbal >= 0"] == (1, 1, 0)
+    assert got["supplier.s_acctbal >= 0"] == (1, 0, 1000000)
+    assert got["orders.o_orderstatus in domain"] == (3, 1, 666666)
+    assert got["events.event_type complete"] == (2, 1, 500000)
+    assert len(got) == 7
