@@ -48,6 +48,11 @@ _CHANGED_THIS_ROUND = [
     # broadcast; big-big side collapsed to DISTINCT keys first),
     # exact integer pass_ppm.
     "w26_dq_audit",
+    # Deterministic DeepWalk walk corpus: md5-argmin successor per
+    # step over the undirected edge closure (the graph is bipartite,
+    # so directed walks die after one hop — measured); k bounded
+    # join+struct-min rounds, frontier one row per start.
+    "kg_random_walks",
     # TPC-H Q2/Q11/Q21 adaptations: correlated argmin via one
     # lexicographic struct-min (min-balance supplier per brand),
     # group-vs-global-scalar HAVING with the exact integer

@@ -3357,3 +3357,81 @@ def kg_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("rnk") <= 3).cast("long")).cast("long").alias("hits3"),
         F.sum((F.col("rnk") <= 10).cast("long")).cast("long").alias("hits10"),
     )
+
+
+# --- Deterministic random walks (walk-corpus generation) ----------------------
+#
+# The DeepWalk/node2vec ingestion primitive: a fixed-length walk from
+# every entity over the subject→object edge set, feeding skip-gram
+# embedding training. "Random" is a deterministic md5 draw — successor
+# at step t from node v = argmin over out-neighbors o of
+# h48(v || '#t#' || o) (ties to the smaller o) — so retries, reruns
+# and both engines reproduce the identical corpus (the same
+# reproducibility discipline as ta_weighted_sample). Walks run over
+# the UNDIRECTED edge set (subject→object plus its reverse, the
+# kg_bfs_distances/kg_label_propagation convention): the extraction
+# graph is bipartite — objects never re-occur as subjects — so a
+# directed walk would die after one hop (measured: every h2 NULL);
+# undirected, step 2 hops back to a (generally different) subject
+# sharing the object. Scale shape: the
+# walk frontier is ONE row per start; each step is an equi-join on
+# the current node key against the distinct edge table followed by a
+# struct-min aggregate (map-side combined; never a per-node window
+# over the full adjacency), so a 3-step walk costs 3 bounded
+# join+agg rounds regardless of graph size. Dead ends carry NULL
+# through remaining hops via LEFT joins.
+
+_WALK_STEPS = 3
+
+
+def _walks_oracle_sql(sf_dir: str) -> str:
+    from information_extraction_spark.functions.hashing import h48_sql
+
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    h1 = h48_sql("w.start || '#1#' || e.o")
+    h2 = h48_sql("s1.h1 || '#2#' || e.o")
+    h3 = h48_sql("s2.h2 || '#3#' || e.o")
+    return f"""
+WITH de AS (
+  SELECT DISTINCT subject AS s, object AS o FROM {g}
+), e AS (
+  SELECT s, o FROM de UNION SELECT o AS s, s AS o FROM de
+), w AS (
+  SELECT DISTINCT subject AS start FROM {g}
+), s1 AS (
+  SELECT w.start, e.o AS h1
+  FROM w JOIN e ON e.s = w.start
+  QUALIFY row_number() OVER (
+    PARTITION BY w.start ORDER BY {h1}, e.o) = 1
+), s2 AS (
+  SELECT s1.start, s1.h1, e.o AS h2
+  FROM s1 LEFT JOIN e ON e.s = s1.h1
+  QUALIFY row_number() OVER (
+    PARTITION BY s1.start ORDER BY {h2}, e.o) = 1
+), s3 AS (
+  SELECT s2.start, s2.h1, s2.h2, e.o AS h3
+  FROM s2 LEFT JOIN e ON e.s = s2.h2
+  QUALIFY row_number() OVER (
+    PARTITION BY s2.start ORDER BY {h3}, e.o) = 1
+)
+SELECT start, h1, h2, h3 FROM s3
+"""
+
+
+_WALKS_ORACLE = _walks_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_random_walks", _WALKS_ORACLE)
+def kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.operators.graph import (
+        deterministic_walks,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_random_walks"] = _walks_oracle_sql(sf_dir)
+    edges = triples.select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    ).distinct()
+    return deterministic_walks(edges, steps=_WALK_STEPS).select(
+        "start", "h1", "h2", "h3"
+    )

@@ -951,3 +951,48 @@ def transitive_closure(
         )
         paths = paths.unionByName(ext).distinct()
     return paths
+
+
+def deterministic_walks(edges: DataFrame, steps: int = 3) -> DataFrame:
+    """Fixed-length DeepWalk-style walk from every source node over
+    the UNDIRECTED closure of directed (src, dst) edges — the
+    walk-corpus generator for skip-gram KG embedding training.
+
+    "Random" is a deterministic md5 draw: the successor at step t
+    from node v is argmin over neighbors n of h48(v || '#t#' || n),
+    ties to the smaller n — reruns, task retries, and the DuckDB
+    oracle all reproduce the identical corpus (a rand() draw would
+    re-roll per retry and break exactly-once semantics downstream).
+
+    Scale shape: the frontier stays ONE row per start; each step is
+    an equi-join on the current node against the checkpointed edge
+    table plus a struct-min aggregate (map-side combined — never a
+    per-node window over the adjacency), so a k-step walk costs k
+    bounded join+agg rounds regardless of graph size. A node with no
+    neighbors carries NULL through the remaining hops (unreachable
+    on an undirected closure, kept for filtered edge sets).
+    """
+    und = undirected_edges(edges).localCheckpoint()
+    walks = edges.select(F.col("src").alias("start")).distinct()
+    from information_extraction_spark.functions.hashing import h48
+
+    cur = "start"
+    for t in range(1, steps + 1):
+        draw = h48(F.concat(F.col(cur), F.lit(f"#{t}#"), F.col("dst")))
+        carried = list(walks.columns)
+        walks = (
+            walks.join(und, walks[cur] == und["src"], "left")
+            .groupBy(*carried)
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("dst").isNotNull(),
+                        F.struct(draw, F.col("dst")),
+                    )
+                )
+                .getField("dst")
+                .alias(f"h{t}")
+            )
+        )
+        cur = f"h{t}"
+    return walks

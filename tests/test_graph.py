@@ -933,3 +933,55 @@ def test_transitive_closure_chain_diamond_and_cycle(spark):
         for r in transitive_closure(cycle, doubling_rounds=2).collect()
     }
     assert got == {("x", "y"), ("y", "x"), ("x", "x"), ("y", "y")}
+
+
+def test_deterministic_walks_argmin_and_backtrack(spark):
+    """Hand graph pinning the md5-argmin successor per step against a
+    python recomputation, undirected traversal (step 2 may backtrack
+    or hop to a sibling subject), and reproducibility across runs."""
+    import hashlib
+
+    from information_extraction_spark.operators.graph import (
+        deterministic_walks,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("b", "y"), ("c", "y")],
+        "src string, dst string",
+    )
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    und = {("a", "x"), ("b", "x"), ("b", "y"), ("c", "y")}
+    adj: dict[str, set[str]] = {}
+    for s, o in und:
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+
+    def walk(start: str, steps: int = 3):
+        cur, hops = start, []
+        for t in range(1, steps + 1):
+            nbrs = sorted(adj.get(cur, ()))
+            if not nbrs:
+                hops.extend([None] * (steps - len(hops)))
+                break
+            cur = min(nbrs, key=lambda n: (h(f"{cur}#{t}#{n}"), n))
+            hops.append(cur)
+        return tuple(hops)
+
+    got = {
+        r["start"]: (r["h1"], r["h2"], r["h3"])
+        for r in deterministic_walks(edges, steps=3).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    for s in ("a", "b", "c"):
+        assert got[s] == walk(s), (s, got[s], walk(s))
+    # a's only neighbor is x: h1 must be x regardless of the hash.
+    assert got["a"][0] == "x"
+    # rerun reproduces byte-identically (no rand() anywhere).
+    again = {
+        r["start"]: (r["h1"], r["h2"], r["h3"])
+        for r in deterministic_walks(edges, steps=3).collect()
+    }
+    assert again == got
