@@ -53,6 +53,10 @@ _CHANGED_THIS_ROUND = [
     # so directed walks die after one hop — measured); k bounded
     # join+struct-min rounds, frontier one row per start.
     "kg_random_walks",
+    # Sorted-neighborhood ER blocking (Hernández & Stolfo): two-phase
+    # range-shuffle global rank + w-window EQUI-join on rank+d —
+    # catches typo pairs that hash blocking separates.
+    "kg_er_sorted_neighborhood",
     # TPC-H Q2/Q11/Q21 adaptations: correlated argmin via one
     # lexicographic struct-min (min-balance supplier per brand),
     # group-vs-global-scalar HAVING with the exact integer

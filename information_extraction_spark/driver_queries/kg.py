@@ -3435,3 +3435,59 @@ def kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_walks(edges, steps=_WALK_STEPS).select(
         "start", "h1", "h2", "h3"
     )
+
+
+# --- Sorted-neighborhood ER blocking ------------------------------------------
+#
+# The second classic blocking scheme next to kg_er_candidates' hash
+# blocking (Hernández & Stolfo, SIGMOD'95): sort every entity by a
+# normalized key and emit candidate pairs within a fixed window of
+# the sort order — catches near-misses that land in DIFFERENT hash
+# blocks (typo in the blocking field) because lexicographic neighbors
+# stay adjacent. Scale shape: the global sort is functions/ranking.
+# stable_rank's two-phase range shuffle (never a single-partition
+# row_number window); the w-window self-join is an EQUI-join on
+# rank + d for d in 1..w-1 (probe side exploded w-1×) — the same
+# bucket-probe trick as the dedup band joins, no range-join
+# nested loop. Pair scoring attaches thresholded Levenshtein.
+
+_SN_WINDOW = 4  # candidate pairs within 3 sort positions
+
+
+def _sn_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH ents AS (
+  SELECT subject AS e FROM {g} UNION SELECT object FROM {g}
+), k AS (
+  SELECT e,
+         regexp_replace(lower(e), '[^a-z0-9]', '', 'g') || '#' || e AS sk
+  FROM ents
+), r AS (
+  SELECT e, row_number() OVER (ORDER BY sk) - 1 AS rnk FROM k
+)
+SELECT a.e AS ea, b.e AS eb,
+       CAST(b.rnk - a.rnk AS BIGINT) AS gap,
+       CAST(levenshtein(a.e, b.e) AS BIGINT) AS lev
+FROM r a JOIN r b
+  ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {_SN_WINDOW - 1}
+"""
+
+
+_SN_ORACLE = _sn_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_er_sorted_neighborhood", _SN_ORACLE)
+def kg_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.operators.linking import (
+        sorted_neighborhood_pairs,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_er_sorted_neighborhood"] = _sn_oracle_sql(sf_dir)
+    ents = (
+        triples.select(F.col("subject").alias("e"))
+        .unionByName(triples.select(F.col("object").alias("e")))
+        .distinct()
+    )
+    return sorted_neighborhood_pairs(ents, window=_SN_WINDOW)

@@ -598,3 +598,45 @@ def cc_two_phase(edges: DataFrame, max_iter: int = 15) -> DataFrame:
         "node",
         F.coalesce(F.col("component"), F.col("node")).alias("component"),
     )
+
+
+def sorted_neighborhood_pairs(
+    ents: DataFrame, window: int = 4, col: str = "e"
+) -> DataFrame:
+    """Sorted-neighborhood ER candidate pairs (Hernández & Stolfo,
+    SIGMOD'95): entities sorted by a normalized key, pairs emitted
+    within ``window - 1`` sort positions, scored with Levenshtein.
+
+    Complements hash blocking (er_candidates): a typo in the blocking
+    field moves a record to a different hash block but usually NOT
+    away from its lexicographic neighbors. The global sort is
+    functions/ranking.stable_rank's two-phase range shuffle (no
+    single-partition window), and the w-window join is an EQUI-join
+    on rank + d, d in 1..window-1 (probe side exploded) — the bucket
+    trick, not a range-join nested loop.
+    """
+    from information_extraction_spark.functions.ranking import stable_rank
+
+    # '#' sorts below [a-z0-9], so ordering by the single concat
+    # column equals ordering by (normalized_key, entity); the concat
+    # is unique because the entity is, which stable_rank requires.
+    keyed = ents.select(F.col(col).alias("e")).distinct().withColumn(
+        "sk",
+        F.concat(
+            F.regexp_replace(F.lower(F.col("e")), "[^a-z0-9]", ""),
+            F.lit("#"),
+            F.col("e"),
+        ),
+    )
+    ranked = stable_rank(keyed, "sk", out_col="rnk").select("e", "rnk")
+    a = ranked.withColumn(
+        "probe",
+        F.explode(F.array(*[F.col("rnk") + d for d in range(1, window)])),
+    ).alias("a")
+    b = ranked.alias("b")
+    return a.join(b, F.col("a.probe") == F.col("b.rnk")).select(
+        F.col("a.e").alias("ea"),
+        F.col("b.e").alias("eb"),
+        (F.col("b.rnk") - F.col("a.rnk")).cast("long").alias("gap"),
+        F.levenshtein(F.col("a.e"), F.col("b.e")).cast("long").alias("lev"),
+    )

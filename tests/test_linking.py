@@ -408,3 +408,30 @@ def test_cc_two_phase_matches_hash_min_on_random_graphs(spark):
             assert want[k] == k
             got[k] = k
         assert got == want
+
+
+def test_sorted_neighborhood_window_and_normalization(spark):
+    """A typo pair lands in different hash blocks but adjacent sort
+    positions; normalization ignores case/punctuation; pairs appear
+    only within window-1 sort positions; gap and lev are exact."""
+    from information_extraction_spark.operators.linking import (
+        sorted_neighborhood_pairs,
+    )
+
+    # normalized sort order: aaaa, aaab, mmmm, mmmn, zzzz
+    ents = spark.createDataFrame(
+        [("aaaa",), ("A.A-a b!",), ("mmmm",), ("mmmn",), ("zzzz",)],
+        "e string",
+    )
+    got = {
+        (r["ea"], r["eb"]): (r["gap"], r["lev"])
+        for r in sorted_neighborhood_pairs(ents, window=3).collect()
+    }
+    # "A.A-a b!" normalizes to "aaab": sorts right after "aaaa".
+    assert got[("aaaa", "A.A-a b!")] == (1, 7)
+    assert got[("mmmm", "mmmn")][1] == 1
+    # window=3 -> gaps 1..2 only; (aaaa, mmmn) is 3 apart -> absent.
+    assert all(g in (1, 2) for g, _ in got.values())
+    assert ("aaaa", "mmmn") not in got
+    # every adjacent pair present: 4 gap-1 + 3 gap-2 pairs.
+    assert len(got) == 7
