@@ -57,6 +57,10 @@ _CHANGED_THIS_ROUND = [
     # range-shuffle global rank + w-window EQUI-join on rank+d —
     # catches typo pairs that hash blocking separates.
     "kg_er_sorted_neighborhood",
+    # BPE encode (apply side of p18): trained merges applied in rank
+    # order to the vocabulary — narrow map, driver-bounded merge
+    # table; p18 refactored onto the shared training loop.
+    "p19_bpe_encode",
     # TPC-H Q2/Q11/Q21 adaptations: correlated argmin via one
     # lexicographic struct-min (min-balance supplier per brand),
     # group-vs-global-scalar HAVING with the exact integer

@@ -2836,8 +2836,9 @@ WITH wc AS (
     return "".join(parts)
 
 
-@_q("p18_bpe_train", _bpe_oracle_sql())
-def p18_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train_state(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop: returns (final symbol-state DF,
+    merge list) — p18 reports the merges, p19 the encoded words."""
     d = _docs(spark, sf_dir)
     wc = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -2888,8 +2889,53 @@ def p18_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint per round: the merge is data-dependent, so
         # cut lineage exactly as the other fixed-iteration loops do.
         state = state.withColumn("s", new_s).localCheckpoint()
+    return state, merges
+
+
+@_q("p18_bpe_train", _bpe_oracle_sql())
+def p18_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, merges = _bpe_train_state(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+# --- BPE encode (tokenizer application) ----------------------------------------
+#
+# The apply side of p18: every vocabulary word encoded through the
+# trained merge table in rank order. At 100 TB this is the narrow hot
+# path of tokenization — the merge table is driver-bounded (one row
+# per round, exactly the k-means-centroid collect pattern), each
+# application is a per-row string map with NO shuffle beyond the
+# vocabulary wordcount the training already pays, and the corpus
+# joins the encoded VOCABULARY (broadcast) rather than re-encoding
+# every occurrence. Oracle: the identical CTE chain as p18, read out
+# at the final state instead of the per-round argmax.
+
+
+def _bpe_encode_oracle_sql() -> str:
+    base = _bpe_oracle_sql()
+    # keep the WITH chain, swap the final merge-report SELECTs for
+    # the encoded-state readout.
+    head = base[: base.rindex("\nSELECT CAST(1 AS INT)")]
+    return head + f"""
+SELECT word, trim(s) AS encoded,
+       CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_symbols,
+       cnt AS word_count
+FROM s{_BPE_ROUNDS}
+"""
+
+
+@_q("p19_bpe_encode", _bpe_encode_oracle_sql())
+def p19_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state, _ = _bpe_train_state(spark, sf_dir)
+    return state.select(
+        "word",
+        F.trim(F.col("s")).alias("encoded"),
+        F.size(F.split(F.trim(F.col("s")), " ")).cast("long").alias(
+            "n_symbols"
+        ),
+        F.col("cnt").alias("word_count"),
     )
 
 

@@ -612,3 +612,25 @@ def test_emb_rproj_matches_hashlib_reference(spark, tmp_dir):
                 for i in range(64)
             )
             assert got[(vid, j)] == want, (vid, j)
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark, tmp_path):
+    """Same hand corpus as the train test: the encode output must
+    reflect merges (a,a) then (a,b) then (ab,ab) applied in order —
+    'aaaa' -> 'aa aa', 'abab' -> 'abab' (one symbol by round 3);
+    counts and symbol counts exact."""
+    from information_extraction_spark.driver_queries.textdata import (
+        p19_bpe_encode,
+    )
+
+    rows = [(0, "abab abab abab", "en"), (1, "aaaa aaaa", "en")]
+    sf = _write_docs(spark, tmp_path, rows, "bpe_enc_sf")
+    got = {
+        r["word"]: (r["encoded"], r["n_symbols"], r["word_count"])
+        for r in p19_bpe_encode(spark, sf).collect()
+    }
+    # round 1 merged aa (aaaa -> 'aa aa'); rounds 2-3 touch abab:
+    # 'a b a b' -> 'ab ab' -> 'abab'.
+    assert got["aaaa"] == ("aa aa", 2, 2)
+    assert got["abab"] == ("abab", 1, 3)
+    assert len(got) == 2
