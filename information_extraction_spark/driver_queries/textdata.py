@@ -3953,3 +3953,81 @@ def dd_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dist"),
     )
     return pairs.filter(pushdown_barrier(F.col("dist") >= 0))
+
+
+# --- Positional-index phrase search --------------------------------------------
+#
+# The retrieval primitive ta_bm25's bag-of-words scoring can't
+# express: exact PHRASE occurrence via positional posting lists —
+# the two terms' postings equi-joined on (doc_id, pos + 1), the
+# classic phrase-query plan. The phrase under test is derived from
+# the corpus itself (its most frequent bigram, ties lexicographic) so
+# the query is scale-independent; the argmax is one map-side-combined
+# bigram count + a 1-row TakeOrdered collect (the k-means-centroid
+# pattern). Scale shape: the posting lists are FILTERED to the two
+# phrase terms before the join (predicate pushdown to the token
+# scan), so the adjacency join moves two posting lists, not the
+# corpus; at 100 TB with a materialized index this is a pruned
+# two-term read.
+
+_PHRASE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), bg AS (
+  SELECT t1.term AS w1, t2.term AS w2
+  FROM tok t1 JOIN tok t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  GROUP BY 1, 2
+  ORDER BY count(*) DESC, w1, w2
+  LIMIT 1
+)
+SELECT t1.doc_id, CAST(t1.pos AS BIGINT) AS pos,
+       b.w1 || ' ' || b.w2 AS phrase
+FROM tok t1
+JOIN bg b ON t1.term = b.w1
+JOIN tok t2
+  ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1 AND t2.term = b.w2
+"""
+
+
+@_q("ta_phrase_search", _PHRASE_ORACLE)
+def ta_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    tok = _spread(spark, tok, "doc_id")
+    # bigram counting via lead() — ONE doc_id shuffle with bounded
+    # per-doc window state, not a corpus-sized self-join (the
+    # adjacency JOIN below runs only on the two pruned posting lists).
+    from pyspark.sql import Window
+
+    nxt = F.lead("term").over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    top = (
+        tok.withColumn("w2", nxt)
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("term").alias("w1"), "w2")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(1)
+        .collect()[0]
+    )
+    w1, w2 = top["w1"], top["w2"]
+    # posting lists pruned to the two phrase terms BEFORE the join.
+    p1 = tok.filter(F.col("term") == w1).alias("p1")
+    p2 = tok.filter(F.col("term") == w2).alias("p2")
+    return p1.join(
+        p2,
+        (F.col("p1.doc_id") == F.col("p2.doc_id"))
+        & (F.col("p2.pos") == F.col("p1.pos") + 1),
+    ).select(
+        F.col("p1.doc_id").alias("doc_id"),
+        F.col("p1.pos").cast("long").alias("pos"),
+        F.lit(f"{w1} {w2}").alias("phrase"),
+    )

@@ -634,3 +634,26 @@ def test_bpe_encode_applies_merges_in_rank_order(spark, tmp_path):
     assert got["aaaa"] == ("aa aa", 2, 2)
     assert got["abab"] == ("abab", 1, 3)
     assert len(got) == 2
+
+
+def test_phrase_search_adjacency_and_overlap(spark, tmp_path):
+    """Phrase occurrences must be position-adjacent WITHIN a doc:
+    'a a a' yields overlapping hits at pos 1 and 2 for phrase 'a a';
+    'a b' split across docs never matches; the hottest bigram is
+    tie-broken lexicographically."""
+    from information_extraction_spark.driver_queries.textdata import (
+        ta_phrase_search,
+    )
+
+    rows = [
+        (0, "a a a x", "en"),   # 'a a' twice (overlapping)
+        (1, "a y a", "en"),     # non-adjacent a's: no hit
+        (2, "z a", "en"),       # doc ends in 'a': no next term
+    ]
+    sf = _write_docs(spark, tmp_path, rows, "phrase_sf")
+    got = sorted(
+        (r["doc_id"], r["pos"], r["phrase"])
+        for r in ta_phrase_search(spark, sf).collect()
+    )
+    # bigram counts: 'a a' x2; all others x1 -> top = 'a a'.
+    assert got == [(0, 1, "a a"), (0, 2, "a a")]
