@@ -3491,3 +3491,98 @@ def kg_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return sorted_neighborhood_pairs(ents, window=_SN_WINDOW)
+
+
+# --- ER blocking recall audit ---------------------------------------------------
+#
+# The QA composition over kg_er_sorted_neighborhood (the
+# ann_recall_audit pattern pointed at entity resolution): ground
+# truth = every entity pair within Levenshtein 3 — computed with the
+# SAME lossless length-band blocking as dd_edit_distance (lev >=
+# |len diff|, band width 5, probe ±1), so the truth side is complete
+# by construction, not sampled — each truth pair flagged with whether
+# the w=4 sorted window surfaced it. Orientation is normalized to
+# (least, greatest) on both sides: the window orders pairs by SORT
+# rank, the truth by raw string order, and the two disagree exactly
+# when normalization reorders (measured). Exposing the window's
+# misses IS the audit's purpose — production tuning raises w or adds
+# a second pass on the reversed key until recall holds.
+
+
+def _er_audit_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH ents AS (
+  SELECT subject AS e FROM {g} UNION SELECT object FROM {g}
+), truth AS (
+  SELECT a.e AS ea, b.e AS eb,
+         CAST(levenshtein(a.e, b.e) AS BIGINT) AS lev
+  FROM ents a JOIN ents b
+    ON a.e < b.e AND abs(length(a.e) - length(b.e)) <= 3
+  WHERE levenshtein(a.e, b.e) <= 3
+), k AS (
+  SELECT e,
+         regexp_replace(lower(e), '[^a-z0-9]', '', 'g') || '#' || e AS sk
+  FROM ents
+), r AS (
+  SELECT e, row_number() OVER (ORDER BY sk) - 1 AS rnk FROM k
+), sn AS (
+  SELECT least(a.e, b.e) AS x, greatest(a.e, b.e) AS y
+  FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {_SN_WINDOW - 1}
+)
+SELECT t.ea, t.eb, t.lev, (sn.x IS NOT NULL) AS in_window
+FROM truth t LEFT JOIN sn ON sn.x = t.ea AND sn.y = t.eb
+"""
+
+
+_ER_AUDIT_ORACLE = _er_audit_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_er_blocking_audit", _ER_AUDIT_ORACLE)
+def kg_er_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.operators.linking import (
+        sorted_neighborhood_pairs,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_er_blocking_audit"] = _er_audit_oracle_sql(sf_dir)
+    ents = (
+        triples.select(F.col("subject").alias("e"))
+        .unionByName(triples.select(F.col("object").alias("e")))
+        .distinct()
+        .localCheckpoint()  # feeds both the truth join and the window
+    )
+    # truth: lossless length-band blocking (band width 3 >= max lev).
+    d = ents.withColumn("ln", F.length("e"))
+    bucket = F.floor(F.col("ln") / 3)
+    a = d.withColumn(
+        "bkt", F.explode(F.array(bucket - 1, bucket, bucket + 1))
+    ).alias("a")
+    b = d.withColumn("bkt", bucket).alias("b")
+    truth = (
+        a.join(
+            b,
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.e") < F.col("b.e"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= 3),
+        )
+        .select(
+            F.col("a.e").alias("ea"),
+            F.col("b.e").alias("eb"),
+            F.levenshtein(F.col("a.e"), F.col("b.e"), 3)
+            .cast("long")
+            .alias("lev"),
+        )
+        .filter(F.col("lev") >= 0)
+    )
+    sn = sorted_neighborhood_pairs(ents, window=_SN_WINDOW).select(
+        F.least("ea", "eb").alias("x"),
+        F.greatest("ea", "eb").alias("y"),
+    )
+    return truth.join(
+        sn,
+        (truth["ea"] == sn["x"]) & (truth["eb"] == sn["y"]),
+        "left",
+    ).select(
+        "ea", "eb", "lev", F.col("x").isNotNull().alias("in_window")
+    )
