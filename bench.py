@@ -255,6 +255,13 @@ def main() -> int:
         "kg_forget_propagate",
         "q21_waiting_suppliers",
         "w25_salted_agg",
+        "dd_edit_distance",
+        "w26_dq_audit",
+        "kg_random_walks",
+        "kg_er_sorted_neighborhood",
+        "p19_bpe_encode",
+        "ta_phrase_search",
+        "kg_er_blocking_audit",
     ]
     if args.skip_queries:
         bench_queries = []

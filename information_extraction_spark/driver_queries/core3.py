@@ -1472,3 +1472,86 @@ def p16_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {view} t, LATERAL ie_chunk_text(t.text) c
         """
     )
+
+
+# --- mm: per-window audio energy (the VAD / silence-gate feature) --------------
+#
+# Full-depth WAV decode, not just the header: PCM-16 samples windowed
+# in 25-frame blocks, energy = exact BIGINT sum of squares across the
+# window's samples (all channels) — what a speech-curation pipeline
+# computes to drop silent spans before paying for transcription. The
+# payloads are the same format-conformant make_wav bytes as
+# mm_codec_features (sample byte i of media m is (m*17 + i*13) % 256
+# by construction), so the oracle reconstructs every 16-bit sample
+# arithmetically — the constructed-expectation pattern, no decoder in
+# DuckDB. Kernel is an Arrow-batched mapInPandas with a vectorized
+# numpy square-and-segment-sum per payload (no per-sample Python);
+# the trailing partial window keeps its true n_samples.
+
+_MM_ENERGY_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         50 + doc_id % 101 AS n_frames,
+         1 + (doc_id // 5) % 2 AS channels
+  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1
+), j AS (
+  SELECT media_id, channels,
+         unnest(range(0, n_frames * channels)) AS s
+  FROM m
+), v AS (
+  SELECT media_id,
+         CAST(s // (25 * channels) AS BIGINT) AS window_idx,
+         ((media_id * 17 + (2 * s) * 13) % 256)
+           + 256 * ((media_id * 17 + (2 * s + 1) * 13) % 256) AS raw
+  FROM j
+)
+SELECT media_id, window_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN raw >= 32768
+                THEN (raw - 65536) * (raw - 65536)
+                ELSE raw * raw END) AS BIGINT) AS energy
+FROM v GROUP BY 1, 2
+"""
+
+
+@_q("mm_audio_energy", _MM_ENERGY_ORACLE)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from information_extraction_spark.operators.multimodal import (
+        MEDIA,
+        audio_energy_windows,
+        make_wav,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 1))
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "audio",
+                        "payload": bytearray(
+                            make_wav(
+                                50 + mid % 101,
+                                sample_rate=8000 + (mid % 8) * 1000,
+                                channels=1 + (mid // 5) % 2,
+                                seed=mid,
+                            )
+                        ),
+                        "mime": None,
+                        "source": "synthetic",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA.fields])
+
+    media = ids.mapInPandas(build, schema=MEDIA)
+    return audio_energy_windows(media, window_frames=25)

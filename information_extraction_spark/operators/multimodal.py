@@ -221,3 +221,80 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             (i, kinds[i % 3], bytearray(payload), "application/octet-stream", "synthetic")
         )
     return spark.createDataFrame(rows, schema=MEDIA)
+
+
+def wav_samples(payload: bytes):
+    """int16 PCM sample array (interleaved channels) plus channel
+    count from a RIFF/WAVE payload — the decode step behind
+    audio_energy_windows. Same chunk-walk discipline as parse_wav:
+    declared sizes are untrusted and clamped to the bytes present."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    channels = None
+    data = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        size = struct.unpack_from("<I", payload, off + 4)[0]
+        body = off + 8
+        if cid == b"fmt " and size >= 16:
+            if body + 16 > len(payload):
+                raise ValueError("WAV fmt chunk truncated")
+            channels = struct.unpack_from("<H", payload, body + 2)[0]
+        elif cid == b"data":
+            avail = max(len(payload) - body, 0)
+            n = min(size, avail) // 2 * 2  # whole int16 samples
+            data = payload[body : body + n]
+        off = body + size + (size % 2)
+    if channels is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return np.frombuffer(data, dtype="<i2"), channels
+
+
+AUDIO_ENERGY = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def audio_energy_windows(
+    media: DataFrame, window_frames: int = 25
+) -> DataFrame:
+    """Per-window audio energy over PCM-16 WAV payloads: frames
+    windowed in fixed blocks of ``window_frames``, energy = exact
+    BIGINT sum of squared samples across all channels in the window
+    (the VAD / silence-gate feature a speech-data curation pipeline
+    computes before transcription). Arrow-batched mapInPandas with a
+    vectorized numpy kernel per payload — no per-sample Python; the
+    trailing partial window is emitted with its true n_samples."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "window_idx": [],
+                "n_samples": [],
+                "energy": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, channels = wav_samples(bytes(payload))
+                step = window_frames * channels
+                n = len(samples)
+                sq = samples.astype(np.int64) ** 2
+                for w in range(0, max((n + step - 1) // step, 0)):
+                    chunk = sq[w * step : (w + 1) * step]
+                    out["media_id"].append(int(mid))
+                    out["window_idx"].append(w)
+                    out["n_samples"].append(int(len(chunk)))
+                    out["energy"].append(int(chunk.sum()))
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_ENERGY.fields])
+
+    return media.mapInPandas(run, schema=AUDIO_ENERGY)

@@ -171,3 +171,53 @@ def test_frame_sampling_fanout(spark):
         for r in feats.collect()
     }
     assert by_id == expected
+
+
+def test_audio_energy_windows_stereo_and_partial(spark):
+    """Hand WAV: stereo, 30 frames, window=25 -> window 0 has 50
+    samples, window 1 the trailing 10; energy equals the python
+    recomputation of the deterministic byte pattern; a mono payload
+    windows per-frame."""
+    import numpy as np
+
+    from information_extraction_spark.operators.multimodal import (
+        MEDIA,
+        audio_energy_windows,
+        make_wav,
+        wav_samples,
+    )
+
+    pay_stereo = make_wav(30, sample_rate=8000, channels=2, seed=3)
+    pay_mono = make_wav(26, sample_rate=8000, channels=1, seed=4)
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(pay_stereo), None, "t"),
+            (2, "audio", bytearray(pay_mono), None, "t"),
+        ],
+        schema=MEDIA,
+    )
+    got = {
+        (r["media_id"], r["window_idx"]): (r["n_samples"], r["energy"])
+        for r in audio_energy_windows(media, window_frames=25).collect()
+    }
+
+    def expect(payload, channels):
+        samples, ch = wav_samples(payload)
+        assert ch == channels
+        step = 25 * channels
+        sq = samples.astype(np.int64) ** 2
+        return [
+            (len(sq[w * step : (w + 1) * step]),
+             int(sq[w * step : (w + 1) * step].sum()))
+            for w in range((len(sq) + step - 1) // step)
+        ]
+
+    es = expect(pay_stereo, 2)
+    em = expect(pay_mono, 1)
+    assert got[(1, 0)] == es[0] and got[(1, 0)][0] == 50
+    assert got[(1, 1)] == es[1] and got[(1, 1)][0] == 10
+    assert got[(2, 0)] == em[0] and got[(2, 0)][0] == 25
+    assert got[(2, 1)] == em[1] and got[(2, 1)][0] == 1
+    assert len(got) == 4
+    # sanity: the hand recomputation isn't trivially zero.
+    assert got[(1, 0)][1] > 0
