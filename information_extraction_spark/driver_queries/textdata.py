@@ -4031,3 +4031,115 @@ def ta_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p1.pos").cast("long").alias("pos"),
         F.lit(f"{w1} {w2}").alias("phrase"),
     )
+
+
+# --- Matryoshka prefix rerank (two-stage ANN) -----------------------------------
+#
+# The multi-stage retrieval ladder modern embedding stacks run
+# (Kusupati et al., "Matryoshka Representation Learning", NeurIPS'22):
+# a COARSE pass scores only the first 16 of 64 dimensions — with
+# prefix-sliced columnar storage that is a 4× narrower scan — keeps
+# the top-32 candidates (TakeOrderedAndProject, the partial-top-k
+# shape), and an EXACT full-dimension pass rescores just those 32 to
+# the final top-5. Complements the recall-driven ANN family
+# (LSH buckets, IVF, PQ): here the index is the representation
+# itself. Both stages break ties by vec_id on 6dp-rounded scores (the
+# ann_cosine_topk determinism contract). The candidate set is a
+# bounded 32-row driver collect, exactly the k-means-centroid
+# pattern; the rescore is a pruned 32-row scan, never a second pass
+# over the table.
+
+_PREFIX_DIMS = 16
+_COARSE_K = 32
+_FINAL_K = 5
+
+_PREFIX_RERANK_ORACLE = f"""
+WITH q AS (
+  SELECT embedding AS qe FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+), p16 AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding[1:{_PREFIX_DIMS}]) AS DOUBLE) AS x,
+         CAST(unnest(q.qe[1:{_PREFIX_DIMS}]) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+), c16 AS (
+  SELECT vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+           AS coarse6
+  FROM p16 GROUP BY vec_id
+), cand AS (
+  SELECT vec_id, coarse6,
+         row_number() OVER (ORDER BY coarse6 DESC, vec_id) AS crnk
+  FROM c16 QUALIFY crnk <= {_COARSE_K}
+), pf AS (
+  SELECT e.vec_id, cand.coarse6,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qe) AS DOUBLE) AS y
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+), cf AS (
+  SELECT vec_id, min(coarse6) AS coarse6,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+           AS cos6
+  FROM pf GROUP BY vec_id
+)
+SELECT vec_id, CAST(rnk AS BIGINT) AS rnk,
+       round(cos6, 4) AS cos4, round(coarse6, 4) AS coarse4
+FROM (
+  SELECT vec_id, cos6, coarse6,
+         row_number() OVER (ORDER BY cos6 DESC, vec_id) AS rnk
+  FROM cf) t
+WHERE rnk <= {_FINAL_K}
+"""
+
+
+@_q("ann_prefix_rerank", _PREFIX_RERANK_ORACLE)
+def ann_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = _emb(spark, sf_dir)
+    qrow = e.orderBy("vec_id").limit(1).collect()[0]
+    qfull = [float(v) for v in qrow["embedding"]]
+    qpre = qfull[:_PREFIX_DIMS]
+    qid = qrow["vec_id"]
+    qn_full = math.sqrt(sum(v * v for v in qfull))
+    qn_pre = math.sqrt(sum(v * v for v in qpre))
+    qvec_full = F.array(*[F.lit(v) for v in qfull])
+    qvec_pre = F.array(*[F.lit(v) for v in qpre])
+    pre = F.slice(F.col("embedding"), 1, _PREFIX_DIMS)
+    coarse = _dot(pre, qvec_pre) / (
+        F.sqrt(_dot(pre, pre)) * F.lit(qn_pre)
+    )
+    cands = (
+        e.filter(F.col("vec_id") != qid)
+        .withColumn("coarse6", F.round(coarse, 6))
+        # 4dp via Spark's HALF_UP round (as SQL) — a driver-side
+        # python round() is banker's and straddles .5 boundaries.
+        .withColumn("coarse4", F.round("coarse6", 4))
+        .select("vec_id", "coarse6", "coarse4")
+        .orderBy(F.col("coarse6").desc(), "vec_id")
+        .limit(_COARSE_K)
+        .collect()
+    )
+    cand_ids = [r["vec_id"] for r in cands]
+    coarse_by_id = {r["vec_id"]: r["coarse4"] for r in cands}
+    cos = _dot(F.col("embedding"), qvec_full) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.lit(qn_full)
+    )
+    reranked = (
+        e.filter(F.col("vec_id").isin(cand_ids))
+        .withColumn("cos6", F.round(cos, 6))
+        .withColumn("cos4", F.round("cos6", 4))
+        .select("vec_id", "cos6", "cos4")
+        .orderBy(F.col("cos6").desc(), "vec_id")
+        .limit(_FINAL_K)
+        .collect()
+    )
+    rows = [
+        (r["vec_id"], i + 1, r["cos4"], coarse_by_id[r["vec_id"]])
+        for i, r in enumerate(reranked)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, rnk long, cos4 double, coarse4 double"
+    )
