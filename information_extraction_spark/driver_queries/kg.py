@@ -3586,3 +3586,102 @@ def kg_er_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "ea", "eb", "lev", F.col("x").isNotNull().alias("in_window")
     )
+
+
+# --- SPARQL-style star join (conjunctive BGP) -----------------------------------
+#
+# The canonical KG consumer query: a basic graph pattern
+# { ?s <pA> ?oa . ?s <pB> ?ob } — subjects asserting BOTH of the two
+# hottest predicates, with every (oa, ob) combination (standard
+# SPARQL bag semantics from the join). The predicates are derived
+# from the corpus (top-2 by assertion count, ties lexicographic; a
+# 2-row TakeOrdered collect). Scale shape: with the pred_bucket-
+# partitioned graph table each triple pattern is a PARTITION-PRUNED
+# single-predicate scan (kg_graph_pred_scan proved the pruning); the
+# star join then shuffles two already-pruned pattern scans on the
+# shared subject key — the worst-case full-table scan per pattern
+# never happens.
+
+
+def _star_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH pa AS (
+  SELECT predicate FROM {g} GROUP BY predicate
+  ORDER BY count(*) DESC, predicate LIMIT 1
+), pb AS (
+  -- the predicate CO-OCCURRING on the most subjects with pa (the
+  -- hottest alone may share zero subjects with the 2nd hottest —
+  -- measured at sf0.01, where that pairing is empty).
+  SELECT b.predicate
+  FROM (SELECT DISTINCT subject FROM {g}
+        WHERE predicate = (SELECT predicate FROM pa)) a
+  JOIN (SELECT DISTINCT subject, predicate FROM {g}
+        WHERE predicate <> (SELECT predicate FROM pa)) b
+    ON a.subject = b.subject
+  GROUP BY b.predicate
+  ORDER BY count(*) DESC, b.predicate LIMIT 1
+),
+ta AS (
+  SELECT DISTINCT subject, object AS oa FROM {g}
+  WHERE predicate = (SELECT predicate FROM pa)
+), tb AS (
+  SELECT DISTINCT subject, object AS ob FROM {g}
+  WHERE predicate = (SELECT predicate FROM pb)
+)
+SELECT ta.subject, (SELECT predicate FROM pa) AS pred_a, ta.oa,
+       (SELECT predicate FROM pb) AS pred_b, tb.ob
+FROM ta JOIN tb ON ta.subject = tb.subject
+"""
+
+
+_STAR_ORACLE = _star_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_star_join", _STAR_ORACLE)
+def kg_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_star_join"] = _star_oracle_sql(sf_dir)
+    t = triples.select("subject", "predicate", "object").localCheckpoint()
+    pa = (
+        t.groupBy("predicate")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "predicate")
+        .limit(1)
+        .collect()[0]["predicate"]
+    )
+    # pb: the predicate co-occurring on the most subjects with pa —
+    # the hottest pair of predicates can share ZERO subjects
+    # (measured at sf0.01); co-occurrence keeps the BGP non-empty
+    # whenever any subject asserts two predicates.
+    subs_a = t.filter(F.col("predicate") == pa).select("subject").distinct()
+    pb = (
+        t.filter(F.col("predicate") != pa)
+        .select("subject", "predicate")
+        .distinct()
+        .join(subs_a, "subject")
+        .groupBy("predicate")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "predicate")
+        .limit(1)
+        .collect()[0]["predicate"]
+    )
+    # each pattern is a predicate-pruned scan (partition-pruned on the
+    # materialized pred_bucket layout) collapsed to DISTINCT bindings.
+    ta = (
+        t.filter(F.col("predicate") == pa)
+        .select("subject", F.col("object").alias("oa"))
+        .distinct()
+    )
+    tb = (
+        t.filter(F.col("predicate") == pb)
+        .select("subject", F.col("object").alias("ob"))
+        .distinct()
+    )
+    return ta.join(tb, "subject").select(
+        "subject",
+        F.lit(pa).alias("pred_a"),
+        "oa",
+        F.lit(pb).alias("pred_b"),
+        "ob",
+    )
