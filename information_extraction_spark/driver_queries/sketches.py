@@ -446,3 +446,71 @@ def a15_bitmap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("day"))
         .cast("long"),
     )
+
+
+# --- A16: hash-sampled GROUP BY estimation (AQP audit) -------------------------
+#
+# The approximate-query-processing estimator that closes the sketch
+# family (CMS frequencies, KMV/HLL distincts, bitmap exact, bloom
+# membership): a 10% DETERMINISTIC hash sample of events — keep iff
+# h48(event_id) * 10 < 2^48, the ta_weighted_sample discipline, so
+# reruns and retries see the identical sample — scaled up 10x into
+# per-event_type count estimates, reported NEXT TO the exact counts
+# with the exact-integer error in ppm. Honest-audit pattern
+# (ann_recall_audit): sampling error is the point — rare groups
+# estimate worse, and the per-group error column shows exactly how
+# much. Scale shape: the sample filter is a narrow scan predicate
+# (no shuffle to sample); both aggregates are map-side combined;
+# the join of two 5-row group tables is trivial.
+
+_A16_ORACLE = f"""
+WITH ex AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1
+), sm AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS sample_n
+  FROM events
+  WHERE event_type IS NOT NULL
+    AND {_h48_sql("CAST(event_id AS VARCHAR)")} * 10 < 281474976710656
+  GROUP BY 1
+)
+SELECT ex.event_type, ex.exact_n,
+       CAST(COALESCE(sm.sample_n, 0) AS BIGINT) AS sample_n,
+       CAST(COALESCE(sm.sample_n, 0) * 10 AS BIGINT) AS est_n,
+       CAST(abs(COALESCE(sm.sample_n, 0) * 10 - ex.exact_n) * 1000000
+            // ex.exact_n AS BIGINT) AS err_ppm
+FROM ex LEFT JOIN sm ON ex.event_type = sm.event_type
+"""
+
+
+@_q("a16_sampled_groupby", _A16_ORACLE)
+def a16_sampled_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    exact = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("exact_n")
+    )
+    sample = (
+        e.filter(
+            _h48(F.col("event_id").cast("string")) * 10 < F.lit(2**48)
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("sample_n"))
+    )
+    j = exact.join(sample, "event_type", "left").select(
+        "event_type",
+        "exact_n",
+        F.coalesce("sample_n", F.lit(0)).cast("long").alias("sample_n"),
+    )
+    return j.select(
+        "event_type",
+        "exact_n",
+        "sample_n",
+        (F.col("sample_n") * 10).cast("long").alias("est_n"),
+        (
+            F.abs(F.col("sample_n") * 10 - F.col("exact_n"))
+            * F.lit(1000000)
+            / F.col("exact_n")
+        )
+        .cast("long")
+        .alias("err_ppm"),
+    )
