@@ -262,6 +262,10 @@ def main() -> int:
         "p19_bpe_encode",
         "ta_phrase_search",
         "kg_er_blocking_audit",
+        "mm_audio_energy",
+        "ann_prefix_rerank",
+        "kg_star_join",
+        "a16_sampled_groupby",
     ]
     if args.skip_queries:
         bench_queries = []

@@ -167,6 +167,30 @@ PLAN_QUERIES = [
         "top-20 via TakeOrderedAndProject — never a global sort",
     ),
     (
+        "dd_edit_distance",
+        "blocked thresholded Levenshtein: equi-join on (lang, 20-char "
+        "band); the 3-arg banded levenshtein stays BEHIND the "
+        "pushdown barrier (a pushed predicate would run the DP twice "
+        "per candidate inside the join)",
+    ),
+    (
+        "kg_er_sorted_neighborhood",
+        "sorted-neighborhood blocking: the global rank is the "
+        "two-phase range shuffle (no single-partition window); the "
+        "w-window pair join is an EQUI-join on rank+d",
+    ),
+    (
+        "ta_phrase_search",
+        "phrase query: posting lists FILTERED to the two phrase "
+        "terms before the (doc_id, pos+1) adjacency join — the "
+        "corpus never self-joins",
+    ),
+    (
+        "kg_star_join",
+        "conjunctive BGP: two predicate-pruned DISTINCT pattern "
+        "scans shuffled once on the shared subject key",
+    ),
+    (
         "kg_pagerank",
         "iterative PageRank: the edge table is a localCheckpointed "
         "ExistingRDD scanned per iteration (extraction runs ONCE); "
