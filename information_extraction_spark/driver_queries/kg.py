@@ -3685,3 +3685,136 @@ def kg_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(pb).alias("pred_b"),
         "ob",
     )
+
+
+# --- Skip-gram pair extraction from the walk corpus -----------------------------
+#
+# The step DeepWalk actually trains on: each walk path
+# [start, h1, h2, h3] becomes (center, context) pairs within a
+# ±2-position window — the skip-gram training table fed to the
+# embedding trainer (emb_linreg_gd's gradient loop is the training
+# seam). Pure within-row expansion over the walk table (positions
+# array → pair comb inside the row, a narrow Expand) followed by one
+# map-side-combined count shuffle on the pair key; the walk table is
+# one row per start, so this never touches edge cardinality.
+
+_SKIPGRAM_WINDOW = 2
+
+
+def _skipgram_oracle_sql(sf_dir: str) -> str:
+    base = _walks_oracle_sql(sf_dir)
+    # wrap the walks readout: explode positions, pair within window.
+    return f"""
+WITH walks AS ({base}),
+pos AS (
+  SELECT start, unnest(['0#' || start,
+                        '1#' || h1,
+                        '2#' || h2,
+                        '3#' || h3]) AS tagged
+  FROM walks
+), p AS (
+  SELECT start,
+         CAST(string_split(tagged, '#')[1] AS BIGINT) AS i,
+         string_split(tagged, '#')[2] AS node
+  FROM pos WHERE string_split(tagged, '#')[2] IS NOT NULL
+           AND string_split(tagged, '#')[2] <> ''
+)
+SELECT a.node AS center, b.node AS context,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p a JOIN p b
+  ON a.start = b.start AND a.i <> b.i
+ AND abs(a.i - b.i) <= {_SKIPGRAM_WINDOW}
+GROUP BY 1, 2
+"""
+
+
+_SKIPGRAM_ORACLE = _skipgram_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_skipgram_pairs", _SKIPGRAM_ORACLE)
+def kg_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    walks = kg_random_walks(spark, sf_dir)
+    ORACLES["kg_skipgram_pairs"] = _skipgram_oracle_sql(sf_dir)
+    path = F.array("start", "h1", "h2", "h3")
+    # within-row pair expansion: for each (i, j), |i-j| <= window,
+    # i != j, both non-null — a narrow per-row transform, no join.
+    pairs = []
+    n = 4
+    for i in range(n):
+        for j in range(n):
+            if i != j and abs(i - j) <= _SKIPGRAM_WINDOW:
+                pairs.append(
+                    F.struct(
+                        path.getItem(i).alias("center"),
+                        path.getItem(j).alias("context"),
+                    )
+                )
+    exploded = walks.select(
+        F.explode(F.array(*pairs)).alias("pr")
+    ).select("pr.center", "pr.context")
+    return (
+        exploded.filter(
+            F.col("center").isNotNull() & F.col("context").isNotNull()
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+# --- Degree distribution (power-law QA) ------------------------------------------
+#
+# The graph-shape audit next to kg_degree_topk's heavy hitters: the
+# LOG-BINNED degree histogram over the undirected entity graph —
+# the standard check that a constructed KG has the long-tail shape
+# (and, operationally, the sizing input for the skew machinery: the
+# top bin IS the salting candidate list). floor(log2(d)) is exact in
+# IEEE for every representable d (powers of two are exact, others
+# floor safely), so both engines bin identically without integer
+# gymnastics. One degree shuffle + one 10-row bin rollup.
+
+def _degree_dist_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH de AS (
+  SELECT DISTINCT subject AS a, object AS b FROM {g}
+), und AS (
+  SELECT a, b FROM de UNION SELECT b, a FROM de
+), deg AS (
+  SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1
+)
+SELECT CAST(floor(log2(d)) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(min(d) AS BIGINT) AS min_deg,
+       CAST(max(d) AS BIGINT) AS max_deg
+FROM deg GROUP BY 1
+"""
+
+
+_DEGREE_DIST_ORACLE = _degree_dist_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_degree_distribution", _DEGREE_DIST_ORACLE)
+def kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.operators.graph import (
+        undirected_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_degree_distribution"] = _degree_dist_oracle_sql(sf_dir)
+    edges = triples.select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    ).distinct()
+    deg = (
+        undirected_edges(edges)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    return (
+        deg.withColumn("bin", F.floor(F.log2("d")).cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_entities"),
+            F.min("d").cast("long").alias("min_deg"),
+            F.max("d").cast("long").alias("max_deg"),
+        )
+    )
