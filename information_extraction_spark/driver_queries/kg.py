@@ -183,6 +183,32 @@ def _golden_path(kind: str, sf_dir: str) -> str:
 
 _GOLDEN_WRITTEN: dict[str, bool] = {}
 
+
+def _write_golden_once(df: DataFrame, path: str) -> None:
+    """Write a content-hash-named golden ATOMICALLY: stage to a
+    pid-suffixed temp dir, os.rename into place, and skip entirely if
+    a complete golden (_SUCCESS present) already exists. The hash in
+    the file name makes same-name ⇒ same content, so skipping is
+    sound — and two CONCURRENT check processes no longer race a
+    mode("overwrite") delete window against a reader (observed once:
+    a parallel targeted check transiently deleted the triples golden
+    mid-sweep and one DuckDB read found an empty dir). The rename
+    loser just removes its temp dir."""
+    import shutil as _shutil
+
+    if os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    ):
+        return
+    tmp = f"{path}.tmp-{os.getpid()}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # another process won the race with a complete golden.
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 _TRIPLE_COLS = (
     "conv_id string, turn_idx int, text string, predicate string, "
     "subject string, object string, subject_type string, "
@@ -296,9 +322,7 @@ def _ensure_golden(spark: SparkSession, sf_dir: str) -> None:
     _ensure_golden_dir()
     rows = _python_golden_rows(spark, sf_dir)
     golden = spark.createDataFrame(rows, _TRIPLE_COLS)
-    golden.coalesce(1).write.mode("overwrite").parquet(
-        _golden_path("triples", sf_dir)
-    )
+    _write_golden_once(golden, _golden_path("triples", sf_dir))
     # spo_list shape: the VALUES are grouped/sorted in Python; only the
     # JSON serialization is delegated to Spark's to_json so formatting
     # matches the query side byte-for-byte.
@@ -315,10 +339,11 @@ def _ensure_golden(spark: SparkSession, sf_dir: str) -> None:
         "predicate:string,subject:string,object:string,"
         "subject_type:string,object_type:string>>"
     )
-    spark.createDataFrame(spo_rows, spo_schema).select(
-        "conv_id", "turn_idx", F.to_json("spo_list").alias("spo_json")
-    ).coalesce(1).write.mode("overwrite").parquet(
-        _golden_path("spo", sf_dir)
+    _write_golden_once(
+        spark.createDataFrame(spo_rows, spo_schema).select(
+            "conv_id", "turn_idx", F.to_json("spo_list").alias("spo_json")
+        ),
+        _golden_path("spo", sf_dir),
     )
     _GOLDEN_WRITTEN[sf_dir] = True
 
@@ -496,9 +521,10 @@ def _ensure_nn_golden(spark: SparkSession, sf_dir: str) -> None:
         return
     _ensure_golden_dir()
     rows = _python_nn_golden_rows(spark, sf_dir)
-    spark.createDataFrame(rows, _TRIPLE_COLS).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(_golden_path("nn", sf_dir))
+    _write_golden_once(
+        spark.createDataFrame(rows, _TRIPLE_COLS),
+        _golden_path("nn", sf_dir),
+    )
     _GOLDEN_WRITTEN[key] = True
 
 
