@@ -38,6 +38,11 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Per-brand Pareto skyline via two window aggregates over one
+    # brand-partitioned sort (strictly-cheaper range frame + same-
+    # price peer max) — never an O(n^2) dominance self-join; oracle
+    # is the independent NOT EXISTS restatement.
+    "q23_skyline",
     # Blocked thresholded Levenshtein near-dup: the character-level
     # complement to dd_ngram_jaccard — same lossless (lang, 20-char
     # band ±1) blocking, Ukkonen-banded 3-arg levenshtein behind the

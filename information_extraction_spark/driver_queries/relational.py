@@ -2387,3 +2387,76 @@ def w26_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --- Q23: per-brand skyline (Pareto frontier) ----------------------------------
+#
+# The classic skyline operator (Börzsönyi et al., ICDE 2001): parts
+# not dominated within their brand on (price low, size high). A part
+# x is dominated iff some same-brand part y has price <= x's AND
+# size >= x's with at least one strict inequality — duplicates on
+# BOTH dimensions dominate neither way and both stay on the frontier.
+#
+# Scale shape: dominance needs only two window aggregates once rows
+# are sorted by price within the partition key — max(size) over
+# strictly-cheaper rows (a range frame on exact integer cents ending
+# at -1) and max(size) over the same-price peer group. One shuffle on
+# p_brand serves both windows; no self-join, no O(n^2) dominance
+# pairs. The brand key keeps the sort partitioned — a GLOBAL skyline
+# would instead use the two-phase range-shuffle pattern
+# (p7_vocab_build / w18_dist_ranks): per-bucket local max sizes,
+# prefix-max over the bounded bucket table broadcast back.
+#
+# Prices quantize to exact cents BIGINT before any comparison (range
+# frames on raw doubles are ill-defined; 1-cent integer offsets are
+# exact), matching the oracle's CAST(round(*100)) rule. At sf0.01 the
+# fixture carries 50 same-price-cents groups, so the strict-tie rule
+# is load-bearing at the gate scale.
+
+_Q23_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, p_brand,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_c, p_size
+  FROM part
+)
+SELECT x.p_partkey, x.p_brand, x.price_c, x.p_size
+FROM p x
+WHERE NOT EXISTS (
+  SELECT 1 FROM p y
+  WHERE y.p_brand = x.p_brand
+    AND y.price_c <= x.price_c AND y.p_size >= x.p_size
+    AND (y.price_c < x.price_c OR y.p_size > x.p_size))
+"""
+
+
+@_q("q23_skyline", _Q23_ORACLE)
+def q23_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier on (minimize price, maximize size) —
+    the window-based O(n log n) skyline; the DuckDB oracle is the
+    independent NOT EXISTS dominance restatement."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("price_c"),
+        "p_size",
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_brand", "price_c")
+    flagged = part.select(
+        "*",
+        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
+        F.max("p_size").over(w_same).alias("best_same_price"),
+    )
+    return flagged.filter(
+        (
+            F.col("best_cheaper").isNull()
+            | (F.col("best_cheaper") < F.col("p_size"))
+        )
+        & (F.col("best_same_price") <= F.col("p_size"))
+    ).select("p_partkey", "p_brand", "price_c", "p_size")

@@ -1302,3 +1302,39 @@ def test_w26_dq_audit_violations_and_exact_ppm(spark, tmp_path):
     assert got["orders.o_orderstatus in domain"] == (3, 1, 666666)
     assert got["events.event_type complete"] == (2, 1, 500000)
     assert len(got) == 7
+
+
+def test_q23_skyline_dominance_rules(spark, tmp_path):
+    """Pinned dominance semantics: strict domination removes a part,
+    equal price + larger size dominates, equal (price, size)
+    duplicates dominate NEITHER way (both stay), and brands never
+    interact — a globally-dominated part survives inside its own
+    brand."""
+    import information_extraction_spark.driver_queries.relational as R
+
+    d = str(tmp_path / "q23")
+    spark.createDataFrame(
+        [
+            # Brand A: (price cents, size)
+            (1, "pa", "A", "T", 10, 1.00),   # frontier (cheapest)
+            (2, "pb", "A", "T", 30, 2.00),   # frontier (bigger, dearer)
+            (3, "pc", "A", "T", 5, 2.00),    # dominated by 2 (same price, smaller)
+            (4, "pd", "A", "T", 2, 3.00),    # dominated by 1 AND 2
+            (5, "pe", "A", "T", 30, 2.00),   # duplicate of 2 — both stay
+            # Brand B: one part, globally worse than everything in A,
+            # still its own brand frontier.
+            (6, "pf", "B", "T", 1, 9.00),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.parquet(f"{d}/part.parquet")
+    got = {
+        (r.p_partkey, r.p_brand, r.price_c, r.p_size)
+        for r in R.q23_skyline(spark, d).collect()
+    }
+    assert got == {
+        (1, "A", 100, 10),
+        (2, "A", 200, 30),
+        (5, "A", 200, 30),
+        (6, "B", 900, 1),
+    }
