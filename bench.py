@@ -266,6 +266,7 @@ def main() -> int:
         "ann_prefix_rerank",
         "kg_star_join",
         "a16_sampled_groupby",
+        "a17_hll_mergeable",
     ]
     if args.skip_queries:
         bench_queries = []

@@ -38,6 +38,14 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # 4-truss of the kNN-graph closure: fixed-round per-edge triangle
+    # support (degree-ordered enumeration) + simultaneous prune;
+    # oracle chains the same two support+prune CTE rounds.
+    "emb_ktruss",
+    # Mergeable HLL rollup: per-language register tables merged
+    # register-wise into the global scope — the bounded-state
+    # pre-aggregate-then-merge contract; merged == direct pinned.
+    "a17_hll_mergeable",
     # Per-brand Pareto skyline via two window aggregates over one
     # brand-partitioned sort (strictly-cheaper range frame + same-
     # price peer max) — never an O(n^2) dominance self-join; oracle

@@ -514,3 +514,136 @@ def a16_sampled_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_ppm"),
     )
+
+
+# --- A17: mergeable HLL rollup (per-group sketches -> merged global) ---------------
+#
+# The property that makes sketches viable at 100 TB is MERGEABILITY:
+# a warehouse pre-aggregates one bounded sketch per partition (per
+# day, per language, per shard) and answers any coarser scope by
+# merging register tables — never re-reading raw data. a14 proved
+# the single-scope estimator; this query proves the merge contract
+# end-to-end: per-language 64-register HLL sketches built in ONE
+# map-side-combined shuffle keyed (lang, register), then the GLOBAL
+# sketch derived purely register-wise (max over the per-lang maxima
+# — 64·n_langs rows, a bounded second agg) with NO second pass over
+# the shingles. The merged estimate must equal what a direct global
+# sketch would say (max over a union is the max of maxes), and the
+# oracle recomputes both sides from scratch. Exact per-scope
+# distincts ride along as the audit column (the affordable-at-test-
+# scale leg, same as a14; a real pipeline drops it).
+#
+# Estimate fold: registers collect driver-side (bounded: 64 per
+# scope), fold in register order with the same half-away rounding as
+# a14 — the oracle's list(... ORDER BY register) fold adds in the
+# identical order, so the float sums agree bit-for-bit.
+
+_A17_ORACLE = f"""
+WITH sh AS (
+  SELECT lang, unnest(list_transform(
+           range(1, greatest(length(text) - 4, 0) + 1),
+           i -> substring(text, CAST(i AS INT), 5))) AS s
+  FROM documents
+), hx AS (
+  SELECT lang, {_h48_sql("s")} AS h, s FROM sh
+), r AS (
+  SELECT lang, h % 64 AS register,
+         CASE WHEN h // 64 = 0 THEN 43
+              ELSE 43 - length(bin(h // 64)) END AS rank,
+         s
+  FROM hx
+), regs AS (
+  SELECT lang AS scope, register, CAST(max(rank) AS BIGINT) AS max_rank
+  FROM r GROUP BY 1, 2
+), merged AS (
+  SELECT 'ALL' AS scope, register, CAST(max(max_rank) AS BIGINT) AS max_rank
+  FROM regs GROUP BY 2
+), allregs AS (
+  SELECT * FROM regs UNION ALL SELECT * FROM merged
+), scopes AS (
+  SELECT DISTINCT scope FROM allregs
+), fullr AS (
+  SELECT scopes.scope, g.j AS register, COALESCE(a.max_rank, 0) AS m
+  FROM scopes CROSS JOIN generate_series(0, 63) g(j)
+  LEFT JOIN allregs a ON a.scope = scopes.scope AND a.register = g.j
+), est AS (
+  SELECT scope,
+         CAST(round(
+           0.709 * 4096
+           / list_sum(list_transform(
+               list(CAST(m AS BIGINT) ORDER BY register),
+               x -> power(2.0, -x)))
+           * 10000) AS BIGINT) AS est_e4
+  FROM fullr GROUP BY 1
+), td AS (
+  SELECT lang AS scope, CAST(count(DISTINCT s) AS BIGINT) AS true_distinct
+  FROM r GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT s) AS BIGINT) FROM r
+)
+SELECT est.scope, est.est_e4, td.true_distinct
+FROM est JOIN td ON td.scope = est.scope
+"""
+
+
+@_q("a17_hll_mergeable", _A17_ORACLE)
+def a17_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    docs = _t(spark, sf_dir, "documents")
+    positions = F.when(
+        F.length("text") >= 5, F.sequence(F.lit(1), F.length("text") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = docs.withColumn("pos", F.explode(positions)).select(
+        "lang", F.expr("substring(text, pos, 5)").alias("s")
+    )
+    h = _h48(F.col("s"))
+    w = (h / F.lit(64)).cast("long")
+    rank = F.when(w == 0, F.lit(43)).otherwise(F.lit(43) - F.length(F.bin(w)))
+    per_lang = (
+        sh.select(
+            F.col("lang").alias("scope"),
+            (h % 64).alias("register"),
+            rank.alias("rank"),
+        )
+        .groupBy("scope", "register")
+        .agg(F.max("rank").cast("long").alias("max_rank"))
+    )
+    # Register-wise merge: the ONLY input is the bounded per-scope
+    # register table — this is the line a 100 TB rollup runs.
+    merged = per_lang.groupBy("register").agg(
+        F.max("max_rank").alias("max_rank")
+    ).select(F.lit("ALL").alias("scope"), "register", "max_rank")
+    allregs = per_lang.unionByName(merged)
+
+    # Bounded collect (<= 64 * (n_langs + 1) rows); fold per scope in
+    # register order, half-away rounding — a14's exact arithmetic.
+    by_scope: dict = {}
+    for row in allregs.collect():
+        by_scope.setdefault(row["scope"], {})[row["register"]] = row[
+            "max_rank"
+        ]
+    ests = {}
+    for scope, got in by_scope.items():
+        acc = 0.0
+        for j in range(64):
+            acc += 2.0 ** -got.get(j, 0)
+        ests[scope] = int(_math.floor(abs(0.709 * 4096 / acc * 10000) + 0.5))
+
+    exact = (
+        sh.groupBy(F.col("lang").alias("scope"))
+        .agg(F.countDistinct("s").alias("true_distinct"))
+        .unionByName(
+            sh.select(
+                F.lit("ALL").alias("scope"), F.col("s")
+            ).groupBy("scope").agg(
+                F.countDistinct("s").alias("true_distinct")
+            )
+        )
+    )
+    est_df = spark.createDataFrame(
+        [(s, e) for s, e in sorted(ests.items())], "scope string, est_e4 long"
+    )
+    return est_df.join(exact, "scope").select(
+        "scope", F.col("est_e4"), F.col("true_distinct").cast("long")
+    )

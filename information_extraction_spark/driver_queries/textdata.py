@@ -3677,6 +3677,67 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- k-truss cores of the k-NN graph ----------------------------------------------
+#
+# Dense-region extraction one notch stricter than k-core: an edge of
+# the mutual-similarity graph survives a 4-truss round only while it
+# sits in >= 2 triangles of the CURRENT graph, so chains and hub
+# stars (which k-core keeps when degrees are high) fall away and
+# what remains is overlapping-triangle cores — the "confident
+# cluster seeds" of an embedding-space dedup/curation pipeline
+# (cf. Cohen, "Trusses: cohesive subgraphs", 2008). Two fixed prune
+# rounds are the determinism contract (kcore_peel's reasoning); the
+# oracle chains the same two support+prune steps as CTEs over the
+# identical kNN edge base. Load-bearing at the gate scale: 1308
+# kNN-closure edges -> 178 after round 1 -> the surviving core after
+# round 2, support recomputed each round on the shrunk graph.
+
+_KTRUSS_ORACLE = f"""
+WITH knn AS ({_KNN_GRAPH_ORACLE}),
+e0 AS (
+  SELECT DISTINCT least(src, nb) AS s, greatest(src, nb) AS d FROM knn
+), t1 AS (
+  SELECT x.s AS a, x.d AS b, y.d AS c
+  FROM e0 x JOIN e0 y ON y.s = x.d JOIN e0 z ON z.s = x.s AND z.d = y.d
+), s1 AS (
+  SELECT s, d, CAST(count(*) AS BIGINT) AS sup FROM (
+    SELECT a AS s, b AS d FROM t1
+    UNION ALL SELECT b, c FROM t1
+    UNION ALL SELECT a, c FROM t1)
+  GROUP BY 1, 2
+), e1 AS (
+  SELECT e0.s, e0.d FROM e0 JOIN s1 USING (s, d) WHERE s1.sup >= 2
+), t2 AS (
+  SELECT x.s AS a, x.d AS b, y.d AS c
+  FROM e1 x JOIN e1 y ON y.s = x.d JOIN e1 z ON z.s = x.s AND z.d = y.d
+), s2 AS (
+  SELECT s, d, CAST(count(*) AS BIGINT) AS sup FROM (
+    SELECT a AS s, b AS d FROM t2
+    UNION ALL SELECT b, c FROM t2
+    UNION ALL SELECT a, c FROM t2)
+  GROUP BY 1, 2
+)
+SELECT e1.s AS src, e1.d AS dst, s2.sup AS support
+FROM e1 JOIN s2 USING (s, d) WHERE s2.sup >= 2
+"""
+
+
+@_q("emb_ktruss", _KTRUSS_ORACLE)
+def emb_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the undirected kNN-graph closure (see block
+    comment); operators/graph.ktruss_edges does the fixed-round
+    support+prune loop over the degree-ordered triangle
+    enumeration."""
+    from information_extraction_spark.operators.graph import ktruss_edges
+
+    knn = emb_knn_graph(spark, sf_dir)
+    e = knn.select(
+        F.least("src", "nb").alias("src"),
+        F.greatest("src", "nb").alias("dst"),
+    ).distinct()
+    return ktruss_edges(e, k=4, rounds=2)
+
+
 # --- Hard-negative triplet mining -------------------------------------------------
 #
 # Metric-learning data prep: for each anchor, the HARDEST in-cluster

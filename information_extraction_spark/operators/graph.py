@@ -826,36 +826,24 @@ def comention_pairs(
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
-    """Per-node triangle count + local clustering coefficient over an
-    undirected graph given as canonical (src < dst) edges — the
-    community-cohesion audit KG pipelines run on the co-mention graph
-    (a high-LCC entity sits inside a tight clique of co-asserted
-    entities; a zero-LCC hub is a star center, usually a generic
-    term). Returns (entity, degree, triangles, lcc_ppm) with
-    lcc_ppm = floor(2 * triangles * 10^6 / (degree * (degree - 1)))
-    for degree >= 2 else 0 — pure BIGINT, exact cross-engine.
-
-    Scale shape (the part that survives a 100 TB co-mention graph):
-    triangles are enumerated on the DEGREE-ORDERED orientation
-    (each edge points from its (degree, id)-smaller endpoint to the
-    larger — the compact-forward / Ortmann-Brandes rule), so every
-    node's out-degree is O(sqrt(m)) regardless of hub skew, and the
-    wedge self-join that dominates the cost produces
-    sum(outdeg^2) = O(m^1.5) candidate rows instead of the
-    O(sum(deg^2)) a hub-centered id-ordered enumeration pays — on a
-    power-law graph with a degree-10^6 hub that is the difference
-    between 10^12 wedges at one reducer and a balanced join. The
-    triangle SET is orientation-invariant, so the id-ordered DuckDB
-    oracle checks it exactly. Three shuffles beyond the degree
-    count: the wedge self-join on the shared center, the closing
-    equi-join on the (u, v) edge key, and the per-node rollup.
-    """
-    und = undirected_edges(edges)
-    deg = und.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
-    # Orient each undirected edge by (degree, id): annotate both
-    # endpoints with their degree (two equi-joins on the node key),
-    # keep the canonical direction only.
+def enumerate_triangles(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Triangle enumeration over canonical (src < dst) undirected
+    edges via the DEGREE-ORDERED orientation (compact-forward /
+    Ortmann-Brandes): each edge points from its (degree, id)-smaller
+    endpoint to the larger, so every node's out-degree is O(sqrt(m))
+    under hub skew and the wedge self-join stays balanced — see
+    triangle_counts for the full cost argument. Returns one row per
+    triangle as (center, u, v) in orientation order; the UNORDERED
+    node set is orientation-invariant, so callers needing canonical
+    edge pairs take least/greatest of each of the three pairs.
+    ``deg`` is the (src, deg) table over the undirected closure —
+    passed in when the caller already computed it."""
+    if deg is None:
+        deg = (
+            undirected_edges(edges)
+            .groupBy("src")
+            .agg(F.count("*").cast("long").alias("deg"))
+        )
     e = (
         edges.select("src", "dst")
         .join(deg.withColumnRenamed("deg", "sdeg"), "src")
@@ -890,10 +878,92 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.col("y.b").alias("v"),
         )
     )
-    tri = w.join(
+    return w.join(
         o.select(F.col("a").alias("u"), F.col("b").alias("v")),
         ["u", "v"],
     )
+
+
+def ktruss_edges(edges: DataFrame, k: int = 4, rounds: int = 2) -> DataFrame:
+    """Fixed-round k-truss pruning over canonical (src < dst)
+    undirected edges: each round computes per-edge triangle SUPPORT
+    (how many triangles contain the edge) and drops every edge with
+    support < k-2, simultaneously. Returns the surviving (src, dst,
+    support) after ``rounds`` prunes, ``support`` being the value the
+    final prune decided on — the cohesive-core extractor one notch
+    stricter than k-core (an edge survives only inside overlapping
+    triangles, so bridges and stars fall away even when degrees are
+    high). A true k-truss iterates to fixpoint; the FIXED round count
+    is the determinism contract shared with the chained DuckDB CTE
+    oracle (same reasoning as kcore_peel / label_propagation).
+
+    Scale shape: each round is one degree-ordered triangle
+    enumeration (the O(m^1.5) compact-forward wedge join —
+    enumerate_triangles), a 3-way unionAll to edge incidences, ONE
+    map-side-combined count on the canonical edge key, and an inner
+    join back to the shrinking edge set (zero-support edges drop via
+    the join itself). Lineage cut per round."""
+    cur = edges.select("src", "dst").localCheckpoint()
+    for _ in range(rounds):
+        tri = enumerate_triangles(cur)
+        inc = (
+            tri.select(
+                F.least("center", "u").alias("src"),
+                F.greatest("center", "u").alias("dst"),
+            )
+            .unionAll(
+                tri.select(
+                    F.least("center", "v").alias("src"),
+                    F.greatest("center", "v").alias("dst"),
+                )
+            )
+            .unionAll(
+                tri.select(
+                    F.least("u", "v").alias("src"),
+                    F.greatest("u", "v").alias("dst"),
+                )
+            )
+        )
+        sup = inc.groupBy("src", "dst").agg(
+            F.count("*").cast("long").alias("support")
+        )
+        cur = (
+            cur.select("src", "dst")
+            .join(sup, ["src", "dst"])
+            .filter(F.col("support") >= k - 2)
+            .localCheckpoint()
+        )
+    return cur
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected graph given as canonical (src < dst) edges — the
+    community-cohesion audit KG pipelines run on the co-mention graph
+    (a high-LCC entity sits inside a tight clique of co-asserted
+    entities; a zero-LCC hub is a star center, usually a generic
+    term). Returns (entity, degree, triangles, lcc_ppm) with
+    lcc_ppm = floor(2 * triangles * 10^6 / (degree * (degree - 1)))
+    for degree >= 2 else 0 — pure BIGINT, exact cross-engine.
+
+    Scale shape (the part that survives a 100 TB co-mention graph):
+    triangles are enumerated on the DEGREE-ORDERED orientation
+    (each edge points from its (degree, id)-smaller endpoint to the
+    larger — the compact-forward / Ortmann-Brandes rule), so every
+    node's out-degree is O(sqrt(m)) regardless of hub skew, and the
+    wedge self-join that dominates the cost produces
+    sum(outdeg^2) = O(m^1.5) candidate rows instead of the
+    O(sum(deg^2)) a hub-centered id-ordered enumeration pays — on a
+    power-law graph with a degree-10^6 hub that is the difference
+    between 10^12 wedges at one reducer and a balanced join. The
+    triangle SET is orientation-invariant, so the id-ordered DuckDB
+    oracle checks it exactly. Three shuffles beyond the degree
+    count: the wedge self-join on the shared center, the closing
+    equi-join on the (u, v) edge key, and the per-node rollup.
+    """
+    und = undirected_edges(edges)
+    deg = und.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    tri = enumerate_triangles(edges, deg)
     per_node = (
         tri.select(F.col("center").alias("entity"))
         .unionAll(tri.select(F.col("u").alias("entity")))

@@ -985,3 +985,46 @@ def test_deterministic_walks_argmin_and_backtrack(spark):
         for r in deterministic_walks(edges, steps=3).collect()
     }
     assert again == got
+
+
+def test_ktruss_k4_survives_pendant_triangle_and_bridge_drop(spark):
+    """K4 on {a,b,c,d} (every edge in exactly 2 triangles) is a
+    4-truss and survives; a pendant triangle {d,e,f} (support 1 per
+    edge) and a bridge (a,g) (support 0) fall away in round 1, and
+    their removal does not disturb the K4's supports in round 2."""
+    from information_extraction_spark.operators.graph import ktruss_edges
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    extra = [("d", "e"), ("d", "f"), ("e", "f"), ("a", "g")]
+    edges = spark.createDataFrame(k4 + extra, "src string, dst string")
+    got = {
+        (r["src"], r["dst"]): r["support"]
+        for r in ktruss_edges(edges, k=4, rounds=2).collect()
+    }
+    assert got == {e: 2 for e in k4}
+    # k=3 (support >= 1) after one round keeps the pendant triangle
+    # too; only the bridge drops.
+    k3 = {
+        (r["src"], r["dst"])
+        for r in ktruss_edges(edges, k=3, rounds=1).collect()
+    }
+    assert k3 == set(k4) | {("d", "e"), ("d", "f"), ("e", "f")}
+
+
+def test_ktruss_support_recomputed_per_round(spark):
+    """Two triangles sharing edge (b,c): round 1 keeps only (b,c)
+    (support 2), round 2 recomputes support on the SHRUNK graph —
+    (b,c) now sits in zero triangles and drops. Pins that support is
+    per-round, not carried over."""
+    from information_extraction_spark.operators.graph import ktruss_edges
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    one = {
+        (r["src"], r["dst"]): r["support"]
+        for r in ktruss_edges(edges, k=4, rounds=1).collect()
+    }
+    assert one == {("b", "c"): 2}
+    assert ktruss_edges(edges, k=4, rounds=2).count() == 0

@@ -185,3 +185,24 @@ def test_hll_rank_matches_pure_python(spark):
         wv = hv // 64
         exp_rank = 43 if wv == 0 else 42 - wv.bit_length() + 1
         assert got[v] == (hv % 64, exp_rank)
+
+
+def test_hll_merge_equals_direct_and_matches_a14(spark):
+    """Mergeability is the a17 contract: the 'ALL' row derived by
+    register-wise max over per-language sketches must equal a DIRECT
+    global sketch — i.e. a14's estimate on the same stream — and
+    every per-scope estimate stays inside the loose raw-HLL bound."""
+    import information_extraction_spark.driver_queries.sketches as S
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["scope"]: r for r in S.a17_hll_mergeable(spark, sf).collect()}
+    a14 = S.a14_hll_distinct(spark, sf).first()
+    assert out["ALL"]["est_e4"] == a14["est_e4"]
+    assert out["ALL"]["true_distinct"] == a14["true_distinct"]
+    # multiple genuine language scopes, each in the raw-HLL regime
+    assert len(out) >= 3
+    for scope, r in out.items():
+        assert abs(r["est_e4"] / 10000.0 / r["true_distinct"] - 1.0) < 0.5, (
+            scope,
+            r,
+        )
