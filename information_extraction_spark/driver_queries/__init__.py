@@ -38,6 +38,14 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Next-fit sequence packing per lang shard (sample packing for
+    # training batches): groupBy(shard).applyInPandas O(1)-state
+    # fold; oracle replays the fold as a recursive CTE.
+    "ta_seq_packing",
+    # ViT-style 2x2 tile lattice over REAL decoded BMP pixels (exact
+    # per-tile intensity sums); oracle recomputes tiles
+    # arithmetically from make_bmp's byte formula.
+    "mm_image_tiles",
     # 4-truss of the kNN-graph closure: fixed-round per-edge triangle
     # support (degree-ordered enumeration) + simultaneous prune;
     # oracle chains the same two support+prune CTE rounds.

@@ -1555,3 +1555,87 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ids.mapInPandas(build, schema=MEDIA)
     return audio_energy_windows(media, window_frames=25)
+
+
+# --- ViT-style image tiling (patch statistics over decoded pixels) -----------------
+#
+# The multimodal family's missing pixel-level leg: mm_codec_features
+# proves header decode, mm_image_tiles proves PIXEL decode + the
+# patch lattice every vision-model preprocessing pipeline runs
+# (split the image into a grid of tiles, per-tile statistics for
+# brightness screens / letterbox detection / ViT patching). Payloads
+# are real 24-bpp BMPs built deterministically from doc_id
+# (make_bmp's pixel byte i is (seed*31 + i*7) % 256), so the oracle
+# recomputes every tile sum arithmetically from the same formula —
+# bottom-up row storage, 4-byte row padding excluded, top-down tile
+# assignment min(r*2//H, 1) — the constructed-expectation pattern.
+
+_MM_TILES_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         4 + doc_id % 29 AS w,
+         3 + doc_id % 17 AS h,
+         doc_id AS seed,
+         (((4 + doc_id % 29) * 3 + 3) // 4) * 4 AS stride
+  FROM documents
+), pr AS (
+  SELECT media_id, w, h, seed, stride, unnest(range(0, h)) AS rt
+  FROM m
+), px AS (
+  SELECT media_id, w, h, seed, stride, rt, unnest(range(0, w)) AS cc
+  FROM pr
+), v AS (
+  SELECT media_id,
+         least(rt * 2 // h, 1) AS ty,
+         least(cc * 2 // w, 1) AS tx,
+         (seed * 31 + ((h - 1 - rt) * stride + cc * 3) * 7) % 256
+       + (seed * 31 + ((h - 1 - rt) * stride + cc * 3 + 1) * 7) % 256
+       + (seed * 31 + ((h - 1 - rt) * stride + cc * 3 + 2) * 7) % 256
+         AS inten
+  FROM px
+)
+SELECT media_id, CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(inten) AS BIGINT) AS intensity_sum
+FROM v GROUP BY 1, 2, 3
+"""
+
+
+@_q("mm_image_tiles", _MM_TILES_ORACLE)
+def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP payloads → pixel decode → 2×2 tile lattice with exact
+    per-tile intensity sums (see block comment); the whole path runs
+    the native parser (no fake leg) and two narrow mapInPandas
+    passes."""
+    import pandas as pd
+
+    from information_extraction_spark.operators.multimodal import (
+        MEDIA,
+        image_tiles,
+        make_bmp,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "image",
+                        "payload": bytearray(
+                            make_bmp(4 + mid % 29, 3 + mid % 17, seed=mid)
+                        ),
+                        "mime": "image/bmp",
+                        "source": "synthetic",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA.fields])
+
+    media = ids.mapInPandas(build, schema=MEDIA)
+    return image_tiles(media, grid=2)

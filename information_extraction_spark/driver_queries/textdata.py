@@ -4204,3 +4204,80 @@ def ann_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "vec_id long, rnk long, cos4 double, coarse4 double"
     )
+
+
+# --- Greedy sequence packing (sample packing for training batches) -----------------
+#
+# The op every LLM pre-training pipeline runs between curation and
+# the trainer: concatenate variable-length documents into
+# fixed-capacity training sequences so padding waste stays low
+# (Raffel et al., T5 "packing"; GPT-style pre-training does the
+# same). Semantics here are NEXT-FIT IN CORPUS ORDER — walk the
+# shard's documents in doc_id order, keep appending to the open bin
+# while the whitespace-token budget (256) holds, else seal it and
+# start the next — because order-preserving packing is what
+# curriculum-ordered corpora require (first-fit-decreasing would
+# reorder documents) and because it is a one-pass O(1)-state fold.
+#
+# Scale shape: packing is a per-shard SEQUENTIAL fold, so the
+# distributed contract is "parallel across shards, sequential
+# within" — exactly `groupBy(shard).applyInPandas` (the shard key
+# here is lang; a production corpus packs per input file/partition).
+# One shuffle on the shard key; per-group state is one integer; the
+# Arrow batch is the only Python-side cost. The recursive-CTE oracle
+# replays the identical fold row by row.
+
+_SEQ_PACK_CAPACITY = 256
+
+_SEQ_PACK_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+              AS BIGINT) AS pos
+  FROM documents
+), pack AS (
+  SELECT lang, doc_id, n_tokens, pos,
+         n_tokens AS fill, CAST(1 AS BIGINT) AS bin_id
+  FROM toks WHERE pos = 1
+  UNION ALL
+  SELECT t.lang, t.doc_id, t.n_tokens, t.pos,
+         CASE WHEN p.fill + t.n_tokens <= {_SEQ_PACK_CAPACITY}
+              THEN p.fill + t.n_tokens ELSE t.n_tokens END,
+         CASE WHEN p.fill + t.n_tokens <= {_SEQ_PACK_CAPACITY}
+              THEN p.bin_id ELSE p.bin_id + 1 END
+  FROM pack p JOIN toks t ON t.lang = p.lang AND t.pos = p.pos + 1
+)
+SELECT lang, doc_id, bin_id, n_tokens FROM pack
+"""
+
+
+def _pack_fold(pdf):
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    bin_ids = []
+    fill = 0
+    bid = 0
+    for n in pdf["n_tokens"]:
+        if bid == 0 or fill + int(n) > _SEQ_PACK_CAPACITY:
+            bid += 1
+            fill = int(n)
+        else:
+            fill += int(n)
+        bin_ids.append(bid)
+    pdf["bin_id"] = bin_ids
+    return pdf[["lang", "doc_id", "bin_id", "n_tokens"]]
+
+
+@_q("ta_seq_packing", _SEQ_PACK_ORACLE)
+def ta_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing per lang shard (see block comment);
+    an oversize document (> capacity) seals the open bin and sits
+    alone in its own, the successor always opens a fresh bin."""
+    toks = _docs(spark, sf_dir).select(
+        "lang",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return toks.groupBy("lang").applyInPandas(
+        _pack_fold, "lang string, doc_id long, bin_id long, n_tokens long"
+    )

@@ -657,3 +657,39 @@ def test_phrase_search_adjacency_and_overlap(spark, tmp_path):
     )
     # bigram counts: 'a a' x2; all others x1 -> top = 'a a'.
     assert got == [(0, 1, "a a"), (0, 2, "a a")]
+
+
+def test_seq_packing_next_fit_semantics(spark, tmp_path):
+    """Pins the next-fit fold against hand-walked bins: exact
+    boundary fit stays in the bin, a one-token overflow seals it, an
+    oversize doc (> capacity) sits alone AND its successor opens a
+    fresh bin, and shards pack independently."""
+    import information_extraction_spark.driver_queries.textdata as T
+
+    cap = T._SEQ_PACK_CAPACITY  # 256
+    def words(n):
+        return " ".join(["w"] * n)
+
+    rows = [
+        (0, words(200), "en"),          # bin 1 (fill 200)
+        (1, words(56), "en"),           # fits exactly: 200+56 == 256
+        (2, words(1), "en"),            # overflow by 1 -> bin 2
+        (3, words(cap + 10), "en"),     # oversize -> seals bin 2, own bin 3
+        (4, words(5), "en"),            # successor of oversize -> bin 4
+        (5, words(300), "de"),          # other shard starts at bin 1
+        (6, words(2), "de"),            # -> bin 2
+    ]
+    sf = _write_docs(spark, tmp_path, rows, "pack_sf")
+    got = {
+        r["doc_id"]: (r["lang"], r["bin_id"], r["n_tokens"])
+        for r in T.ta_seq_packing(spark, sf).collect()
+    }
+    assert got == {
+        0: ("en", 1, 200),
+        1: ("en", 1, 56),
+        2: ("en", 2, 1),
+        3: ("en", 3, cap + 10),
+        4: ("en", 4, 5),
+        5: ("de", 1, 300),
+        6: ("de", 2, 2),
+    }

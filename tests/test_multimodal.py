@@ -221,3 +221,84 @@ def test_audio_energy_windows_stereo_and_partial(spark):
     assert len(got) == 4
     # sanity: the hand recomputation isn't trivially zero.
     assert got[(1, 0)][1] > 0
+
+
+def test_bmp_pixels_decodes_padded_bottom_up_rows():
+    """Pins the pixel decode against a hand fold of make_bmp's byte
+    formula: width 3 (stride 12 — 3 padding bytes per row, excluded),
+    bottom-up storage (decoded row 0 = last stored row)."""
+    import numpy as np
+
+    from information_extraction_spark.operators.multimodal import (
+        bmp_pixels,
+        make_bmp,
+    )
+
+    w, h, seed = 3, 4, 9
+    px = bmp_pixels(make_bmp(w, h, seed=seed))
+    assert px.shape == (h, w, 3)
+    stride = ((w * 3 + 3) // 4) * 4
+    for rt in range(h):
+        for c in range(w):
+            for k in range(3):
+                i = (h - 1 - rt) * stride + c * 3 + k
+                assert px[rt, c, k] == (seed * 31 + i * 7) % 256
+    # truncated pixel data and non-24bpp both fail as ValueError
+    full = make_bmp(w, h, seed=seed)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bmp_pixels(full[:-5])
+    bad = bytearray(full)
+    bad[28] = 8  # bpp field
+    with _pytest.raises(ValueError):
+        bmp_pixels(bytes(bad))
+    assert np.issubdtype(px.dtype, np.uint8)
+
+
+def test_image_tiles_lattice_and_sums(spark):
+    """Odd dims split 'floor to the first tile': h=3 rows -> ty
+    [0,0,1], w=5 cols -> tx [0,0,0,1,1]; tile sums recomputed by
+    hand from the decoded array."""
+    import numpy as np
+    import pandas as pd
+
+    from information_extraction_spark.operators.multimodal import (
+        MEDIA,
+        bmp_pixels,
+        image_tiles,
+        make_bmp,
+    )
+
+    pay = make_bmp(5, 3, seed=2)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "media_id": 7,
+                    "kind": "image",
+                    "payload": bytearray(pay),
+                    "mime": "image/bmp",
+                    "source": "t",
+                }
+            ],
+            columns=[f.name for f in MEDIA.fields],
+        ),
+        schema=MEDIA,
+    )
+    got = {
+        (r["ty"], r["tx"]): (r["n_px"], r["intensity_sum"])
+        for r in image_tiles(media, grid=2).collect()
+    }
+    inten = bmp_pixels(pay).astype(np.int64).sum(axis=2)
+    exp = {
+        (0, 0): inten[:2, :3],
+        (0, 1): inten[:2, 3:],
+        (1, 0): inten[2:, :3],
+        (1, 1): inten[2:, 3:],
+    }
+    assert got == {
+        k: (int(v.size), int(v.sum())) for k, v in exp.items()
+    }
+    assert got[(0, 0)][0] == 6 and got[(0, 1)][0] == 4
+    assert got[(1, 0)][0] == 3 and got[(1, 1)][0] == 2
