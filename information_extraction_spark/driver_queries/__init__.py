@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Peak interval concurrency per event_type via the GLOBAL-order
+    # segmented scan (hot keys spread over all partitions; -1<+1 tie
+    # rule = half-open intervals); oracle = per-type window sweep.
+    "w27_interval_concurrency",
     # Next-fit sequence packing per lang shard (sample packing for
     # training batches): groupBy(shard).applyInPandas O(1)-state
     # fold; oracle replays the fold as a recursive CTE.

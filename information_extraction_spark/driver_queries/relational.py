@@ -2460,3 +2460,110 @@ def q23_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         & (F.col("best_same_price") <= F.col("p_size"))
     ).select("p_partkey", "p_brand", "price_c", "p_size")
+
+
+# --- W27: interval max-concurrency (sweep line over a segmented scan) --------------
+#
+# "How many sessions were open at once, and when did the peak first
+# happen?" — the interval-algebra audit behind rate limiting,
+# capacity planning, and GPU-hour accounting. Each event opens a
+# half-open interval [sec, sec + 60 + event_id % 540): boundary rows
+# (+1 at start, -1 at end) swept in (t, delta, event_id) order — the
+# -1 < +1 tie rule IS the half-open semantics (a session ending
+# exactly when another starts never overlaps it).
+#
+# The sweep itself is functions/ranking.segmented_running_sum: rows
+# range-partition by the GLOBAL boundary order (not by event_type),
+# so one dominant type — the common case; 'view' usually is — still
+# spreads over every core, where a Window.partitionBy(event_type)
+# sweep would collapse onto one task. Peak time reports as seconds
+# relative to the type's first start (tz-portable, the
+# kg_temporal_extent rule).
+
+_W27_ORACLE = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 60 + event_id % 540 AS e
+  FROM events WHERE ts IS NOT NULL
+), b AS (
+  SELECT event_type, s AS t, 1 AS delta, event_id FROM e
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS delta, event_id FROM e
+), c AS (
+  SELECT event_type, t,
+         sum(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, delta, event_id
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM b
+), m AS (
+  SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent
+  FROM c GROUP BY 1
+), p AS (
+  SELECT c.event_type, min(c.t) AS peak_t
+  FROM c JOIN m ON m.event_type = c.event_type
+              AND c.conc = m.max_concurrent
+  GROUP BY 1
+), s0 AS (
+  SELECT event_type, min(s) AS t0 FROM e GROUP BY 1
+)
+SELECT m.event_type, m.max_concurrent,
+       CAST(p.peak_t - s0.t0 AS BIGINT) AS first_peak_rel_s
+FROM m JOIN p USING (event_type) JOIN s0 USING (event_type)
+"""
+
+
+@_q("w27_interval_concurrency", _W27_ORACLE)
+def w27_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent intervals per event_type via the distributed
+    sweep (see block comment): globally-ordered +1/-1 boundaries, a
+    segmented running sum, then max + first-peak-time rollups."""
+    from information_extraction_spark.functions.ranking import (
+        segmented_running_sum,
+    )
+
+    e = _events_sec(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.col("sec").alias("s"),
+        (F.col("sec") + 60 + F.col("event_id") % 540).alias("e"),
+    )
+    b = e.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta"),
+        "event_id",
+    ).unionByName(
+        e.select(
+            "event_type", F.col("e").alias("t"),
+            F.lit(-1).alias("delta"), "event_id",
+        )
+    )
+    c = segmented_running_sum(
+        b, "event_type", ["t", "delta", "event_id"], "delta", out_col="conc"
+    )
+    m = c.groupBy("event_type").agg(
+        F.max("conc").cast("long").alias("max_concurrent")
+    )
+    mm = m.select(
+        F.col("event_type").alias("m_type"), "max_concurrent"
+    )
+    p = (
+        c.join(
+            F.broadcast(mm),
+            (c["event_type"] == mm["m_type"])
+            & (c["conc"] == mm["max_concurrent"]),
+        )
+        .groupBy("event_type")
+        .agg(F.min("t").alias("peak_t"))
+    )
+    t0 = e.groupBy("event_type").agg(F.min("s").alias("t0"))
+    return (
+        m.join(p, "event_type")
+        .join(F.broadcast(t0), "event_type")
+        .select(
+            "event_type",
+            "max_concurrent",
+            (F.col("peak_t") - F.col("t0")).cast("long").alias(
+                "first_peak_rel_s"
+            ),
+        )
+    )

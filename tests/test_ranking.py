@@ -74,3 +74,75 @@ def test_combine_scores_rejects_duplicate_keys(spark):
         ["k"],
     )
     assert ok.count() == 2
+
+
+def test_segmented_running_sum_matches_window_under_hot_key(spark):
+    """One dominant key spread across MANY range partitions must
+    produce the same running sums a per-key window would — the
+    offsets seed each partition's scan with the prefix from every
+    earlier partition."""
+    from pyspark.sql import Window
+
+    from information_extraction_spark.functions.ranking import (
+        segmented_running_sum,
+    )
+
+    rows = [("hot", i, 1 if i % 3 else -1, i) for i in range(200)]
+    rows += [("cold", i, 1, 1000 + i) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "k string, t long, delta long, eid long"
+    )
+    got = {
+        (r["k"], r["t"], r["eid"]): r["run"]
+        for r in segmented_running_sum(
+            df, "k", ["t", "delta", "eid"], "delta", num_partitions=16
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "delta", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exp = {
+        (r["k"], r["t"], r["eid"]): r["run"]
+        for r in df.withColumn("run", F.sum("delta").over(w)).collect()
+    }
+    assert got == exp and len(got) == 205
+
+
+def test_interval_concurrency_half_open_tie_rule(spark, tmp_path):
+    """An interval ending exactly when the next starts must NOT
+    overlap it (-1 sorts before +1 at equal t). Hand-built events:
+    durations are 60 + event_id % 540, so event_id 0 spans [t0,
+    t0+60) and event_id 540 starting at t0+60 back-to-back keeps the
+    peak at 2 (with a third genuinely-overlapping event), not 3."""
+    import os
+
+    import pandas as pd
+
+    from information_extraction_spark.driver_queries.relational import (
+        w27_interval_concurrency,
+    )
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = [
+        # ev 0: [0, 60); ev 540: [60, 660) — touching, never overlap
+        (0, base, 1, "x", 0.0, "{}"),
+        (540, base + pd.Timedelta(seconds=60), 1, "x", 0.0, "{}"),
+        # ev 3: [30, 633) overlaps each of the above once
+        (3, base + pd.Timedelta(seconds=30), 1, "x", 0.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = os.path.join(tmp_path, "iv_sf")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    got = {
+        r["event_type"]: (r["max_concurrent"], r["first_peak_rel_s"])
+        for r in w27_interval_concurrency(spark, d).collect()
+    }
+    # peak 2 first attained when ev 3 opens at rel t=30.
+    assert got == {"x": (2, 30)}
