@@ -38,6 +38,12 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Exponential time-decay rollup: integer 2^-age weighting (shift
+    # + DIV, no pow/exp), one map-side-combined shuffle.
+    "w28_decay_agg",
+    # Add-one bigram LM perplexity: in-row bigram expansion, two
+    # count shuffles, history-marginal denominator; 4dp floats.
+    "ta_bigram_lm",
     # Peak interval concurrency per event_type via the GLOBAL-order
     # segmented scan (hot keys spread over all partitions; -1<+1 tie
     # rule = half-open intervals); oracle = per-type window sweep.

@@ -2567,3 +2567,66 @@ def w27_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- W28: exponential time-decay aggregation (recency-weighted rollup) -------------
+#
+# The feature-store staple: "activity score where yesterday counts
+# half of today" — recency-weighted counts/sums consumed by ranking
+# and anomaly models. The cross-engine contract is INTEGER decay:
+# weight_ppm = 1000000 DIV 2^min(age_days, 40) (a bit shift + one
+# floor division — no pow()/exp() in compared columns, the
+# sketches.py rule (6) discipline), age measured from the corpus
+# max(sec) so the query is deterministic for a fixed input. Dollar
+# values enter as floor(value*100) cents — the one IEEE multiply is
+# bit-identical cross-engine.
+#
+# Scale shape: ONE map-side-combined shuffle on event_type; the
+# max(sec) anchor is a bounded scalar aggregate (at 100 TB it comes
+# from the ingest watermark, not a scan — documented seam). Weights
+# are per-row narrow arithmetic.
+
+_W28_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+  FROM events WHERE ts IS NOT NULL
+), mx AS (
+  SELECT max(sec) AS tmax FROM e
+), w AS (
+  SELECT event_type,
+         1000000 // (CAST(1 AS BIGINT)
+                     << CAST(least((tmax - sec) // 86400, 40) AS INT))
+           AS w_ppm,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM e, mx
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(w_ppm) AS BIGINT) AS decayed_count_ppm,
+       CAST(sum(cents * w_ppm) AS BIGINT) AS decayed_cents_ppm
+FROM w GROUP BY 1
+"""
+
+
+@_q("w28_decay_agg", _W28_ORACLE)
+def w28_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-per-day decayed counts and cent-sums per event_type
+    (see block comment); the decay weight is a shift + DIV so both
+    engines agree bit-for-bit."""
+    e = _events_sec(spark, sf_dir).select("event_type", "sec", "value")
+    tmax = e.agg(F.max("sec")).first()[0]
+    w = e.select(
+        "event_type",
+        F.expr(
+            f"1000000L DIV shiftleft(1L, "
+            f"cast(least(({tmax}L - sec) DIV 86400L, 40L) as int))"
+        ).alias("w_ppm"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("w_ppm").cast("long").alias("decayed_count_ppm"),
+        F.sum(F.col("cents") * F.col("w_ppm"))
+        .cast("long")
+        .alias("decayed_cents_ppm"),
+    )

@@ -4281,3 +4281,82 @@ def ta_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("lang").applyInPandas(
         _pack_fold, "lang string, doc_id long, bin_id long, n_tokens long"
     )
+
+
+# --- Bigram LM perplexity (add-one smoothing) ---------------------------------------
+#
+# ta_perplexity's conditional upgrade: quality-scoring corpora with a
+# context-aware LM separates fluent text from word salad that fools a
+# unigram model (same words, scrambled order). Model: add-one-
+# smoothed bigram MLE, P(w|h) = (c(h,w)+1) / (c_hist(h)+V), where
+# c_hist counts h's occurrences AS a history (bigram-table marginal,
+# so the model normalizes exactly) and V is the full unigram vocab.
+# Per-doc xent/ppl round to 4dp — the ta_perplexity float contract.
+#
+# Scale shape: bigram expansion is IN-ROW (transform over the token
+# array — narrow); two count shuffles (bigram key, history key) both
+# map-side combined; the probability join is on the bigram key (at
+# web scale a shuffle join; broadcast here where the LM fits). Docs
+# with < 2 tokens have no bigram rows and drop out — documented.
+
+_BIGRAM_LM_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), bgp AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t
+), bg AS (
+  SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur FROM bgp
+), c2 AS (
+  SELECT prev, cur, CAST(count(*) AS DOUBLE) AS c2 FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT prev, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY 1
+), v AS (
+  SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((c2.c2 + 1) / (c1.c1 + v.v))), 4) AS xent,
+       round(exp(avg(-ln((c2.c2 + 1) / (c1.c1 + v.v)))), 4) AS ppl
+FROM bg
+JOIN c2 USING (prev, cur)
+JOIN c1 USING (prev)
+CROSS JOIN v
+GROUP BY bg.doc_id
+"""
+
+
+@_q("ta_bigram_lm", _BIGRAM_LM_ORACLE)
+def ta_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _docs(spark, sf_dir), "doc_id")
+    t = d.select("doc_id", F.split("text", " ").alias("ws"))
+    pairs = F.when(
+        F.size("ws") >= 2,
+        F.expr(
+            "transform(sequence(0, size(ws) - 2),"
+            " i -> struct(ws[i] AS prev, ws[i + 1] AS cur))"
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bg = t.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    c2 = bg.groupBy("prev", "cur").agg(
+        F.count("*").cast("double").alias("c2")
+    )
+    c1 = bg.groupBy("prev").agg(F.count("*").cast("double").alias("c1"))
+    v = (
+        t.select(F.explode("ws").alias("word"))
+        .agg(F.countDistinct("word").cast("double").alias("v"))
+    )
+    nll = -F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v")))
+    return (
+        bg.join(F.broadcast(c2), ["prev", "cur"])
+        .join(F.broadcast(c1), "prev")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("xent"),
+            F.round(F.exp(F.avg(nll)), 4).alias("ppl"),
+        )
+    )

@@ -693,3 +693,27 @@ def test_seq_packing_next_fit_semantics(spark, tmp_path):
         5: ("de", 1, 300),
         6: ("de", 2, 2),
     }
+
+
+def test_bigram_lm_hand_computed_and_short_doc_drops(spark, tmp_path):
+    """Hand fold of the add-one bigram model on a 3-doc corpus; a
+    1-token doc contributes to the vocab but emits no bigram row."""
+    import math
+
+    import information_extraction_spark.driver_queries.textdata as T
+
+    rows = [(0, "a b a b", "en"), (1, "b a", "en"), (2, "c", "en")]
+    sf = _write_docs(spark, tmp_path, rows, "bg_sf")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent"], r["ppl"])
+        for r in T.ta_bigram_lm(spark, sf).collect()
+    }
+    # bigrams: doc0 = ab, ba, ab; doc1 = ba. c2: ab=2, ba=2.
+    # histories: a as prev x2, b as prev x2. V = 3 (a, b, c).
+    p_ab = (2 + 1) / (2 + 3)
+    p_ba = (2 + 1) / (2 + 3)
+    x0 = -(math.log(p_ab) * 2 + math.log(p_ba)) / 3
+    x1 = -math.log(p_ba)
+    assert got[0] == (3, round(x0, 4), round(math.exp(x0), 4))
+    assert got[1] == (1, round(x1, 4), round(math.exp(x1), 4))
+    assert 2 not in got and len(got) == 2

@@ -1338,3 +1338,43 @@ def test_q23_skyline_dominance_rules(spark, tmp_path):
         (5, "A", 200, 30),
         (6, "B", 900, 1),
     }
+
+
+def test_decay_agg_halves_per_day_and_caps(spark, tmp_path):
+    """Half-life semantics pinned by hand: anchored at the corpus
+    max(ts), same-day weight 1000000 ppm, one day earlier 500000, 50
+    days earlier capped at 2^-40."""
+    import os
+
+    import pandas as pd
+
+    from information_extraction_spark.driver_queries.relational import (
+        w28_decay_agg,
+    )
+
+    base = pd.Timestamp("2026-03-01 12:00:00")
+    rows = [
+        (1, base, 1, "x", 2.0, "{}"),                                # w 1000000
+        (2, base - pd.Timedelta(days=1), 1, "x", 1.0, "{}"),         # w 500000
+        (3, base - pd.Timedelta(days=50), 1, "x", 4.0, "{}"),        # capped
+        (4, base - pd.Timedelta(seconds=86399), 1, "y", 1.0, "{}"),  # same day
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = os.path.join(tmp_path, "decay_sf")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    got = {
+        r["event_type"]: (r["n"], r["decayed_count_ppm"], r["decayed_cents_ppm"])
+        for r in w28_decay_agg(spark, d).collect()
+    }
+    w_cap = 1000000 // (1 << 40)  # = 0
+    assert got["x"] == (
+        3,
+        1000000 + 500000 + w_cap,
+        200 * 1000000 + 100 * 500000 + 400 * w_cap,
+    )
+    assert got["y"] == (1, 1000000, 100 * 1000000)
