@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # PERMISSIVE JSONL quarantine: schema-pinned read routes mangled
+    # lines (raw line kept for replay) to a corrupt bucket; staged
+    # file derives deterministically from documents, write-once.
+    "s9_corrupt_quarantine",
     # Exponential time-decay rollup: integer 2^-age weighting (shift
     # + DIV, no pow/exp), one map-side-combined shuffle.
     "w28_decay_agg",

@@ -1639,3 +1639,109 @@ def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ids.mapInPandas(build, schema=MEDIA)
     return image_tiles(media, grid=2)
+
+
+# --- S9: malformed-input quarantine (PERMISSIVE JSON-lines read) --------------------
+#
+# Web-scale ingest never gets clean input: the source contract is
+# "parse what parses, QUARANTINE the rest with the raw line kept for
+# replay" — Spark's PERMISSIVE mode + columnNameOfCorruptRecord,
+# exercised here end-to-end. A JSONL staging file derives
+# deterministically from documents (field order pinned by to_json's
+# struct order; every doc_id % 7 == 3 line loses its closing brace),
+# is written ONCE behind the golden-dir stage+rename discipline, and
+# the read must route every mangled line to the corrupt bucket with
+# its fields nulled — the oracle recomputes both buckets straight
+# from the documents table (constructed expectation). sum_chars
+# doubles as the value check that parsed payloads carried through.
+#
+# Scale notes: the read is a narrow schema-pinned scan (NO inference
+# pass — schema-on-read with explicit StructType is the 100 TB
+# contract; .option inferSchema would double-scan); quarantine
+# routing is per-row projection; one map-side-combined shuffle on the
+# bucket key.
+
+_S9_ORACLE = """
+WITH g AS (
+  SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM documents WHERE doc_id % 7 <> 3 GROUP BY 1
+), c AS (
+  SELECT '_corrupt' AS bucket, CAST(count(*) AS BIGINT) AS n,
+         CAST(NULL AS BIGINT) AS sum_chars
+  FROM documents WHERE doc_id % 7 = 3
+)
+SELECT * FROM g UNION ALL SELECT * FROM c
+"""
+
+
+def _stage_corrupt_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the deterministically-mangled JSONL staging file
+    write-once (stage to a pid temp dir + os.rename, skip when a
+    complete _SUCCESS'd copy exists — kg._write_golden_once's
+    discipline, text format)."""
+    import os
+    import shutil
+
+    from information_extraction_spark.driver_queries.kg import (
+        _ensure_golden_dir,
+        _golden_path,
+    )
+
+    _ensure_golden_dir()
+    path = _golden_path("jsonl_quarantine", sf_dir).replace(
+        ".parquet", ".jsonl"
+    )
+    if os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    ):
+        return path
+    docs = _t(spark, sf_dir, "documents")
+    j = docs.select(
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("line"),
+        "doc_id",
+    )
+    lines = j.select(
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.expr("substring(line, 1, length(line) - 1)"),
+        )
+        .otherwise(F.col("line"))
+        .alias("value")
+    )
+    tmp = f"{path}.tmp-{os.getpid()}"
+    lines.coalesce(1).write.mode("overwrite").text(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+@_q("s9_corrupt_quarantine", _S9_ORACLE)
+def s9_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE schema-pinned JSONL read: parsed rows roll up per
+    lang (count + n_chars sum as the payload value check), mangled
+    lines land in the '_corrupt' bucket with fields nulled."""
+    path = _stage_corrupt_jsonl(spark, sf_dir)
+    df = (
+        spark.read.schema(
+            "doc_id long, lang string, n_chars long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    bucket = (
+        F.when(F.col("_corrupt_record").isNotNull(), F.lit("_corrupt"))
+        .otherwise(F.col("lang"))
+        .alias("bucket")
+    )
+    return (
+        df.select(bucket, "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )

@@ -179,3 +179,29 @@ def test_read_graph_predicate_prunes_and_matches(spark, tmp_path):
     full = spark.read.parquet(out).filter(F.lit(True))
     full.collect()
     assert _scan_metrics(full)["numPartitions"] == n_dirs
+
+
+def test_corrupt_quarantine_keeps_raw_line_for_replay(spark, tmp_path):
+    """The quarantine contract: a mangled line parses to nulled
+    fields + the RAW line preserved verbatim in _corrupt_record (so
+    ingest can replay it); clean lines parse with a null corrupt
+    column."""
+    import os
+
+    p = os.path.join(tmp_path, "q.jsonl")
+    good = '{"doc_id":1,"lang":"en","n_chars":5}'
+    bad = '{"doc_id":2,"lang":"de","n_chars":9'
+    with open(p, "w") as f:
+        f.write(good + "\n" + bad + "\n")
+    df = (
+        spark.read.schema(
+            "doc_id long, lang string, n_chars long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(p)
+    )
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["lang"] == "en" and rows[1]["_corrupt_record"] is None
+    assert None in rows and rows[None]["_corrupt_record"] == bad
+    assert rows[None]["lang"] is None and rows[None]["n_chars"] is None
