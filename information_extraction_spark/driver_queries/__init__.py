@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Greedy k-center coreset: distributed farthest-point traversal
+    # (k TakeOrdered argmaxes + narrow running-min folds, no pairwise
+    # matrix); oracle = chained argmax/fold CTEs, 6dp distances.
+    "emb_coreset",
     # PERMISSIVE JSONL quarantine: schema-pinned read routes mangled
     # lines (raw line kept for replay) to a corrupt bucket; staged
     # file derives deterministically from documents, write-once.

@@ -4360,3 +4360,99 @@ def ta_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(F.avg(nll)), 4).alias("ppl"),
         )
     )
+
+
+# --- Greedy k-center coreset (farthest-point traversal) -----------------------------
+#
+# Exemplar selection for training-data curation: pick k points so no
+# pool point is far from a pick — the 2-approximation to the k-center
+# objective (Gonzalez 1985), used to choose coreset exemplars /
+# annotation seeds / eval probes from an embedding space. Unlike the
+# bounded-collect rerankers, THIS loop is the genuinely distributed
+# form: the pool keeps a per-point running min-distance column;
+# each of the k steps is (a) one TakeOrdered(1) argmax — the farthest
+# point — and (b) one NARROW pass folding the new center into the
+# running min (center ships as a 64-literal array; lineage cut per
+# step). No pairwise matrix, no driver-side pool.
+#
+# Determinism contract: squared-L2 distances round to 6dp before any
+# comparison, argmax ties break on vec_id asc, the seed is the
+# smallest vec_id — the same fixed-arithmetic reasoning as
+# emb_kmeans. At 100 TB the pool seam is documented: run the
+# traversal over kmeans centroids or a stratified sample, not raw
+# rows (k passes over the full corpus would be k scans).
+
+_CORESET_K = 8
+
+
+def _coreset_oracle_sql(k: int = _CORESET_K) -> str:
+    d = (
+        "round(list_sum(list_transform(list_zip({a}.v, {b}.v),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))), 6)"
+    )
+    parts = [
+        """
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), s0 AS (
+  SELECT vec_id, v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)
+), m0 AS (
+  SELECT e.vec_id, e.v, """
+        + d.format(a="e", b="s")
+        + """ AS md
+  FROM e CROSS JOIN s0 s
+)"""
+    ]
+    for i in range(1, k):
+        parts.append(
+            f""", p{i} AS (
+  SELECT vec_id, v, md FROM m{i - 1} ORDER BY md DESC, vec_id LIMIT 1
+), m{i} AS (
+  SELECT m.vec_id, m.v, least(m.md, """
+            + d.format(a="m", b="p")
+            + f""") AS md
+  FROM m{i - 1} m CROSS JOIN p{i} p
+)"""
+        )
+    sel = [
+        "SELECT CAST(0 AS BIGINT) AS step, vec_id,"
+        " CAST(NULL AS DOUBLE) AS d6 FROM s0"
+    ]
+    for i in range(1, k):
+        sel.append(
+            f"SELECT CAST({i} AS BIGINT) AS step, vec_id, md AS d6 FROM p{i}"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(sel)
+
+
+def _sq_l2_to(center: list) -> "F.Column":
+    lits = F.array(*[F.lit(float(x)) for x in center])
+    return F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), lits, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+@_q("emb_coreset", _coreset_oracle_sql())
+def emb_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed farthest-point traversal (see block comment): k
+    TakeOrdered(1) argmaxes, each followed by a narrow running-min
+    fold of the new center."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    sel = [(0, int(first["vec_id"]), None)]
+    st = e.withColumn("md", _sq_l2_to(first["v"])).localCheckpoint()
+    for i in range(1, _CORESET_K):
+        top = st.orderBy(F.desc("md"), "vec_id").limit(1).collect()[0]
+        sel.append((i, int(top["vec_id"]), float(top["md"])))
+        st = st.withColumn(
+            "md", F.least("md", _sq_l2_to(top["v"]))
+        ).localCheckpoint()
+    return spark.createDataFrame(sel, "step long, vec_id long, d6 double")

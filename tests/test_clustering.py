@@ -515,3 +515,38 @@ def test_knn_graph_and_triplet_mining_hand_case(spark, tmp_path):
     # cluster are 9 and 10 (label 1); 9 is closer -> the hard
     # negative, even though 0 (same label) is closer still.
     assert t[8] == (9, 1)
+
+
+def test_coreset_farthest_point_traversal_order(spark, tmp_path):
+    """1-D pool at positions 0,100,50,25,75,12,37,63,88 (ids 1..9):
+    the traversal must visit them in exactly that binary-refinement
+    order, ties broken by vec_id asc, with the hand-computed squared
+    distances at each pick."""
+    import os
+
+    from information_extraction_spark.driver_queries.textdata import (
+        emb_coreset,
+    )
+
+    pos = [0.0, 100.0, 50.0, 25.0, 75.0, 12.0, 37.0, 63.0, 88.0]
+    rows = [(i + 1, [p], 0) for i, p in enumerate(pos)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    got = [
+        (r["step"], r["vec_id"], r["d6"])
+        for r in sorted(emb_coreset(spark, sf).collect())
+    ]
+    assert got == [
+        (0, 1, None),
+        (1, 2, 10000.0),
+        (2, 3, 2500.0),
+        (3, 4, 625.0),
+        (4, 5, 625.0),
+        (5, 6, 144.0),
+        (6, 7, 144.0),
+        (7, 8, 144.0),
+    ]
