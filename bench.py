@@ -267,6 +267,10 @@ def main() -> int:
         "kg_star_join",
         "a16_sampled_groupby",
         "a17_hll_mergeable",
+        "ta_seq_packing",
+        "w27_interval_concurrency",
+        "ta_bigram_lm",
+        "emb_coreset",
     ]
     if args.skip_queries:
         bench_queries = []

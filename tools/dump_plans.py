@@ -463,6 +463,48 @@ PLAN_QUERIES = [
         "via TakeOrderedAndProject (never a global row_number over "
         "the key table), 1-row global stats broadcast back",
     ),
+    (
+        "a17_hll_mergeable",
+        "mergeable HLL rollup: per-scope registers in ONE map-side-"
+        "combined (scope, register) shuffle; the global merge "
+        "aggregates the BOUNDED register table only — the shingle "
+        "stream is never re-read for the coarser scope",
+    ),
+    (
+        "emb_ktruss",
+        "k-truss round: degree-ordered triangle enumeration (the "
+        "O(m^1.5) compact-forward wedge join), a 3-way incidence "
+        "union into ONE map-side-combined edge-key count, and the "
+        "prune as the inner join itself; edges localCheckpoint per "
+        "round so round 2 scans an ExistingRDD, not the lineage",
+    ),
+    (
+        "w27_interval_concurrency",
+        "interval sweep: boundaries range-partition by the GLOBAL "
+        "(t, delta, event_id) order — a hot event_type spreads over "
+        "every core (Window.partitionBy(type) would collapse it to "
+        "one task); the scan pass is a narrow sorted mapInPandas; "
+        "peak rollups reuse small broadcasts",
+    ),
+    (
+        "ta_seq_packing",
+        "sequence packing: ONE shuffle on the shard key feeds the "
+        "FlatMapGroupsInPandas fold — the per-shard scan is "
+        "sequential by CONTRACT (next-fit is order-defined), so one "
+        "exchange is the proof there's nothing extra",
+    ),
+    (
+        "ta_bigram_lm",
+        "bigram LM: the bigram expansion is IN-ROW (transform over "
+        "the token array — narrow); both count tables broadcast "
+        "into the scoring joins; one per-doc aggregation shuffle",
+    ),
+    (
+        "s9_corrupt_quarantine",
+        "quarantine read: schema-pinned JSON FileScan (no inference "
+        "pass), quarantine routing is a narrow projection, ONE "
+        "map-side-combined shuffle on the bucket key",
+    ),
 ]
 
 
