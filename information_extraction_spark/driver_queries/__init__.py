@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Dynamic-partition-overwrite backfill: latest day restated in
+    # place (drops + restatements), other days' files byte-untouched
+    # (pinned by file inventory); oracle recomputes the final state.
+    "w29_backfill_overwrite",
     # Greedy k-center coreset: distributed farthest-point traversal
     # (k TakeOrdered argmaxes + narrow running-min folds, no pairwise
     # matrix); oracle = chained argmax/fold CTEs, 6dp distances.

@@ -2630,3 +2630,111 @@ def w28_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decayed_cents_ppm"),
     )
+
+
+# --- W29: partition backfill via dynamic partition overwrite ------------------------
+#
+# The warehouse correction pattern: a late-arriving fix REPLACES one
+# day's partition — rows restated, duplicates dropped — while every
+# other partition's files stay byte-untouched (Spark's
+# partitionOverwriteMode=dynamic, the INSERT OVERWRITE ... PARTITION
+# analogue of Iceberg's replaceWhere). Here the staged events table
+# partitions by integer day_id (sec DIV 86400 — tz-free); the
+# corrected batch for the LATEST day restates cents += 1000 and
+# drops event_id % 5 == 0 (a late dedup), so the readback proves
+# both replacement semantics (dropped rows are GONE — an append
+# would keep them) and isolation (earlier days unchanged). The
+# no-rewrite claim for untouched partitions is pinned by file
+# inventory in test_relational.
+#
+# Scale notes: the overwrite job shuffles only the corrected
+# partition's rows; discovery of what to replace is directory-level
+# metadata. day_id partitioning keeps the read path
+# partition-prunable.
+
+_W29_ORACLE = """
+WITH e AS (
+  SELECT event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL
+), mx AS (
+  SELECT max(day_id) AS mday FROM e
+), f AS (
+  SELECT day_id, cents FROM e, mx WHERE day_id <> mday
+  UNION ALL
+  SELECT day_id, cents + 1000 FROM e, mx
+  WHERE day_id = mday AND event_id % 5 <> 0
+)
+SELECT day_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM f GROUP BY 1
+"""
+
+
+def _backfill_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events_sec(spark, sf_dir).select(
+        "event_id",
+        F.expr("sec DIV 86400").alias("day_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+
+def _backfill_stage(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    """Write the day-partitioned base table; returns the latest
+    day_id (the partition the fix will restate)."""
+    e = _backfill_base(spark, sf_dir)
+    e.write.mode("overwrite").partitionBy("day_id").parquet(table_dir)
+    return e.agg(F.max("day_id")).first()[0]
+
+
+def _backfill_fix(
+    spark: SparkSession, sf_dir: str, table_dir: str, mday: int
+) -> None:
+    """Dynamically overwrite ONLY the latest day with the corrected
+    batch (cents += 1000, event_id % 5 == 0 dropped)."""
+    e = _backfill_base(spark, sf_dir)
+    fix = (
+        e.filter((F.col("day_id") == mday) & (F.col("event_id") % 5 != 0))
+        .withColumn("cents", F.col("cents") + 1000)
+    )
+    fix.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("day_id").parquet(table_dir)
+
+
+def _backfill_overwrite_run(
+    spark: SparkSession, sf_dir: str, table_dir: str
+) -> None:
+    """Stage the day-partitioned table, then dynamically overwrite
+    the latest day with the corrected batch (shared by the query and
+    the file-isolation test)."""
+    mday = _backfill_stage(spark, sf_dir, table_dir)
+    _backfill_fix(spark, sf_dir, table_dir, mday)
+
+
+@_q("w29_backfill_overwrite", _W29_ORACLE)
+def w29_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restate the latest day's partition in place (see block
+    comment), then aggregate the readback per day — replaced rows
+    must be gone, earlier days bit-identical."""
+    import os
+    import shutil
+    import tempfile
+
+    run = tempfile.mkdtemp(prefix="ie_backfill_")
+    try:
+        table = os.path.join(run, "events_by_day")
+        _backfill_overwrite_run(spark, sf_dir, table)
+        out = (
+            spark.read.parquet(table)
+            .groupBy(F.col("day_id").cast("long").alias("day_id"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(run, ignore_errors=True)
+    return out

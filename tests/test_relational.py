@@ -1378,3 +1378,46 @@ def test_decay_agg_halves_per_day_and_caps(spark, tmp_path):
         200 * 1000000 + 100 * 500000 + 400 * w_cap,
     )
     assert got["y"] == (1, 1000000, 100 * 1000000)
+
+
+def test_backfill_overwrite_isolates_untouched_partitions(spark, tmp_path):
+    """Between staging and the dynamic overwrite, every other day's
+    FILES must stay byte-identical (paths, sizes, mtimes); the latest
+    day must be fully REPLACED — restated cents, dropped
+    event_id % 5 == 0 rows gone (an append would keep them)."""
+    import os
+
+    from information_extraction_spark.driver_queries.relational import (
+        _backfill_fix,
+        _backfill_stage,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    table = os.path.join(tmp_path, "events_by_day")
+    mday = _backfill_stage(spark, sf, table)
+
+    def inventory():
+        inv = {}
+        for root, _d, files in os.walk(table):
+            if f"day_id={mday}" in root:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    inv[p] = (st.st_size, st.st_mtime_ns)
+        return inv
+
+    before = inventory()
+    assert len(before) >= 2  # several untouched day partitions exist
+    dropped = {
+        r["event_id"]
+        for r in spark.read.parquet(table)
+        .filter(f"day_id = {mday} AND event_id % 5 = 0")
+        .collect()
+    }
+    assert dropped  # the fix genuinely removes something
+    _backfill_fix(spark, sf, table, mday)
+    assert inventory() == before
+    latest = spark.read.parquet(table).filter(f"day_id = {mday}").collect()
+    assert latest and all(r["event_id"] % 5 != 0 for r in latest)
