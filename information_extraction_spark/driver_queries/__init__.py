@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Fixed-round weighted Bellman-Ford from the BFS seed set:
+    # min-plus relaxation re-offers known nodes (cheaper longer
+    # paths); portable h48 edge weights; chained-CTE oracle.
+    "kg_sssp_weighted",
     # Dynamic-partition-overwrite backfill: latest day restated in
     # place (drops + restatements), other days' files byte-untouched
     # (pinned by file inventory); oracle recomputes the final state.

@@ -3844,3 +3844,88 @@ def kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").cast("long").alias("max_deg"),
         )
     )
+
+
+# --- Weighted shortest paths (fixed-round Bellman-Ford) -----------------------------
+#
+# kg_bfs_distances' weighted sibling: bounded-hop MIN-PLUS proximity
+# over the undirected entity graph, the feature behind "how strongly
+# connected are these two entities" when edges carry costs. Weights
+# derive portably from the canonical edge pair (1 + h48(a|b) % 9, so
+# both orientations share one weight and both engines recompute it
+# bit-for-bit); seeds are the 5 lexicographically-smallest entities
+# (the PPR/BFS rule); 3 relaxation rounds = exact shortest distance
+# over <= 3-edge paths. Unlike BFS, relaxation must RE-OFFER known
+# nodes (a longer-hop path can be cheaper — the test pins one), so
+# the full dist vector joins the edges each round: operators/
+# graph.bellman_ford.
+
+
+def _sssp_oracle_sql(sf_dir: str) -> str:
+    from information_extraction_spark.functions.hashing import h48_sql
+
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    w = h48_sql("least(src, dst) || '|' || greatest(src, dst)")
+    steps = []
+    for i in range(1, 4):
+        steps.append(
+            f""", v{i} AS (
+  SELECT n, CAST(min(d) AS BIGINT) AS dist FROM (
+    SELECT n, dist AS d FROM v{i - 1}
+    UNION ALL
+    SELECT u.dst AS n, v{i - 1}.dist + u.w AS d
+    FROM u JOIN v{i - 1} ON u.src = v{i - 1}.n
+  ) GROUP BY 1
+)"""
+        )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+  WHERE subject <> object
+), u AS (
+  SELECT src, dst, CAST(1 + {w} % 9 AS BIGINT) AS w
+  FROM (SELECT src, dst FROM e UNION SELECT dst, src FROM e)
+), nodes AS (
+  SELECT DISTINCT src AS n FROM u
+), seeds AS (
+  SELECT n FROM nodes ORDER BY n LIMIT 5
+), v0 AS (
+  SELECT n, CAST(0 AS BIGINT) AS dist FROM seeds
+){''.join(steps)}
+SELECT n AS entity, dist FROM v3
+"""
+
+
+_SSSP_ORACLE = _sssp_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_sssp_weighted", _SSSP_ORACLE)
+def kg_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round multi-source Bellman-Ford from the 5 smallest entities
+    (see block comment); operators/graph.bellman_ford does the
+    min-plus loop."""
+    from information_extraction_spark.functions.hashing import h48
+    from information_extraction_spark.operators.graph import (
+        bellman_ford,
+        triple_edges,
+        undirected_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_sssp_weighted"] = _sssp_oracle_sql(sf_dir)
+    und = undirected_edges(triple_edges(triples))
+    w = (
+        1
+        + h48(
+            F.concat(
+                F.least("src", "dst"), F.lit("|"), F.greatest("src", "dst")
+            )
+        )
+        % 9
+    ).cast("long")
+    weighted = und.withColumn("w", w)
+    seeds = [
+        r["src"]
+        for r in und.select("src").distinct().orderBy("src").limit(5).collect()
+    ]
+    return bellman_ford(weighted, seeds, rounds=3)

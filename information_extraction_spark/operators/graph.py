@@ -1066,3 +1066,42 @@ def deterministic_walks(edges: DataFrame, steps: int = 3) -> DataFrame:
         )
         cur = f"h{t}"
     return walks
+
+
+def bellman_ford(
+    weighted_edges: DataFrame, seeds: list[str], rounds: int = 3
+) -> DataFrame:
+    """Fixed-round multi-source Bellman-Ford over a weighted directed
+    edge closure (src, dst, w BIGINT): min-plus relaxation, every
+    round dist' = min(dist, min over in-edges(dist[src] + w)). The
+    FIXED round count is the determinism contract shared with the
+    chained-CTE oracle (kcore/LPA/pagerank reasoning) — after r
+    rounds the result is exact shortest distance over paths of <= r
+    edges, which is also the semantics a bounded-hop KG proximity
+    feature wants.
+
+    Scale shape vs bfs_distances: relaxation must re-offer known
+    nodes (a longer-hop path can be CHEAPER), so the whole dist
+    vector joins the edge table each round — one equi-join on src +
+    one map-side-combined min per round, both unbounded (nothing
+    broadcasts by assumption); lineage cut per round. BFS's
+    frontier-only join is the unweighted special case."""
+    spark = weighted_edges.sparkSession
+    e = weighted_edges.select("src", "dst", "w").localCheckpoint()
+    dist = spark.createDataFrame(
+        [(s, 0) for s in seeds], "entity string, dist long"
+    ).localCheckpoint()
+    for _ in range(rounds):
+        cand = e.join(
+            dist.select(F.col("entity").alias("src"), "dist"), "src"
+        ).select(
+            F.col("dst").alias("entity"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("entity")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

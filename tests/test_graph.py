@@ -1028,3 +1028,30 @@ def test_ktruss_support_recomputed_per_round(spark):
     }
     assert one == {("b", "c"): 2}
     assert ktruss_edges(edges, k=4, rounds=2).count() == 0
+
+
+def test_bellman_ford_reoffers_cheaper_longer_path(spark):
+    """The property BFS can't express: seed->b direct costs 10, but
+    seed->a->b costs 2+3=5 — round 1 must set b=10, round 2 must
+    LOWER it to 5 (re-offering an already-known node); a 3-edge tail
+    c appears in round 3 at 5+1=6."""
+    from information_extraction_spark.operators.graph import bellman_ford
+
+    edges = spark.createDataFrame(
+        [
+            ("s", "b", 10),
+            ("s", "a", 2),
+            ("a", "b", 3),
+            ("b", "c", 1),
+        ],
+        "src string, dst string, w long",
+    )
+    def run(rounds):
+        return {
+            r["entity"]: r["dist"]
+            for r in bellman_ford(edges, ["s"], rounds=rounds).collect()
+        }
+
+    assert run(1) == {"s": 0, "b": 10, "a": 2}
+    assert run(2) == {"s": 0, "a": 2, "b": 5, "c": 11}
+    assert run(3) == {"s": 0, "a": 2, "b": 5, "c": 6}
