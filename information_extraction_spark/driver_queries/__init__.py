@@ -38,6 +38,11 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Perceptual average-hash image dedup: integer-exact 64-bit
+    # fingerprint over decoded pixels (cross-multiplied cell-vs-
+    # global mean), ONE shuffle on the hash key; seeded 10-copy
+    # groups must collapse.
+    "mm_phash_dedup",
     # Fixed-round weighted Bellman-Ford from the BFS seed set:
     # min-plus relaxation re-offers known nodes (cheaper longer
     # paths); portable h48 edge weights; chained-CTE oracle.

@@ -1745,3 +1745,109 @@ def s9_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+# --- Perceptual-hash image dedup (average hash over decoded pixels) ----------------
+#
+# The multimodal dedup leg: bucket images by a 64-bit average hash
+# (operators/multimodal.average_hash — 8×8 cell lattice, bit = cell
+# mean > global mean, cross-multiplied so the fingerprint is
+# integer-exact) and report the duplicate groups. Payload params
+# derive from doc_id % 50, so the 500-doc corpus carries ~10 true
+# byte-identical copies of each of 50 images — the hash must
+# collapse each copy-set to one bucket. The oracle rebuilds every
+# hash arithmetically from make_bmp's byte formula (the
+# constructed-expectation pattern, mm_image_tiles' lattice).
+#
+# Scale shape: hashing is a narrow pass; the dedup is ONE
+# map-side-combined shuffle on the 64-char hash key (same key a
+# 100 TB image corpus would band on before a Hamming verify).
+
+_MM_PHASH_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 50 AS k FROM documents
+), g AS (
+  SELECT media_id, 4 + k % 29 AS w, 3 + k % 17 AS h, k AS seed,
+         (((4 + k % 29) * 3 + 3) // 4) * 4 AS stride
+  FROM m
+), pr AS (
+  SELECT media_id, w, h, seed, stride, unnest(range(0, h)) AS rt FROM g
+), px AS (
+  SELECT media_id, w, h, seed, stride, rt, unnest(range(0, w)) AS cc
+  FROM pr
+), v AS (
+  SELECT media_id,
+         least(rt * 8 // h, 7) * 8 + least(cc * 8 // w, 7) AS cell,
+         (seed * 31 + ((h - 1 - rt) * stride + cc * 3) * 7) % 256
+       + (seed * 31 + ((h - 1 - rt) * stride + cc * 3 + 1) * 7) % 256
+       + (seed * 31 + ((h - 1 - rt) * stride + cc * 3 + 2) * 7) % 256
+         AS inten
+  FROM px
+), tot AS (
+  SELECT media_id, CAST(sum(inten) AS BIGINT) AS ts,
+         CAST(count(*) AS BIGINT) AS tn
+  FROM v GROUP BY 1
+), cells AS (
+  SELECT media_id, cell, CAST(sum(inten) AS BIGINT) AS cs,
+         CAST(count(*) AS BIGINT) AS cn
+  FROM v GROUP BY 1, 2
+), allc AS (
+  SELECT t.media_id, gs.j AS cell, COALESCE(c.cs, 0) AS cs,
+         COALESCE(c.cn, 0) AS cn, t.ts, t.tn
+  FROM tot t CROSS JOIN generate_series(0, 63) gs(j)
+  LEFT JOIN cells c ON c.media_id = t.media_id AND c.cell = gs.j
+), bits AS (
+  SELECT media_id, cell,
+         CASE WHEN cs * tn > ts * cn THEN '1' ELSE '0' END AS b
+  FROM allc
+), h AS (
+  SELECT media_id, string_agg(b, '' ORDER BY cell) AS phash
+  FROM bits GROUP BY 1
+)
+SELECT phash, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(media_id) AS BIGINT) AS min_media_id
+FROM h GROUP BY 1
+"""
+
+
+@_q("mm_phash_dedup", _MM_PHASH_ORACLE)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash buckets over real decoded BMPs (see block
+    comment); the k = doc_id % 50 seeding plants ~10-copy duplicate
+    groups the hash must collapse."""
+    import pandas as pd
+
+    from information_extraction_spark.operators.multimodal import (
+        MEDIA,
+        average_hash,
+        make_bmp,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                k = mid % 50
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "image",
+                        "payload": bytearray(
+                            make_bmp(4 + k % 29, 3 + k % 17, seed=k)
+                        ),
+                        "mime": "image/bmp",
+                        "source": "synthetic",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA.fields])
+
+    media = ids.mapInPandas(build, schema=MEDIA)
+    return average_hash(media, grid=8).groupBy("phash").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("media_id").cast("long").alias("min_media_id"),
+    )

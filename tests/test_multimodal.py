@@ -302,3 +302,45 @@ def test_image_tiles_lattice_and_sums(spark):
     }
     assert got[(0, 0)][0] == 6 and got[(0, 1)][0] == 4
     assert got[(1, 0)][0] == 3 and got[(1, 1)][0] == 2
+
+
+def test_average_hash_collapses_copies_and_detects_change(spark):
+    """Byte-identical payloads hash identically; a single-byte pixel
+    perturbation does NOT move the hash (the robustness that makes it
+    a NEAR-dup fingerprint, not a checksum); a different image does;
+    an image shorter than the 8x8 grid emits '0' bits for its empty
+    cells (never an error)."""
+    import pandas as pd
+
+    from information_extraction_spark.operators.multimodal import (
+        MEDIA,
+        average_hash,
+        make_bmp,
+    )
+
+    pay = make_bmp(9, 7, seed=3)
+    changed = bytearray(pay)
+    changed[-1] = (changed[-1] + 128) % 256
+    other = make_bmp(9, 7, seed=4)  # same dims, different content
+    tiny = make_bmp(4, 3, seed=1)  # h=3 < grid: most cells empty
+    rows = [
+        (1, "image", bytearray(pay), "image/bmp", "t"),
+        (2, "image", bytearray(pay), "image/bmp", "t"),
+        (3, "image", changed, "image/bmp", "t"),
+        (4, "image", bytearray(tiny), "image/bmp", "t"),
+        (5, "image", bytearray(other), "image/bmp", "t"),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in MEDIA.fields]),
+        schema=MEDIA,
+    )
+    got = {
+        r["media_id"]: r["phash"] for r in average_hash(media).collect()
+    }
+    assert got[1] == got[2] and len(got[1]) == 64
+    assert set(got[1]) <= {"0", "1"} and "1" in got[1]
+    assert got[3] == got[1]  # near-dup robustness, not a checksum
+    assert got[5] != got[1]  # different content separates
+    # tiny image: rows hit cells {0,2,5}, cols {0,2,4,6} -> at most
+    # 12 populated cells; all 52 empty cells must read '0'.
+    assert got[4].count("1") <= 12
