@@ -38,6 +38,29 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Simplified silhouette over the k-means clusters: all-k
+    # distances in one narrow in-row pass over literal centroids,
+    # integer s_ppm, per-cluster integer-div means.
+    "emb_silhouette",
+    # Heaps-law vocabulary growth: each word counts at its FIRST doc
+    # (min(doc_id) shuffle), running sums over the 10-row decile
+    # table; cumulative distinct without rescanning.
+    "ta_heaps_law",
+    # Exact ROC AUC via Mann-Whitney midranks over the bounded
+    # score-cent histogram (never row-level ranks); all-BIGINT
+    # auc_ppm; pairwise-with-ties brute-force parity in pytest.
+    "a18_auc_exact",
+    # Calibration reliability bins: 10 equal-width probability bins,
+    # exact ppm confidence/accuracy/gap per bin (the ECE weights);
+    # one map-side-combined shuffle to <=10 rows.
+    "a19_calibration",
+    # TPC-H Q7 shape: disjunctive nation-pair trade volume; nation
+    # dims filtered to the pair BEFORE the fact joins, OR evaluated
+    # post-join, never as a join condition.
+    "q24_nation_volume",
+    # TPC-H Q8 shape: national market share within one region/part
+    # class per year; CASE-in-aggregate single pass, BIGINT cents.
+    "q25_market_share",
     # Perceptual average-hash image dedup: integer-exact 64-bit
     # fingerprint over decoded pixels (cross-multiplied cell-vs-
     # global mean), ONE shuffle on the hash key; seeded 10-copy

@@ -2738,3 +2738,159 @@ def w29_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(run, ignore_errors=True)
     return out
+
+
+# --- Q24: nation-pair trade volume (TPC-H Q7 shape) -------------------------------
+#
+# Shipping volume between two nations per direction per year — the
+# classic disjunctive two-dimension join: the supplier leg and the
+# customer leg each resolve to a nation, and the pair condition is an
+# OR of the two orderings. The scale-honest shape filters BOTH nation
+# dims to the two names of interest BEFORE the fact joins (each dim
+# join then acts as a semi-filter on the fact — at 100 TB only rows
+# touching the two nations survive the first broadcast probe), and
+# the OR evaluates as a cheap post-join predicate over two tiny
+# already-joined name columns, never as a join condition (an OR in
+# the join condition would force a nested-loop plan). Nation dims
+# broadcast (25 rows); the only input-sized exchanges are the
+# fact-fact equi-joins on orderkey/custkey. Revenue sums as BIGINT
+# cents, divided back once.
+
+_Q24_ORACLE = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) / 100.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE l.l_shipdate >= DATE '1996-01-01'
+  AND l.l_shipdate < DATE '1998-01-01'
+  AND ((sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_10')
+       OR (sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_12'))
+GROUP BY 1, 2, 3
+"""
+
+
+@_q("q24_nation_volume", _Q24_ORACLE)
+def q24_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ("NATION_12", "NATION_10")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"),
+                             F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"),
+    ).select("s_suppkey", "supp_nation")
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"),
+                             F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("c_nk"),
+    ).select("c_custkey", "cust_nation")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        (F.sum(cents) / F.lit(100.0)).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+# --- Q25: national market share (TPC-H Q8 shape) ----------------------------------
+#
+# One nation's share of a region's market for one part class, per
+# order year — the conditional-share-of-a-filtered-market shape. All
+# selective dims (part type, region membership, both nation lookups)
+# broadcast and prune the fact stream BEFORE the two big equi-joins;
+# the share is a CASE inside the same aggregate (one pass — Q14's
+# rule), so the numerator never needs a second scan. Revenue in
+# BIGINT cents; the share divides once per year row, rounded 4dp on
+# both engines.
+
+_Q25_ORACLE = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+                THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                          AS BIGINT) ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS DOUBLE), 4) AS mkt_share,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) / 100.0 AS market_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+@_q("q25_market_share", _Q25_ORACLE)
+def q25_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"),
+                             F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"),
+    ).select("s_suppkey", "supp_nation")
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("c_nk")
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+    )
+    agg = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_2", cents).otherwise(F.lit(0))
+        ).alias("nation_cents"),
+        F.sum(cents).alias("total_cents"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.col("nation_cents").cast("double")
+            / F.col("total_cents").cast("double"),
+            4,
+        ).alias("mkt_share"),
+        (F.col("total_cents") / F.lit(100.0)).alias("market_revenue"),
+    )

@@ -647,3 +647,143 @@ def a17_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est_df.join(exact, "scope").select(
         "scope", F.col("est_e4"), F.col("true_distinct").cast("long")
     )
+
+
+# --- A18: exact ROC AUC from a score histogram -------------------------------------
+#
+# AUC of `value` as a ranking score for the purchase/non-purchase
+# label, computed EXACTLY via the Mann-Whitney rank statistic with
+# midrank tie handling — but never by ranking rows: the only
+# input-sized exchange is a map-side-combined groupBy to the
+# (score_cents, n_pos, n) histogram, whose cardinality is bounded by
+# the score DOMAIN (<= 49,002 distinct cent values here) regardless
+# of row count — the same exact-mergeable-sketch argument as
+# ta_length_quantiles. The running below-count window then runs over
+# the bounded histogram (documented single-partition window over
+# bounded rows, not over input). Ties are real (10k rows over 6.6k
+# distinct cents at sf0.01), so the midrank term is load-bearing.
+# All arithmetic is BIGINT: 2*sum(midranks of positives) =
+# sum_v n_pos(v) * (2*below(v) + n(v) + 1), and
+# auc_ppm = (2*sum_R - n_pos*(n_pos+1)) * 10^6 div (2*n_pos*n_neg).
+
+_A18_ORACLE = """
+WITH hist AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pos,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1
+), cum AS (
+  SELECT cents, n_pos, n,
+         CAST(coalesce(sum(n) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+  FROM hist
+), agg AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         CAST(sum(n - n_pos) AS BIGINT) AS n_neg,
+         CAST(sum(n_pos * (2 * below + n + 1)) AS BIGINT) AS two_rank_sum
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       CAST((two_rank_sum - n_pos * (n_pos + 1)) * 1000000
+            // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+FROM agg
+"""
+
+
+@_q("a18_auc_exact", _A18_ORACLE)
+def a18_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hist = e.groupBy(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("n_pos"),
+        F.count("*").cast("long").alias("n"),
+    )
+    # Window over the bounded histogram (score-domain cardinality),
+    # not over input rows — single partition is safe by construction.
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "below", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    )
+    agg = cum.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("n_pos") * (2 * F.col("below") + F.col("n") + 1)
+        ).cast("long").alias("two_rank_sum"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CAST(((two_rank_sum - n_pos * (n_pos + 1)) * 1000000)"
+            " div (2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+# --- A19: calibration reliability bins + gap (ECE ingredients) ---------------------
+#
+# Treat value/500 as a predicted purchase probability and audit its
+# calibration: 10 equal-width probability bins, per bin the event
+# count, positive count, mean predicted confidence, and the
+# |confidence - accuracy| gap that the Expected Calibration Error
+# weights. ONE map-side-combined shuffle to <=10 bin rows — the bin
+# table IS the mergeable sketch, so the same plan calibrates 10^12
+# predictions. Everything stays in exact ppm integers: each event's
+# confidence in ppm is cents*20 EXACTLY (cents*10^6/50000), so
+# conf_ppm = (sum_cents*20) div n needs one integer division per bin
+# and no floats anywhere.
+
+_A19_ORACLE = """
+WITH binned AS (
+  SELECT least(CAST(round(value * 100) AS BIGINT) // 5000, 9) AS bin,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(CAST(sum(cents) AS BIGINT) * 20 // count(*) AS BIGINT) AS conf_ppm,
+       CAST(CAST(sum(pos) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS acc_ppm,
+       CAST(abs(CAST(sum(cents) AS BIGINT) * 20 // count(*)
+                - CAST(sum(pos) AS BIGINT) * 1000000 // count(*))
+            AS BIGINT) AS gap_ppm
+FROM binned GROUP BY 1
+"""
+
+
+@_q("a19_calibration", _A19_ORACLE)
+def a19_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    binned = e.select(
+        F.least(
+            F.expr("CAST(round(value * 100) AS BIGINT) div 5000"), F.lit(9)
+        ).cast("long").alias("bin"),
+        cents.alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    conf = F.expr("CAST((sum_cents * 20) div n AS BIGINT)")
+    acc = F.expr("CAST((n_pos * 1000000) div n AS BIGINT)")
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        conf.alias("conf_ppm"),
+        acc.alias("acc_ppm"),
+        F.abs(conf - acc).cast("long").alias("gap_ppm"),
+    )

@@ -1516,8 +1516,15 @@ def ta_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_oracle_sql(
-    k: int = 8, iterations: int = 3, dim: int = 64, round_dp: int = 6
+    k: int = 8,
+    iterations: int = 3,
+    dim: int = 64,
+    round_dp: int = 6,
+    final_select: str | None = None,
 ) -> str:
+    """Chained Lloyd CTEs; ``final_select`` (referencing ``e`` and the
+    final centroid CTE ``c{iterations}``) overrides the default
+    assignment readout — silhouette reads ALL centroid distances."""
     d2 = (
         "list_sum(list_transform(list_zip(e.v, c.c),"
         " p -> (p[1]-p[2])*(p[1]-p[2])))"
@@ -1555,15 +1562,15 @@ WITH e AS (
     GROUP BY cid) n ON n.cid = p.cid
 )"""
         )
-    parts.append(
-        f"""
+    if final_select is None:
+        final_select = f"""
 SELECT vec_id, cid, ROUND(d, 4) AS dist2 FROM (
   SELECT vec_id, cid, d,
          row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
   FROM (SELECT e.vec_id, c.cid, {d2} AS d
         FROM e CROSS JOIN c{iterations} c))
 WHERE rn = 1"""
-    )
+    parts.append(final_select)
     return "".join(parts)
 
 
@@ -4456,3 +4463,186 @@ def emb_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "md", F.least("md", _sq_l2_to(top["v"]))
         ).localCheckpoint()
     return spark.createDataFrame(sel, "step long, vec_id long, d6 double")
+
+
+# --- Cluster quality: simplified silhouette over the k-means clusters --------------
+#
+# Per-cluster simplified silhouette (Hruschka et al.): for each
+# vector, a = squared distance to its OWN centroid, b = squared
+# distance to the NEAREST OTHER centroid, s = (b-a)/max(a,b). The
+# centroid set is a plan literal (k x dim — the lloyd_kmeans seam),
+# so the per-vector pass is a zero-shuffle narrow map computing all k
+# distances in-row and sorting a k-element struct array; the ONLY
+# exchange is the map-side-combined k-group rollup. Determinism: a
+# and b quantize to 4dp BIGINTs first, s_ppm = ((b4-a4)*10^6) div
+# max(a4,b4) (0 when both are 0 — a vector sitting ON two centroids),
+# and the per-cluster mean divides the INTEGER s_ppm sum (sum order
+# irrelevant). A cluster mean near +10^6 is tight and isolated; near
+# 0 it overlaps its neighbor — the SemDeDup/curation go/no-go signal.
+
+_SILHOUETTE_D2 = (
+    "list_sum(list_transform(list_zip(e.v, c.c),"
+    " p -> (p[1]-p[2])*(p[1]-p[2])))"
+)
+
+_SILHOUETTE_ORACLE = _kmeans_oracle_sql(
+    final_select=f"""
+, dists AS (
+  SELECT vec_id, cid, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM (SELECT e.vec_id, c.cid, {_SILHOUETTE_D2} AS d
+        FROM e CROSS JOIN c3 c)
+), ab AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN cid END) AS cid,
+         CAST(round(max(CASE WHEN rn = 1 THEN d END) * 10000) AS BIGINT) AS a4,
+         CAST(round(min(CASE WHEN rn = 2 THEN d END) * 10000) AS BIGINT) AS b4
+  FROM dists WHERE rn <= 2
+  GROUP BY vec_id
+), s AS (
+  SELECT cid,
+         CASE WHEN greatest(a4, b4) = 0 THEN 0
+              ELSE CAST(((b4 - a4) * 1000000) // greatest(a4, b4) AS BIGINT)
+         END AS s_ppm
+  FROM ab
+)
+SELECT cid,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(CAST(sum(s_ppm) AS BIGINT) // count(*) AS BIGINT) AS mean_s_ppm,
+       CAST(min(s_ppm) AS BIGINT) AS min_s_ppm
+FROM s GROUP BY cid"""
+)
+
+
+@_q("emb_silhouette", _SILHOUETTE_ORACLE)
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.operators.clustering import (
+        lloyd_centroids,
+    )
+
+    e = _spread(spark, _emb(spark, sf_dir), "vec_id")
+    cents = lloyd_centroids(e, k=8, iterations=3)
+    v = e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    # All k squared distances in-row: array of (d2, cid) structs,
+    # sorted — element 1 is the assignment, element 2 the nearest
+    # other centroid. Zero shuffle until the k-group rollup.
+    dist_structs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in vec]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    two = F.slice(F.array_sort(dist_structs), 1, 2)
+    ab = v.select(
+        "vec_id",
+        two[0]["cid"].alias("cid"),
+        F.round(two[0]["d"] * 10000).cast("long").alias("a4"),
+        F.round(two[1]["d"] * 10000).cast("long").alias("b4"),
+    )
+    s = ab.select(
+        "cid",
+        F.when(F.greatest("a4", "b4") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("CAST(((b4 - a4) * 1000000) div greatest(a4, b4) AS BIGINT)")
+        )
+        .alias("s_ppm"),
+    )
+    return s.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.expr("CAST(sum(s_ppm) div count(*) AS BIGINT)").alias("mean_s_ppm"),
+        F.min("s_ppm").cast("long").alias("min_s_ppm"),
+    )
+
+
+# --- Heaps-law vocabulary growth curve ---------------------------------------------
+#
+# How fast does the vocabulary grow as the corpus grows? The curve
+# QA every tokenizer-training and dedup decision reads: distinct
+# vocabulary vs cumulative tokens at 10 corpus checkpoints (doc_id
+# deciles). The scale-honest trick is that the cumulative-distinct
+# count NEVER rescans: each word contributes exactly at its FIRST
+# document (min(doc_id) — one map-side-combined shuffle at token
+# volume), each first-occurrence lands in one decile bucket, and the
+# running sums run over the 10-row bucket table (bounded window by
+# construction). Token mass per decile is a second map-side-combined
+# 10-group shuffle. A corpus obeying Heaps' law shows vocab ~ K*n^b,
+# b ~ 0.4-0.6; a flat tail means the corpus is saturating (heavy
+# duplication) — this synthetic 31-word corpus saturates by decile 0,
+# which is exactly what the curve should reveal.
+
+_HEAPS_ORACLE = """
+WITH mx AS (
+  SELECT max(doc_id) + 1 AS n_docs FROM documents WHERE text IS NOT NULL
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE text IS NOT NULL
+), firsts AS (
+  SELECT word, min(doc_id) AS first_doc
+  FROM tok WHERE word <> '' GROUP BY 1
+), vocab_by_dec AS (
+  SELECT CAST((first_doc * 10) // n_docs AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS new_words
+  FROM firsts CROSS JOIN mx GROUP BY 1
+), toks_by_dec AS (
+  SELECT CAST((doc_id * 10) // n_docs AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM tok CROSS JOIN mx WHERE word <> '' GROUP BY 1
+)
+SELECT t.decile,
+       CAST(sum(t.n_docs) OVER w AS BIGINT) AS docs_cum,
+       CAST(sum(t.n_tokens) OVER w AS BIGINT) AS tokens_cum,
+       CAST(sum(coalesce(v.new_words, 0)) OVER w AS BIGINT) AS vocab_cum
+FROM toks_by_dec t LEFT JOIN vocab_by_dec v ON t.decile = v.decile
+WINDOW w AS (ORDER BY t.decile ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+
+@_q("ta_heaps_law", _HEAPS_ORACLE)
+def ta_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    n_docs = docs.agg(F.max("doc_id") + 1).first()[0]  # bounded scalar
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    firsts = tok.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    vocab_by_dec = firsts.groupBy(
+        F.expr(f"CAST((first_doc * 10) div {n_docs} AS BIGINT)").alias("decile")
+    ).agg(F.count("*").cast("long").alias("new_words"))
+    toks_by_dec = tok.groupBy(
+        F.expr(f"CAST((doc_id * 10) div {n_docs} AS BIGINT)").alias("decile")
+    ).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    j = toks_by_dec.join(
+        F.broadcast(vocab_by_dec.withColumnRenamed("decile", "vdec")),
+        F.col("decile") == F.col("vdec"),
+        "left",
+    )
+    # Running sums over the <=10-row decile table (bounded window).
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "decile",
+        F.sum("n_docs").over(w).cast("long").alias("docs_cum"),
+        F.sum("n_tokens").over(w).cast("long").alias("tokens_cum"),
+        F.sum(F.coalesce(F.col("new_words"), F.lit(0)))
+        .over(w).cast("long").alias("vocab_cum"),
+    )

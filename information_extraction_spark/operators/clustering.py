@@ -103,20 +103,18 @@ def assign_to_centroids(
     )
 
 
-def lloyd_kmeans(
+def lloyd_centroids(
     vectors: DataFrame,
     k: int = 8,
     iterations: int = 3,
     round_dp: int = 6,
-) -> DataFrame:
-    """Fixed-iteration Lloyd k-means over (vec_id, embedding) rows.
-
-    Returns (vec_id, cid, dist2) — the final assignment under the
-    iteration-``iterations`` centroids, dist2 rounded to 4dp. Init
-    centroids are the k smallest vec_ids' vectors (deterministic,
-    oracle-expressible); see the module docstring for the full
-    determinism contract and scale shape.
-    """
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd loop alone: returns the iteration-``iterations``
+    centroids as (cid, vector) pairs under lloyd_kmeans's determinism
+    contract (k-smallest-vec_id init, half-away round_dp rounding per
+    update, empty clusters keep their centroid). Consumers that need
+    the centroids themselves (silhouette, ADC training seams) share
+    this so the contract lives in exactly one place."""
     v = vectors.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("v"),
@@ -151,6 +149,28 @@ def lloyd_kmeans(
             for cid, prev in cents
         ]
 
+    return cents
+
+
+def lloyd_kmeans(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means over (vec_id, embedding) rows.
+
+    Returns (vec_id, cid, dist2) — the final assignment under the
+    iteration-``iterations`` centroids, dist2 rounded to 4dp. Init
+    centroids are the k smallest vec_ids' vectors (deterministic,
+    oracle-expressible); see the module docstring for the full
+    determinism contract and scale shape.
+    """
+    cents = lloyd_centroids(vectors, k, iterations, round_dp)
+    v = vectors.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
     return assign_to_centroids(v, cents).select(
         "vec_id", "cid", F.round("dist2", 4).alias("dist2")
     )

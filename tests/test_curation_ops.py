@@ -717,3 +717,38 @@ def test_bigram_lm_hand_computed_and_short_doc_drops(spark, tmp_path):
     assert got[0] == (3, round(x0, 4), round(math.exp(x0), 4))
     assert got[1] == (1, round(x1, 4), round(math.exp(x1), 4))
     assert 2 not in got and len(got) == 2
+
+
+def test_heaps_law_first_occurrence_and_deciles(spark, tmp_path):
+    """Hand corpus with 10 docs (one per decile): each word counts
+    toward vocab only at its FIRST doc; token mass accumulates; a
+    repeated-vocab tail shows a flat vocab_cum while tokens_cum keeps
+    growing (the saturation signal)."""
+    from information_extraction_spark.driver_queries.textdata import (
+        ta_heaps_law,
+    )
+
+    rows = [
+        (0, "a b", "en"),       # vocab 2, tokens 2
+        (1, "a c c", "en"),     # +1 (c), tokens 3
+        (2, "b a", "en"),       # +0, tokens 2
+        (3, "d", "en"),         # +1, tokens 1
+        (4, "a a a", "en"),     # +0, tokens 3
+        (5, "e f", "en"),       # +2, tokens 2
+        (6, "a", "en"),
+        (7, "b", "en"),
+        (8, "c", "en"),
+        (9, "a b c d e f", "en"),  # +0, tokens 6
+    ]
+    sf = _write_docs(spark, str(tmp_path), rows, "heaps")
+    got = {r["decile"]: r for r in ta_heaps_law(spark, sf).collect()}
+    assert set(got) == set(range(10))
+    assert (got[0]["docs_cum"], got[0]["tokens_cum"], got[0]["vocab_cum"]) \
+        == (1, 2, 2)
+    assert got[1]["vocab_cum"] == 3
+    assert got[2]["vocab_cum"] == 3          # repeat-only doc adds none
+    assert got[3]["vocab_cum"] == 4
+    assert got[5]["vocab_cum"] == 6
+    assert got[9]["vocab_cum"] == 6          # saturated tail stays flat
+    assert got[9]["tokens_cum"] == 2 + 3 + 2 + 1 + 3 + 2 + 1 + 1 + 1 + 6
+    assert got[9]["docs_cum"] == 10

@@ -1421,3 +1421,112 @@ def test_backfill_overwrite_isolates_untouched_partitions(spark, tmp_path):
     assert inventory() == before
     latest = spark.read.parquet(table).filter(f"day_id = {mday}").collect()
     assert latest and all(r["event_id"] % 5 != 0 for r in latest)
+
+
+def _write_trade_fixture(spark, tmp_path):
+    """Six-table fixture for the nation-pair / market-share shapes.
+    Nations use the REAL testdata names (the queries pin them):
+    NATION_12 / NATION_10 are the q24 pair; NATION_2 sells into ASIA
+    (region of NATION_12/NATION_2) for q25."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(2, "NATION_2", 2), (10, "NATION_10", 0), (12, "NATION_12", 2),
+         (1, "NATION_1", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "nation.parquet"))
+    spark.createDataFrame(
+        [(2, "ASIA"), (0, "AMERICA"), (1, "EUROPE")],
+        "r_regionkey int, r_name string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "region.parquet"))
+    spark.createDataFrame(
+        [(1, "s1", 12, 0.0), (2, "s2", 10, 0.0), (3, "s3", 2, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "supplier.parquet"))
+    spark.createDataFrame(
+        [(1, "c10", 10, 0.0, "B"), (2, "c12", 12, 0.0, "B"),
+         (3, "c1", 1, 0.0, "B"), (4, "c2", 2, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        [(pk, f"p{pk}", "B", ty, 1, 1.0) for pk, ty in
+         [(1, "ECONOMY"), (2, "STANDARD")]],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+    # orders: (orderkey, custkey, orderdate)
+    spark.createDataFrame(
+        [(ok, ck, "O", 1.0, dt.datetime.fromisoformat(od), "x")
+         for ok, ck, od in
+         [(100, 1, "1996-02-01"),   # cust NATION_10
+          (101, 2, "1996-03-01"),   # cust NATION_12
+          (102, 3, "1996-04-01"),   # cust NATION_1 (outside pair)
+          (103, 4, "1997-05-01")]], # cust NATION_2 (ASIA)
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    # lineitem: (orderkey, partkey, suppkey, extprice, discount, shipdate)
+    li = [
+        (100, 1, 1, 100.0, 0.0, "1996-02-02"),  # 12 -> 10: q24 dir A
+        (101, 1, 2, 200.0, 0.5, "1996-03-02"),  # 10 -> 12: q24 dir B
+        (101, 2, 1, 400.0, 0.0, "1996-03-03"),  # 12 -> 12: SAME both ends, excluded
+        (102, 1, 1, 800.0, 0.0, "1996-04-02"),  # 12 -> 1: outside pair
+        (100, 1, 1, 50.0, 0.0, "1995-06-01"),   # out of date range for q24
+        (103, 1, 3, 300.0, 0.0, "1997-05-02"),  # NATION_2 supp -> ASIA cust (q25 num)
+        (103, 1, 1, 100.0, 0.0, "1997-05-03"),  # NATION_12 supp -> ASIA cust (q25 den)
+        (103, 2, 3, 999.0, 0.0, "1997-05-04"),  # STANDARD part: excluded from q25
+    ]
+    spark.createDataFrame(
+        [(ok, pk, sk, 1, 1.0, ep, disc, 0.0, "N", "O",
+          dt.datetime.fromisoformat(sd))
+         for ok, pk, sk, ep, disc, sd in li],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+def test_q24_pair_directions_and_exclusions(spark, tmp_path):
+    """Both pair directions survive as separate rows; a same-nation
+    line (12->12), a non-pair partner (12->1), and an out-of-range
+    shipdate are all excluded."""
+    from information_extraction_spark.driver_queries.relational import (
+        q24_nation_volume,
+    )
+
+    sf = _write_trade_fixture(spark, tmp_path)
+    rows = {(r["supp_nation"], r["cust_nation"]): r
+            for r in q24_nation_volume(spark, sf).collect()}
+    assert set(rows) == {("NATION_12", "NATION_10"), ("NATION_10", "NATION_12")}
+    a = rows[("NATION_12", "NATION_10")]
+    assert (a["l_year"], a["revenue"], a["n_items"]) == (1996, 100.0, 1)
+    b = rows[("NATION_10", "NATION_12")]
+    assert (b["l_year"], b["revenue"], b["n_items"]) == (1996, 100.0, 1)
+
+
+def test_q25_share_is_case_over_one_market(spark, tmp_path):
+    """Share = NATION_2 revenue / ASIA-customer ECONOMY revenue:
+    non-ECONOMY parts and non-ASIA customers never enter the
+    denominator."""
+    from information_extraction_spark.driver_queries.relational import (
+        q25_market_share,
+    )
+
+    sf = _write_trade_fixture(spark, tmp_path)
+    rows = {r["o_year"]: r for r in q25_market_share(spark, sf).collect()}
+    # ASIA customers: order 103 (NATION_2) and order 101 (NATION_12 is
+    # also an ASIA nation in this fixture). 1997: ECONOMY lines 300 +
+    # 100, numerator 300 -> share 0.75. 1996: order 101's ECONOMY line
+    # 200*(1-0.5)=100 with a NATION_10 supplier -> zero numerator, so
+    # the share is exactly 0.0 (a market year with no target-nation
+    # sales still surfaces). Order 100's AMERICA customer and every
+    # STANDARD part stay out of the denominator.
+    assert set(rows) == {1996, 1997}
+    r = rows[1997]
+    assert r["market_revenue"] == 400.0
+    assert r["mkt_share"] == 0.75
+    z = rows[1996]
+    assert z["market_revenue"] == 100.0
+    assert z["mkt_share"] == 0.0

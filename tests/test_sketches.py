@@ -206,3 +206,84 @@ def test_hll_merge_equals_direct_and_matches_a14(spark):
             scope,
             r,
         )
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, user_id, event_type, value) with a fixed ts."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v, "{}") for (i, u, t, v) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+def test_auc_matches_bruteforce_pairwise_with_ties(spark, tmp_path):
+    """AUC from the score histogram must equal the O(n_pos*n_neg)
+    pairwise definition (ties credit 1/2) on a hand-built set where
+    a positive and a negative SHARE a score, so the midrank term is
+    load-bearing."""
+    from information_extraction_spark.driver_queries.sketches import (
+        a18_auc_exact,
+    )
+
+    # scores: pos {3.0, 2.0, 1.0}, neg {2.0, 0.5} — the 2.0 tie pair
+    # contributes 0.5; pairwise sum = (1+1) + (0.5+1) + (0+1) = 4.5
+    # over 6 pairs -> AUC = 0.75.
+    rows = [
+        (0, 1, "purchase", 3.0),
+        (1, 1, "purchase", 2.0),
+        (2, 1, "purchase", 1.0),
+        (3, 2, "view", 2.0),
+        (4, 2, "view", 0.5),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = a18_auc_exact(spark, sf).first()
+    assert (r["n_pos"], r["n_neg"]) == (3, 2)
+    assert r["auc_ppm"] == 750000
+
+    # Independent brute force over the same rows (no histogram).
+    pos = [v for (_, _, t, v) in rows if t == "purchase"]
+    neg = [v for (_, _, t, v) in rows if t != "purchase"]
+    credit = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    assert int(credit / (len(pos) * len(neg)) * 1_000_000) == r["auc_ppm"]
+
+
+def test_calibration_bins_hand_computed(spark, tmp_path):
+    """Bin edges, exact ppm confidence, accuracy, and gap on a
+    hand-built 4-event set spanning two bins, including the
+    overflow clamp into bin 9."""
+    from information_extraction_spark.driver_queries.sketches import (
+        a19_calibration,
+    )
+
+    rows = [
+        # bin 0: cents 100 and 300 -> conf_ppm = (400*20) div 2 = 4000;
+        # one of two is positive -> acc_ppm = 500000.
+        (0, 1, "purchase", 1.0),
+        (1, 1, "view", 3.0),
+        # bin 9 via clamp: cents 60000 (div 5000 = 12 -> 9), positive.
+        (2, 2, "purchase", 600.0),
+        # bin 2: cents 12500, negative.
+        (3, 2, "error", 125.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["bin"]: r for r in a19_calibration(spark, sf).collect()}
+    assert set(got) == {0, 2, 9}
+    b0 = got[0]
+    assert (b0["n"], b0["n_pos"]) == (2, 1)
+    assert b0["conf_ppm"] == 4000
+    assert b0["acc_ppm"] == 500000
+    assert b0["gap_ppm"] == 496000
+    assert got[9]["n"] == 1 and got[9]["n_pos"] == 1
+    assert got[9]["conf_ppm"] == 1200000  # clamped bin keeps exact conf
+    assert got[2]["acc_ppm"] == 0
