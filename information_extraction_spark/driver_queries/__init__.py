@@ -38,6 +38,16 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Newman modularity of the LPA communities: exact BIGINT
+    # q_num/q_den per community (4mL - D^2 over 4m^2), no floats.
+    "kg_modularity",
+    # TextRank keywords: PageRank over the adjacent-token
+    # co-occurrence graph; vocab-bounded vertex set.
+    "ta_textrank",
+    # Multinomial NB language classifier (train even / apply odd):
+    # broadcast model, quantize-then-integer-sum micro-nat scores,
+    # OOV drop + prior-only empty docs.
+    "ta_nb_classify",
     # Simplified silhouette over the k-means clusters: all-k
     # distances in one narrow in-row pass over literal centroids,
     # integer s_ppm, per-cluster integer-div means.

@@ -3929,3 +3929,67 @@ def kg_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in und.select("src").distinct().orderBy("src").limit(5).collect()
     ]
     return bellman_ford(weighted, seeds, rounds=3)
+
+
+def _modularity_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    # The LPA chain is reused verbatim as a nested-WITH CTE, then the
+    # exact-integer modularity terms recompute from the same golden:
+    # q_num = 4*m*L_c - D_c^2, q_den = 4*m^2 (no floats).
+    return f"""
+WITH lpa AS ({_lpa_oracle_sql(sf_dir)}),
+e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+  WHERE subject <> object
+), canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+), mm AS (
+  SELECT CAST(count(*) AS BIGINT) AS m FROM canon
+), u AS (
+  SELECT a AS src FROM canon UNION ALL SELECT b FROM canon
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM u GROUP BY 1
+), dsum AS (
+  SELECT l.community,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(deg.d) AS BIGINT) AS degree_sum
+  FROM deg JOIN lpa l ON deg.src = l.entity GROUP BY 1
+), intra AS (
+  SELECT la.community, CAST(count(*) AS BIGINT) AS intra_edges
+  FROM canon
+  JOIN lpa la ON canon.a = la.entity
+  JOIN lpa lb ON canon.b = lb.entity
+  WHERE la.community = lb.community
+  GROUP BY 1
+)
+SELECT d.community, d.n_nodes,
+       CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+       d.degree_sum,
+       CAST(4 * mm.m * coalesce(i.intra_edges, 0)
+            - d.degree_sum * d.degree_sum AS BIGINT) AS q_num,
+       CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
+FROM dsum d LEFT JOIN intra i ON d.community = i.community CROSS JOIN mm
+"""
+
+
+_MODULARITY_ORACLE = _modularity_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_modularity", _MODULARITY_ORACLE)
+def kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-quality audit: Newman modularity of the 3-iteration
+    LPA communities over the undirected entity graph
+    (operators/graph.modularity — exact BIGINT q_num/q_den per
+    community, Q = sum(q_num)/q_den). The go/no-go between LPA and
+    the CC merge: communities with q_num <= 0 are no better than the
+    degree-random baseline and should not drive canonicalization."""
+    from information_extraction_spark.operators.graph import (
+        label_propagation,
+        modularity,
+        triple_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_modularity"] = _modularity_oracle_sql(sf_dir)
+    edges = triple_edges(triples)
+    return modularity(edges, label_propagation(edges, iterations=3))

@@ -4646,3 +4646,243 @@ def ta_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("new_words"), F.lit(0)))
         .over(w).cast("long").alias("vocab_cum"),
     )
+
+
+# --- TextRank keyword scores ---------------------------------------------------
+#
+# TextRank (Mihalcea & Tarau 2004): PageRank over the word
+# co-occurrence graph — an undirected edge per ADJACENT token pair.
+# The graph build is one narrow in-row pass (bigram structs via
+# transform over the split array — no window, no shuffle) plus a
+# distinct on the pair key; the vertex set is the VOCABULARY, so the
+# 3 power iterations run over a vocab-bounded table no matter how
+# many documents feed it (the operators/graph.pagerank loop:
+# localCheckpointed edge table, node-sized rank vector per round).
+# Both engines round ranks to 6dp only at the end (the kg_pagerank
+# float contract).
+
+_TEXTRANK_ORACLE = """
+WITH parts AS (
+  SELECT string_split(text, ' ') AS p
+  FROM documents WHERE text IS NOT NULL
+), big AS (
+  SELECT unnest(list_transform(range(1, greatest(len(p) - 1, 0) + 1),
+                               i -> {'a': p[i], 'b': p[i+1]})) AS bg
+  FROM parts
+), pairs AS (
+  SELECT DISTINCT bg.a AS src, bg.b AS dst FROM big
+  WHERE bg.a <> bg.b AND bg.a <> '' AND bg.b <> ''
+), e AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+), deg AS (
+  SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src
+), nodes AS (
+  SELECT src AS n FROM e UNION SELECT dst FROM e
+), r0 AS (SELECT n, CAST(1.0 AS DOUBLE) AS r FROM nodes),
+r1 AS (
+  SELECT nd.n, 0.15 + 0.85 * COALESCE(sum(r0.r / deg.d), 0.0) AS r
+  FROM nodes nd
+  LEFT JOIN e ON e.dst = nd.n
+  LEFT JOIN deg ON deg.src = e.src
+  LEFT JOIN r0 ON r0.n = e.src
+  GROUP BY nd.n
+),
+r2 AS (
+  SELECT nd.n, 0.15 + 0.85 * COALESCE(sum(r1.r / deg.d), 0.0) AS r
+  FROM nodes nd
+  LEFT JOIN e ON e.dst = nd.n
+  LEFT JOIN deg ON deg.src = e.src
+  LEFT JOIN r1 ON r1.n = e.src
+  GROUP BY nd.n
+),
+r3 AS (
+  SELECT nd.n, 0.15 + 0.85 * COALESCE(sum(r2.r / deg.d), 0.0) AS r
+  FROM nodes nd
+  LEFT JOIN e ON e.dst = nd.n
+  LEFT JOIN deg ON deg.src = e.src
+  LEFT JOIN r2 ON r2.n = e.src
+  GROUP BY nd.n
+)
+SELECT n AS word, ROUND(r, 6) AS textrank FROM r3
+"""
+
+
+@_q("ta_textrank", _TEXTRANK_ORACLE)
+def ta_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    pairs = (
+        docs.select(F.split(F.col("text"), " ").alias("p"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(p) - 1, 0)),"
+                    " i -> struct(p[i-1] AS a, p[i] AS b))"
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.a").alias("src"), F.col("bg.b").alias("dst"))
+        .filter(
+            (F.col("src") != F.col("dst"))
+            & (F.col("src") != "")
+            & (F.col("dst") != "")
+        )
+        .distinct()
+    )
+    e = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    pr = pagerank(e, iterations=3)
+    return pr.select(
+        F.col("entity").alias("word"), F.round("rank", 6).alias("textrank")
+    )
+
+
+# --- Naive Bayes language classification (train + apply) ---------------------------
+#
+# Multinomial NB with add-one smoothing, trained on the even-doc half
+# and applied to the odd half — the classifier counterpart of
+# ta_perplexity's LM scoring, and genuinely load-bearing on this
+# corpus: all five languages share the SAME 31-word vocabulary, so
+# the decision comes entirely from frequency differences, never from
+# vocabulary membership. Scale shape: the model is (langs x vocab)-
+# bounded and BROADCASTS; the test corpus expands once per language
+# (x5, narrow) and sums per-(doc, lang); the argmax is a struct-min,
+# never a window. Float portability: each per-token log-likelihood
+# ln((c+1)/(tok_l+V)) quantizes to 6dp micro-nats BEFORE the sum, so
+# the (doc, lang) score is an order-independent BIGINT sum (the
+# quantize-then-integer-sum rule); ties break to the smaller lang.
+# Out-of-train-vocab words are DROPPED (the standard multinomial-NB
+# apply rule); a doc with zero in-vocab tokens is classified by the
+# class prior alone.
+
+_NB_ORACLE = """
+WITH train AS (
+  SELECT * FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+), test AS (
+  SELECT * FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1
+), ttok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM train
+), counts AS (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+  FROM ttok WHERE w <> '' GROUP BY 1, 2
+), tokl AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS tok_l FROM counts GROUP BY 1
+), vocab AS (SELECT DISTINCT w FROM counts),
+vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM train GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM train),
+langs AS (
+  SELECT nl.lang,
+         CAST(round(ln(CAST(n_l AS DOUBLE) / n) * 1000000) AS BIGINT)
+           AS prior_u,
+         tokl.tok_l
+  FROM nl CROSS JOIN nt JOIN tokl ON tokl.lang = nl.lang
+), stok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM test
+), invocab AS (
+  SELECT s.doc_id, s.w FROM stok s JOIN vocab v ON s.w = v.w
+), terms AS (
+  SELECT s.doc_id, l.lang,
+         CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                       / (l.tok_l + vn.v)) * 1000000) AS BIGINT) AS t_u
+  FROM invocab s CROSS JOIN langs l CROSS JOIN vn
+  LEFT JOIN counts c ON c.lang = l.lang AND c.w = s.w
+), sums AS (
+  SELECT doc_id, lang, CAST(sum(t_u) AS BIGINT) AS su
+  FROM terms GROUP BY 1, 2
+), scores AS (
+  SELECT d.doc_id, l.lang, l.prior_u + coalesce(t.su, 0) AS score_u
+  FROM test d CROSS JOIN langs l
+  LEFT JOIN sums t ON t.doc_id = d.doc_id AND t.lang = l.lang
+), best AS (
+  SELECT doc_id, lang, score_u,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_u DESC, lang) AS rn
+  FROM scores
+)
+SELECT b.doc_id, b.lang AS pred_lang, CAST(b.score_u AS BIGINT) AS score_u,
+       d.lang AS true_lang,
+       CAST(CASE WHEN b.lang = d.lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+FROM best b JOIN test d ON b.doc_id = d.doc_id
+WHERE rn = 1
+"""
+
+
+@_q("ta_nb_classify", _NB_ORACLE)
+def ta_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+
+    ttok = train.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = ttok.groupBy("lang", "w").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tokl = counts.groupBy("lang").agg(F.sum("c").cast("long").alias("tok_l"))
+    vocab = counts.select("w").distinct()
+    v_n = vocab.count()  # bounded scalar (vocabulary cardinality)
+    nl = train.groupBy("lang").agg(F.count("*").cast("long").alias("n_l"))
+    n_train = train.count()  # bounded scalar
+    langs = nl.join(tokl, "lang").select(
+        "lang",
+        F.round(
+            F.log(F.col("n_l").cast("double") / F.lit(float(n_train)))
+            * 1000000
+        ).cast("long").alias("prior_u"),
+        "tok_l",
+    )
+
+    stok = test.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    invocab = stok.join(F.broadcast(vocab), "w")
+    terms = invocab.crossJoin(F.broadcast(langs)).join(
+        F.broadcast(counts), ["lang", "w"], "left"
+    ).select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("tok_l") + F.lit(v_n)).cast("double")
+            )
+            * 1000000
+        ).cast("long").alias("t_u"),
+    )
+    sums = terms.groupBy("doc_id", "lang").agg(
+        F.sum("t_u").cast("long").alias("su")
+    )
+    scores = (
+        test.select("doc_id", F.col("lang").alias("true_lang"))
+        .crossJoin(F.broadcast(langs.select("lang", "prior_u")))
+        .join(sums, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "true_lang",
+            (F.col("prior_u") + F.coalesce(F.col("su"), F.lit(0)))
+            .cast("long").alias("score_u"),
+        )
+    )
+    best = scores.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("score_u")).alias("ns"),
+                F.col("lang").alias("l"),
+                F.col("score_u").alias("s"),
+            )
+        ).alias("m"),
+        F.first("true_lang").alias("true_lang"),
+    )
+    return best.select(
+        "doc_id",
+        F.col("m.l").alias("pred_lang"),
+        F.col("m.s").alias("score_u"),
+        "true_lang",
+        F.when(F.col("m.l") == F.col("true_lang"), 1)
+        .otherwise(0).cast("long").alias("correct"),
+    )

@@ -1105,3 +1105,62 @@ def bellman_ford(
             .localCheckpoint()
         )
     return dist
+
+
+def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Newman modularity of a community assignment over the
+    undirected simple graph induced by directed (src, dst) edges.
+
+    Exact-integer contract: with m = |undirected edges|, L_c = intra-
+    community edges and D_c = community degree sum, each community's
+    modularity term (L_c/m - (D_c/2m)^2) is emitted as the BIGINT
+    ratio q_num/q_den with q_num = 4*m*L_c - D_c^2 and q_den = 4*m^2
+    — no floats anywhere, and Q = sum(q_num)/q_den. Scale shape: one
+    distinct-pair canonicalization shuffle, degree + label joins
+    co-keyed on the entity (the label table is node-sized, never
+    assumed broadcastable), intra-edge detection as two equi-joins on
+    the edge endpoints. m is a bounded scalar aggregate.
+    """
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    canon = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    m = canon.count()  # bounded scalar (one long)
+    u = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = u.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    lab = communities.select("entity", "community")
+    dsum = (
+        deg.join(lab, deg.src == lab.entity)
+        .groupBy("community")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("degree_sum"),
+        )
+    )
+    la = lab.select(F.col("entity").alias("a"), F.col("community").alias("ca"))
+    lb = lab.select(F.col("entity").alias("b"), F.col("community").alias("cb"))
+    intra = (
+        canon.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").cast("long").alias("intra_edges"))
+    )
+    out = dsum.join(intra, "community", "left").select(
+        "community",
+        "n_nodes",
+        F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long").alias(
+            "intra_edges"
+        ),
+        "degree_sum",
+    )
+    return out.select(
+        "*",
+        (
+            F.lit(4 * m) * F.col("intra_edges")
+            - F.col("degree_sum") * F.col("degree_sum")
+        ).cast("long").alias("q_num"),
+        F.lit(4 * m * m).cast("long").alias("q_den"),
+    )

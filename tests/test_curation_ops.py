@@ -752,3 +752,44 @@ def test_heaps_law_first_occurrence_and_deciles(spark, tmp_path):
     assert got[9]["vocab_cum"] == 6          # saturated tail stays flat
     assert got[9]["tokens_cum"] == 2 + 3 + 2 + 1 + 3 + 2 + 1 + 1 + 1 + 6
     assert got[9]["docs_cum"] == 10
+
+
+def test_nb_classify_smoothing_oov_and_prior_only(spark, tmp_path):
+    """Hand corpus: train = docs 0/2 (en: 'x x y', fr: 'y z').
+    Vocab {x,y,z}, V=3; tok_en=3, tok_fr=2.
+    Test doc 1 = 'x x q': q is OOV -> dropped; per-token micro-nats
+    ln((c+1)/(tok_l+V)) with c_en(x)=2, c_fr(x)=0.
+      en: prior ln(1/2) + 2*ln(3/6);  fr: prior ln(1/2) + 2*ln(1/5)
+    -> en wins. Test doc 3 = 'q q' -> zero in-vocab tokens, prior
+    alone; priors tie (1 doc each) -> lexicographic tie-break to
+    'en'."""
+    import math
+
+    from information_extraction_spark.driver_queries.textdata import (
+        ta_nb_classify,
+    )
+
+    rows = [
+        (0, "x x y", "en"),
+        (1, "x x q", "en"),
+        (2, "y z", "fr"),
+        (3, "q q", "fr"),
+    ]
+    sf = _write_docs(spark, str(tmp_path), rows, "nb")
+    got = {r["doc_id"]: r for r in ta_nb_classify(spark, sf).collect()}
+    assert set(got) == {1, 3}
+
+    def u(x):
+        return int(math.copysign(math.floor(abs(x) * 1e6 + 0.5), x))
+
+    prior = u(math.log(0.5))
+    en_score = prior + 2 * u(math.log(3 / 6))
+    fr_score = prior + 2 * u(math.log(1 / 5))
+    assert en_score > fr_score
+    assert got[1]["pred_lang"] == "en"
+    assert got[1]["score_u"] == en_score
+    assert got[1]["correct"] == 1
+    # prior-only doc: scores equal -> tie to 'en'; true lang fr
+    assert got[3]["pred_lang"] == "en"
+    assert got[3]["score_u"] == prior
+    assert got[3]["correct"] == 0

@@ -1055,3 +1055,62 @@ def test_bellman_ford_reoffers_cheaper_longer_path(spark):
     assert run(1) == {"s": 0, "b": 10, "a": 2}
     assert run(2) == {"s": 0, "a": 2, "b": 5, "c": 11}
     assert run(3) == {"s": 0, "a": 2, "b": 5, "c": 6}
+
+
+def test_modularity_two_triangles_exact(spark):
+    """The textbook case: two triangles joined by one bridge edge,
+    communities = the triangles. m = 7; each community has L_c = 3
+    intra edges and degree sum 7 (three degree-2 corners, one raised
+    to 3 by the bridge) -> q_num = 4*7*3 - 49 = 35, q_den = 196,
+    Q = 70/196 ~ 0.357. Direction and duplicate edges must not
+    matter (undirected simple-graph canonicalization)."""
+    from information_extraction_spark.operators.graph import modularity
+
+    tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    bridge = [("a", "x")]
+    # duplicates + reversed duplicates must collapse
+    edges = spark.createDataFrame(
+        tri1 + tri2 + bridge + [("b", "a"), ("a", "b")],
+        "src string, dst string",
+    )
+    communities = spark.createDataFrame(
+        [(n, "t1") for n in "abc"] + [(n, "t2") for n in "xyz"],
+        "entity string, community string",
+    )
+    got = {r["community"]: r for r in modularity(edges, communities).collect()}
+    for c in ("t1", "t2"):
+        r = got[c]
+        assert (r["n_nodes"], r["intra_edges"], r["degree_sum"]) == (3, 3, 7)
+        assert (r["q_num"], r["q_den"]) == (35, 196)
+    # everyone-in-one-community gives Q = 0 exactly: L = m, D = 2m
+    one = spark.createDataFrame(
+        [(n, "all") for n in "abcxyz"], "entity string, community string"
+    )
+    r = modularity(edges, one).first()
+    assert r["q_num"] == 0 and r["intra_edges"] == 7 and r["degree_sum"] == 14
+
+
+def test_textrank_graph_is_adjacency_not_presence(spark, tmp_path):
+    """Edges come from ADJACENT token pairs only: in 'a b c a a',
+    (a,c) never co-occur adjacently so no edge; the self-pair (a,a)
+    is dropped; repeated bigrams dedupe. With the symmetric closure,
+    nodes {a,b,c}, edges {a-b, b-c, c-a? no — c is followed by a}."""
+    import os
+
+    from information_extraction_spark.driver_queries.textdata import (
+        ta_textrank,
+    )
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "a b c a a", "en", "t", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    rows = {r["word"]: r["textrank"] for r in ta_textrank(spark, d).collect()}
+    assert set(rows) == {"a", "b", "c"}
+    # graph: a-b, b-c, c-a (from 'c a') -> a 3-cycle; degree-regular,
+    # so all ranks are exactly 1.0 at every iteration
+    assert all(abs(v - 1.0) < 1e-9 for v in rows.values())
