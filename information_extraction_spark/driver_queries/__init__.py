@@ -38,6 +38,15 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Streaming CDC upsert: latest-op-wins keyed state via the
+    # versioned exactly-once merge; tombstones persist in state and
+    # suppress out-of-order earlier-seq updates from later batches;
+    # oracle = the batch compaction.
+    "st_cdc_upsert",
+    # Per-window DFT-bin spectral power over decoded channel-0 WAV
+    # samples against x100 integer trig tables (same literals both
+    # engines); constructed-expectation oracle.
+    "mm_spectral",
     # Newman modularity of the LPA communities: exact BIGINT
     # q_num/q_den per community (4mL - D^2 over 4m^2), no floats.
     "kg_modularity",

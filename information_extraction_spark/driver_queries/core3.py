@@ -1851,3 +1851,109 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.min("media_id").cast("long").alias("min_media_id"),
     )
+
+
+# --- mm: per-window DFT-bin spectral power (tone/voicing gate) ------------------
+#
+# The spectral sibling of mm_audio_energy: per 32-frame window of
+# channel 0, the power at DFT bins k in {1, 2, 4} computed against
+# x100 INTEGER cosine/sine tables (operators/multimodal.dft_tables)
+# — the same table literals drive both engines, so no trig function
+# is ever compared cross-engine and every compared value is a BIGINT.
+# The oracle reconstructs channel-0 samples arithmetically from
+# make_wav's byte formula (frame f's channel-0 sample starts at byte
+# 2*f*channels) — the constructed-expectation pattern — and joins
+# the same integer table as VALUES rows.
+
+
+def _spectral_table_values() -> str:
+    from information_extraction_spark.operators.multimodal import (
+        dft_tables,
+    )
+
+    tabs = dft_tables(32, (1, 2, 4))
+    rows = []
+    for k, (cs, ss) in tabs.items():
+        for i in range(32):
+            rows.append(f"({k},{i},{cs[i]},{ss[i]})")
+    return ",".join(rows)
+
+
+_MM_SPECTRAL_ORACLE = f"""
+WITH tab(bin, i, c, s) AS (
+  SELECT * FROM (VALUES {_spectral_table_values()})
+), m AS (
+  SELECT doc_id AS media_id,
+         50 + doc_id % 101 AS n_frames,
+         1 + (doc_id // 5) % 2 AS channels
+  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1
+), fr AS (
+  SELECT media_id, channels, unnest(range(0, n_frames)) AS f
+  FROM m
+), v AS (
+  SELECT media_id,
+         CAST(f // 32 AS BIGINT) AS window_idx,
+         CAST(f % 32 AS BIGINT) AS i,
+         ((media_id * 17 + (2 * f * channels) * 13) % 256)
+           + 256 * ((media_id * 17 + (2 * f * channels + 1) * 13) % 256)
+           AS raw
+  FROM fr
+), sv AS (
+  SELECT media_id, window_idx, i,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS val
+  FROM v
+), agg AS (
+  SELECT media_id, window_idx, tab.bin,
+         CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(val * tab.c) AS BIGINT) AS re_c,
+         CAST(sum(val * tab.s) AS BIGINT) AS im_c
+  FROM sv JOIN tab ON tab.i = sv.i
+  GROUP BY 1, 2, 3
+)
+SELECT media_id, window_idx, bin, n_frames, re_c, im_c,
+       CAST(re_c * re_c + im_c * im_c AS BIGINT) AS power_c2
+FROM agg
+"""
+
+
+@_q("mm_spectral", _MM_SPECTRAL_ORACLE)
+def mm_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from information_extraction_spark.operators.multimodal import (
+        MEDIA,
+        make_wav,
+        spectral_windows,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 1))
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "audio",
+                        "payload": bytearray(
+                            make_wav(
+                                50 + mid % 101,
+                                sample_rate=8000 + (mid % 8) * 1000,
+                                channels=1 + (mid // 5) % 2,
+                                seed=mid,
+                            )
+                        ),
+                        "mime": None,
+                        "source": "synthetic",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA.fields])
+
+    media = ids.mapInPandas(build, schema=MEDIA)
+    return spectral_windows(media, window_frames=32, bins=(1, 2, 4))

@@ -833,3 +833,81 @@ def st_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
+
+
+# --- Streaming CDC upsert (latest-op-wins keyed state) -------------------------
+#
+# The streaming face of w15_cdc_apply: the CDC log (events with
+# op = 'D' on error rows) arrives as 4 genuine micro-batches split
+# by event_id hash — so a user's changes SPAN batches and arrive in
+# no particular order — and each batch upserts into the versioned
+# keyed state via a per-key (sec, event_id) struct-max. Tombstones
+# persist in state (they must keep suppressing earlier-seq updates
+# from later batches); the read side drops them. Because the merge
+# is a per-key total-order max, the drained state must equal the
+# batch compaction EXACTLY — the oracle is w15's compaction SQL, so
+# a lost batch, a double-applied replay, or arrival-order sensitivity
+# all fail the value check.
+
+_ST_CDC_ORACLE = """
+WITH log AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events WHERE ts IS NOT NULL
+), latest AS (
+  SELECT user_id, event_id, event_type, value, sec, op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY sec DESC, event_id DESC) AS rn
+  FROM log
+)
+SELECT user_id, event_type AS current_type, value AS current_value,
+       sec AS updated_sec
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@_q("st_cdc_upsert", _ST_CDC_ORACLE)
+def st_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from information_extraction_spark.streaming.ingest import (
+        read_cdc_state,
+        start_streaming_cdc_upsert,
+    )
+
+    run_dir = tempfile.mkdtemp(prefix="ie_stream_cdc_")
+    try:
+        src = os.path.join(run_dir, "src")
+        e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        log = e.filter(F.col("ts").isNotNull()).select(
+            "user_id",
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+            "event_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+            "event_type",
+            "value",
+        )
+        # 4 part files -> 4 genuine micro-batches; event_id hashing
+        # scatters each user's ops across batches on purpose.
+        log.repartition(4, "event_id").write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_streaming_cdc_upsert(
+            spark,
+            stream,
+            os.path.join(run_dir, "state"),
+            os.path.join(run_dir, "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = read_cdc_state(spark, os.path.join(run_dir, "state"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

@@ -423,3 +423,85 @@ def average_hash(media: DataFrame, grid: int = 8) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "phash"])
 
     return media.mapInPandas(run, schema=PHASH)
+
+
+def dft_tables(window: int, bins: tuple[int, ...]):
+    """Integer DFT filter tables: for each bin k, cos/sin at the
+    window's phase steps quantized to x100 integers (half-away
+    rounding). The SAME integers drive the Spark kernel and the
+    DuckDB oracle, so no trig function is ever compared across
+    engines — the filter IS the integer table."""
+    import math
+
+    def rha(x):
+        return int(math.copysign(math.floor(abs(x) * 100 + 0.5), x))
+
+    out = {}
+    for k in bins:
+        out[k] = (
+            [rha(math.cos(2 * math.pi * k * i / window)) for i in range(window)],
+            [rha(math.sin(2 * math.pi * k * i / window)) for i in range(window)],
+        )
+    return out
+
+
+SPECTRAL = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.LongType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("re_c", T.LongType()),
+        T.StructField("im_c", T.LongType()),
+        T.StructField("power_c2", T.LongType()),
+    ]
+)
+
+
+def spectral_windows(
+    media: DataFrame,
+    window_frames: int = 32,
+    bins: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """Per-window DFT-bin power over channel 0 of PCM-16 WAV payloads
+    — the tone/voicing feature a speech-curation pipeline gates on
+    (the spectral sibling of audio_energy_windows). Per window of
+    ``window_frames`` frames and per bin k: re = sum(s_i * cos_k[i]),
+    im = sum(s_i * sin_k[i]) over the x100 integer tables
+    (dft_tables), power = re^2 + im^2 — all BIGINT-exact (|s|<=2^15,
+    |tab|<=100, 32 terms -> |re|<~1e8, power <~1e16 < 2^63). The
+    trailing partial window truncates the table to its true length.
+    Arrow-batched mapInPandas, vectorized per payload: the window
+    fold is one reshape + matmul against the (window, bins) table."""
+    import numpy as np
+    import pandas as pd
+
+    tabs = dft_tables(window_frames, bins)
+    cos_m = np.array([tabs[k][0] for k in bins], dtype=np.int64).T
+    sin_m = np.array([tabs[k][1] for k in bins], dtype=np.int64).T
+
+    def run(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in SPECTRAL.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, channels = wav_samples(bytes(payload))
+                ch0 = samples[::channels].astype(np.int64)
+                n = len(ch0)
+                for w in range(0, max((n + window_frames - 1) // window_frames, 0)):
+                    chunk = ch0[w * window_frames : (w + 1) * window_frames]
+                    L = len(chunk)
+                    re = chunk @ cos_m[:L]
+                    im = chunk @ sin_m[:L]
+                    for j, k in enumerate(bins):
+                        out["media_id"].append(int(mid))
+                        out["window_idx"].append(w)
+                        out["bin"].append(int(k))
+                        out["n_frames"].append(L)
+                        out["re_c"].append(int(re[j]))
+                        out["im_c"].append(int(im[j]))
+                        out["power_c2"].append(
+                            int(re[j]) ** 2 + int(im[j]) ** 2
+                        )
+            yield pd.DataFrame(out, columns=[f.name for f in SPECTRAL.fields])
+
+    return media.mapInPandas(run, schema=SPECTRAL)

@@ -456,3 +456,68 @@ def start_conversation_sessions(
         .queryName(query_name)
         .start()
     )
+
+
+def start_streaming_cdc_upsert(
+    spark: SparkSession,
+    cdc_stream: DataFrame,
+    state_dir: str,
+    checkpoint_path: str,
+):
+    """foreachBatch streaming CDC apply: each micro-batch of change
+    rows (user_id, sec, event_id, op, event_type, value) upserts into
+    the versioned state via latest-op-wins — per key the state keeps
+    exactly ONE row, the struct-max by (sec, event_id). Tombstones
+    ('D' ops) STAY in the state: a delete must keep suppressing
+    earlier-sequence updates that arrive in later micro-batches (CDC
+    sources do not promise key-ordered delivery across batches) —
+    reads filter them out (read_cdc_state). Because the merge is a
+    total-order max per key, the final state is independent of how
+    the log was split into batches, which is what the st_cdc_upsert
+    catalog query value-checks against the batch compaction.
+    State size is one row per live-or-tombstoned key — the same
+    bounded-state argument as the support merge; at warehouse scale
+    the state parquet is bucketed by the key."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+
+        def merge(merged_in: DataFrame) -> DataFrame:
+            return (
+                merged_in.groupBy("user_id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            "sec", "event_id", "op", "event_type", "value"
+                        )
+                    ).alias("w")
+                )
+                .select(
+                    "user_id",
+                    F.col("w.sec").alias("sec"),
+                    F.col("w.event_id").alias("event_id"),
+                    F.col("w.op").alias("op"),
+                    F.col("w.event_type").alias("event_type"),
+                    F.col("w.value").alias("value"),
+                )
+            )
+
+        merge_versioned_batch(spark, batch_df, state_dir, epoch_id, merge)
+
+    return (
+        cdc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
+def read_cdc_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The LIVE view of the CDC state: committed version minus
+    tombstones, projected to the compaction's output shape."""
+    return latest_state(spark, state_dir).filter(F.col("op") != "D").select(
+        "user_id",
+        F.col("event_type").alias("current_type"),
+        F.col("value").alias("current_value"),
+        F.col("sec").alias("updated_sec"),
+    )

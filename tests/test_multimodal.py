@@ -344,3 +344,74 @@ def test_average_hash_collapses_copies_and_detects_change(spark):
     # tiny image: rows hit cells {0,2,5}, cols {0,2,4,6} -> at most
     # 12 populated cells; all 52 empty cells must read '0'.
     assert got[4].count("1") <= 12
+
+
+def test_spectral_windows_channel0_partial_and_per_sample_loop(spark):
+    """spectral_windows vs an independent per-sample Python loop:
+    stereo payloads must use CHANNEL 0 only (de-interleaved), the
+    trailing partial window truncates the table to its true length,
+    and every value (re, im, power) is the exact integer the x100
+    tables produce. Also pins a pure-tone case: a signal built FROM
+    the bin-2 cosine table concentrates its power in bin 2."""
+    import struct
+
+    import numpy as np
+
+    from information_extraction_spark.operators.multimodal import (
+        MEDIA,
+        dft_tables,
+        make_wav,
+        spectral_windows,
+        wav_samples,
+    )
+
+    tabs = dft_tables(32, (1, 2, 4))
+
+    def ref(payload):
+        samples, channels = wav_samples(payload)
+        ch0 = list(samples[::channels])
+        out = {}
+        for w in range(0, (len(ch0) + 31) // 32):
+            chunk = ch0[w * 32 : (w + 1) * 32]
+            for k, (cs, ss) in tabs.items():
+                re = sum(int(v) * cs[i] for i, v in enumerate(chunk))
+                im = sum(int(v) * ss[i] for i, v in enumerate(chunk))
+                out[(w, k)] = (len(chunk), re, im, re * re + im * im)
+        return out
+
+    # stereo 40 frames (one full + one 8-frame partial window) and a
+    # pure bin-2 tone: 64 mono frames whose samples are 100x the
+    # bin-2 cosine table
+    pay_stereo = make_wav(40, channels=2, seed=9)
+    tone = [100 * c for c in tabs[2][0]] * 2
+    data = b"".join(struct.pack("<h", v) for v in tone)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    pay_tone = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(pay_stereo), None, "t"),
+            (2, "audio", bytearray(pay_tone), None, "t"),
+        ],
+        schema=MEDIA,
+    )
+    got = {
+        (r["media_id"], r["window_idx"], r["bin"]): (
+            r["n_frames"], r["re_c"], r["im_c"], r["power_c2"]
+        )
+        for r in spectral_windows(media).collect()
+    }
+    for mid, pay in ((1, pay_stereo), (2, pay_tone)):
+        expect = ref(pay)
+        for (w, k), v in expect.items():
+            assert got[(mid, w, k)] == v, (mid, w, k)
+    # partial window: stereo 40 frames -> window 1 has 8 frames
+    assert got[(1, 1, 1)][0] == 8
+    # tone concentration: per full window, bin 2 dominates 1 and 4
+    for w in (0, 1):
+        p1, p2, p4 = (got[(2, w, k)][3] for k in (1, 2, 4))
+        assert p2 > 100 * max(p1, p4)

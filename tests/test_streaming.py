@@ -452,3 +452,73 @@ def test_cms_merge_adds_and_skips_replayed_epoch(spark, tmp_path):
         for r in latest_state(spark, state).collect()
     }
     assert got == {("a", 3): 12, ("b", 3): 2, ("c", 1): 1}
+
+
+def test_cdc_upsert_tombstone_survives_and_resurrects(spark, tmp_path):
+    """Hand-driven epochs against the CDC state merge: (1) a delete
+    in epoch 0 must keep suppressing an EARLIER-seq update that
+    arrives in a LATER batch (tombstones persist in state); (2) a
+    NEWER-seq update after the delete resurrects the key; (3) a
+    replayed epoch is a no-op."""
+    import os
+
+    from information_extraction_spark.streaming.ingest import (
+        merge_versioned_batch,
+        read_cdc_state,
+    )
+
+    state = os.path.join(str(tmp_path), "state")
+    schema = (
+        "user_id long, sec long, event_id long, op string,"
+        " event_type string, value double"
+    )
+
+    def merge(merged_in):
+        from pyspark.sql import functions as F
+
+        return (
+            merged_in.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("sec", "event_id", "op", "event_type", "value")
+                ).alias("w")
+            )
+            .select(
+                "user_id",
+                "w.sec", "w.event_id", "w.op", "w.event_type", "w.value",
+            )
+        )
+
+    # epoch 0: u1 updated at sec 100, then deleted at sec 200;
+    #          u2 updated at sec 50
+    b0 = spark.createDataFrame(
+        [(1, 100, 10, "U", "click", 1.0), (1, 200, 11, "D", "error", 0.0),
+         (2, 50, 12, "U", "view", 2.0)],
+        schema,
+    )
+    merge_versioned_batch(spark, b0, state, 0, merge)
+    live = {r["user_id"] for r in read_cdc_state(spark, state).collect()}
+    assert live == {2}
+
+    # epoch 1: an OUT-OF-ORDER earlier-seq update for u1 (sec 150 <
+    # the tombstone's 200) — must stay suppressed
+    b1 = spark.createDataFrame([(1, 150, 13, "U", "click", 3.0)], schema)
+    merge_versioned_batch(spark, b1, state, 1, merge)
+    live = {r["user_id"] for r in read_cdc_state(spark, state).collect()}
+    assert live == {2}
+
+    # epoch 1 REPLAYED with different content must be ignored
+    b1_replay = spark.createDataFrame(
+        [(1, 999, 14, "U", "click", 9.0)], schema
+    )
+    merge_versioned_batch(spark, b1_replay, state, 1, merge)
+    live = {r["user_id"] for r in read_cdc_state(spark, state).collect()}
+    assert live == {2}
+
+    # epoch 2: a NEWER-seq update resurrects u1
+    b2 = spark.createDataFrame([(1, 300, 15, "U", "signup", 4.0)], schema)
+    merge_versioned_batch(spark, b2, state, 2, merge)
+    rows = {r["user_id"]: r for r in read_cdc_state(spark, state).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["current_type"] == "signup"
+    assert rows[1]["updated_sec"] == 300
