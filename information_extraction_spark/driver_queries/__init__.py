@@ -38,6 +38,11 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Functional-slot object-version history: the time-ordered
+    # correction-vs-change timeline per (s, p) slot, via the same
+    # co-keyed provenance join as kg_temporal_extent; one slot-sized
+    # (s, p) window shared by version/lag/count.
+    "kg_slot_changes",
     # Streaming CDC upsert: latest-op-wins keyed state via the
     # versioned exactly-once merge; tombstones persist in state and
     # suppress out-of-order earlier-seq updates from later batches;

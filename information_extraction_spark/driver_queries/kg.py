@@ -1183,6 +1183,34 @@ FROM t GROUP BY 1, 2, 3
 """
 
 
+def _slot_changes_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH t AS (
+  SELECT subject, predicate, object,
+         CAST(regexp_extract(conv_id, 'doc(\\d+)', 1) AS BIGINT) * 3600
+           + turn_idx * 30 AS sec
+  FROM {g}
+), firsts AS (
+  SELECT subject, predicate, object,
+         CAST(min(sec) AS BIGINT) AS changed_at_s
+  FROM t GROUP BY 1, 2, 3
+), v AS (
+  SELECT subject, predicate, object, changed_at_s,
+         CAST(row_number() OVER w AS BIGINT) AS version,
+         lag(object) OVER w AS prev_object,
+         CAST(count(*) OVER (
+             PARTITION BY subject, predicate) AS BIGINT) AS n_versions
+  FROM firsts
+  WINDOW w AS (PARTITION BY subject, predicate
+               ORDER BY changed_at_s, object)
+)
+SELECT subject, predicate, version, object, prev_object,
+       changed_at_s, n_versions
+FROM v WHERE n_versions >= 2
+"""
+
+
 def _conv_stats_oracle_sql(sf_dir: str) -> str:
     g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
     return f"""
@@ -1210,6 +1238,7 @@ FROM convs c LEFT JOIN y USING (conv_id)
 
 
 _TEMPORAL_ORACLE = _temporal_oracle_sql("/root/testdata/sf0.01")
+_SLOT_CHANGES_ORACLE = _slot_changes_oracle_sql("/root/testdata/sf0.01")
 _CONV_STATS_ORACLE = _conv_stats_oracle_sql("/root/testdata/sf0.01")
 
 
@@ -1507,6 +1536,26 @@ def kg_temporal_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLES["kg_temporal_extent"] = _temporal_oracle_sql(sf_dir)
     transcripts = transcripts_from_documents(spark, sf_dir)
     return temporal_extent(triples, transcripts, origin=_TS_ORIGIN)
+
+
+@_q("kg_slot_changes", _SLOT_CHANGES_ORACLE)
+def kg_slot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-slot object-version history (operators/graph.
+    slot_changes): per (subject, predicate) with >1 distinct object,
+    the time-ordered versions with previous object and
+    first-assertion second — the correction-vs-change timeline
+    kg_functional_resolve's single winner discards."""
+    from information_extraction_spark.operators.graph import (
+        slot_changes,
+    )
+    from information_extraction_spark.sources.from_documents import (
+        transcripts_from_documents,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_slot_changes"] = _slot_changes_oracle_sql(sf_dir)
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    return slot_changes(triples, transcripts, origin=_TS_ORIGIN)
 
 
 @_q("kg_conv_stats", _CONV_STATS_ORACLE)

@@ -294,6 +294,77 @@ def temporal_extent(
     )
 
 
+def slot_changes(
+    triples: DataFrame,
+    transcripts: DataFrame,
+    origin: str | None = None,
+) -> DataFrame:
+    """Temporal change detection for functional slots: for every
+    (subject, predicate) asserted with MORE THAN ONE distinct object
+    over time, the ordered object-version history — version number,
+    previous object, and the first-assertion time of each version.
+    This is the state-evolution view a transcript KG needs (a user's
+    address / preference / assignment changing across conversations):
+    kg_functional_resolve picks ONE winner per slot; this query keeps
+    the whole timeline so consumers can distinguish correction from
+    change. Versions order by (first_sec, object) — the object
+    tie-break makes two objects first asserted in the same second
+    deterministic in both engines.
+
+    ``origin`` as in temporal_extent: when given, times are seconds
+    since origin via a same-session unix_timestamp difference
+    (timezone-portable); when None, absolute epoch seconds.
+
+    Scale shape: the provenance join is the same co-keyed
+    (conv_id, turn_idx) equi-join as temporal_extent (bucketed by
+    conv_id at warehouse scale → zero-exchange); first_sec collapses
+    assertions to one row per DISTINCT (s, p, o) in one
+    map-side-combined shuffle; the version/lag/count windows all
+    share ONE (s, p) partition sort over that already-collapsed slot
+    table (one exchange of slot-sized data — a slot's version count
+    is bounded by its distinct objects, never by assertion volume,
+    so a hot fact asserted by millions of turns contributes exactly
+    one row per distinct object to the window state).
+    """
+    from pyspark.sql import Window
+
+    sec = F.unix_timestamp("ts")
+    if origin is not None:
+        sec = sec - F.unix_timestamp(F.lit(origin))
+    turns = transcripts.select(
+        "conv_id", "turn_idx", sec.cast("long").alias("_sec")
+    )
+    firsts = (
+        triples.select(
+            "conv_id", "turn_idx", "subject", "predicate", "object"
+        )
+        .join(turns, ["conv_id", "turn_idx"])
+        .groupBy("subject", "predicate", "object")
+        .agg(F.min("_sec").cast("long").alias("changed_at_s"))
+    )
+    w = Window.partitionBy("subject", "predicate").orderBy(
+        "changed_at_s", "object"
+    )
+    wall = Window.partitionBy("subject", "predicate")
+    return (
+        firsts.withColumn(
+            "version", F.row_number().over(w).cast("long")
+        )
+        .withColumn("prev_object", F.lag("object").over(w))
+        .withColumn("n_versions", F.count("*").over(wall).cast("long"))
+        .filter(F.col("n_versions") >= 2)
+        .select(
+            "subject",
+            "predicate",
+            "version",
+            "object",
+            "prev_object",
+            "changed_at_s",
+            "n_versions",
+        )
+    )
+
+
 def conversation_stats(
     transcripts: DataFrame, triples: DataFrame
 ) -> DataFrame:

@@ -312,6 +312,61 @@ def test_temporal_extent_absolute_when_no_origin(spark):
     assert (r["valid_from_s"], r["valid_to_s"]) == (600, 600)
 
 
+# --- slot_changes ------------------------------------------------------------
+
+
+def test_slot_changes_versions_ties_and_singletons(spark):
+    from information_extraction_spark.operators.graph import slot_changes
+
+    transcripts = spark.createDataFrame(
+        [
+            ("c1", 0, "2026-01-01 00:00:00"),
+            ("c1", 1, "2026-01-01 00:00:30"),
+            ("c2", 0, "2026-01-01 01:00:00"),
+            ("c3", 0, "2026-01-01 02:00:00"),
+        ],
+        "conv_id string, turn_idx int, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    triples = spark.createDataFrame(
+        [
+            # slot (s, p): o1 at t=0, re-asserted later (no new
+            # version), then changes to o2 at t=3600.
+            ("c1", 0, "s", "p", "o1"),
+            ("c3", 0, "s", "p", "o1"),
+            ("c2", 0, "s", "p", "o2"),
+            # tie slot: both objects first asserted at the same
+            # second -> version order falls back to object asc.
+            ("c1", 1, "u", "p", "b"),
+            ("c1", 1, "u", "p", "a"),
+            # singleton slot: one distinct object -> excluded.
+            ("c1", 0, "x", "q", "y"),
+            ("c2", 0, "x", "q", "y"),
+        ],
+        "conv_id string, turn_idx int, subject string, predicate string,"
+        " object string",
+    )
+    rows = slot_changes(
+        triples, transcripts, origin="2026-01-01 00:00:00"
+    ).collect()
+    got = {
+        (r["subject"], r["predicate"], r["version"]): (
+            r["object"],
+            r["prev_object"],
+            r["changed_at_s"],
+            r["n_versions"],
+        )
+        for r in rows
+    }
+    assert got == {
+        ("s", "p", 1): ("o1", None, 0, 2),
+        ("s", "p", 2): ("o2", "o1", 3600, 2),
+        ("u", "p", 1): ("a", None, 30, 2),
+        ("u", "p", 2): ("b", "a", 30, 2),
+    }
+    # the singleton (x, q) slot must not appear at all
+    assert all(r["subject"] != "x" for r in rows)
+
+
 # --- conversation_stats -----------------------------------------------------
 
 
