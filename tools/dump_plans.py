@@ -505,6 +505,48 @@ PLAN_QUERIES = [
         "pass), quarantine routing is a narrow projection, ONE "
         "map-side-combined shuffle on the bucket key",
     ),
+    (
+        "kg_slot_changes",
+        "slot version history: co-keyed (conv_id, turn_idx) "
+        "provenance equi-join, first_sec collapses assertions "
+        "map-side per distinct (s,p,o), then version/lag/count "
+        "share ONE (s, p) window sort over the slot-sized table — "
+        "no per-assertion window state",
+    ),
+    (
+        "kg_modularity",
+        "Newman Q: undirected canonicalization is narrow; degree "
+        "and label joins stay co-keyed on the node; the per-"
+        "community terms aggregate map-side; exact-BIGINT terms — "
+        "no float tree",
+    ),
+    (
+        "q24_nation_volume",
+        "TPC-H Q7 shape: both nation dims filter to the pair THEN "
+        "broadcast (semi-pruning the fact stream); the disjunctive "
+        "pair predicate evaluates post-join over two name columns, "
+        "never as a join condition (which would nested-loop)",
+    ),
+    (
+        "kg_sssp_weighted",
+        "Bellman-Ford rounds: edge table materialized once "
+        "(localCheckpoint), each round ONE contribution join + ONE "
+        "min-aggregation shuffle of frontier-sized data; fixed "
+        "round count keeps the plan bounded",
+    ),
+    (
+        "q23_skyline",
+        "Pareto frontier: per-brand window sort replaces the "
+        "quadratic NOT EXISTS dominance join — one exchange on the "
+        "brand key, running-min dominance check inside the sorted "
+        "partition",
+    ),
+    (
+        "w27_interval_concurrency",
+        "segmented sweep: +1/-1 endpoint expansion is in-row; the "
+        "two-phase rank (range-shuffle by boundary key) computes "
+        "global prefix sums without a single-reducer global window",
+    ),
 ]
 
 
