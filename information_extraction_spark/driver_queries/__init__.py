@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Per-(role, tool) transcript profile: first consumer of the
+    # input contract's role/tool columns; narrow in-row token count,
+    # one bounded-key shuffle with Expand-keyed distinct.
+    "kg_role_profile",
     # Functional-slot object-version history: the time-ordered
     # correction-vs-change timeline per (s, p) slot, via the same
     # co-keyed provenance join as kg_temporal_extent; one slot-sized

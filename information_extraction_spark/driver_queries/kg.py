@@ -1558,6 +1558,82 @@ def kg_slot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return slot_changes(triples, transcripts, origin=_TS_ORIGIN)
 
 
+_ROLE_PROFILE_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+  FROM documents
+), base AS (
+  SELECT doc_id, words,
+         CAST(ceil(len(words) / 12.0) AS BIGINT) AS n_turns FROM docs
+), turns AS (
+  SELECT doc_id, unnest(range(n_turns)) AS turn_idx, words FROM base
+), per AS (
+  SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.0' AS conv_id,
+         CASE CAST(turn_idx % 3 AS INT)
+              WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         CASE WHEN turn_idx % 3 = 2 THEN 'search' ELSE 'none' END AS tool,
+         len(list_filter(
+             words[CAST(turn_idx * 12 + 1 AS INT)
+                   :CAST(turn_idx * 12 + 12 AS INT)],
+             w -> len(w) >= 1)) AS n_tok
+  FROM turns
+)
+SELECT role, tool,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(max(n_tok) AS BIGINT) AS max_turn_tokens
+FROM per GROUP BY 1, 2
+"""
+
+
+@_q("kg_role_profile", _ROLE_PROFILE_ORACLE)
+def kg_role_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(role, tool) transcript profile — the first consumer of
+    the transcript table's role/tool columns (the input contract is
+    (conv_id, turn_idx, role, text, tool, ts)): turn volume, distinct
+    conversations, token mass, and the longest turn per speaker role
+    and tool annotation. The ingest-monitoring cut an agent-transcript
+    warehouse runs before extraction (are tool turns present? is the
+    assistant side carrying the token mass?).
+
+    Scale shape: token counting is a narrow in-row filter over the
+    split array (no explode — a turn never becomes per-token rows);
+    the profile is ONE map-side-combined shuffle on the bounded
+    (role, tool) key; countDistinct(conv_id) expands via Expand keyed
+    on (role, tool, conv_id), so the hot 3-row group key never
+    concentrates raw turn volume on 3 reducers.
+
+    The oracle re-derives the turn split from documents with the same
+    ceil(words/12) rule as transcripts_from_documents and replays the
+    role/tool assignment arithmetically.
+    """
+    from information_extraction_spark.sources.from_documents import (
+        transcripts_from_documents,
+    )
+
+    t = transcripts_from_documents(spark, sf_dir)
+    n_tok = F.size(
+        F.filter(F.split("text", " "), lambda w: F.length(w) >= 1)
+    )
+    return (
+        t.select(
+            "conv_id",
+            "role",
+            F.coalesce("tool", F.lit("none")).alias("tool"),
+            n_tok.alias("n_tok"),
+        )
+        .groupBy("role", "tool")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.max("n_tok").cast("long").alias("max_turn_tokens"),
+        )
+    )
+
+
 @_q("kg_conv_stats", _CONV_STATS_ORACLE)
 def kg_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation extraction yield

@@ -367,6 +367,36 @@ def test_slot_changes_versions_ties_and_singletons(spark):
     assert all(r["subject"] != "x" for r in rows)
 
 
+# --- role/tool contract ------------------------------------------------------
+
+
+def test_transcripts_role_tool_contract(spark):
+    """The derived transcript table must satisfy the input contract's
+    role/tool semantics: role cycles user→assistant→tool by turn_idx,
+    and tool is 'search' exactly on tool turns, NULL elsewhere."""
+    from information_extraction_spark.sources.from_documents import (
+        transcripts_from_documents,
+    )
+
+    t = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    bad = t.filter(
+        (
+            F.element_at(
+                F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+                (F.col("turn_idx") % 3) + 1,
+            )
+            != F.col("role")
+        )
+        | (
+            (F.col("turn_idx") % 3 == 2) & (F.col("tool") != "search")
+        )
+        | ((F.col("turn_idx") % 3 != 2) & F.col("tool").isNotNull())
+    ).count()
+    assert bad == 0
+    roles = {r["role"] for r in t.select("role").distinct().collect()}
+    assert roles == {"user", "assistant", "tool"}
+
+
 # --- conversation_stats -----------------------------------------------------
 
 
