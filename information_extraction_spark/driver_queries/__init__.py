@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Extraction yield by speaker role: role recovered in-row from
+    # the triple's provenance turn_idx via the transcript cycle
+    # rule; one Expand-keyed shuffle on the 3-value role key.
+    "kg_role_yield",
     # Per-(role, tool) transcript profile: first consumer of the
     # input contract's role/tool columns; narrow in-row token count,
     # one bounded-key shuffle with Expand-keyed distinct.

@@ -1634,6 +1634,68 @@ def kg_role_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _role_yield_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+SELECT CASE CAST(turn_idx % 3 AS INT)
+            WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+            ELSE 'tool' END AS role,
+       CAST(count(*) AS BIGINT) AS n_assertions,
+       CAST(count(DISTINCT (subject, predicate, object)) AS BIGINT)
+           AS n_triples,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(DISTINCT predicate) AS BIGINT) AS n_predicates
+FROM {g} GROUP BY 1
+"""
+
+
+_ROLE_YIELD_ORACLE = _role_yield_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_role_yield", _ROLE_YIELD_ORACLE)
+def kg_role_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction yield by speaker role: which side of the
+    conversation the triples actually come from — per role, the
+    assertion count, distinct triples/predicates, and conversations
+    contributing. The monitor that tells an agent-transcript pipeline
+    whether it is mining the user's statements or the assistant's
+    (and whether tool-output turns yield structured facts at all).
+
+    Scale shape: role is recovered from the triple's own provenance
+    key (turn_idx) with the transcript contract's cycle rule — an
+    in-row CASE, no join back to the transcript table; the profile is
+    ONE shuffle on the 3-value role key with the multi-DISTINCTs
+    expanding via Expand keyed on (role, value), so raw assertion
+    volume never lands on 3 reducers.
+    """
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_role_yield"] = _role_yield_oracle_sql(sf_dir)
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (F.col("turn_idx") % 3) + 1,
+    )
+    return (
+        triples.select(
+            role.alias("role"),
+            "conv_id",
+            "subject",
+            "predicate",
+            "object",
+        )
+        .groupBy("role")
+        .agg(
+            F.count("*").cast("long").alias("n_assertions"),
+            F.countDistinct("subject", "predicate", "object")
+            .cast("long")
+            .alias("n_triples"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.countDistinct("predicate").cast("long").alias(
+                "n_predicates"
+            ),
+        )
+    )
+
+
 @_q("kg_conv_stats", _CONV_STATS_ORACLE)
 def kg_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation extraction yield
