@@ -271,6 +271,8 @@ def main() -> int:
         "w27_interval_concurrency",
         "ta_bigram_lm",
         "emb_coreset",
+        "kg_slot_changes",
+        "kg_role_yield",
     ]
     if args.skip_queries:
         bench_queries = []

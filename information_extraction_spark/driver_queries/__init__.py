@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # UNPIVOT/melt: Spark's native Expand-based unpivot (one row per
+    # metric, no shuffle) vs DuckDB's native UNPIVOT; one bounded-key
+    # profile shuffle after the reshape.
+    "q26_unpivot",
     # Extraction yield by speaker role: role recovered in-row from
     # the triple's provenance turn_idx via the transcript cycle
     # rule; one Expand-keyed shuffle on the 3-value role key.

@@ -2894,3 +2894,64 @@ def q25_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mkt_share"),
         (F.col("total_cents") / F.lit(100.0)).alias("market_revenue"),
     )
+
+
+# --- Q26: UNPIVOT / melt — wide metric columns to long form ------------------
+#
+# The one relational reshaping surface the catalog lacked: the
+# inverse of q8_pivot. Per-document metrics are derived in-row
+# (n_chars from the table, token counts from one split — no explode),
+# melted with DataFrame.unpivot (Spark's native Expand-based melt:
+# each input row expands to one row per metric WITHOUT a shuffle),
+# then profiled per (lang, metric) in ONE map-side-combined shuffle
+# on a bounded key. The DuckDB oracle uses its native UNPIVOT — a
+# genuinely independent implementation of the same reshape.
+
+_Q26_ORACLE = """
+WITH base AS (
+  SELECT lang,
+         n_chars,
+         CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                              w -> len(w) >= 1)) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(list_filter(
+             string_split(coalesce(text, ''), ' '),
+             w -> len(w) >= 1))) AS BIGINT) AS n_distinct_tokens
+  FROM documents
+), long AS (
+  UNPIVOT base ON n_chars, n_tokens, n_distinct_tokens
+  INTO NAME metric VALUE value
+)
+SELECT lang, metric,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(value) AS BIGINT) AS sum_value,
+       CAST(max(value) AS BIGINT) AS max_value
+FROM long GROUP BY 1, 2
+"""
+
+
+@_q("q26_unpivot", _Q26_ORACLE)
+def q26_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda w: F.length(w) >= 1,
+    )
+    base = d.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias(
+            "n_distinct_tokens"
+        ),
+    )
+    long = base.unpivot(
+        ["lang"],
+        ["n_chars", "n_tokens", "n_distinct_tokens"],
+        "metric",
+        "value",
+    )
+    return long.groupBy("lang", "metric").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("value").cast("long").alias("sum_value"),
+        F.max("value").cast("long").alias("max_value"),
+    )
