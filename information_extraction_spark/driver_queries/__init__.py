@@ -38,6 +38,11 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # SimHash Hamming-radius SEARCH (Manku pigeonhole block index):
+    # k+1 equi-joined 6-bit blocks over a 24-bit shingle simhash,
+    # salted block self-join, first-block-wins dedup, in-row
+    # xor+bit_count verify; oracle = brute-force all-pairs.
+    "dd_simhash_hamming",
     # UNPIVOT/melt: Spark's native Expand-based unpivot (one row per
     # metric, no shuffle) vs DuckDB's native UNPIVOT; one bounded-key
     # profile shuffle after the reshape.

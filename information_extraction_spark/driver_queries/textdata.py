@@ -4886,3 +4886,171 @@ def ta_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("m.l") == F.col("true_lang"), 1)
         .otherwise(0).cast("long").alias("correct"),
     )
+
+
+# --- SimHash Hamming-radius search (Manku pigeonhole block index) -------------
+#
+# dd_simhash emits the signature itself; the SEARCH problem — find
+# every pair within Hamming distance k — is what a production
+# near-dup pass actually runs (Manku/Jain/Sarma, WWW'07: Google's
+# web-crawl simhash dedup). The scale trick is the PIGEONHOLE block
+# index: split a w-bit signature into k+1 disjoint blocks; any pair
+# differing in <= k bits must agree EXACTLY on at least one block, so
+# candidates come from k+1 EQUI-joins on (block_idx, block_value) —
+# never a quadratic scan — and the in-row xor+bit_count verify
+# discards false candidates. Here w=24 over distinct 5-char shingles
+# (the word-level 16-bit dd_simhash signature is structurally
+# saturated on this shared-vocab corpus: >17% of all pairs land
+# within Hamming 2, measured), k=3 -> four 6-bit blocks.
+#
+# Scale shape: the signature is ONE map-side-combined shuffle per doc
+# (24 conditional sums as a WIDE aggregate — unlike dd_simhash's
+# bit-explode, rows never multiply x24); block rows are 4 narrow rows
+# per doc; the self-join is SALTED exactly like the LSH band join
+# (probe keeps one deterministic salt, build replicates — a monster
+# block bucket, e.g. the all-zero block of a clustered corpus,
+# spreads over n_salt tasks); pairs colliding in several blocks dedup
+# FIRST-block-wins via the prev-prefix predicate — no distinct
+# shuffle. The oracle is the brute-force all-pairs definition, so the
+# blocked engine path is proven EQUIVALENT to exhaustive search at
+# oracle scale.
+
+_HEXPOS_SHINGLE = (
+    "(locate(substring(md5(shingle), {k}, 1), '0123456789abcdef') - 1)"
+)
+
+_SIMHASH_HAMMING_ORACLE = """
+WITH sh0 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                               i -> substring(text, i, 5))) AS shingle
+  FROM documents
+), v AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substring(md5(shingle), 1, 1)) - 1) * 1048576
+       + (strpos('0123456789abcdef', substring(md5(shingle), 2, 1)) - 1) * 65536
+       + (strpos('0123456789abcdef', substring(md5(shingle), 3, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substring(md5(shingle), 4, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substring(md5(shingle), 5, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substring(md5(shingle), 6, 1)) - 1) AS v24
+  FROM sh0
+), bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (v24 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM v CROSS JOIN generate_series(0, 23) g(b)
+  GROUP BY doc_id, b
+), sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS da, b.doc_id AS db,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _simhash24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) 24-bit shingle simhash. The per-bit sign sums
+    are 24 conditional SUMs in ONE wide aggregate (map-side combined;
+    well inside codegen width limits) — the row count never inflates,
+    unlike a bit-dimension explode."""
+    d = _spread(spark, _docs(spark, sf_dir), "doc_id")
+    positions = F.when(
+        F.length("text") >= 5, F.sequence(F.lit(1), F.length("text") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (
+        d.withColumn("pos", F.explode(positions))
+        .select("doc_id", F.expr("substring(text, pos, 5)").alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+    v24 = F.expr(
+        " + ".join(
+            f"{_HEXPOS_SHINGLE.format(k=k)} * {16 ** (6 - k)}"
+            for k in range(1, 7)
+        )
+    )
+    sums = sh.withColumn("v24", v24).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(v24 >> {b}) & 1 = 1"), 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(24)
+        ]
+    )
+    packed = None
+    for b in range(24):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return sums.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+@_q("dd_simhash_hamming", _SIMHASH_HAMMING_ORACLE)
+def dd_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_blocks, block_bits, radius = 4, 6, 3
+    sig = _simhash24(spark, sf_dir)
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        # 1-indexed like the LSH band rows, so the
+                        # shared guard shape `i < blk` covers every
+                        # prev item (a 0-indexed blk silently skips
+                        # its LAST prev check and double-emits pairs).
+                        F.lit(i + 1).alias("blk"),
+                        F.expr(
+                            f"int((simhash >> {block_bits * i}) & 63)"
+                        ).alias("key"),
+                        F.array(
+                            *[
+                                F.expr(
+                                    f"int((simhash >> {block_bits * j}) & 63)"
+                                )
+                                for j in range(i)
+                            ]
+                        )
+                        .cast("array<int>")
+                        .alias("prev"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "simhash", "bh.blk", "bh.key", "bh.prev")
+    # Salted self-join, _lsh_candidate_pairs pattern: probe side keeps
+    # one deterministic salt, build side replicates to every salt.
+    n_salt = min(8, spark.sparkContext.defaultParallelism)
+    a = blocks.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("int")
+    ).alias("a")
+    b = blocks.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).alias("b")
+    # FIRST-block-wins: guard each prev-equality with i < blk so block
+    # 0's empty prev never yields NULL (same rule as the LSH join).
+    earlier = F.lit(False)
+    for i in range(1, n_blocks):
+        earlier = earlier | (
+            (F.lit(i) < F.col("a.blk"))
+            & (F.col("a.prev").getItem(i - 1) == F.col("b.prev").getItem(i - 1))
+        )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(~earlier)
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.expr("int(bit_count(a.simhash ^ b.simhash))").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= radius)
+    )
