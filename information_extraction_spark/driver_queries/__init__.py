@@ -38,6 +38,11 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Poisson-bootstrap CI (Chamandy et al.): deterministic
+    # Poisson(1) weights per (row, replicate) from the portable md5
+    # uniform vs Python-computed integer thresholds; R=40 replicate
+    # means in one narrow pass, order-statistic CI, all BIGINT ppm.
+    "a20_bootstrap_ci",
     # SimHash Hamming-radius SEARCH (Manku pigeonhole block index):
     # k+1 equi-joined 6-bit blocks over a 24-bit shingle simhash,
     # salted block self-join, first-block-wins dedup, in-row

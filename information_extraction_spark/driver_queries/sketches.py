@@ -787,3 +787,141 @@ def a19_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc.alias("acc_ppm"),
         F.abs(conf - acc).cast("long").alias("gap_ppm"),
     )
+
+
+# --- A20: Poisson-bootstrap confidence intervals -----------------------------------
+#
+# Per-language mean token count with a 95% bootstrap CI. Classical
+# bootstrap resampling (sample n rows WITH replacement, R times) is
+# unrunnable at 10^12 rows — it would shuffle R full copies of the
+# data. The POISSON bootstrap (Chamandy et al., "Estimating
+# uncertainty for massive data streams", Google 2012) replaces the
+# multinomial resample with an independent Poisson(1) weight per
+# (row, replicate): each row contributes to all R replicates in ONE
+# narrow pass, no resampling shuffle, and the replicate estimates
+# converge to the same distribution. Determinism contract: the
+# weight is inverse-CDF'd from the portable 48-bit md5 uniform of
+# "doc_id#rep" against Poisson(1) cumulative thresholds computed
+# ONCE in Python and embedded as identical integer literals in both
+# engines — no cross-engine exp(). Replicate means are integer ppm
+# (BIGINT div, ANSI-safe greatest-guard); the CI picks order
+# statistics 2 and 39 of the R=40 sorted replicate means
+# (conservative-inward nearest-rank 2.5%/97.5%), so every compared
+# value is an exact BIGINT.
+#
+# Scale shape: explode x R=40 is narrow (no data copies, weights are
+# in-row arithmetic); the replicate aggregate is ONE map-side
+# combined shuffle to (langs x R) = 200 rows; the order statistics
+# sort a bounded 40-element array per language driver-free.
+
+import math as _math
+
+_POIS1_THRESH = []
+_cum, _term = 0.0, _math.exp(-1.0)
+for _k in range(5):
+    _cum += _term
+    _POIS1_THRESH.append(int(_math.floor(_cum * (1 << 48))))
+    _term /= _k + 1
+del _cum, _term, _k
+
+_A20_R = 40
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS1_THRESH)
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
+_A20_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents
+), reps AS (
+  SELECT lang, doc_id, tok, r AS rep
+  FROM tok CROSS JOIN generate_series(1, {_A20_R}) g(r)
+), wt AS (
+  SELECT lang, rep, tok,
+         {_pois_case_sql(_h48_sql(
+             "CAST(doc_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR)"))} AS w
+  FROM reps
+), rm AS (
+  SELECT lang, rep,
+         CAST(CAST(sum(w * tok) AS BIGINT) * 1000000
+              // greatest(CAST(sum(w) AS BIGINT), 1) AS BIGINT) AS mean_ppm
+  FROM wt GROUP BY lang, rep
+), ranked AS (
+  SELECT lang, mean_ppm,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY mean_ppm, rep) AS rn
+  FROM rm
+), ci AS (
+  SELECT lang,
+         max(CASE WHEN rn = 2 THEN mean_ppm END) AS lo_ppm,
+         max(CASE WHEN rn = {_A20_R - 1} THEN mean_ppm END) AS hi_ppm
+  FROM ranked GROUP BY lang
+), pt AS (
+  SELECT lang,
+         CAST(CAST(sum(tok) AS BIGINT) * 1000000
+              // count(*) AS BIGINT) AS mean_ppm
+  FROM tok GROUP BY lang
+)
+SELECT pt.lang AS lang, pt.mean_ppm AS mean_ppm,
+       ci.lo_ppm AS lo_ppm, ci.hi_ppm AS hi_ppm
+FROM pt JOIN ci ON pt.lang = ci.lang
+"""
+
+# _h48_sql is the shared portable hash; the Spark side uses _h48().
+
+
+@_q("a20_bootstrap_ci", _A20_ORACLE)
+def a20_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("tok"),
+    )
+    reps = tok.withColumn(
+        "rep", F.explode(F.sequence(F.lit(1), F.lit(_A20_R)))
+    )
+    u = _h48(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("#"),
+            F.col("rep").cast("string"),
+        )
+    )
+    w = F.lit(5)
+    for k in reversed(range(5)):
+        w = F.when(u < _POIS1_THRESH[k], F.lit(k)).otherwise(w)
+    rm = (
+        reps.withColumn("w", w.cast("long"))
+        .groupBy("lang", "rep")
+        .agg(
+            F.sum(F.col("w") * F.col("tok")).cast("long").alias("s_wt"),
+            F.sum("w").cast("long").alias("s_w"),
+        )
+        .select(
+            "lang",
+            F.expr(
+                "CAST((s_wt * 1000000) div greatest(s_w, 1) AS BIGINT)"
+            ).alias("mean_ppm"),
+        )
+    )
+    ci = rm.groupBy("lang").agg(
+        F.array_sort(F.collect_list("mean_ppm")).alias("ms")
+    ).select(
+        "lang",
+        F.element_at("ms", 2).alias("lo_ppm"),
+        F.element_at("ms", _A20_R - 1).alias("hi_ppm"),
+    )
+    pt = tok.groupBy("lang").agg(
+        F.expr(
+            "CAST((sum(tok) * 1000000) div count(*) AS BIGINT)"
+        ).alias("mean_ppm")
+    )
+    return pt.join(F.broadcast(ci), "lang").select(
+        "lang", "mean_ppm", "lo_ppm", "hi_ppm"
+    )
