@@ -38,6 +38,11 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Snapshot retention GC (Iceberg expire_snapshots): 3-snapshot
+    # history, oldest expired — dir deleted, manifest rewritten,
+    # id claims kept (monotonic ids after GC); survivors read via
+    # read_as_of against a pure-documents oracle.
+    "w30_snapshot_expire",
     # Poisson-bootstrap CI (Chamandy et al.): deterministic
     # Poisson(1) weights per (row, replicate) from the portable md5
     # uniform vs Python-computed integer thresholds; R=40 replicate

@@ -2158,6 +2158,123 @@ def w9_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.read_as_of("pred_counts", first_id)
 
 
+# --- W30: snapshot retention GC (Iceberg expire_snapshots) -------------------
+#
+# The lifecycle half of the snapshot story w9_time_travel reads: a
+# lake table that only ever ACCUMULATES snapshots is a storage leak,
+# so production tables run expire_snapshots on a retention schedule.
+# This query materializes a THREE-snapshot history of a per-language
+# count stage (universes: every third doc, two thirds, full corpus),
+# expires all but the newest two, and reads back the survivors via
+# read_as_of. Load-bearing checks inside the query body: the expired
+# snapshot's directory is GONE from disk, read_as_of(expired) raises,
+# the kept snapshots still time-travel, and the id claim files
+# survive so snapshot ids stay monotonic after GC. The oracle
+# recomputes the two surviving universes straight from documents —
+# pure SQL, no golden.
+
+
+def _se_paths(sf_dir: str) -> tuple[str, str]:
+    base = _golden_path("snapshot_expire", sf_dir).replace(
+        ".parquet", "_ckpt"
+    )
+    return base, base + ".meta.json"
+
+
+def _write_expire_history(spark: SparkSession, sf_dir: str) -> None:
+    """Stage the 3-snapshot history once and expire the oldest
+    (write-once via the atomic meta sidecar, w9 pattern). A rerun
+    after a crash mid-history is safe: completed stages are skipped
+    by params_hash and expire_snapshots is idempotent."""
+    import json
+    import os
+
+    from information_extraction_spark.operators.checkpoint import (
+        CheckpointManager,
+    )
+
+    _ensure_golden_dir()
+    ckpt_dir, meta_path = _se_paths(sf_dir)
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as fh:
+                json.load(fh)
+            return
+        except ValueError:
+            os.unlink(meta_path)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = lambda df: df.groupBy("lang").agg(  # noqa: E731
+        F.count("*").cast("long").alias("n_docs")
+    )
+    universes = [
+        ("third", F.col("doc_id") % 3 == 0),
+        ("two_thirds", F.col("doc_id") % 3 <= 1),
+        ("all", F.lit(True)),
+    ]
+    for name, pred in universes:
+        m = CheckpointManager(
+            spark, ckpt_dir, run_id="history", params={"universe": name}
+        )
+        m.stage(counts(docs.filter(pred)), "lang_counts")
+    gc = CheckpointManager(spark, ckpt_dir, run_id="history", params={})
+    expired = gc.expire_snapshots("lang_counts", keep_last=2)
+    if expired not in ([1], []):
+        raise RuntimeError(f"unexpected expired ids {expired}")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"expired": expired}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, meta_path)
+
+
+_W30_ORACLE = """
+SELECT CAST(2 AS BIGINT) AS snapshot_id, lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents WHERE doc_id % 3 <= 1 GROUP BY lang
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS snapshot_id, lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+@_q("w30_snapshot_expire", _W30_ORACLE)
+def w30_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors of the GC'd snapshot history, read via read_as_of —
+    values must equal the two-thirds and full-corpus counts, and the
+    expired snapshot must be both unreadable and physically gone."""
+    import os
+
+    from information_extraction_spark.operators.checkpoint import (
+        CheckpointManager,
+    )
+
+    _write_expire_history(spark, sf_dir)
+    ckpt_dir, _ = _se_paths(sf_dir)
+    m = CheckpointManager(spark, ckpt_dir, run_id="history", params={})
+    if os.path.isdir(os.path.join(ckpt_dir, "history", "lang_counts@snap1")):
+        raise RuntimeError("expired snapshot dir still on disk")
+    if not os.path.isfile(
+        os.path.join(ckpt_dir, "_snapshot_claims", "snap-1.claim")
+    ):
+        raise RuntimeError("expired id claim must survive GC")
+    try:
+        m.read_as_of("lang_counts", 1)
+    except ValueError:
+        pass
+    else:
+        raise RuntimeError("read_as_of(expired) must raise")
+    parts = [
+        m.read_as_of("lang_counts", sid).withColumn(
+            "snapshot_id", F.lit(sid).cast("long")
+        )
+        for sid in (2, 3)
+    ]
+    out = parts[0].unionByName(parts[1])
+    return out.select("snapshot_id", "lang", "n_docs")
+
+
 def _graph_diff_oracle_sql(sf_dir: str) -> str:
     g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
     return f"""

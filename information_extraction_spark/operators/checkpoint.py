@@ -236,6 +236,50 @@ class CheckpointManager:
             for r in c.orderBy("snapshot_id").collect()
         ]
 
+    def expire_snapshots(self, stage: str, keep_last: int = 1) -> list[int]:
+        """Iceberg-style snapshot retention GC for one stage: drop all
+        but the newest ``keep_last`` completed snapshots. Expired
+        snapshot DIRECTORIES are deleted, their manifest rows are
+        rewritten out (write-to-temp + directory swap — the same
+        single-committing-driver window as stage()), and the O_EXCL id
+        CLAIM files are kept, so an expired id is never re-minted by a
+        later allocation (ids stay monotonic across GC, as Iceberg's
+        catalog guarantees). Kept snapshots' files are untouched.
+        Idempotent; returns the expired ids, oldest first."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        hist = self.snapshots(stage)
+        expired = (
+            [sid for sid, _, _ in hist[:-keep_last]]
+            if len(hist) > keep_last
+            else []
+        )
+        if not expired:
+            return []
+        for sid in expired:
+            p = self._snapshot_path(stage, sid)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        kept = self.manifest().filter(
+            ~(
+                (F.col("stage") == stage)
+                & F.col("snapshot_id").isin([int(s) for s in expired])
+            )
+        )
+        tmp = self._manifest_dir + ".expiring"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = self._manifest_dir + ".expired"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(self._manifest_dir, old)
+        os.rename(tmp, self._manifest_dir)
+        shutil.rmtree(old)
+        return expired
+
     def stage_metrics(self, stage: str) -> list[tuple[int, int]]:
         """(partition_id, row_count) rows recorded for a stage's
         LATEST completed snapshot under the current params."""

@@ -282,3 +282,38 @@ def test_time_travel_sidecar_recovery(spark):
     assert write_time_travel_snapshots(spark, sf_dir) == first_id
     with open(meta_path) as fh:
         assert json.load(fh)["first_snapshot_id"] == first_id
+
+
+def test_expire_snapshots_retention_gc(spark, tmp_dir):
+    """Iceberg-style expire_snapshots: all but keep_last newest
+    snapshots drop — dirs deleted, manifest rows gone, claims kept so
+    ids stay monotonic — while kept snapshots still time-travel.
+    Idempotent; other stages' rows untouched."""
+    import pytest
+
+    base = os.path.join(tmp_dir, "ckpt_gc")
+    for i in range(1, 5):
+        m = CheckpointManager(spark, base, run_id="h", params={"v": i})
+        m.stage(spark.range(0, 10 * i), "s")
+    other = CheckpointManager(spark, base, run_id="h", params={"o": 1})
+    other.stage(spark.range(0, 7), "t")
+
+    gc = CheckpointManager(spark, base, run_id="h", params={})
+    assert gc.expire_snapshots("s", keep_last=2) == [1, 2]
+    assert [sid for sid, _, _ in gc.snapshots("s")] == [3, 4]
+    for sid, there in [(1, False), (2, False), (3, True), (4, True)]:
+        assert os.path.isdir(os.path.join(base, "h", f"s@snap{sid}")) is there
+        assert os.path.isfile(
+            os.path.join(base, "_snapshot_claims", f"snap-{sid}.claim")
+        )
+    with pytest.raises(ValueError, match="no completed snapshot"):
+        gc.read_as_of("s", 1)
+    assert gc.read_as_of("s", 3).count() == 30
+    # Idempotent; keep_last beyond history is a no-op; other stage
+    # intact; a NEW snapshot mints an id past the expired ones.
+    assert gc.expire_snapshots("s", keep_last=2) == []
+    assert gc.expire_snapshots("s", keep_last=9) == []
+    assert [sid for sid, _, _ in gc.snapshots("t")] == [5]
+    m6 = CheckpointManager(spark, base, run_id="h", params={"v": 9})
+    m6.stage(spark.range(0, 3), "s")
+    assert [sid for sid, _, _ in gc.snapshots("s")] == [3, 4, 6]
