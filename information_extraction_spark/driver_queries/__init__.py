@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Conversation-level dedup by EXTRACTED CONTENT: triple-set
+    # Jaccard over (s,p,o)-blocked conv pairs, stop-triple cap —
+    # the last dedup granularity (span -> doc -> conversation).
+    "kg_conv_dedup",
     # Snapshot retention GC (Iceberg expire_snapshots): 3-snapshot
     # history, oldest expired — dir deleted, manifest rewritten,
     # id claims kept (monotonic ids after GC); survivors read via

@@ -1426,6 +1426,62 @@ def kg_incremental_er(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Conversation-level dedup by extracted content ---------------------------
+#
+# The last dedup granularity: span (dd_dup_spans) -> document (dd_*)
+# -> CONVERSATION. Two transcripts whose extracted triple sets
+# overlap heavily are re-ingests/forwards/template copies even when
+# the surface text differs; the blocked set-Jaccard machinery is
+# linking.er_candidates' one level up (blocking key = the full
+# (s, p, o) triple; stop-triples above max_triple_freq=8 leave
+# intersection AND union). Load-bearing at sf0.001: 27 pairs survive
+# tau=0.5 out of ~12k blocked candidates.
+
+
+def _conv_dedup_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH t AS (
+  SELECT DISTINCT conv_id, subject, predicate, object FROM {g}
+), keep AS (
+  SELECT subject, predicate, object FROM t
+  GROUP BY 1, 2, 3 HAVING count(*) <= 8
+), blocked AS (
+  SELECT t.* FROM t JOIN keep USING (subject, predicate, object)
+), deg AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n FROM blocked GROUP BY 1
+), pairs AS (
+  SELECT a.conv_id AS c1, b.conv_id AS c2,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM blocked a JOIN blocked b
+    ON a.subject = b.subject AND a.predicate = b.predicate
+   AND a.object = b.object AND a.conv_id < b.conv_id
+  GROUP BY 1, 2
+)
+SELECT c1, c2, shared,
+       ROUND(shared / CAST(d1.n + d2.n - shared AS DOUBLE), 4) AS jaccard
+FROM pairs
+JOIN deg d1 ON d1.conv_id = pairs.c1
+JOIN deg d2 ON d2.conv_id = pairs.c2
+WHERE ROUND(shared / CAST(d1.n + d2.n - shared AS DOUBLE), 4) >= 0.5
+"""
+
+
+_CONV_DEDUP_ORACLE = _conv_dedup_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_conv_dedup", _CONV_DEDUP_ORACLE)
+def kg_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate conversation pairs by triple-set Jaccard
+    (operators/graph.conv_dedup: (s,p,o)-blocked equi-join, stop-
+    triple cap 8, tau 0.5)."""
+    from information_extraction_spark.operators.graph import conv_dedup
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_conv_dedup"] = _conv_dedup_oracle_sql(sf_dir)
+    return conv_dedup(triples, tau=0.5, max_triple_freq=8)
+
+
 def _type_infer_oracle_sql(sf_dir: str) -> str:
     g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
     return f"""

@@ -1235,3 +1235,66 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
         ).cast("long").alias("q_num"),
         F.lit(4 * m * m).cast("long").alias("q_den"),
     )
+
+
+def conv_dedup(
+    triples: DataFrame,
+    tau: float = 0.5,
+    max_triple_freq: int = 8,
+) -> DataFrame:
+    """Conversation-level near-duplicate detection by EXTRACTED
+    CONTENT: two transcripts whose triple sets overlap heavily are
+    re-ingested / forwarded / templated copies of one conversation,
+    even when their surface text differs (speaker names swapped,
+    timestamps rewritten) — the semantic complement of the text-side
+    dd_* family, and the last dedup granularity (span → document →
+    conversation). Returns (c1, c2, shared, jaccard) conversation
+    pairs with triple-set Jaccard ≥ ``tau``, c1 < c2.
+
+    Scale shape — linking.er_candidates' blocking pattern one level
+    up: candidates come from an equi-join on the full (s, p, o)
+    blocking key (never an all-pairs conv join); ``max_triple_freq``
+    drops stop-triples — a fact asserted in thousands of
+    conversations is C(f, 2) pair fan-out and zero evidence that any
+    two of them are copies — and stop-triples leave intersection AND
+    union (degrees come from the filtered table). Per-conv degree
+    joins are co-keyed on the pair endpoints; nothing broadcasts
+    (conv cardinality is unbounded at 10^12 turns)."""
+    t = triples.select("conv_id", "subject", "predicate", "object").distinct()
+    keep = (
+        t.groupBy("subject", "predicate", "object")
+        .agg(F.count("*").alias("_f"))
+        .filter(F.col("_f") <= max_triple_freq)
+        .select("subject", "predicate", "object")
+    )
+    blocked = t.join(keep, ["subject", "predicate", "object"])
+    deg = blocked.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    key = ["subject", "predicate", "object"]
+    a = blocked.select(F.col("conv_id").alias("c1"), *key)
+    b = blocked.select(F.col("conv_id").alias("c2"), *key)
+    pairs = (
+        a.join(b, key)
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    d1 = deg.select(F.col("conv_id").alias("c1"), F.col("_n").alias("_n1"))
+    d2 = deg.select(F.col("conv_id").alias("c2"), F.col("_n").alias("_n2"))
+    return (
+        pairs.join(d1, "c1")
+        .join(d2, "c2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("_n1") + F.col("_n2") - F.col("shared")).cast(
+                    "double"
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("c1", "c2", "shared", "jaccard")
+    )
