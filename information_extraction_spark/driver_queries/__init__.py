@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # GraphSAGE mean-aggregation layer: in-row hashed features (the
+    # learned-embedding seam), undirected closure + ONE map-side-
+    # combined node shuffle; exact BIGINT neighbor means.
+    "kg_gcn_agg",
     # Conversation-level dedup by EXTRACTED CONTENT: triple-set
     # Jaccard over (s,p,o)-blocked conv pairs, stop-triple cap —
     # the last dedup granularity (span -> doc -> conversation).

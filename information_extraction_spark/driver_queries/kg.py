@@ -2946,6 +2946,63 @@ def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(edges, k=2, rounds=3)
 
 
+# --- GraphSAGE mean-aggregation layer (GNN message passing) -------------------
+#
+# The message-passing primitive GNN-over-KG pipelines stack: per
+# entity, own hashed d=4 features + the exact integer mean of its
+# neighbors' features (operators/graph.sage_mean_agg). With hashed
+# features the neighbor message is computed IN-ROW on the edge — no
+# feature join — so the layer is the undirected closure plus ONE
+# map-side-combined shuffle on the node key.
+
+
+def _sage_feat_sql(expr: str, i: int) -> str:
+    from information_extraction_spark.functions.hashing import h48_sql
+
+    return f"({h48_sql(expr + chr(39) + '#g' + str(i) + chr(39))} % 1000)"
+
+
+def _sage_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    fs = [_sage_feat_sql("src || ", i) for i in range(4)]
+    ms = [_sage_feat_sql("dst || ", i) for i in range(4)]
+    sum_cols = ", ".join(
+        f"CAST(sum({ms[i]}) AS BIGINT) AS sm{i}" for i in range(4)
+    )
+    f_cols = ", ".join(f"CAST({fs[i]} AS BIGINT) AS f{i}" for i in range(4))
+    m_cols = ", ".join(
+        f"CAST(sm{i} // degree AS BIGINT) AS m{i}" for i in range(4)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+), und AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), agg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS degree, {sum_cols}
+  FROM und GROUP BY src
+)
+SELECT src AS entity, {f_cols}, {m_cols}, degree FROM agg
+"""
+
+
+_SAGE_ORACLE = _sage_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_gcn_agg", _SAGE_ORACLE)
+def kg_gcn_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One GraphSAGE mean-agg layer over the subject->object entity
+    graph; exact-BIGINT neighbor means, in-row hashed features."""
+    from information_extraction_spark.operators.graph import sage_mean_agg
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_gcn_agg"] = _sage_oracle_sql(sf_dir)
+    edges = triples.select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    ).distinct()
+    return sage_mean_agg(edges)
+
+
 def _transe_components_sql(expr: str) -> list[str]:
     from information_extraction_spark.functions.hashing import h48_sql
 

@@ -1298,3 +1298,45 @@ def conv_dedup(
         .filter(F.col("jaccard") >= tau)
         .select("c1", "c2", "shared", "jaccard")
     )
+
+
+def sage_mean_agg(edges: DataFrame) -> DataFrame:
+    """One GraphSAGE mean-aggregation layer (Hamilton et al. 2017)
+    over the entity graph: per node, its own d=4 feature vector
+    concatenated with the MEAN of its neighbors' feature vectors —
+    the message-passing primitive every GNN-over-KG pipeline stacks
+    (node classification, link prediction, entity typing). Features
+    here are deterministic h48 feature-hashes of the entity name
+    (kg_transe_score's seam: in production the in-row hash swaps for
+    a join against a learned-embedding table, keyed the same way);
+    means are exact BIGINT integer divisions.
+
+    Scale shape: neighbor features are computed IN-ROW on the edge
+    (no feature-table join at all with hashed features), so the whole
+    layer is the undirected closure plus ONE map-side-combined
+    shuffle on the node key — sums and degree combine associatively,
+    a hub's messages reduce map-side. Returns
+    (entity, f0..f3, m0..m3, degree)."""
+    from information_extraction_spark.functions.hashing import h48
+
+    und = undirected_edges(edges)
+
+    def feat(col, i: int):
+        return (h48(F.concat(col, F.lit(f"#g{i}"))) % 1000).cast("long")
+
+    agg = und.groupBy("src").agg(
+        F.count("*").cast("long").alias("degree"),
+        *[
+            F.sum(feat(F.col("dst"), i)).cast("long").alias(f"sm{i}")
+            for i in range(4)
+        ],
+    )
+    return agg.select(
+        F.col("src").alias("entity"),
+        *[feat(F.col("src"), i).alias(f"f{i}") for i in range(4)],
+        *[
+            F.expr(f"CAST(sm{i} div degree AS BIGINT)").alias(f"m{i}")
+            for i in range(4)
+        ],
+        "degree",
+    )
