@@ -273,6 +273,10 @@ def main() -> int:
         "emb_coreset",
         "kg_slot_changes",
         "kg_role_yield",
+        "dd_simhash_hamming",
+        "kg_conv_dedup",
+        "kg_gcn_agg",
+        "a20_bootstrap_ci",
     ]
     if args.skip_queries:
         bench_queries = []

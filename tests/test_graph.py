@@ -1199,3 +1199,67 @@ def test_textrank_graph_is_adjacency_not_presence(spark, tmp_path):
     # graph: a-b, b-c, c-a (from 'c a') -> a 3-cycle; degree-regular,
     # so all ranks are exactly 1.0 at every iteration
     assert all(abs(v - 1.0) < 1e-9 for v in rows.values())
+
+
+def test_conv_dedup_blocking_cap_and_jaccard(spark):
+    """Hand-built conversations: c1/c2 share 2 of 3 triples (J=0.5,
+    kept); c3 overlaps c1 only via a stop-triple asserted by every
+    conversation (capped out -> no pair); c4 is an exact triple-set
+    copy of c2 (J=1.0)."""
+    from information_extraction_spark.operators.graph import conv_dedup
+
+    rows = []
+    stop = ("s9", "p9", "o9")  # in every conv -> freq 4 > cap 3
+    for c, triples in {
+        "c1": [("a", "p", "x"), ("b", "p", "y"), stop],
+        "c2": [("a", "p", "x"), ("b", "p", "y"), ("e", "p", "z"), stop],
+        "c3": [("q", "p", "r"), stop],
+        "c4": [("a", "p", "x"), ("b", "p", "y"), ("e", "p", "z"), stop],
+    }.items():
+        rows += [(c, s, p, o) for s, p, o in triples]
+    df = spark.createDataFrame(
+        rows, "conv_id string, subject string, predicate string, object string"
+    )
+    got = {
+        (r["c1"], r["c2"]): (r["shared"], r["jaccard"])
+        for r in conv_dedup(df, tau=0.5, max_triple_freq=3).collect()
+    }
+    assert got == {
+        ("c1", "c2"): (2, 0.6667),  # 2 shared / (2 + 3 - 2)
+        ("c1", "c4"): (2, 0.6667),
+        ("c2", "c4"): (3, 1.0),
+    }
+
+
+def test_sage_mean_agg_hand_mean_and_self_features(spark):
+    """Star a-{b,c,d}: a's neighbor mean is the exact BIGINT div of
+    the three leaf feature sums; each leaf's mean equals a's own
+    features exactly; degrees count the undirected closure."""
+    from information_extraction_spark.functions.hashing import h48
+    from information_extraction_spark.operators.graph import sage_mean_agg
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "a")], "src string, dst string"
+    )
+    out = {r["entity"]: r.asDict() for r in sage_mean_agg(edges).collect()}
+
+    def feats(name):
+        df = spark.range(1).select(
+            *[
+                (h48(F.concat(F.lit(name), F.lit(f"#g{i}"))) % 1000)
+                .cast("long")
+                .alias(f"f{i}")
+                for i in range(4)
+            ]
+        )
+        return df.collect()[0].asDict()
+
+    fa = feats("a")
+    assert out["a"]["degree"] == 3
+    for i in range(4):
+        assert out["a"][f"f{i}"] == fa[f"f{i}"]
+        s = sum(feats(n)[f"f{i}"] for n in "bcd")
+        assert out["a"][f"m{i}"] == s // 3
+        # leaves see exactly a's features (mean of one neighbor)
+        assert out["b"][f"m{i}"] == fa[f"f{i}"]
+    assert out["b"]["degree"] == out["c"]["degree"] == out["d"]["degree"] == 1

@@ -547,6 +547,25 @@ PLAN_QUERIES = [
         "two-phase rank (range-shuffle by boundary key) computes "
         "global prefix sums without a single-reducer global window",
     ),
+    (
+        "dd_simhash_hamming",
+        "pigeonhole Hamming search: signature = ONE wide 24-sum "
+        "aggregate (no bit-explode row blowup); candidates from the "
+        "salted (blk, key) equi-join — never a quadratic scan; "
+        "first-block-wins filter + in-row xor/bit_count verify",
+    ),
+    (
+        "kg_conv_dedup",
+        "conversation dedup: blocked equi-join on the full (s,p,o) "
+        "triple key after the stop-triple cap; degree joins co-keyed "
+        "on the pair endpoints; no broadcast of unbounded conv tables",
+    ),
+    (
+        "kg_gcn_agg",
+        "GraphSAGE layer: neighbor features computed IN-ROW on the "
+        "edge (no feature-table join); undirected closure + ONE "
+        "map-side-combined shuffle on the node key",
+    ),
 ]
 
 
