@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Community conductance: exact-ppm cut quality of the LPA
+    # communities (cut / min(vol, 2m-vol)); cut edges charge both
+    # sides via in-row explode, never a second join.
+    "kg_conductance",
     # GraphSAGE mean-aggregation layer: in-row hashed features (the
     # learned-embedding seam), undirected closure + ONE map-side-
     # combined node shuffle; exact BIGINT neighbor means.

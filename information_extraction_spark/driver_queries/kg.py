@@ -3003,6 +3003,73 @@ def kg_gcn_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sage_mean_agg(edges)
 
 
+# --- Community conductance (cut-quality audit) --------------------------------
+#
+# kg_modularity audits community DENSITY; conductance audits the CUT:
+# phi(S) = cut(S) / min(vol(S), 2m - vol(S)). Exact ppm integers; the
+# LPA chain is the same nested CTE the modularity oracle reuses.
+
+
+def _conductance_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH lpa AS ({_lpa_oracle_sql(sf_dir)}),
+e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+  WHERE subject <> object
+), canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+), mm AS (
+  SELECT CAST(count(*) AS BIGINT) AS m FROM canon
+), u AS (
+  SELECT a AS src FROM canon UNION ALL SELECT b FROM canon
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM u GROUP BY 1
+), vol AS (
+  SELECT l.community,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(deg.d) AS BIGINT) AS volume
+  FROM deg JOIN lpa l ON deg.src = l.entity GROUP BY 1
+), cutc AS (
+  SELECT community, CAST(count(*) AS BIGINT) AS cut_edges FROM (
+    SELECT unnest([la.community, lb.community]) AS community
+    FROM canon
+    JOIN lpa la ON canon.a = la.entity
+    JOIN lpa lb ON canon.b = lb.entity
+    WHERE la.community <> lb.community
+  ) GROUP BY 1
+)
+SELECT v.community, v.n_nodes,
+       CAST(coalesce(c.cut_edges, 0) AS BIGINT) AS cut_edges,
+       v.volume,
+       CAST(coalesce(c.cut_edges, 0) * 1000000
+            // greatest(least(v.volume, 2 * mm.m - v.volume), 1)
+            AS BIGINT) AS conductance_ppm
+FROM vol v LEFT JOIN cutc c ON v.community = c.community CROSS JOIN mm
+"""
+
+
+_CONDUCTANCE_ORACLE = _conductance_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_conductance", _CONDUCTANCE_ORACLE)
+def kg_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the 3-iteration LPA communities
+    (operators/graph.conductance) — exact ppm; low phi marks safe
+    canonicalization blocks, phi near 1 marks boundary-dominated
+    communities that must not drive merges."""
+    from information_extraction_spark.operators.graph import (
+        conductance,
+        label_propagation,
+        triple_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_conductance"] = _conductance_oracle_sql(sf_dir)
+    edges = triple_edges(triples)
+    return conductance(edges, label_propagation(edges, iterations=3))
+
+
 def _transe_components_sql(expr: str) -> list[str]:
     from information_extraction_spark.functions.hashing import h48_sql
 

@@ -1340,3 +1340,63 @@ def sage_mean_agg(edges: DataFrame) -> DataFrame:
         ],
         "degree",
     )
+
+
+def conductance(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Conductance of each community over the undirected simple graph
+    — the cut-quality audit that complements ``modularity``'s
+    density view: φ(S) = cut(S) / min(vol(S), 2m − vol(S)), low φ =
+    few escaping edges = a safe canonicalization block, φ → 1 = the
+    "community" is mostly boundary and should not drive merges.
+
+    Exact-integer contract: conductance_ppm = cut·10^6 div
+    min(vol, 2m − vol) as BIGINT (greatest-guard for the degenerate
+    whole-graph community, where the denominator is 0). Scale shape
+    mirrors modularity: one canonicalization distinct, degree/label
+    joins co-keyed on the entity, cut detection as two equi-joins on
+    the edge endpoints; a cut edge charges BOTH sides via an in-row
+    two-element explode, never a second join. m is a bounded scalar.
+    """
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    canon = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    m = canon.count()  # bounded scalar (one long)
+    u = canon.select(F.col("a").alias("src")).unionAll(
+        canon.select(F.col("b").alias("src"))
+    )
+    deg = u.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    lab = communities.select("entity", "community")
+    vol = (
+        deg.join(lab, deg.src == lab.entity)
+        .groupBy("community")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("volume"),
+        )
+    )
+    la = lab.select(F.col("entity").alias("a"), F.col("community").alias("ca"))
+    lb = lab.select(F.col("entity").alias("b"), F.col("community").alias("cb"))
+    cut = (
+        canon.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(F.explode(F.array("ca", "cb")).alias("community"))
+        .groupBy("community")
+        .agg(F.count("*").cast("long").alias("cut_edges"))
+    )
+    out = vol.join(cut, "community", "left").select(
+        "community",
+        "n_nodes",
+        F.coalesce(F.col("cut_edges"), F.lit(0)).cast("long").alias(
+            "cut_edges"
+        ),
+        "volume",
+    )
+    return out.select(
+        "*",
+        F.expr(
+            f"CAST((cut_edges * 1000000) div "
+            f"greatest(least(volume, {2 * m} - volume), 1) AS BIGINT)"
+        ).alias("conductance_ppm"),
+    )

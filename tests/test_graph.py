@@ -1263,3 +1263,34 @@ def test_sage_mean_agg_hand_mean_and_self_features(spark):
         # leaves see exactly a's features (mean of one neighbor)
         assert out["b"][f"m{i}"] == fa[f"f{i}"]
     assert out["b"]["degree"] == out["c"]["degree"] == out["d"]["degree"] == 1
+
+
+def test_conductance_two_triangles_bridge_exact(spark):
+    """Two triangles joined by one bridge edge, communities = the
+    triangles: each side has cut=1, volume=7 (degrees 2+2+3), 2m=14,
+    so phi_ppm = 1000000 div 7 = 142857 exactly. A whole-graph
+    community hits the greatest-guard (denominator min(vol, 2m-vol)
+    = 0 -> guarded to 1)."""
+    from information_extraction_spark.operators.graph import conductance
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x"),
+         ("c", "x")],
+        "src string, dst string",
+    )
+    comm = spark.createDataFrame(
+        [(n, "t1") for n in "abc"] + [(n, "t2") for n in "xyz"],
+        "entity string, community string",
+    )
+    got = {r["community"]: r.asDict() for r in conductance(edges, comm).collect()}
+    for c in ("t1", "t2"):
+        assert got[c]["n_nodes"] == 3
+        assert got[c]["cut_edges"] == 1
+        assert got[c]["volume"] == 7
+        assert got[c]["conductance_ppm"] == 142857
+    whole = spark.createDataFrame(
+        [(n, "all") for n in "abcxyz"], "entity string, community string"
+    )
+    w = conductance(edges, whole).collect()[0]
+    assert w["cut_edges"] == 0 and w["conductance_ppm"] == 0
