@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # McNemar paired significance over a13's agreement cells:
+    # continuity-corrected chi2 in exact ppm vs the 3.841459
+    # critical value — the model-swap gate.
+    "a21_mcnemar",
     # Community conductance: exact-ppm cut quality of the LPA
     # communities (cut / min(vol, 2m-vol)); cut edges charge both
     # sides via in-row explode, never a second join.

@@ -2681,6 +2681,66 @@ def a13_extractor_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A21: McNemar paired significance over the extractor-agreement table ------
+#
+# a13 counts the disagreement cells; this decides whether the
+# disagreement is SIGNIFICANT or sampling noise — the paired test
+# for "is extractor B actually different from extractor A on the
+# same inputs" (McNemar 1947, the standard model-swap gate; only the
+# discordant cells b, c carry information). Continuity-corrected
+# statistic as exact ppm: chi2_ppm = max(|b-c|-1, 0)^2 * 10^6 div
+# (b+c), guarded for b+c=0; significant = chi2_ppm above the
+# chi^2(1, 0.05) critical value 3.841459 scaled to ppm. Everything
+# derives from a13's per-predicate rollup — predicate-bounded rows,
+# in-row arithmetic, zero extra shuffles.
+
+_CHI2_05_PPM = 3841459
+
+
+def _mcnemar_oracle_sql(sf_dir: str) -> str:
+    return f"""
+WITH agreement AS ({_agreement_oracle_sql(sf_dir)})
+SELECT predicate,
+       CAST(n_rules_only + n_nn_only AS BIGINT) AS n_disagree,
+       CAST(greatest(abs(n_rules_only - n_nn_only) - 1, 0)
+            * greatest(abs(n_rules_only - n_nn_only) - 1, 0)
+            * 1000000
+            // greatest(n_rules_only + n_nn_only, 1) AS BIGINT)
+         AS chi2_ppm,
+       CAST(CASE WHEN greatest(abs(n_rules_only - n_nn_only) - 1, 0)
+                      * greatest(abs(n_rules_only - n_nn_only) - 1, 0)
+                      * 1000000
+                      // greatest(n_rules_only + n_nn_only, 1)
+                      > {_CHI2_05_PPM}
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM agreement
+"""
+
+
+@_q("a21_mcnemar", _mcnemar_oracle_sql("/root/testdata/sf0.01"))
+def a21_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate McNemar test over a13's agreement cells: is the
+    rules-vs-NN disagreement significant at alpha=0.05, in exact
+    ppm integers."""
+    agree = a13_extractor_agreement(spark, sf_dir)
+    ORACLES["a21_mcnemar"] = _mcnemar_oracle_sql(sf_dir)
+    chi2 = F.expr(
+        "CAST(greatest(abs(n_rules_only - n_nn_only) - 1, 0)"
+        " * greatest(abs(n_rules_only - n_nn_only) - 1, 0)"
+        " * 1000000 div greatest(n_rules_only + n_nn_only, 1) AS BIGINT)"
+    )
+    return agree.select(
+        "predicate",
+        (F.col("n_rules_only") + F.col("n_nn_only"))
+        .cast("long")
+        .alias("n_disagree"),
+        chi2.alias("chi2_ppm"),
+        F.when(chi2 > _CHI2_05_PPM, 1).otherwise(0).cast("long").alias(
+            "significant"
+        ),
+    )
+
+
 def _rule_mining_oracle_sql(sf_dir: str) -> str:
     g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
     return f"""
