@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Streaming late-data audit: numRowsDroppedByWatermark as the
+    # value-checked RESULT — empirically pinned lag-2 watermark and
+    # post-partial-aggregation drop semantics vs an analytic oracle.
+    "st_late_audit",
     # McNemar paired significance over a13's agreement cells:
     # continuity-corrected chi2 in exact ppm vs the 3.841459
     # critical value — the model-swap gate.

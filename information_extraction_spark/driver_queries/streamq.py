@@ -20,6 +20,7 @@ aggregation itself is identical.
 from __future__ import annotations
 
 import itertools
+import json
 import os
 import shutil
 import tempfile
@@ -909,5 +910,125 @@ def st_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = read_cdc_state(spark, os.path.join(run_dir, "state"))
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+
+
+# --- Streaming late-data audit (watermark-drop accounting) --------------------
+#
+# The observability face of the watermark contract: how many rows did
+# each micro-batch LOSE to the watermark? Every production stream
+# monitors numRowsDroppedByWatermark (silent loss = corrupted
+# aggregates downstream); this query makes the metric itself the
+# value-checked RESULT. Events are staged as 4 deterministic
+# micro-batches (event_id % 4, explicit ascending mtimes so the file
+# source's oldest-first pickup equals the staging order), each
+# spanning the FULL month of event time — so from batch 1 on, the
+# watermark (max prior event time - 2h) sits near the global max and
+# almost every row of the later batches arrives late. The oracle
+# recomputes the drop count analytically with the EMPIRICALLY pinned
+# lag (same discipline as the append-mode emission boundary): the
+# watermark EFFECTIVE while batch k executes derives from batches
+# <= k-2 (a batch's event-time stats update the tracker at commit,
+# and the updated value is recorded into the NEXT batch's offset log,
+# taking effect one batch after that — measured here: batch 1 drops
+# ZERO rows even though batch 0 spanned the full month, while the
+# progress line ALREADY reports batch 0's watermark), and the metric
+# counts dropped PARTIAL-AGGREGATE rows, not raw input rows: the
+# late filter sits above the map-side partial aggregation, so each
+# batch contributes count(DISTINCT (window, event_type)) among its
+# late rows — measured 247 dropped for 248 late input rows (one
+# duplicated pair). Each staged batch is ONE small file = one input
+# partition, so the partial collapse is complete and deterministic
+# at oracle scale; at production scale the metric stays a lower
+# bound of late input rows, which is exactly how it should be read
+# on a real dashboard. State stays bounded the whole time —
+# that is the point of the mechanism being audited.
+
+_ST_LATE_ORACLE = """
+WITH e AS (
+  SELECT event_id % 4 AS b, ts, event_type
+  FROM events WHERE ts IS NOT NULL
+), mx AS (
+  SELECT b, max(ts) AS m FROM e GROUP BY b
+), wm AS (
+  SELECT e2.b, max(mx.m) - INTERVAL 2 HOUR AS w
+  FROM (SELECT DISTINCT b FROM e) e2 JOIN mx ON mx.b + 1 < e2.b
+  GROUP BY e2.b
+)
+SELECT e.b AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_input,
+       CAST(count(DISTINCT CASE
+            WHEN wm.w IS NOT NULL
+             AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR <= wm.w
+            THEN (date_trunc('hour', e.ts), e.event_type) END)
+         AS BIGINT) AS n_dropped
+FROM e LEFT JOIN wm ON e.b = wm.b
+GROUP BY 1
+"""
+
+
+@_q("st_late_audit", _ST_LATE_ORACLE)
+def st_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    run_dir = tempfile.mkdtemp(prefix="ie_stream_late_")
+    try:
+        src = os.path.join(run_dir, "src")
+        os.makedirs(src)
+        ev = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).filter(F.col("ts").isNotNull())
+        for k in range(4):
+            tmp = os.path.join(run_dir, f"stage{k}")
+            (
+                ev.filter(F.col("event_id") % 4 == k)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"b{k}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            # Pickup order is (mtime, path): pin both.
+            os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        name = f"st_late_{next(_COUNTER)}"
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = list(q.recentProgress)
+        finally:
+            q.stop()
+        rows = []
+        for p in progress:
+            d = p if isinstance(p, dict) else json.loads(p.json)
+            if d["numInputRows"] == 0:
+                continue  # trailing watermark-advance batch
+            ops = d.get("stateOperators") or []
+            dropped = (
+                int(ops[0].get("numRowsDroppedByWatermark", 0)) if ops else 0
+            )
+            rows.append(
+                (int(d["batchId"]), int(d["numInputRows"]), dropped)
+            )
+        out = spark.createDataFrame(
+            rows, "batch_id long, n_input long, n_dropped long"
+        )
+        spark.catalog.dropTempView(name)
+        return out
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
