@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Landmark distance oracle (ALT sketch): 4 degree-picked
+    # landmarks, ONE multi-source BFS keyed (entity, lm), pair
+    # estimates min(d(u,l)+d(l,v)) over the md5-sampled audit set.
+    "kg_landmark_dist",
     # Streaming late-data audit: numRowsDroppedByWatermark as the
     # value-checked RESULT — empirically pinned lag-2 watermark and
     # post-partial-aggregation drop semantics vs an analytic oracle.

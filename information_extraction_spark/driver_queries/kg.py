@@ -3130,6 +3130,89 @@ def kg_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conductance(edges, label_propagation(edges, iterations=3))
 
 
+# --- Landmark distance oracle (ALT sketch + pair estimation audit) ------------
+#
+# The pattern big-graph systems use when pairwise shortest paths are
+# unaffordable: k landmark BFS sketches, then any pair's distance is
+# estimated in O(k) from the two sketch rows. The query audits the
+# estimator over a deterministic md5 sample of entities; in
+# production the probe is a per-pair co-keyed sketch lookup — the
+# landmark-keyed pair join below is bounded to the audit sample
+# (filtered BEFORE the join).
+
+
+def _landmark_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+  WHERE subject <> object
+), u AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM u GROUP BY 1
+), lms AS (
+  SELECT src AS lm FROM deg ORDER BY d DESC, src LIMIT 4
+), v0 AS (
+  SELECT lm AS n, lm, CAST(0 AS INT) AS dist FROM lms
+), n1 AS (
+  SELECT DISTINCT u.dst AS n, v0.lm FROM u JOIN v0 ON u.src = v0.n
+  EXCEPT SELECT n, lm FROM v0
+), v1 AS (
+  SELECT * FROM v0 UNION ALL SELECT n, lm, CAST(1 AS INT) FROM n1
+), n2 AS (
+  SELECT DISTINCT u.dst AS n, n1.lm FROM u JOIN n1 ON u.src = n1.n
+  EXCEPT SELECT n, lm FROM v1
+), v2 AS (
+  SELECT * FROM v1 UNION ALL SELECT n, lm, CAST(2 AS INT) FROM n2
+), n3 AS (
+  SELECT DISTINCT u.dst AS n, n2.lm FROM u JOIN n2 ON u.src = n2.n
+  EXCEPT SELECT n, lm FROM v2
+), sk AS (
+  SELECT * FROM v2 UNION ALL SELECT n, lm, CAST(3 AS INT) FROM n3
+), samp AS (
+  SELECT * FROM sk WHERE substring(md5(n), 1, 1) = '0'
+)
+SELECT a.n AS e1, b.n AS e2,
+       CAST(min(a.dist + b.dist) AS BIGINT) AS est_dist
+FROM samp a JOIN samp b ON a.lm = b.lm AND a.n < b.n
+GROUP BY 1, 2
+"""
+
+
+_LANDMARK_ORACLE = _landmark_oracle_sql("/root/testdata/sf0.01")
+
+
+@_q("kg_landmark_dist", _LANDMARK_ORACLE)
+def kg_landmark_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distance estimates (min over 4 degree-picked landmark
+    sketches of d(u,l)+d(l,v), hops <= 3) for the deterministic
+    md5-sampled entity subset (operators/graph.landmark_distances)."""
+    from information_extraction_spark.operators.graph import (
+        landmark_distances,
+        triple_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_landmark_dist"] = _landmark_oracle_sql(sf_dir)
+    sk = landmark_distances(triple_edges(triples), n_landmarks=4, max_hops=3)
+    samp = sk.filter(F.substring(F.md5("entity"), 1, 1) == "0")
+    a = samp.select(
+        F.col("entity").alias("e1"), "lm", F.col("dist").alias("d1")
+    )
+    b = samp.select(
+        F.col("entity").alias("e2"), "lm", F.col("dist").alias("d2")
+    )
+    return (
+        a.join(b, "lm")
+        .filter(F.col("e1") < F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(
+            F.min(F.col("d1") + F.col("d2")).cast("long").alias("est_dist")
+        )
+    )
+
+
 def _transe_components_sql(expr: str) -> list[str]:
     from information_extraction_spark.functions.hashing import h48_sql
 

@@ -1400,3 +1400,47 @@ def conductance(edges: DataFrame, communities: DataFrame) -> DataFrame:
             f"greatest(least(volume, {2 * m} - volume), 1) AS BIGINT)"
         ).alias("conductance_ppm"),
     )
+
+
+def landmark_distances(
+    edges: DataFrame, n_landmarks: int = 4, max_hops: int = 3
+) -> DataFrame:
+    """Landmark distance sketch (the ALT / distance-oracle pattern —
+    Goldberg & Harrelson 2005, Potamias et al. CIKM'09): BFS hop
+    distances from the ``n_landmarks`` highest-degree entities
+    (degree is the standard coverage heuristic; lexicographic
+    tie-break keeps the pick deterministic), giving every reached
+    node a k-row sketch from which any pairwise distance is estimated
+    as min over landmarks of d(u,l) + d(l,v) — an UPPER bound, exact
+    when a shortest path passes a landmark. At 10^12 edges this is k
+    BFS passes, not an all-pairs computation.
+
+    Scale shape: all k BFS run in ONE multi-source pass with the
+    frontier keyed (entity, landmark) — per hop, only what changed
+    joins the localCheckpointed edge table, and a LeftAnti on the
+    (entity, landmark) key drops re-reached rows (both sides
+    unbounded, nothing broadcasts by assumption). The landmark pick
+    is a bounded k-row collect. Returns (entity, lm, dist)."""
+    u = undirected_edges(edges).localCheckpoint()
+    deg = u.groupBy("src").agg(F.count("*").alias("d"))
+    lms = [
+        r["src"]
+        for r in deg.orderBy(F.desc("d"), "src").limit(n_landmarks).collect()
+    ]
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(lm, lm, 0) for lm in lms], "entity string, lm string, dist int"
+    ).localCheckpoint()
+    frontier = visited.select("entity", "lm")
+    for hop in range(1, max_hops + 1):
+        reached = (
+            u.join(frontier.withColumnRenamed("entity", "src"), "src")
+            .select(F.col("dst").alias("entity"), "lm")
+            .distinct()
+        )
+        new = reached.join(visited, ["entity", "lm"], "left_anti").select(
+            "entity", "lm", F.lit(hop).cast("int").alias("dist")
+        )
+        visited = visited.unionAll(new).localCheckpoint()
+        frontier = new.select("entity", "lm")
+    return visited
