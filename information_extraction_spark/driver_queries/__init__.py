@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # MIPS top-k via the Bachrach augmented-dimension reduction:
+    # ||x̂|| = M for every item, reduced cosine = ip/(||q||·M);
+    # Spark ranks in the reduced space, oracle by raw inner product.
+    "ann_mips",
     # Landmark distance oracle (ALT sketch): 4 degree-picked
     # landmarks, ONE multi-source BFS keyed (entity, lm), pair
     # estimates min(d(u,l)+d(l,v)) over the md5-sampled audit set.

@@ -5054,3 +5054,91 @@ def dd_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= radius)
     )
+
+
+# --- MIPS top-k via the augmented-dimension reduction --------------------------
+#
+# Recommendation / retrieval scoring is MAXIMUM INNER PRODUCT, not
+# cosine — and inner product is not a metric (no triangle
+# inequality), so cosine/L2 index structures (LSH buckets, IVF
+# cells) cannot serve it directly. The standard fix is the
+# order-preserving reduction (Bachrach et al., RecSys 2014): with
+# M = max ||x|| over the corpus, augment every item to
+# x̂ = [x, sqrt(M² − ||x||²)] — then ||x̂|| = M for EVERY item, and
+# cosine against the zero-augmented query q̂ = [q, 0] is
+# ip / (||q||·M): a strictly monotone function of the inner product.
+# One extra dimension turns any cosine index into a MIPS index.
+#
+# The query ranks by the REDUCED-space cosine (aug term and
+# augmented norm computed literally from the augmented coordinates);
+# the oracle ranks by the analytic equivalent ip/(||q||·M) — value
+# equality proves the reduction preserved the MIPS order, including
+# that ||x̂|| reconstructs to M row by row. Scale shape identical to
+# ann_cosine_topk: M and the query row are bounded scalar collects,
+# scoring is one narrow in-row pass, top-k is
+# TakeOrderedAndProject — no global window, no shuffle of the corpus.
+
+_MIPS_ORACLE = """
+WITH q AS (
+  SELECT embedding AS qe FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+), qn AS (
+  SELECT sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS qnorm
+  FROM (SELECT unnest(qe) AS x FROM q)
+), mx AS (
+  SELECT max(n) AS m FROM (
+    SELECT sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n
+    FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+    GROUP BY vec_id
+  )
+), p AS (
+  SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qe) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+), ip AS (
+  SELECT vec_id, sum(x * y) AS ip FROM p GROUP BY vec_id
+), c AS (
+  SELECT vec_id, round(ip / (qn.qnorm * mx.m), 6) AS hat6,
+         round(ip, 4) AS ip4
+  FROM ip CROSS JOIN qn CROSS JOIN mx
+)
+SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, ip4 FROM (
+  SELECT vec_id, ip4,
+         row_number() OVER (ORDER BY hat6 DESC, vec_id) AS rnk
+  FROM c) t
+WHERE rnk <= 10
+"""
+
+
+@_q("ann_mips", _MIPS_ORACLE)
+def ann_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = _emb(spark, sf_dir)
+    qrow = e.orderBy("vec_id").limit(1).collect()[0]
+    qvec = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
+    qnorm = math.sqrt(sum(float(v) * float(v) for v in qrow["embedding"]))
+    qid = qrow["vec_id"]
+    # M = max corpus norm: one bounded scalar aggregate.
+    m_val = e.select(
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("n")
+    ).agg(F.max("n")).collect()[0][0]
+    norm_sq = _dot(F.col("embedding"), F.col("embedding"))
+    aug = F.sqrt(F.greatest(F.lit(m_val * m_val) - norm_sq, F.lit(0.0)))
+    # Literal augmented-space cosine: dot([x, aug], [q, 0]) over
+    # ||[x, aug]|| — the aug coordinate is genuinely in the norm.
+    hat_norm = F.sqrt(norm_sq + aug * aug)
+    ipc = _dot(F.col("embedding"), qvec)
+    cos_hat = (ipc + aug * F.lit(0.0)) / (F.lit(qnorm) * hat_norm)
+    scored = (
+        e.filter(F.col("vec_id") != qid)
+        .withColumn("hat6", F.round(cos_hat, 6))
+        .withColumn("ip4", F.round(ipc, 4))
+        .select("vec_id", "hat6", "ip4")
+    )
+    top = (
+        scored.orderBy(F.col("hat6").desc(), "vec_id").limit(10).collect()
+    )
+    rows = [(r["vec_id"], i + 1, r["ip4"]) for i, r in enumerate(top)]
+    return spark.createDataFrame(rows, "vec_id long, rnk long, ip4 double")
