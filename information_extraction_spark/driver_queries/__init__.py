@@ -38,6 +38,11 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # 3x3 integer Laplacian over decoded BMP pixels: interior-pixel
+    # edge density + response mass, nine vectorized numpy shift-adds
+    # in one mapInPandas; oracle box-sums a 3x3 offset unnest over
+    # the constructed pixel formula.
+    "mm_conv_edges",
     # MIPS top-k via the Bachrach augmented-dimension reduction:
     # ||x̂|| = M for every item, reduced cosine = ip/(||q||·M);
     # Spark ranks in the reduced space, oracle by raw inner product.

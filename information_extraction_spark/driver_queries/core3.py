@@ -1957,3 +1957,105 @@ def mm_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ids.mapInPandas(build, schema=MEDIA)
     return spectral_windows(media, window_frames=32, bins=(1, 2, 4))
+
+
+# --- 3x3 convolution edge density (vision-curation neighborhood pass) ---------------
+#
+# The one pixel op the multimodal family lacked: a NEIGHBORHOOD pass
+# (mm_image_tiles / mm_phash_dedup are pointwise or block-local).
+# Image curation at corpus scale screens blur / flat synthetic
+# screens with a cheap Laplacian-style response: per interior pixel
+# lap = |9*I(r,c) - sum of the 3x3 box| over the channel-sum
+# intensity, all exact int64; per image the interior-pixel count,
+# edge count (lap >= 256) and total response mass. Payloads are the
+# same deterministic make_bmp bytes as mm_image_tiles (pixel byte i
+# of seed m is (m*31 + i*7) % 256, bottom-up rows, 4-byte stride),
+# so the oracle re-derives every neighbor intensity arithmetically
+# and box-sums via a 3x3 offset unnest — constructed expectation,
+# no convolution library on either side. Spark side is ONE narrow
+# Arrow-batched mapInPandas whose kernel is nine vectorized numpy
+# shift-adds (multimodal.conv3x3_edges) — no per-pixel Python, and
+# at 100 TB the pass stays embarrassingly parallel (no shuffle at
+# all: decode + convolve + reduce per image inside the scan stage).
+
+_MM_CONV_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         4 + doc_id % 29 AS w,
+         3 + doc_id % 17 AS h,
+         doc_id AS seed,
+         (((4 + doc_id % 29) * 3 + 3) // 4) * 4 AS stride
+  FROM documents
+), ir AS (
+  SELECT media_id, w, h, seed, stride, unnest(range(1, h - 1)) AS r
+  FROM m
+), ic AS (
+  SELECT media_id, w, h, seed, stride, r, unnest(range(1, w - 1)) AS c,
+         (seed * 31 + ((h - 1 - r) * stride + c * 3) * 7) % 256
+       + (seed * 31 + ((h - 1 - r) * stride + c * 3 + 1) * 7) % 256
+       + (seed * 31 + ((h - 1 - r) * stride + c * 3 + 2) * 7) % 256
+         AS center
+  FROM ir
+), nb AS (
+  SELECT media_id, w, h, seed, stride, r, c, center,
+         unnest([-1, 0, 1]) AS dr
+  FROM ic
+), nbc AS (
+  SELECT media_id, w, h, seed, stride, r, c, center, dr,
+         unnest([-1, 0, 1]) AS dc
+  FROM nb
+), box AS (
+  SELECT media_id, r, c, center,
+         sum((seed * 31 + ((h - 1 - r - dr) * stride + (c + dc) * 3) * 7) % 256
+           + (seed * 31 + ((h - 1 - r - dr) * stride + (c + dc) * 3 + 1) * 7) % 256
+           + (seed * 31 + ((h - 1 - r - dr) * stride + (c + dc) * 3 + 2) * 7) % 256
+         ) AS b
+  FROM nbc GROUP BY 1, 2, 3, 4
+), lapt AS (
+  SELECT media_id, abs(9 * center - b) AS lap FROM box
+)
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_interior,
+       CAST(sum(CASE WHEN lap >= 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_edges,
+       CAST(sum(lap) AS BIGINT) AS resp_sum
+FROM lapt GROUP BY 1
+"""
+
+
+@_q("mm_conv_edges", _MM_CONV_ORACLE)
+def mm_conv_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP payloads -> pixel decode -> 3x3 integer convolution
+    (see block comment); the Laplacian response, edge count and
+    interior size per image, exact int64 end-to-end."""
+    import pandas as pd
+
+    from information_extraction_spark.operators.multimodal import (
+        MEDIA,
+        conv3x3_edges,
+        make_bmp,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "image",
+                        "payload": bytearray(
+                            make_bmp(4 + mid % 29, 3 + mid % 17, seed=mid)
+                        ),
+                        "mime": "image/bmp",
+                        "source": "synthetic",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA.fields])
+
+    media = ids.mapInPandas(build, schema=MEDIA)
+    return conv3x3_edges(media, threshold=256)

@@ -505,3 +505,56 @@ def spectral_windows(
             yield pd.DataFrame(out, columns=[f.name for f in SPECTRAL.fields])
 
     return media.mapInPandas(run, schema=SPECTRAL)
+
+
+CONV3 = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_interior", T.LongType()),
+        T.StructField("n_edges", T.LongType()),
+        T.StructField("resp_sum", T.LongType()),
+    ]
+)
+
+
+def conv3x3_edges(media: DataFrame, threshold: int = 256) -> DataFrame:
+    """3×3 integer convolution over decoded BMP pixels — the
+    neighborhood pass image curation runs for blur/flat screens and
+    cheap edge density (a Laplacian-style response): per interior
+    pixel lap = 9·I(r,c) − Σ 3×3 box of the channel-sum intensity,
+    all in exact int64; per image the interior count, the count of
+    |lap| >= ``threshold`` (edge pixels), and Σ|lap| (response mass —
+    ~0 for flat regions, so it doubles as a synthetic-vs-natural
+    screen). 'valid' region only (no padding invention), so every
+    emitted value restates arithmetically from the payload formula.
+    One narrow Arrow-batched mapInPandas; the convolution is
+    vectorized numpy shifts — no per-pixel Python, no SciPy."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in CONV3.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = bmp_pixels(bytes(payload))
+                inten = px.astype(np.int64).sum(axis=2)
+                hh, ww = inten.shape
+                if hh < 3 or ww < 3:
+                    vals = (0, 0, 0)
+                else:
+                    box = np.zeros((hh - 2, ww - 2), dtype=np.int64)
+                    for dr in range(3):
+                        for dc in range(3):
+                            box += inten[dr : dr + hh - 2, dc : dc + ww - 2]
+                    lap = np.abs(9 * inten[1 : hh - 1, 1 : ww - 1] - box)
+                    vals = (
+                        int(lap.size),
+                        int((lap >= threshold).sum()),
+                        int(lap.sum()),
+                    )
+                out["media_id"].append(int(mid))
+                out["n_interior"].append(vals[0])
+                out["n_edges"].append(vals[1])
+                out["resp_sum"].append(vals[2])
+            yield pd.DataFrame(out, columns=[f.name for f in CONV3.fields])
+
+    return media.mapInPandas(run, schema=CONV3)
