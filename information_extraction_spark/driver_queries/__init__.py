@@ -38,6 +38,11 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Functional-slot simultaneous contradictions: distinct objects
+    # of one (s,p) whose temporal_extent validity windows overlap —
+    # slot-co-keyed self-join, pair fan-out bounded by slot version
+    # count squared.
+    "kg_temporal_conflict",
     # 3x3 integer Laplacian over decoded BMP pixels: interior-pixel
     # edge density + response mass, nine vectorized numpy shift-adds
     # in one mapInPandas; oracle box-sums a 3x3 offset unnest over

@@ -1237,7 +1237,37 @@ FROM convs c LEFT JOIN y USING (conv_id)
 """
 
 
+def _temporal_conflict_oracle_sql(sf_dir: str) -> str:
+    # temporal_extent's rollup reused as a CTE, then the interval-
+    # overlap self-join restated: distinct objects of one (s, p)
+    # slot whose [from, to] windows intersect (closed intervals,
+    # object_a < object_b canonical order).
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH t AS (
+  SELECT subject, predicate, object,
+         CAST(regexp_extract(conv_id, 'doc(\\d+)', 1) AS BIGINT) * 3600
+           + turn_idx * 30 AS sec
+  FROM {g}
+), ext AS (
+  SELECT subject, predicate, object,
+         CAST(min(sec) AS BIGINT) AS f, CAST(max(sec) AS BIGINT) AS t
+  FROM t GROUP BY 1, 2, 3
+)
+SELECT a.subject, a.predicate,
+       a.object AS object_a, b.object AS object_b,
+       greatest(a.f, b.f) AS overlap_from_s,
+       least(a.t, b.t) AS overlap_to_s,
+       least(a.t, b.t) - greatest(a.f, b.f) AS overlap_s
+FROM ext a JOIN ext b
+  ON a.subject = b.subject AND a.predicate = b.predicate
+ AND a.object < b.object
+ AND a.f <= b.t AND b.f <= a.t
+"""
+
+
 _TEMPORAL_ORACLE = _temporal_oracle_sql("/root/testdata/sf0.01")
+_TEMPORAL_CONFLICT_ORACLE = _temporal_conflict_oracle_sql("/root/testdata/sf0.01")
 _SLOT_CHANGES_ORACLE = _slot_changes_oracle_sql("/root/testdata/sf0.01")
 _CONV_STATS_ORACLE = _conv_stats_oracle_sql("/root/testdata/sf0.01")
 
@@ -1592,6 +1622,28 @@ def kg_temporal_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLES["kg_temporal_extent"] = _temporal_oracle_sql(sf_dir)
     transcripts = transcripts_from_documents(spark, sf_dir)
     return temporal_extent(triples, transcripts, origin=_TS_ORIGIN)
+
+
+@_q("kg_temporal_conflict", _TEMPORAL_CONFLICT_ORACLE)
+def kg_temporal_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simultaneous-contradiction detection over functional slots
+    (operators/graph.temporal_conflicts): distinct objects of one
+    (subject, predicate) whose validity windows overlap — the
+    conflicts neither slot_changes' correction timeline nor
+    kg_functional_resolve's single winner accounts for. Slot-co-keyed
+    self-join over temporal_extent's at-most-one-row-per-(s,p,o)
+    rollup; see the operator docstring for the scale shape."""
+    from information_extraction_spark.operators.graph import (
+        temporal_conflicts,
+    )
+    from information_extraction_spark.sources.from_documents import (
+        transcripts_from_documents,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_temporal_conflict"] = _temporal_conflict_oracle_sql(sf_dir)
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    return temporal_conflicts(triples, transcripts, origin=_TS_ORIGIN)
 
 
 @_q("kg_slot_changes", _SLOT_CHANGES_ORACLE)

@@ -294,6 +294,67 @@ def temporal_extent(
     )
 
 
+def temporal_conflicts(
+    triples: DataFrame,
+    transcripts: DataFrame,
+    origin: str | None = None,
+) -> DataFrame:
+    """Functional-slot contradictions: pairs of DISTINCT objects
+    asserted for the same (subject, predicate) whose validity windows
+    (temporal_extent's [first, last] assertion bounds) OVERLAP.
+    slot_changes models sequential corrections — object versions that
+    replace each other over time; this finds the cases no timeline
+    explains: two values simultaneously "true", the contradiction a
+    KG-construction pipeline must route to adjudication rather than
+    last-writer-wins (kg_functional_resolve) silently suppressing.
+
+    Emits one row per unordered conflicting pair (object_a <
+    object_b) with the overlap window and its length in seconds.
+
+    Scale shape: builds on temporal_extent (one provenance equi-join
+    + one map-side-combined rollup to AT MOST one row per distinct
+    (s, p, o) — assertion volume never reaches the pair stage), then
+    a SELF-join co-keyed on (subject, predicate): both sides arrive
+    in the same hash partition, and pair fan-out is bounded by the
+    slot's distinct-object count squared — slots are small by
+    definition (a functional predicate carries a handful of
+    versions), so no salting is needed where er_candidates' hot
+    (p, o) blocks did. The object_a < object_b predicate halves the
+    output and de-duplicates symmetric pairs inside the join, never
+    in a second pass."""
+    ext = temporal_extent(triples, transcripts, origin=origin)
+    a = ext.select(
+        "subject",
+        "predicate",
+        F.col("object").alias("object_a"),
+        F.col("valid_from_s").alias("from_a"),
+        F.col("valid_to_s").alias("to_a"),
+    )
+    b = ext.select(
+        "subject",
+        "predicate",
+        F.col("object").alias("object_b"),
+        F.col("valid_from_s").alias("from_b"),
+        F.col("valid_to_s").alias("to_b"),
+    )
+    pairs = a.join(b, ["subject", "predicate"]).where(
+        (F.col("object_a") < F.col("object_b"))
+        & (F.col("from_a") <= F.col("to_b"))
+        & (F.col("from_b") <= F.col("to_a"))
+    )
+    overlap_from = F.greatest("from_a", "from_b")
+    overlap_to = F.least("to_a", "to_b")
+    return pairs.select(
+        "subject",
+        "predicate",
+        "object_a",
+        "object_b",
+        overlap_from.cast("long").alias("overlap_from_s"),
+        overlap_to.cast("long").alias("overlap_to_s"),
+        (overlap_to - overlap_from).cast("long").alias("overlap_s"),
+    )
+
+
 def slot_changes(
     triples: DataFrame,
     transcripts: DataFrame,
