@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # BH step-up FDR over the 50 per-predicate McNemar tests:
+    # p_i <= i*alpha/m restated as chi2_i >= shared ppm critical
+    # literals (Acklam inverse-normal, functions/stats.py).
+    "a22_bh_fdr",
     # Functional-slot simultaneous contradictions: distinct objects
     # of one (s,p) whose temporal_extent validity windows overlap —
     # slot-co-keyed self-join, pair fan-out bounded by slot version

@@ -2793,6 +2793,107 @@ def a21_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A22: Benjamini-Hochberg FDR over the per-predicate McNemar tests ---------
+#
+# a21 tests each predicate at raw alpha=0.05 — across the 50-relation
+# schema that's 50 simultaneous tests, and ~2.5 false "significant
+# disagreement" flags are EXPECTED under the null. The standard fix a
+# model-swap gate actually ships is BH (Benjamini-Hochberg 1995)
+# step-up control of the false-discovery rate: sort p ascending,
+# reject ranks 1..k for the largest k with p_(k) <= k*alpha/m. The
+# cross-engine trick: p is monotone decreasing in the chi2 statistic,
+# so "p_i <= i*alpha/m" is exactly "chi2_i >= chi2crit(i*alpha/m)" —
+# and the 50 per-rank critical values are driver-side Python
+# constants (functions/stats.py, Acklam inverse-normal) embedded as
+# the SAME integer-ppm literals in the Spark plan and the oracle
+# VALUES table. No exp/ln/erf in either engine. m is pinned to the
+# FULL schema size (50): predicates absent from the agreement table
+# carry p=1 and can never extend the rejection prefix, so computing
+# over present rows with m=50 is exactly BH over all 50 hypotheses.
+# Scale shape: everything runs on a21's predicate-bounded (<=50 row)
+# rollup — the global rank window and the step-up max are explicitly
+# small-table ops on an already-reduced result, and the crit table
+# joins via broadcast.
+
+_BH_M = 50
+_BH_TABLE = None  # filled lazily; stats import kept off the hot path
+
+
+def _bh_table() -> list[tuple[int, int]]:
+    global _BH_TABLE
+    if _BH_TABLE is None:
+        from information_extraction_spark.functions.stats import bh_crit_ppm
+
+        _BH_TABLE = bh_crit_ppm(_BH_M, alpha=0.05)
+    return _BH_TABLE
+
+
+def _bh_fdr_oracle_sql(sf_dir: str) -> str:
+    vals = ", ".join(f"({i}, {c})" for i, c in _bh_table())
+    return f"""
+WITH mc AS ({_mcnemar_oracle_sql(sf_dir)}),
+crit(bh_rank, crit_ppm) AS (VALUES {vals}),
+ranked AS (
+  SELECT predicate, chi2_ppm,
+         CAST(row_number() OVER (ORDER BY chi2_ppm DESC, predicate)
+              AS BIGINT) AS bh_rank
+  FROM mc
+), raw AS (
+  SELECT r.predicate, r.chi2_ppm, r.bh_rank,
+         CAST(c.crit_ppm AS BIGINT) AS crit_ppm,
+         CASE WHEN r.chi2_ppm >= c.crit_ppm THEN 1 ELSE 0 END AS rr
+  FROM ranked r JOIN crit c ON c.bh_rank = r.bh_rank
+), k AS (
+  SELECT coalesce(max(CASE WHEN rr = 1 THEN bh_rank END), 0) AS kmax
+  FROM raw
+)
+SELECT predicate, chi2_ppm, bh_rank, crit_ppm,
+       CAST(rr AS BIGINT) AS raw_reject,
+       CAST(CASE WHEN bh_rank <= kmax THEN 1 ELSE 0 END AS BIGINT)
+         AS significant_fdr
+FROM raw, k
+"""
+
+
+@_q("a22_bh_fdr", _bh_fdr_oracle_sql("/root/testdata/sf0.01"))
+def a22_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FDR-controlled model-swap gate: BH step-up over the 50
+    per-predicate McNemar statistics (see block comment — per-rank
+    chi2 critical values are shared Python-computed ppm literals;
+    the step-up runs entirely on the predicate-bounded rollup)."""
+    from pyspark.sql import Window
+
+    mc = a21_mcnemar(spark, sf_dir).select("predicate", "chi2_ppm")
+    ORACLES["a22_bh_fdr"] = _bh_fdr_oracle_sql(sf_dir)
+    crit = spark.createDataFrame(
+        _bh_table(), schema="bh_rank long, crit_ppm long"
+    )
+    w = Window.orderBy(F.col("chi2_ppm").desc(), "predicate")
+    ranked = mc.withColumn(
+        "bh_rank", F.row_number().over(w).cast("long")
+    ).join(F.broadcast(crit), "bh_rank")
+    raw = ranked.withColumn(
+        "raw_reject",
+        F.when(F.col("chi2_ppm") >= F.col("crit_ppm"), 1)
+        .otherwise(0)
+        .cast("long"),
+    )
+    kmax = F.max(
+        F.when(F.col("raw_reject") == 1, F.col("bh_rank"))
+    ).over(Window.partitionBy())
+    return raw.select(
+        "predicate",
+        "chi2_ppm",
+        "bh_rank",
+        "crit_ppm",
+        "raw_reject",
+        F.when(F.col("bh_rank") <= F.coalesce(kmax, F.lit(0)), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("significant_fdr"),
+    )
+
+
 def _rule_mining_oracle_sql(sf_dir: str) -> str:
     g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
     return f"""
