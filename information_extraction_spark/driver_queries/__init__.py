@@ -38,6 +38,11 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Grid-blocked DBSCAN over the 2-D embedding projection:
+    # 3x3 neighbor-cell equi-join neighborhoods, exact quantized
+    # BIGINT distances, deterministic min-label border rule; oracle
+    # is the exhaustive all-pairs search + recursive-CTE closure.
+    "emb_dbscan",
     # BH step-up FDR over the 50 per-predicate McNemar tests:
     # p_i <= i*alpha/m restated as chi2_i >= shared ppm critical
     # literals (Acklam inverse-normal, functions/stats.py).

@@ -589,3 +589,145 @@ def linreg_gd(
             + F.lit(0.0)
         ).alias("pred"),
     )
+
+
+def dbscan_grid(
+    embeddings: DataFrame,
+    eps_q: int = 200,
+    min_pts: int = 6,
+    scale: int = 10_000,
+    dims: tuple[int, int] = (0, 1),
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over a
+    2-D projection of the embedding column, with GRID-CELL blocking
+    as the distributed neighborhood search.
+
+    kmeans gives every vector a cluster whether or not structure
+    exists; curation pipelines also need the density view — dense
+    regions are (near-)duplicate or templated content, sparse points
+    are the rare/novel tail worth oversampling. DBSCAN's labels:
+    core (>= ``min_pts`` points incl. itself within eps), border
+    (non-core within eps of a core), noise (everything else,
+    cluster_id = -1). Cluster identity = the minimum core vec_id of
+    the density-connected component. Border points with core
+    neighbors in several clusters take the MINIMUM cluster_id —
+    classic DBSCAN leaves this order-dependent; the explicit rule
+    makes both engines (and reruns) agree.
+
+    The projection is dims (0, 1) of the embedding — in production
+    the 2-D input comes from emb_rproj/emb_pca_power; grid blocking
+    is what makes the neighborhood search scale, and it only works in
+    low dimension. Coordinates quantize to ints (×``scale``, round
+    half-away — both engines agree) so every distance is exact
+    BIGINT; eps lives in quantized units.
+
+    Scale shape (the 100 TB story):
+    - Neighborhood candidates come from a 3×3 neighbor-CELL equi-join
+      (cell edge = eps, so any pair within eps shares adjacent
+      cells): the probe side explodes each point to its 9 neighbor
+      cells (bounded ×9, in-row), the build side keys points by their
+      own cell — co-partitioned hash join on (cx, cy), each true pair
+      produced exactly once, NO all-pairs crossJoin anywhere. Pair
+      volume is Σ_cell |probe∩cell|·|build∩cell| — bounded by local
+      density, not corpus size.
+    - Dense cells are the skew risk (a hot cell quadratically
+      amplifies); AQE skew-join splitting handles moderate cases and
+      eps controls it structurally — the same knob that defines the
+      semantics.
+    - Degree count and border assignment are map-side-combined
+      shuffles on the point key; the core-core component step reuses
+      connected_components (size-dispatched driver union-find vs
+      hash-min loop) on edges already restricted to core points.
+    - vec_ids serialize as zero-padded strings for CC (lexicographic
+      = numeric order, so the component label IS the min vec_id).
+    """
+    eps2 = eps_q * eps_q
+    off = 1_000_000_000  # shift keeps cell division on positive ints
+    pts = embeddings.select(
+        "vec_id",
+        F.round(F.col("embedding").getItem(dims[0]) * scale)
+        .cast("long")
+        .alias("qx"),
+        F.round(F.col("embedding").getItem(dims[1]) * scale)
+        .cast("long")
+        .alias("qy"),
+    )
+    base = pts.select(
+        "vec_id",
+        "qx",
+        "qy",
+        F.expr(f"(qx + {off}) div {eps_q}").alias("cx"),
+        F.expr(f"(qy + {off}) div {eps_q}").alias("cy"),
+    )
+    three = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    probe = (
+        base.withColumn("dx", F.explode(three))
+        .withColumn("dy", F.explode(three))
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("qx").alias("ax"),
+            F.col("qy").alias("ay"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    build = base.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("qx").alias("bx"),
+        F.col("qy").alias("by"),
+        "cx",
+        "cy",
+    )
+    dx, dy = F.col("ax") - F.col("bx"), F.col("ay") - F.col("by")
+    pairs = (
+        probe.join(build, ["cx", "cy"])
+        .where((F.col("a_id") != F.col("b_id")) & (dx * dx + dy * dy <= eps2))
+        .select("a_id", "b_id")
+    )
+    deg = pairs.groupBy("a_id").count()
+    core = deg.filter(F.col("count") + 1 >= min_pts).select(
+        F.col("a_id").alias("vec_id")
+    )
+
+    def pad(col: str):
+        return F.lpad(F.col(col).cast("string"), 8, "0")
+
+    from information_extraction_spark.operators.linking import (
+        connected_components,
+    )
+
+    cc_edges = (
+        pairs.join(
+            core.withColumnRenamed("vec_id", "a_id"), "a_id", "left_semi"
+        )
+        .join(core.withColumnRenamed("vec_id", "b_id"), "b_id", "left_semi")
+        .select(pad("a_id").alias("src"), pad("b_id").alias("dst"))
+    )
+    # Self-loops keep isolated cores (all neighbors border) as their
+    # own singleton clusters instead of dropping out of the CC input.
+    loops = core.select(pad("vec_id").alias("src"), pad("vec_id").alias("dst"))
+    comps = connected_components(cc_edges.unionByName(loops))
+    core_rows = comps.select(
+        F.col("node").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        F.lit(1).cast("long").alias("is_core"),
+    )
+    border_rows = (
+        pairs.join(
+            core.withColumnRenamed("vec_id", "a_id"), "a_id", "left_anti"
+        )
+        .join(comps, pad("b_id") == F.col("node"))
+        .groupBy("a_id")
+        .agg(F.min(F.col("component").cast("long")).alias("cluster_id"))
+        .select(
+            F.col("a_id").alias("vec_id"),
+            "cluster_id",
+            F.lit(0).cast("long").alias("is_core"),
+        )
+    )
+    labeled = core_rows.unionByName(border_rows)
+    return pts.select("vec_id").join(labeled, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("cluster_id", F.lit(-1)).cast("long").alias("cluster_id"),
+        F.coalesce("is_core", F.lit(0)).cast("long").alias("is_core"),
+    )

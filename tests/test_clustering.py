@@ -626,3 +626,75 @@ def test_silhouette_matches_sequential_reference(spark, tmp_path):
     # pin the invariant everywhere: s_ppm bounded by [-1e6, 1e6]
     assert all(-1_000_000 <= s <= 1_000_000 for ss in per_cluster.values()
                for s in ss)
+
+
+def _run_dbscan(spark, pts_q, eps_q, min_pts):
+    """pts_q: list of (vec_id, qx, qy) in quantized units; embeds them
+    back at scale 10^4 so dbscan_grid re-quantizes to exactly pts_q."""
+    from information_extraction_spark.operators.clustering import (
+        dbscan_grid,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [x / 10000.0, y / 10000.0]) for i, x, y in pts_q],
+        "vec_id long, embedding array<float>",
+    )
+    return {
+        r["vec_id"]: (r["cluster_id"], r["is_core"])
+        for r in dbscan_grid(df, eps_q=eps_q, min_pts=min_pts).collect()
+    }
+
+
+def test_dbscan_core_border_noise_semantics(spark):
+    # eps=10, min_pts=3. Cluster A: 0,1,2 mutually within eps (core).
+    # Point 3 is within eps of core 0 only -> border of A.
+    # Point 4 is isolated -> noise. Chain test: 5,6,7 colinear spaced
+    # 8 apart: 6 sees 5 and 7 (core); 5 and 7 see only 6 (border) --
+    # density-connected through 6 into ONE cluster labeled min core 6.
+    pts = [
+        (0, 0, 0),
+        (1, 5, 0),
+        (2, 0, 5),
+        (3, -9, 0),
+        (4, 100, 100),
+        (5, 200, 0),
+        (6, 208, 0),
+        (7, 216, 0),
+    ]
+    got = _run_dbscan(spark, pts, eps_q=10, min_pts=3)
+    assert got[0] == (0, 1) and got[1] == (0, 1) and got[2] == (0, 1)
+    assert got[3] == (0, 0)  # border of cluster 0
+    assert got[4] == (-1, 0)  # noise
+    assert got[5] == (6, 0) and got[7] == (6, 0)  # borders via chain
+    assert got[6] == (6, 1)  # the only core in its cluster
+
+
+def test_dbscan_border_min_label_and_cell_boundaries(spark):
+    # Two 4-point cores 30 apart; point 8 sits within eps of ONE core
+    # point from EACH (2 neighbors + self = 3 < min_pts=4, so it stays
+    # border, not a bridging core) -> ambiguous border, must take the
+    # MIN cluster label. Coordinates negative/positive straddle cell 0
+    # to exercise the shifted integer cell division.
+    pts = [
+        (0, -15, 0),
+        (1, -20, 0),
+        (2, -15, 5),
+        (6, -20, 5),
+        (3, 15, 0),
+        (4, 20, 0),
+        (5, 15, 5),
+        (7, 20, 5),
+        (8, 0, 0),  # within eps=15 of 0 (-15,0) and 3 (15,0) only
+    ]
+    got = _run_dbscan(spark, pts, eps_q=15, min_pts=4)
+    assert got[0] == (0, 1) and got[3] == (3, 1)
+    assert got[8] == (0, 0)  # min cluster label wins
+
+
+def test_dbscan_isolated_core_singleton(spark):
+    # min_pts=2: a pair 9 apart are both core of one cluster; a lone
+    # point is noise; eps exactly equal to the distance is INCLUSIVE.
+    pts = [(10, 0, 0), (11, 9, 0), (12, 50, 50)]
+    got = _run_dbscan(spark, pts, eps_q=9, min_pts=2)
+    assert got[10] == (10, 1) and got[11] == (10, 1)
+    assert got[12] == (-1, 0)
