@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # WL structural fingerprints of per-conversation extraction
+    # graphs: 2 refinement rounds, name-free labels, portable-h48
+    # sorted-multiset hashing — the structure-keyed dedup signal.
+    "kg_wl_kernel",
     # Grid-blocked DBSCAN over the 2-D embedding projection:
     # 3x3 neighbor-cell equi-join neighborhoods, exact quantized
     # BIGINT distances, deterministic min-label border rule; oracle

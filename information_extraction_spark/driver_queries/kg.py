@@ -4773,3 +4773,88 @@ def kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLES["kg_modularity"] = _modularity_oracle_sql(sf_dir)
     edges = triple_edges(triples)
     return modularity(edges, label_propagation(edges, iterations=3))
+
+
+# --- KG-WL: structural conversation fingerprints (WL kernel) -------------------
+#
+# kg_conv_dedup is content-keyed (shared triples); this is the
+# STRUCTURE-keyed complement — Weisfeiler-Leman refinement over each
+# conversation's predicate-labeled extraction graph, entity names
+# excluded by construction (labels start from a constant), so
+# templated/scripted dialogs collapse to one fingerprint even when
+# every entity differs. See operators/graph.wl_fingerprints for the
+# algorithm and the co-keyed scale shape. Both engines hash with the
+# portable 48-bit md5 and serialize multisets as lexicographically
+# sorted comma-joins — bit-equal fingerprints, value-checked.
+
+
+def _wl_oracle_sql(sf_dir: str) -> str:
+    from information_extraction_spark.functions.hashing import h48_sql
+
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    rounds = []
+    prev = "l0"
+    for r in (1, 2):
+        rounds.append(
+            f"""
+, m{r} AS (
+  SELECT conv_id, node, string_agg(msg, ',' ORDER BY msg) AS ms
+  FROM (
+    SELECT e.conv_id, e.s AS node,
+           'o:' || e.p || ':' || CAST(l.lbl AS VARCHAR) AS msg
+    FROM e JOIN {prev} l ON l.conv_id = e.conv_id AND l.node = e.o
+    UNION ALL
+    SELECT e.conv_id, e.o AS node,
+           'i:' || e.p || ':' || CAST(l.lbl AS VARCHAR) AS msg
+    FROM e JOIN {prev} l ON l.conv_id = e.conv_id AND l.node = e.s
+  ) GROUP BY 1, 2
+), pre{r} AS (
+  SELECT l.conv_id, l.node,
+         CAST(l.lbl AS VARCHAR) || '|' || m.ms AS cat
+  FROM {prev} l JOIN m{r} m
+    ON m.conv_id = l.conv_id AND m.node = l.node
+), l{r} AS (
+  SELECT conv_id, node, {h48_sql('cat')} AS lbl FROM pre{r}
+)"""
+        )
+        prev = f"l{r}"
+    chain = "".join(rounds)
+    return f"""
+WITH e AS (
+  SELECT DISTINCT conv_id, subject AS s, predicate AS p, object AS o
+  FROM {g}
+), n AS (
+  SELECT DISTINCT conv_id, node FROM (
+    SELECT conv_id, s AS node FROM e
+    UNION SELECT conv_id, o FROM e)
+), l0 AS (
+  SELECT conv_id, node, {h48_sql("'wl0'")} AS lbl FROM n
+){chain}, cats AS (
+  SELECT conv_id,
+         string_agg(CAST(lbl AS VARCHAR), ','
+                    ORDER BY CAST(lbl AS VARCHAR)) AS cat,
+         CAST(count(*) AS BIGINT) AS n_nodes
+  FROM {prev} GROUP BY 1
+), fp AS (
+  SELECT conv_id, CAST({h48_sql('cat')} AS BIGINT) AS wl_fp, n_nodes
+  FROM cats
+), ne AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_edges FROM e GROUP BY 1
+)
+SELECT fp.conv_id, fp.wl_fp, fp.n_nodes, ne.n_edges,
+       CAST(count(*) OVER (PARTITION BY fp.wl_fp) AS BIGINT) AS fp_group
+FROM fp JOIN ne ON ne.conv_id = fp.conv_id
+"""
+
+
+@_q("kg_wl_kernel", _wl_oracle_sql("/root/testdata/sf0.01"))
+def kg_wl_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation WL structural fingerprint + dup-group size
+    (operators/graph.wl_fingerprints, 2 refinement rounds)."""
+    from information_extraction_spark.operators.graph import (
+        wl_fingerprints,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_wl_kernel"] = _wl_oracle_sql(sf_dir)
+    return wl_fingerprints(triples, rounds=2)

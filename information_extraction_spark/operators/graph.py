@@ -1505,3 +1505,112 @@ def landmark_distances(
         visited = visited.unionAll(new).localCheckpoint()
         frontier = new.select("entity", "lm")
     return visited
+
+
+def wl_fingerprints(triples: DataFrame, rounds: int = 2) -> DataFrame:
+    """Weisfeiler-Leman structural fingerprints of each
+    conversation's extraction graph (Weisfeiler & Leman 1968; the
+    WL-kernel form of Shervashidze et al. 2011): iteratively relabel
+    every node with a hash of (own label, sorted multiset of
+    (direction, predicate, neighbor label)), then hash the sorted
+    multiset of final node labels into one 48-bit fingerprint per
+    conversation.
+
+    Why: kg_conv_dedup catches re-ingested transcripts whose
+    extracted triple SETS overlap — it is content-keyed and misses
+    templated conversations where the STRUCTURE repeats under renamed
+    entities (form-letter dialogs, scripted agent flows). WL labels
+    start from a constant — entity names never enter — so two
+    conversations get the same fingerprint iff their predicate-
+    labeled graphs are WL-indistinguishable (isomorphic for almost
+    all graphs at 2 rounds). Equal fingerprints = structural-dup
+    candidates; `fp_group` sizes the candidate sets.
+
+    Cross-engine determinism: the portable 48-bit md5 (functions/
+    hashing) both as the per-round label hash and the final
+    fingerprint; multisets serialize as comma-joined LEXICOGRAPHICALLY
+    sorted strings on both engines (labels cast long->string
+    identically).
+
+    Scale shape: every join and aggregation is co-keyed on (conv_id,
+    node) or (conv_id, endpoint) — a conversation's graph never
+    leaves its hash partition, and per-round message volume is 2x the
+    conversation's edge count (bounded by transcript length, not
+    corpus size). `rounds` is a fixed hyperparameter, so the whole
+    refinement is a static 2R-join plan Catalyst sees end-to-end —
+    no driver loop, no lineage growth worth cutting. The final
+    fp_group window partitions by fingerprint — groups are dup-
+    cluster-sized; a degenerate corpus of one template would skew it,
+    exactly the case where the count is the answer.
+    """
+    from pyspark.sql import Window
+
+    from information_extraction_spark.functions.hashing import h48
+
+    edges = triples.select(
+        "conv_id",
+        F.col("subject").alias("s"),
+        F.col("predicate").alias("p"),
+        F.col("object").alias("o"),
+    ).distinct()
+    nodes = (
+        edges.select("conv_id", F.col("s").alias("node"))
+        .unionByName(edges.select("conv_id", F.col("o").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("lbl", h48(F.lit("wl0")))
+    for _ in range(rounds):
+        lab_o = labels.select(
+            "conv_id", F.col("node").alias("o"), F.col("lbl").alias("nlbl")
+        )
+        lab_s = labels.select(
+            "conv_id", F.col("node").alias("s"), F.col("lbl").alias("nlbl")
+        )
+        m_out = edges.join(lab_o, ["conv_id", "o"]).select(
+            "conv_id",
+            F.col("s").alias("node"),
+            F.concat(
+                F.lit("o:"), "p", F.lit(":"), F.col("nlbl").cast("string")
+            ).alias("msg"),
+        )
+        m_in = edges.join(lab_s, ["conv_id", "s"]).select(
+            "conv_id",
+            F.col("o").alias("node"),
+            F.concat(
+                F.lit("i:"), "p", F.lit(":"), F.col("nlbl").cast("string")
+            ).alias("msg"),
+        )
+        msgs = (
+            m_out.unionByName(m_in)
+            .groupBy("conv_id", "node")
+            .agg(
+                F.array_join(F.array_sort(F.collect_list("msg")), ",").alias(
+                    "ms"
+                )
+            )
+        )
+        # Every node carries >= 1 edge by construction, so the inner
+        # join loses nothing.
+        labels = labels.join(msgs, ["conv_id", "node"]).select(
+            "conv_id",
+            "node",
+            h48(
+                F.concat(F.col("lbl").cast("string"), F.lit("|"), F.col("ms"))
+            ).alias("lbl"),
+        )
+    fp = labels.groupBy("conv_id").agg(
+        h48(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("lbl").cast("string"))), ","
+            )
+        ).alias("wl_fp"),
+        F.count("*").cast("long").alias("n_nodes"),
+    )
+    ne = edges.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_edges")
+    )
+    out = fp.join(ne, "conv_id")
+    return out.withColumn(
+        "fp_group",
+        F.count("*").over(Window.partitionBy("wl_fp")).cast("long"),
+    )

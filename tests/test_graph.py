@@ -1294,3 +1294,45 @@ def test_conductance_two_triangles_bridge_exact(spark):
     )
     w = conductance(edges, whole).collect()[0]
     assert w["cut_edges"] == 0 and w["conductance_ppm"] == 0
+
+
+def test_wl_fingerprints_structure_keyed(spark):
+    """The WL contract: fingerprints ignore entity NAMES but see
+    structure and predicate labels. c1/c2 are isomorphic star graphs
+    under renaming -> same fp; c3 swaps one predicate -> different fp;
+    c4 is a path (different shape, same size) -> different fp; and a
+    reversed-direction edge (c5 vs c1) also differs."""
+    from information_extraction_spark.operators.graph import (
+        wl_fingerprints,
+    )
+
+    rows = [
+        # c1: hub h asserts p1->x, p2->y
+        ("c1", 0, "h", "p1", "x"), ("c1", 0, "h", "p2", "y"),
+        # c2: same structure, all names different
+        ("c2", 0, "q", "p1", "m"), ("c2", 0, "q", "p2", "n"),
+        ("c2", 0, "q", "p1", "m"), ("c2", 0, "q", "p2", "n"),
+        ("c3", 0, "h", "p1", "x"), ("c3", 0, "h", "p3", "y"),
+        ("c4", 0, "a", "p1", "b"), ("c4", 0, "b", "p2", "c"),
+        ("c5", 0, "x", "p1", "h"), ("c5", 0, "h", "p2", "y"),
+    ]
+    triples = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, subject string,"
+        " predicate string, object string",
+    )
+    got = {
+        r["conv_id"]: r.asDict()
+        for r in wl_fingerprints(triples, rounds=2).collect()
+    }
+    assert got["c1"]["wl_fp"] == got["c2"]["wl_fp"]
+    assert got["c1"]["fp_group"] == 2 and got["c2"]["fp_group"] == 2
+    # c5 (x -p1-> h -p2-> y) is ISOMORPHIC to the c4 path under
+    # renaming — WL must see that too, despite c5 reusing c1's names.
+    assert got["c4"]["wl_fp"] == got["c5"]["wl_fp"]
+    assert got["c4"]["fp_group"] == 2
+    # Star (c1), predicate-swapped star (c3) and path (c4) all differ.
+    fps = {got[c]["wl_fp"] for c in ("c1", "c3", "c4")}
+    assert len(fps) == 3
+    assert all(got[c]["n_nodes"] == 3 and got[c]["n_edges"] == 2
+               for c in got)
