@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Flesch reading ease in exact milli-units: vowel-group
+    # syllables, 12-word-turn sentences, BIGINT multiply-before-
+    # divide; narrow zero-shuffle map.
+    "ta_readability",
     # WL structural fingerprints of per-conversation extraction
     # graphs: 2 refinement rounds, name-free labels, portable-h48
     # sorted-multiset hashing — the structure-keyed dedup signal.

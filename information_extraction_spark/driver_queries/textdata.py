@@ -5226,3 +5226,85 @@ def emb_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         eps_q=_DBSCAN_EPS,
         min_pts=_DBSCAN_MIN_PTS,
     )
+
+
+# --- Readability scoring (Flesch reading ease, integer-exact) -----------------
+#
+# The classic quality screen corpus curation runs next to ta_quality's
+# surface ratios: Flesch reading ease 206.835 - 1.015*(W/S) -
+# 84.6*(Syl/W). Two corpus adaptations, both deterministic: the
+# corpus has no sentence punctuation, so S = the 12-word transcript
+# TURN count (the same ceil(len/12) rule every transcript-derived
+# query uses — readability per conversational turn); syllables =
+# maximal [aeiouy]+ vowel groups per word, floored at 1 (the standard
+# heuristic). Cross-engine float discipline: the score is emitted in
+# exact MILLI-units with multiply-before-integer-divide BIGINT
+# arithmetic — no double division on either engine. Scale shape:
+# one narrow whole-row map over the documents scan (split + one
+# in-row higher-order aggregate over the word array) — zero shuffles,
+# zero explodes; at 100 TB this is scan-bound by construction.
+
+_READABILITY_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     w -> len(w) >= 1) AS words
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(ceil(len(words) / 12.0) AS BIGINT) AS n_sentences,
+         CAST(list_sum(list_transform(words,
+              w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+            AS BIGINT) AS n_syllables
+  FROM d WHERE len(words) >= 1
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206835 - (1015 * n_words) // n_sentences
+                   - (84600 * n_syllables) // n_words AS BIGINT)
+         AS flesch_milli
+FROM m
+"""
+
+
+@_q("ta_readability", _READABILITY_ORACLE)
+def ta_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document in exact milli-units (see
+    block comment): vowel-group syllables, 12-word-turn sentences,
+    BIGINT multiply-before-divide; one narrow zero-shuffle map."""
+    words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda w: F.length(w) >= 1,
+    )
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", words.alias("words"))
+        .filter(F.size("words") >= 1)
+    )
+    m = d.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.ceil(F.size("words") / F.lit(12.0)).cast("long").alias(
+            "n_sentences"
+        ),
+        F.expr(
+            "CAST(aggregate(transform(words,"
+            " w -> greatest(1L, CAST(size(regexp_extract_all(w,"
+            " '[aeiouy]+', 0)) AS BIGINT))), 0L, (acc, x) -> acc + x)"
+            " AS BIGINT)"
+        ).alias("n_syllables"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.lit(206835)
+            - F.expr("(1015 * n_words) div n_sentences")
+            - F.expr("(84600 * n_syllables) div n_words")
+        )
+        .cast("long")
+        .alias("flesch_milli"),
+    )
