@@ -38,6 +38,9 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Arbitrary GROUPING SETS (marginals without grand total — the
+    # non-rollup/non-cube shape) via one Expand + one shuffle.
+    "q27_grouping_sets",
     # Flesch reading ease in exact milli-units: vowel-group
     # syllables, 12-word-turn sentences, BIGINT multiply-before-
     # divide; narrow zero-shuffle map.

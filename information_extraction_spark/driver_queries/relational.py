@@ -2955,3 +2955,58 @@ def q26_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").cast("long").alias("sum_value"),
         F.max("value").cast("long").alias("max_value"),
     )
+
+
+# --- Q27: arbitrary GROUPING SETS ---------------------------------------------------
+#
+# ROLLUP (q7) and CUBE (q12) are the hierarchical/exhaustive special
+# cases; real reporting pipelines ask for ARBITRARY set lists — here
+# {(event_type, user_bucket), (event_type,), (user_bucket,)}: both
+# one-dimension marginals but NO grand total, a shape neither rollup
+# nor cube produces. Spark plans it as ONE Expand (x3) feeding one
+# map-side-combined shuffle — never three scans of a 100 TB table.
+# gid uses the same bit-per-column encoding on both engines (q7's
+# verified contract); money sums in exact cents.
+
+_Q27_ORACLE = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(CAST(user_id % 10 AS BIGINT), -1) AS user_bucket,
+       CAST(GROUPING(event_type, user_id % 10) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY GROUPING SETS ((event_type, user_id % 10),
+                        (event_type), (user_id % 10))
+"""
+
+
+@_q("q27_grouping_sets", _Q27_ORACLE)
+def q27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 10).cast("long").alias("user_bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    return (
+        e.groupingSets(
+            [["event_type", "user_bucket"], ["event_type"], ["user_bucket"]],
+            "event_type",
+            "user_bucket",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("v_cents").cast("long").alias("cents"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias(
+                "event_type"
+            ),
+            F.coalesce(F.col("user_bucket"), F.lit(-1))
+            .cast("long")
+            .alias("user_bucket"),
+            "gid",
+            "n_events",
+            "cents",
+        )
+    )
