@@ -38,6 +38,11 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Greedy MMR diversified top-k: integer-exact greedy trace over
+    # a bounded candidate pool; sims computed with the index-ordered
+    # Spark dot, greedy on collected quantized ints; 10-step chained
+    # MATERIALIZED-CTE oracle.
+    "ann_mmr_rerank",
     # Arbitrary GROUPING SETS (marginals without grand total — the
     # non-rollup/non-cube shape) via one Expand + one shuffle.
     "q27_grouping_sets",

@@ -5308,3 +5308,162 @@ def ta_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("flesch_milli"),
     )
+
+
+# --- MMR diversified re-ranking (Carbonell & Goldstein 1998) -------------------
+#
+# Top-k by raw cosine returns near-duplicates of each other; retrieval
+# for curation/eval-set building wants RELEVANT AND DIVERSE. Maximal
+# Marginal Relevance: greedily pick argmax of
+# lambda*rel(c) - (1-lambda)*max_{s in selected} sim(c, s), k times.
+# lambda=0.7 becomes exact integer weights (7, 3 at x10 scale); rel
+# and pairwise sims quantize to round-6dp cosine x 10^6 BIGINTs (the
+# dd_embedding_cosine discipline, so both engines agree bit-for-bit),
+# ties break on vec_id — the greedy trace is fully deterministic.
+#
+# Scale shape: relevance is one narrow map over the vector table +
+# TakeOrderedAndProject to the BOUNDED candidate pool (C=50; at 100 TB
+# C stays a few hundred — pool size is a retrieval knob, not a data
+# size). Pairwise sims among candidates are a C^2-bounded self-join
+# computed IN SPARK with the same index-ordered array dot used
+# everywhere (numpy's pairwise summation would NOT match the SQL sum
+# order at the 6th decimal). The greedy loop itself runs on the
+# driver over the collected C + C^2 quantized INTEGERS (bounded by
+# the knob, never by the corpus — the kmeans/IVF bounded-collect
+# rule), in exact int arithmetic identical to the oracle's chained
+# CTEs.
+
+_MMR_K = 10
+_MMR_C = 50
+_MMR_WR, _MMR_WD = 7, 3  # lambda = 0.7 at x10 integer scale
+
+
+def _mmr_oracle_sql() -> str:
+    steps = []
+    for i in range(1, _MMR_K + 1):
+        if i == 1:
+            steps.append(f"""
+, s1 AS (
+  SELECT vec_id, rel_q, CAST(0 AS BIGINT) AS maxsim_q,
+         CAST({_MMR_WR} * rel_q AS BIGINT) AS score_q,
+         CAST(1 AS BIGINT) AS pick_rank
+  FROM cand ORDER BY rel_q DESC, vec_id LIMIT 1
+), sel1 AS MATERIALIZED (SELECT * FROM s1)""")
+        else:
+            p = i - 1
+            steps.append(f"""
+, s{i} AS (
+  SELECT c.vec_id, c.rel_q,
+         CAST(coalesce(m.ms, 0) AS BIGINT) AS maxsim_q,
+         CAST({_MMR_WR} * c.rel_q
+              - {_MMR_WD} * coalesce(m.ms, 0) AS BIGINT) AS score_q,
+         CAST({i} AS BIGINT) AS pick_rank
+  FROM cand c
+  LEFT JOIN (SELECT va, max(sim_q) AS ms FROM ps
+             WHERE vb IN (SELECT vec_id FROM sel{p}) GROUP BY 1) m
+    ON m.va = c.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{p})
+  ORDER BY score_q DESC, c.vec_id LIMIT 1
+), sel{i} AS MATERIALIZED (SELECT * FROM sel{p} UNION ALL SELECT * FROM s{i})""")
+    chain = "".join(steps)
+    return f"""
+WITH mn AS (SELECT min(vec_id) AS qid FROM embeddings),
+q AS (SELECT embedding AS qe FROM embeddings, mn WHERE vec_id = qid),
+rel0 AS (
+  SELECT vec_id,
+         CAST(round(round(sum(x * y)
+              / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) * 1000000)
+            AS BIGINT) AS rel_q
+  FROM (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+               CAST(unnest(q.qe) AS DOUBLE) AS y
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> (SELECT qid FROM mn))
+  GROUP BY vec_id
+), cand AS MATERIALIZED (
+  SELECT vec_id, rel_q FROM rel0 ORDER BY rel_q DESC, vec_id
+  LIMIT {_MMR_C}
+), pe AS (
+  SELECT c.vec_id, e.embedding FROM cand c
+  JOIN embeddings e USING (vec_id)
+), pp AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(unnest(a.embedding) AS DOUBLE) AS x,
+         CAST(unnest(b.embedding) AS DOUBLE) AS y
+  FROM pe a JOIN pe b ON a.vec_id <> b.vec_id
+), ps AS MATERIALIZED (
+  SELECT va, vb,
+         CAST(round(round(sum(x * y)
+              / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) * 1000000)
+            AS BIGINT) AS sim_q
+  FROM pp GROUP BY 1, 2
+){chain}
+SELECT vec_id, pick_rank, rel_q, maxsim_q, score_q FROM sel{_MMR_K}
+"""
+
+
+@_q("ann_mmr_rerank", _mmr_oracle_sql())
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR top-k over the bounded candidate pool (see block
+    comment): integer-exact greedy trace with per-pick rank, rel,
+    max-sim-to-selected and score."""
+    e = _emb(spark, sf_dir)
+    qid = e.agg(F.min("vec_id")).collect()[0][0]
+    qe = e.filter(F.col("vec_id") == qid).select("embedding").collect()[0][0]
+    qlit = F.array(*[F.lit(float(x)) for x in qe])
+    quant = lambda c: F.round(F.round(c, 6) * 1_000_000).cast("long")  # noqa: E731
+    rel = (
+        e.filter(F.col("vec_id") != qid)
+        .select(
+            "vec_id",
+            "embedding",
+            quant(
+                _dot(F.col("embedding"), qlit)
+                / (
+                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(_dot(qlit, qlit))
+                )
+            ).alias("rel_q"),
+        )
+    )
+    cand = rel.orderBy(F.desc("rel_q"), "vec_id").limit(_MMR_C)
+    a, b = cand.alias("a"), cand.alias("b")
+    sims = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            quant(
+                _dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (
+                    F.sqrt(_dot(F.col("a.embedding"), F.col("a.embedding")))
+                    * F.sqrt(_dot(F.col("b.embedding"), F.col("b.embedding")))
+                )
+            ).alias("sim_q"),
+        )
+    )
+    rel_rows = {
+        r["vec_id"]: r["rel_q"] for r in cand.select("vec_id", "rel_q").collect()
+    }
+    sim_rows = {(r["va"], r["vb"]): r["sim_q"] for r in sims.collect()}
+    selected: list[tuple] = []
+    chosen: set = set()
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for vid, rq in rel_rows.items():
+            if vid in chosen:
+                continue
+            ms = max(
+                (sim_rows.get((vid, s), 0) for s, *_ in selected), default=0
+            )
+            score = _MMR_WR * rq - _MMR_WD * ms
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rq, ms, score)
+        _, vid, rq, ms, score = best
+        chosen.add(vid)
+        selected.append((vid, rank, rq, ms, score))
+    return spark.createDataFrame(
+        selected,
+        "vec_id long, pick_rank long, rel_q long, maxsim_q long,"
+        " score_q long",
+    )
