@@ -277,6 +277,14 @@ def main() -> int:
         "kg_conv_dedup",
         "kg_gcn_agg",
         "a20_bootstrap_ci",
+        "mm_conv_edges",
+        "kg_temporal_conflict",
+        "a22_bh_fdr",
+        "emb_dbscan",
+        "kg_wl_kernel",
+        "ta_readability",
+        "q27_grouping_sets",
+        "ann_mmr_rerank",
     ]
     if args.skip_queries:
         bench_queries = []

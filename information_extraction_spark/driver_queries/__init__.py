@@ -38,6 +38,11 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Brandes forward pass: exact shortest-path counts (dist+sigma)
+    # from the 2 top-degree sources in one multi-source keyed BFS;
+    # per-hop chained-CTE oracle with the sum-over-predecessors
+    # recurrence.
+    "kg_path_counts",
     # Greedy MMR diversified top-k: integer-exact greedy trace over
     # a bounded candidate pool; sims computed with the index-ordered
     # Spark dot, greedy on collected quantized ints; 10-step chained

@@ -4858,3 +4858,69 @@ def kg_wl_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = kg_extract_triples(spark, sf_dir)
     ORACLES["kg_wl_kernel"] = _wl_oracle_sql(sf_dir)
     return wl_fingerprints(triples, rounds=2)
+
+
+# --- Shortest-path counting (Brandes forward pass) -----------------------------
+#
+# kg_landmark_dist sketches DISTANCES; this adds SIGMA — the number
+# of distinct shortest paths from each of the 2 top-degree sources
+# (exact BIGINT, the Brandes 2001 forward pass). sigma = 1 flags
+# single-fragile-path reachability; high sigma flags redundantly
+# connected hubs — the connectivity-robustness signal entity
+# canonicalization consults before merging through a bridge. See
+# operators/graph.shortest_path_counts for the multi-source one-pass
+# scale shape. Oracle = per-hop chained CTEs with the same
+# sum-over-predecessors recurrence (NOT EXISTS anti-join per hop,
+# the landmark oracle's pattern extended with the sigma aggregate).
+
+
+def _sp_counts_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    hops = []
+    for h in (1, 2, 3):
+        p = h - 1
+        hops.append(f"""
+, c{h} AS (
+  SELECT u.dst AS n, f.s, CAST(sum(f.sigma) AS BIGINT) AS sigma
+  FROM u JOIN f{p} f ON u.src = f.n GROUP BY 1, 2
+), n{h} AS (
+  SELECT c.n, c.s, c.sigma FROM c{h} c
+  WHERE NOT EXISTS (SELECT 1 FROM v{p} v WHERE v.n = c.n AND v.s = c.s)
+), v{h} AS (
+  SELECT * FROM v{p}
+  UNION ALL SELECT n, s, CAST({h} AS INT) AS dist, sigma FROM n{h}
+), f{h} AS (SELECT n, s, sigma FROM n{h})""")
+    chain = "".join(hops)
+    return f"""
+WITH e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+  WHERE subject <> object
+), u AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM u GROUP BY 1
+), ss AS (
+  SELECT src AS s FROM deg ORDER BY d DESC, src LIMIT 2
+), v0 AS (
+  SELECT s AS n, s, CAST(0 AS INT) AS dist, CAST(1 AS BIGINT) AS sigma
+  FROM ss
+), f0 AS (SELECT n, s, sigma FROM v0){chain}
+SELECT n AS entity, s AS sp_src, CAST(dist AS BIGINT) AS dist, sigma
+FROM v3
+"""
+
+
+@_q("kg_path_counts", _sp_counts_oracle_sql("/root/testdata/sf0.01"))
+def kg_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shortest-path counts (dist + sigma) from the 2 top-degree
+    sources, hops <= 3 (operators/graph.shortest_path_counts)."""
+    from information_extraction_spark.operators.graph import (
+        shortest_path_counts,
+        triple_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_path_counts"] = _sp_counts_oracle_sql(sf_dir)
+    return shortest_path_counts(
+        triple_edges(triples), n_sources=2, max_hops=3
+    )

@@ -566,6 +566,26 @@ PLAN_QUERIES = [
         "edge (no feature-table join); undirected closure + ONE "
         "map-side-combined shuffle on the node key",
     ),
+    (
+        "emb_dbscan",
+        "grid-blocked DBSCAN: candidates from the 3x3 neighbor-cell "
+        "co-partitioned equi-join on (cx, cy) — bounded by local "
+        "density, no all-pairs crossJoin; degree/border aggs "
+        "map-side combined on the point key",
+    ),
+    (
+        "kg_wl_kernel",
+        "WL refinement: every message join and label agg co-keyed on "
+        "(conv_id, endpoint) — a conversation's graph never leaves "
+        "its partition; 2 rounds = one static Catalyst plan",
+    ),
+    (
+        "kg_temporal_conflict",
+        "interval-overlap detection: provenance equi-join + extent "
+        "rollup reduce to <=1 row per (s,p,o) BEFORE the slot-co-"
+        "keyed self-join — assertion volume never reaches the pair "
+        "stage; fan-out bounded by slot version count squared",
+    ),
 ]
 
 
