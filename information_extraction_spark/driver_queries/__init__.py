@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # K-anonymity audit over the (lang, source, length-decile)
+    # quasi-identifier: one bounded-key shuffle + broadcast total;
+    # k=5 flag and exact share_ppm per equivalence class.
+    "ta_k_anonymity",
     # Brandes forward pass: exact shortest-path counts (dist+sigma)
     # from the 2 top-degree sources in one multi-source keyed BFS;
     # per-hop chained-CTE oracle with the sum-over-predecessors

@@ -5467,3 +5467,75 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id long, pick_rank long, rel_q long, maxsim_q long,"
         " score_q long",
     )
+
+
+# --- K-anonymity audit over quasi-identifiers ----------------------------------
+#
+# The compliance screen release pipelines run before publishing a
+# corpus: can any row be singled out by its quasi-identifiers? QI =
+# (lang, source, length decile) — the indirect attributes an attacker
+# joins on. Per equivalence class: size, k=5 anonymity flag, and the
+# class's row share in ppm. The decile bucket derives from n_chars
+# with fixed integer boundaries (len div 100 capped at 9) — both
+# engines restate it arithmetically; no quantile estimation inside
+# the QI definition (data-dependent boundaries would make the audit
+# unstable release-to-release). Scale shape: ONE map-side-combined
+# shuffle on the bounded QI key (langs x sources x 10) plus a
+# bounded-key window for the share — the class table is dimension-
+# sized no matter the corpus.
+
+_K_ANON_ORACLE = """
+WITH q AS (
+  SELECT lang, source,
+         least(n_chars // 100, 9) AS len_bucket
+  FROM documents
+), cls AS (
+  SELECT lang, source, CAST(len_bucket AS BIGINT) AS len_bucket,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM q GROUP BY 1, 2, 3
+)
+SELECT lang, source, len_bucket, class_size,
+       CAST(CASE WHEN class_size >= 5 THEN 1 ELSE 0 END AS BIGINT)
+         AS anonymous_at_5,
+       CAST(class_size * 1000000
+            // (SELECT sum(class_size) FROM cls) AS BIGINT) AS share_ppm
+FROM cls
+"""
+
+
+@_q("ta_k_anonymity", _K_ANON_ORACLE)
+def ta_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence-class k-anonymity audit over the (lang, source,
+    length-decile) quasi-identifier (see block comment)."""
+    q = _docs(spark, sf_dir).select(
+        "lang",
+        "source",
+        F.least(F.expr("n_chars div 100"), F.lit(9))
+        .cast("long")
+        .alias("len_bucket"),
+    )
+    cls = q.groupBy("lang", "source", "len_bucket").agg(
+        F.count("*").cast("long").alias("class_size")
+    )
+    # Corpus total as a broadcast 1-row aggregate, not an
+    # unpartitioned window: cls is dimension-sized but a global
+    # window would still force it through one task.
+    total = F.broadcast(
+        cls.agg(F.sum("class_size").cast("long").alias("_total"))
+    )
+    return (
+        cls.crossJoin(total)
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "class_size",
+            F.when(F.col("class_size") >= 5, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("anonymous_at_5"),
+            F.expr("(class_size * 1000000) div _total")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )
