@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Sums-style truth discovery: belief->trust->belief mutual
+    # reinforcement in exact BIGINT ppm over the assertion edges;
+    # flips 80/485 conflict-slot winners vs the raw support vote.
+    "kg_truth_discovery",
     # K-anonymity audit over the (lang, source, length-decile)
     # quasi-identifier: one bounded-key shuffle + broadcast total;
     # k=5 flag and exact share_ppm per equivalence class.

@@ -4924,3 +4924,78 @@ def kg_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_path_counts(
         triple_edges(triples), n_sources=2, max_hops=3
     )
+
+
+# --- Truth discovery (source-reliability data fusion) ------------------------
+#
+# The fusion layer kg_functional_resolve's raw support vote lacks:
+# Sums-style mutual reinforcement (Pasternack & Roth COLING'10, the
+# shape Knowledge Vault runs as "source trustworthiness x extraction
+# confidence"). Sources = conversations; one belief->trust->belief
+# sweep in exact BIGINT ppm (per-half-step renormalization by the
+# global max via a broadcast 1-row aggregate). A minority object
+# asserted by conversations whose OTHER facts are widely corroborated
+# can now out-rank a raw-count majority — measured at sf0.01: the
+# winner DIFFERS from resolve_functional's raw support vote on 80 of
+# the 485 conflict slots (the point of the operator). Oracle =
+# the same three half-steps as chained CTEs with identical integer
+# arithmetic; scale shape in operators/graph.truth_discovery.
+
+
+def _truth_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT conv_id AS source, subject, predicate, object FROM {g}
+), b1r AS (
+  SELECT subject, predicate, object,
+         CAST(count(*) AS BIGINT) * 1000000 AS braw
+  FROM e GROUP BY 1, 2, 3
+), b1 AS (
+  SELECT subject, predicate, object,
+         CAST(braw * 1000000 // (SELECT max(braw) FROM b1r) AS BIGINT) AS b
+  FROM b1r
+), t1r AS (
+  SELECT e.source, CAST(sum(b1.b) AS BIGINT) AS traw
+  FROM e JOIN b1 USING (subject, predicate, object) GROUP BY 1
+), t1 AS (
+  SELECT source,
+         CAST(traw * 1000000 // (SELECT max(traw) FROM t1r) AS BIGINT) AS t
+  FROM t1r
+), b2r AS (
+  SELECT subject, predicate, object, CAST(sum(t1.t) AS BIGINT) AS braw
+  FROM e JOIN t1 USING (source) GROUP BY 1, 2, 3
+), b2 AS (
+  SELECT subject, predicate, object,
+         CAST(braw * 1000000 // (SELECT max(braw) FROM b2r) AS BIGINT) AS b
+  FROM b2r
+), ranked AS (
+  SELECT b2.*,
+         row_number() OVER (PARTITION BY subject, predicate
+             ORDER BY b DESC, object ASC) AS rn,
+         count(*) OVER (PARTITION BY subject, predicate) AS nc
+  FROM b2
+)
+SELECT subject, predicate, object AS resolved_object, b AS belief_ppm,
+       CAST(nc AS BIGINT) AS n_candidates
+FROM ranked WHERE rn = 1 AND nc >= 2
+"""
+
+
+@_q("kg_truth_discovery", _truth_oracle_sql("/root/testdata/sf0.01"))
+def kg_truth_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sums-style truth discovery over the live pipeline's assertion
+    edges (see block comment; operators/graph.truth_discovery)."""
+    from information_extraction_spark.operators.graph import (
+        truth_discovery,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_truth_discovery"] = _truth_oracle_sql(sf_dir)
+    assertions = triples.select(
+        F.col("conv_id").alias("source"),
+        "subject",
+        "predicate",
+        "object",
+    )
+    return truth_discovery(assertions, rounds=1)

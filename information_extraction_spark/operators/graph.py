@@ -1674,3 +1674,94 @@ def shortest_path_counts(
         F.col("dist").cast("long").alias("dist"),
         "sigma",
     )
+
+
+def truth_discovery(
+    assertions: DataFrame, rounds: int = 1
+) -> DataFrame:
+    """Fixed-iteration Sums-style truth discovery (Pasternack & Roth
+    COLING'10; the data-fusion step Knowledge Vault-style KG
+    construction runs between support aggregation and functional
+    resolution — reference semantics: a consolidation layer over
+    pytorch/prepare_data/spo_transformer.py's per-sentence emissions,
+    which the reference never fuses across sources).
+
+    Input: (source, subject, predicate, object) assertion edges —
+    who claims what. Mutual reinforcement: a claim is believable if
+    trusted sources assert it; a source is trustworthy if its claims
+    are believable. Unlike resolve_functional's raw support vote,
+    a minority object backed by sources whose OTHER claims are well
+    corroborated can win the slot.
+
+    All arithmetic is exact BIGINT ppm so Spark and a SQL oracle
+    agree bit-for-bit: trust_0 = 10^6 per source; belief_raw(c) =
+    SUM trust(src) over claimers; trust_raw(s) = SUM belief(c) over
+    claims; each half-step renormalizes x -> x * 10^6 div max(x)
+    (max = a broadcast 1-row aggregate, never an unpartitioned
+    window). Per-term integer division keeps every sum
+    order-independent. Headroom: belief_raw*10^6 <= n_claimers *
+    10^18 ppm^2... in practice claimers-per-fact is bounded (<= convs
+    re-asserting one fact); at larger corpora drop the scale constant
+    to 10^3 before the multiply — noted, not needed at any tested sf.
+
+    One (rounds=1) full belief->trust->belief sweep costs 3 keyed
+    shuffles over the edge table + 2 scalar maxes; the edge table is
+    localCheckpointed once and every half-step is a map-side-combined
+    aggregate on either the claim key or the source key. Output: the
+    CONFLICT slots only — (subject, predicate) with >= 2 distinct
+    claimed objects — with the winning object (belief DESC, object
+    ASC), its belief_ppm, and the slot's candidate count.
+    """
+    claim_key = ["subject", "predicate", "object"]
+    e = assertions.select("source", *claim_key).distinct().localCheckpoint()
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        mx = F.broadcast(df.agg(F.max(col).alias("_mx")))
+        return df.crossJoin(mx).select(
+            *[c for c in df.columns if c != col],
+            F.expr(f"({col} * 1000000L) div _mx").cast("long").alias(col),
+        )
+
+    trust = (
+        e.select("source")
+        .distinct()
+        .withColumn("t", F.lit(1_000_000).cast("long"))
+    )
+    belief = None
+    for _ in range(rounds):
+        belief = _norm(
+            e.join(trust, "source")
+            .groupBy(*claim_key)
+            .agg(F.sum("t").cast("long").alias("b")),
+            "b",
+        ).localCheckpoint()
+        trust = _norm(
+            e.join(belief, claim_key)
+            .groupBy("source")
+            .agg(F.sum("b").cast("long").alias("t")),
+            "t",
+        ).localCheckpoint()
+    belief = _norm(
+        e.join(trust, "source")
+        .groupBy(*claim_key)
+        .agg(F.sum("t").cast("long").alias("b")),
+        "b",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("subject", "predicate")
+    ranked = belief.withColumn(
+        "rn",
+        F.row_number().over(
+            w.orderBy(F.col("b").desc(), F.col("object").asc())
+        ),
+    ).withColumn("n_candidates", F.count("*").over(w).cast("long"))
+    return ranked.filter(
+        (F.col("rn") == 1) & (F.col("n_candidates") >= 2)
+    ).select(
+        "subject",
+        "predicate",
+        F.col("object").alias("resolved_object"),
+        F.col("b").alias("belief_ppm"),
+        "n_candidates",
+    )

@@ -1336,3 +1336,44 @@ def test_wl_fingerprints_structure_keyed(spark):
     assert len(fps) == 3
     assert all(got[c]["n_nodes"] == 3 and got[c]["n_edges"] == 2
                for c in got)
+
+
+def test_truth_discovery_reinforcement_flips_majority(spark):
+    """Hand-worked Sums sweep: claim X is asserted by 2 sources whose
+    other claim is widely corroborated; claim Y by 3 sources that
+    assert nothing else. Raw vote picks Y (3 > 2); mutual
+    reinforcement picks X. Every ppm value below is hand-computed
+    through the exact integer pipeline (norm = x * 10^6 div max):
+    B1(X)=333333 B1(Y)=500000 B1(corrob)=10^6; T1(good)=10^6
+    T1(lone)=375000 T1(m*)=750000 T1(u*)=124999; B2(X)=400000
+    B2(Y)=225000, and the u1/u2 tie resolves to the lexicographically
+    smaller object."""
+    from information_extraction_spark.operators.graph import (
+        truth_discovery,
+    )
+
+    rows = (
+        [("g1", "s1", "p", "X"), ("g2", "s1", "p", "X")]
+        + [(l, "s1", "p", "Y") for l in ("l1", "l2", "l3")]
+        + [
+            (src, "c1", "p", "Z")
+            for src in ("g1", "g2", "m1", "m2", "m3", "m4")
+        ]
+        + [("u1", "s2", "q", "M"), ("u2", "s2", "q", "K")]
+    )
+    df = spark.createDataFrame(
+        rows, "source string, subject string, predicate string, object string"
+    )
+    got = {
+        (r.subject, r.predicate): r
+        for r in truth_discovery(df, rounds=1).collect()
+    }
+    assert set(got) == {("s1", "p"), ("s2", "q")}
+    win = got[("s1", "p")]
+    assert win.resolved_object == "X"  # minority outranks raw majority
+    assert win.belief_ppm == 400000
+    assert win.n_candidates == 2
+    tie = got[("s2", "q")]
+    assert tie.resolved_object == "K"  # equal belief -> object ASC
+    assert tie.belief_ppm == 24999
+    assert tie.n_candidates == 2
