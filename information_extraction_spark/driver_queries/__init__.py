@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Pivot-sampled Brandes betweenness: backward delta accumulation
+    # over the forward (dist, sigma) pass, per-term integer division
+    # by sigma_w, 2 pivots / 3 hops; bridges rank highest.
+    "kg_betweenness",
     # Sums-style truth discovery: belief->trust->belief mutual
     # reinforcement in exact BIGINT ppm over the assertion edges;
     # flips 80/485 conflict-slot winners vs the raw support vote.

@@ -4999,3 +4999,94 @@ def kg_truth_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "object",
     )
     return truth_discovery(assertions, rounds=1)
+
+
+# --- Pivot-sampled betweenness (Brandes backward accumulation) ---------------
+#
+# Completes kg_path_counts: the forward pass's (dist, sigma) feeds
+# the Brandes backward recurrence delta(v) = SUM over DAG successors
+# w of sigma_v/sigma_w * (1 + delta(w)), accumulated from 2
+# high-degree pivots (Brandes & Pich 2007 pivot sampling — exact
+# betweenness is all-sources, infeasible at scale; production ranks
+# bridges by a pivot sample). Integer-exact: per-term
+# floor(sigma_v * (10^6 + delta_ppm_w) / sigma_w) — order-independent
+# sums, identical in both engines. High bc_ppm marks the BRIDGE
+# entities whose removal disconnects corroboration paths — the
+# complement of kg_path_counts' sigma-fragility view. Scale shape in
+# operators/graph.betweenness_pivots.
+
+
+def _betweenness_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    fwd = []
+    for h in (1, 2, 3):
+        p = h - 1
+        fwd.append(f"""
+, c{h} AS (
+  SELECT u.dst AS n, f.s, CAST(sum(f.sigma) AS BIGINT) AS sigma
+  FROM u JOIN f{p} f ON u.src = f.n GROUP BY 1, 2
+), n{h} AS (
+  SELECT c.n, c.s, c.sigma FROM c{h} c
+  WHERE NOT EXISTS (SELECT 1 FROM v{p} v WHERE v.n = c.n AND v.s = c.s)
+), v{h} AS (
+  SELECT * FROM v{p}
+  UNION ALL SELECT n, s, CAST({h} AS INT) AS dist, sigma FROM n{h}
+), f{h} AS (SELECT n, s, sigma FROM n{h})""")
+    bwd = ["""
+, dl3 AS (
+  SELECT n, s, sigma, CAST(0 AS BIGINT) AS delta FROM v3 WHERE dist = 3
+)"""]
+    for d in (2, 1, 0):
+        n = d + 1
+        bwd.append(f"""
+, cc{d} AS (
+  SELECT v.n, v.s,
+         CAST(sum((v.sigma * (1000000 + w.delta)) // w.sigma) AS BIGINT)
+           AS delta
+  FROM v3 v JOIN u ON u.src = v.n
+  JOIN dl{n} w ON w.n = u.dst AND w.s = v.s
+  WHERE v.dist = {d} GROUP BY 1, 2
+), dl{d} AS (
+  SELECT v.n, v.s, v.sigma,
+         CAST(coalesce(c.delta, 0) AS BIGINT) AS delta
+  FROM v3 v LEFT JOIN cc{d} c ON c.n = v.n AND c.s = v.s
+  WHERE v.dist = {d}
+)""")
+    return f"""
+WITH e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+  WHERE subject <> object
+), u AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM u GROUP BY 1
+), ss AS (
+  SELECT src AS s FROM deg ORDER BY d DESC, src LIMIT 2
+), v0 AS (
+  SELECT s AS n, s, CAST(0 AS INT) AS dist, CAST(1 AS BIGINT) AS sigma
+  FROM ss
+), f0 AS (SELECT n, s, sigma FROM v0){"".join(fwd)}{"".join(bwd)}
+SELECT n AS entity, CAST(sum(delta) AS BIGINT) AS bc_ppm,
+       CAST(count(*) AS BIGINT) AS n_pivots
+FROM (
+  SELECT * FROM dl0 UNION ALL SELECT * FROM dl1
+  UNION ALL SELECT * FROM dl2 UNION ALL SELECT * FROM dl3
+)
+WHERE n <> s GROUP BY n
+"""
+
+
+@_q("kg_betweenness", _betweenness_oracle_sql("/root/testdata/sf0.01"))
+def kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled approximate betweenness from the 2 top-degree
+    pivots, hops <= 3 (operators/graph.betweenness_pivots)."""
+    from information_extraction_spark.operators.graph import (
+        betweenness_pivots,
+        triple_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_betweenness"] = _betweenness_oracle_sql(sf_dir)
+    return betweenness_pivots(
+        triple_edges(triples), n_sources=2, max_hops=3
+    )

@@ -1377,3 +1377,39 @@ def test_truth_discovery_reinforcement_flips_majority(spark):
     assert tie.resolved_object == "K"  # equal belief -> object ASC
     assert tie.belief_ppm == 24999
     assert tie.n_candidates == 2
+
+
+def test_betweenness_pivots_bridge_and_diamond(spark):
+    """Hand-worked Brandes backward pass. Path a-b-c (pivots = b, a by
+    degree then name): b is the bridge — from pivot a its delta is
+    floor(1*(10^6+0)/1) = 10^6; endpoints accumulate 0. Diamond
+    a-b/a-c/b-d/c-d (pivots a, b): every sigma at depth 2 is 2, so
+    each interior delta is floor(1*10^6/2) = 500000 — exercises the
+    per-term integer division by sigma_w."""
+    from information_extraction_spark.operators.graph import (
+        betweenness_pivots,
+    )
+
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r.entity: (r.bc_ppm, r.n_pivots)
+        for r in betweenness_pivots(path, n_sources=2).collect()
+    }
+    assert got == {"a": (0, 1), "b": (1_000_000, 1), "c": (0, 2)}
+
+    diamond = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    got = {
+        r.entity: (r.bc_ppm, r.n_pivots)
+        for r in betweenness_pivots(diamond, n_sources=2).collect()
+    }
+    assert got == {
+        "a": (500_000, 1),
+        "b": (500_000, 1),
+        "c": (500_000, 2),
+        "d": (500_000, 2),
+    }
