@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # NN-Descent kNN-graph refinement: two-hash-bucketing init +
+    # one general-neighbor local-join round; 479/2000 edges are
+    # refinement discoveries (single-blocking init is a no-op).
+    "emb_nn_descent",
     # Pivot-sampled Brandes betweenness: backward delta accumulation
     # over the forward (dist, sigma) pass, per-term integer division
     # by sigma_w, 2 pivots / 3 hops; bridges rank highest.

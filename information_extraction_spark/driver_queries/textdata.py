@@ -5539,3 +5539,177 @@ def ta_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_ppm"),
         )
     )
+
+
+# --- NN-Descent k-NN graph refinement -----------------------------------------
+#
+# The graph-based ANN build path (Dong, Moses & Li, WWW'11 — the
+# construction step under HNSW-family indexes): start from a CHEAP
+# arbitrary-blocking kNN graph, then refine by the local join — a
+# node's neighbors-of-neighbors (through the UNDIRECTED general-
+# neighbor set B[u] = N[u] ∪ R[u]) are its best next candidates,
+# because neighbor-of-neighbor is likely neighbor. One refinement
+# round here (fixed rounds = the determinism contract everywhere in
+# this repo); `from_init` marks final edges that already sat in the
+# init graph, so the result itself measures how much the round
+# improved the arbitrary init (at the gate scale only a minority of
+# final edges survive from init — the refinement is load-bearing,
+# not decorative). Scale shape: every stage is an equi-join on a
+# bounded-fanout key — init pairs inside size-bounded hash buckets
+# (B scales as n/target_bucket_size), the local join fans out
+# (2k)^2 per pivot node, ranking is a keyed window on src, and the
+# only unblocked structure anywhere is the final top-k per node.
+# Recall audit against brute force = ann_recall_audit's pattern,
+# applicable verbatim.
+
+_NN_DESCENT_K = 4
+
+
+def _nn_descent_score_sql(keys_cte: str) -> str:
+    """Score a (src, nb) key CTE against the embeddings table —
+    identical arithmetic to the Spark side's norm-hoisted dot."""
+    return f"""
+  SELECT src, nb,
+         round(sum(xa * xb)
+               / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4) AS cos4
+  FROM (
+    SELECT k.src, k.nb, CAST(unnest(ea.embedding) AS DOUBLE) AS xa,
+           CAST(unnest(eb.embedding) AS DOUBLE) AS xb
+    FROM {keys_cte} k
+    JOIN embeddings ea ON ea.vec_id = k.src
+    JOIN embeddings eb ON eb.vec_id = k.nb
+  ) GROUP BY src, nb
+"""
+
+
+_NN_DESCENT_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id,
+         {_h48w_sql("CAST(vec_id AS VARCHAR)")} % 16 AS bkt1,
+         {_h48w_sql("'2:' || CAST(vec_id AS VARCHAR)")} % 16 AS bkt2
+  FROM embeddings
+), ikeys AS (
+  SELECT DISTINCT a.vec_id AS src, c.vec_id AS nb
+  FROM b a JOIN b c
+    ON (c.bkt1 = a.bkt1 OR c.bkt2 = a.bkt2) AND c.vec_id <> a.vec_id
+), isc AS ({_nn_descent_score_sql("ikeys")}
+), g0 AS (
+  SELECT src, nb, cos4 FROM (
+    SELECT src, nb, cos4, row_number() OVER (
+      PARTITION BY src ORDER BY cos4 DESC, nb) AS rn
+    FROM isc) WHERE rn <= {_NN_DESCENT_K}
+), und AS (
+  SELECT src AS u, nb AS x FROM g0 UNION SELECT nb, src FROM g0
+), keys AS (
+  SELECT DISTINCT p.x AS src, q.x AS nb
+  FROM und p JOIN und q ON q.u = p.u AND q.x <> p.x
+  UNION SELECT src, nb FROM g0
+), sc AS ({_nn_descent_score_sql("keys")}
+)
+SELECT src, nb, CAST(rn AS BIGINT) AS rank, s.cos4,
+       CAST(CASE WHEN g0.src IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS from_init
+FROM (
+  SELECT src, nb, cos4, row_number() OVER (
+    PARTITION BY src ORDER BY cos4 DESC, nb) AS rn
+  FROM sc) s
+LEFT JOIN g0 USING (src, nb)
+WHERE rn <= {_NN_DESCENT_K}
+"""
+
+
+@_q("emb_nn_descent", _NN_DESCENT_ORACLE)
+def emb_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-Descent refinement round over an arbitrary-bucket init
+    graph (see block comment)."""
+    from pyspark.sql import Window
+
+    k = _NN_DESCENT_K
+    e = (
+        _spread(spark, _emb(spark, sf_dir), "vec_id")
+        .select("vec_id", "embedding")
+        .withColumn(
+            "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        )
+        .localCheckpoint()  # scored twice (init + refine) — read once
+    )
+
+    def _score(keys: DataFrame) -> DataFrame:
+        a = e.select(
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("_ea"),
+            F.col("nrm").alias("_na"),
+        )
+        c = e.select(
+            F.col("vec_id").alias("nb"),
+            F.col("embedding").alias("_eb"),
+            F.col("nrm").alias("_nb"),
+        )
+        return (
+            keys.join(a, "src")
+            .join(c, "nb")
+            .select(
+                "src",
+                "nb",
+                F.round(
+                    _dot(F.col("_ea"), F.col("_eb"))
+                    / (F.col("_na") * F.col("_nb")),
+                    4,
+                ).alias("cos4"),
+            )
+        )
+
+    sid = F.col("vec_id").cast("string")
+    bkt = e.select(
+        "vec_id",
+        (_h48w(sid) % 16).alias("bkt1"),
+        (_h48w(F.concat(F.lit("2:"), sid)) % 16).alias("bkt2"),
+    )
+
+    def _same_bucket(col: str) -> DataFrame:
+        # Equi-join per bucketing (the OR-condition join would plan a
+        # nested loop); the union of the two blockings is the init
+        # candidate universe.
+        return bkt.alias("a").join(
+            bkt.alias("c"),
+            (F.col(f"a.{col}") == F.col(f"c.{col}"))
+            & (F.col("a.vec_id") != F.col("c.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("src"), F.col("c.vec_id").alias("nb")
+        )
+
+    ikeys = _same_bucket("bkt1").union(_same_bucket("bkt2")).distinct()
+    w = Window.partitionBy("src").orderBy(F.col("cos4").desc(), F.col("nb"))
+    g0 = (
+        _score(ikeys)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src", "nb", "cos4")
+        .localCheckpoint()  # init graph feeds und, keys AND the flag
+    )
+    und = (
+        g0.select(F.col("src").alias("u"), F.col("nb").alias("x"))
+        .union(g0.select(F.col("nb").alias("u"), F.col("src").alias("x")))
+        .distinct()
+    )
+    cand = und.alias("p").join(
+        und.alias("q"),
+        (F.col("q.u") == F.col("p.u")) & (F.col("q.x") != F.col("p.x")),
+    ).select(F.col("p.x").alias("src"), F.col("q.x").alias("nb"))
+    keys = cand.union(g0.select("src", "nb")).distinct()
+    final = (
+        _score(keys)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    return final.join(
+        g0.select("src", "nb").withColumn("_init", F.lit(1)),
+        ["src", "nb"],
+        "left",
+    ).select(
+        "src",
+        "nb",
+        F.col("rn").cast("long").alias("rank"),
+        "cos4",
+        F.coalesce(F.col("_init"), F.lit(0)).cast("long").alias("from_init"),
+    )

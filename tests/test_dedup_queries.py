@@ -439,3 +439,35 @@ def test_edit_distance_threshold_blocking_and_band_boundary(spark, tmp_dir):
     assert (0, 3) not in got           # 21 edits
     assert all(da != 4 and db != 4 for (da, db) in got)  # lang block
     assert set(got) == {(0, 1), (0, 2), (5, 6)}
+
+
+def test_nn_descent_improves_init_and_ranks_densely(spark):
+    """NN-Descent output invariants: (1) the refinement discovers
+    edges absent from the init top-k (from_init=0 rows exist — a
+    single-blocking init is closed under the local join and would
+    make this empty, the measured pitfall in the block comment);
+    (2) per-node ranks are dense 1..min(k, candidates) with
+    similarities non-increasing; (3) every vector keeps a neighbor
+    list."""
+    from collections import defaultdict
+
+    from information_extraction_spark.driver_queries.textdata import (
+        emb_nn_descent,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = emb_nn_descent(spark, sf).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.src].append(r)
+    assert len(by_src) == 500
+    new_edges = 0
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 4
+        # final top-k over a candidate superset: sims sorted desc
+        sims = [r.cos4 for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        new_edges += sum(1 for r in rs if r.from_init == 0)
+    assert new_edges > 0  # the round actually improved the init
