@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # DSIR importance weights: hashed-bigram target/raw likelihood
+    # ratio in quantized micro-nats, 256-row broadcast term table,
+    # deterministic positive-weight selection.
+    "ta_dsir",
     # NN-Descent kNN-graph refinement: two-hash-bucketing init +
     # one general-neighbor local-join round; 479/2000 edges are
     # refinement discoveries (single-blocking init is a no-op).

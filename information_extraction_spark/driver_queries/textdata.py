@@ -5713,3 +5713,138 @@ def emb_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos4",
         F.coalesce(F.col("_init"), F.lit(0)).cast("long").alias("from_init"),
     )
+
+
+# --- DSIR importance weights (data selection for LM pretraining) ---------------
+#
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling"): score every raw document by how target-like its
+# HASHED n-gram distribution is — weight(doc) = sum over hashed
+# bigram features of log(p_target(f) / p_raw(f)) under add-one-
+# smoothed unigram models over B=256 feature buckets. The target
+# model here trains on the deterministic doc_id%10 "curated seed"
+# stand-in (production swaps in the real curated corpus — the same
+# one-table seam as kg_gcn_agg's hashed features); DSIR's
+# Gumbel-top-k resample is replaced by the deterministic
+# positive-weight rule, so `selected` is reproducible run-to-run.
+# Cross-engine arithmetic: per-FEATURE term_u = round(ln(ratio)*10^6)
+# quantized BEFORE the per-doc sum (the ta_nb_classify micro-nat
+# discipline — the ratio is an exact-BIGINT product converted to
+# DOUBLE, < 2^53 throughout), so the doc weight is an
+# order-independent BIGINT sum. Scale shape: the term table is
+# EXACTLY B=256 rows and broadcasts; everything else is one explode
+# + two bounded-key feature counts + one map-side-combined doc sum —
+# no self-joins, no windows.
+
+_DSIR_B = 256
+
+
+_DSIR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+), bgp AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t
+), bg AS (
+  SELECT doc_id,
+         {_h48w_sql("ws[i] || ' ' || ws[i + 1]")} % {_DSIR_B} AS f
+  FROM bgp
+), rawc AS (
+  SELECT f, CAST(count(*) AS BIGINT) AS cr FROM bg GROUP BY 1
+), tgtc AS (
+  SELECT f, CAST(count(*) AS BIGINT) AS ct
+  FROM bg WHERE doc_id % 10 = 0 GROUP BY 1
+), nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM rawc),
+ntt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM tgtc),
+term AS (
+  SELECT r.f,
+         CAST(round(ln(
+           CAST((coalesce(tg.ct, 0) + 1) * (nr.nr + {_DSIR_B}) AS DOUBLE)
+           / CAST((r.cr + 1) * (ntt.nt + {_DSIR_B}) AS DOUBLE)
+         ) * 1000000) AS BIGINT) AS term_u
+  FROM rawc r LEFT JOIN tgtc tg USING (f) CROSS JOIN nr CROSS JOIN ntt
+), dsum AS (
+  SELECT bg.doc_id, CAST(sum(term_u) AS BIGINT) AS weight_u,
+         CAST(count(*) AS BIGINT) AS n_feats
+  FROM bg JOIN term USING (f) GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(s.weight_u, 0) AS BIGINT) AS weight_u,
+       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(CASE WHEN coalesce(s.weight_u, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS selected
+FROM t d LEFT JOIN dsum s USING (doc_id)
+"""
+
+
+@_q("ta_dsir", _DSIR_ORACLE)
+def ta_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-bigram importance weights + deterministic
+    selection (see block comment)."""
+    B = _DSIR_B
+    d = (
+        _spread(spark, _docs(spark, sf_dir), "doc_id")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("ws"))
+    )
+    feats = F.when(
+        F.size("ws") >= 2,
+        F.expr(
+            "transform(sequence(0, size(ws) - 2),"
+            " i -> concat(ws[i], ' ', ws[i + 1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = d.select(
+        "doc_id", F.explode(feats).alias("s")
+    ).select("doc_id", (_h48w(F.col("s")) % B).alias("f"))
+    bg = bg.localCheckpoint()  # counted three ways below
+    rawc = bg.groupBy("f").agg(F.count("*").cast("long").alias("cr"))
+    tgtc = (
+        bg.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("f")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    nr = F.broadcast(rawc.agg(F.sum("cr").cast("long").alias("nr")))
+    nt = F.broadcast(
+        tgtc.agg(
+            F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("nt")
+        )
+    )
+    term = (
+        rawc.join(tgtc, "f", "left")
+        .crossJoin(nr)
+        .crossJoin(nt)
+        .select(
+            "f",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        * (F.col("nr") + B)
+                    ).cast("double")
+                    / ((F.col("cr") + 1) * (F.col("nt") + B)).cast(
+                        "double"
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("term_u"),
+        )
+    )
+    dsum = (
+        bg.join(F.broadcast(term), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("term_u").cast("long").alias("weight_u"),
+            F.count("*").cast("long").alias("n_feats"),
+        )
+    )
+    return d.select("doc_id").join(dsum, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("weight_u"), F.lit(0)).cast("long").alias("weight_u"),
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+        F.when(F.coalesce(F.col("weight_u"), F.lit(0)) > 0, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("selected"),
+    )
