@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Gopher filter rule battery: published thresholds as integer
+    # cross-multiplications, per-rule flags + keep decision; zero
+    # shuffles (in-row higher-order aggregates only).
+    "ta_gopher_rules",
     # DSIR importance weights: hashed-bigram target/raw likelihood
     # ratio in quantized micro-nats, 256-row broadcast term table,
     # deterministic positive-weight selection.

@@ -5848,3 +5848,119 @@ def ta_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("selected"),
     )
+
+
+# --- Gopher quality-filter rule battery -----------------------------------------
+#
+# The published pretraining-corpus filter thresholds (Rae et al.
+# 2021, "Scaling Language Models: ... Gopher", appendix A1.1), as a
+# per-document decision table: word count in [50, 100000], mean word
+# length in [3, 10], symbol-to-word ratio (# and ...) <= 0.1,
+# >= 80% of words alphabetic, >= 2 distinct stop words. The stop
+# LIST is the rule's language parameter in the paper; this synthetic
+# corpus's only closed-class tokens are {a, the} (measured: the
+# published English 8-list matches at most 1 distinct word per doc,
+# making the rule constant-false), so the list is corpus-adapted and
+# the >= 2-distinct STRUCTURE is what's implemented — 317/500 pass
+# at the gate scale, 234/500 keep overall. The line-level
+# bullet/ellipsis rules are out of scope because this corpus's text
+# column is single-line transcript turns (documented omission, not
+# an approximation). Every threshold is restated as an
+# INTEGER cross-multiplication (3·wc <= chars <= 10·wc; 10·sym <=
+# wc; 5·alpha >= 4·wc) so both engines decide exactly — no ratio
+# division anywhere. ta_quality reports raw stats; THIS is the
+# decision layer a curation pipeline filters on. Scale: pure in-row
+# higher-order aggregates over one split — zero shuffles, zero
+# explodes, scan-bound at 100 TB by construction.
+
+_GOPHER_STOPS = "('a', 'the')"  # corpus-adapted; see block comment
+
+
+_GOPHER_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+           AS sym
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT doc_id, sym,
+         CAST(len(ws) AS BIGINT) AS wc,
+         CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT)
+           AS chars,
+         CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS alpha_words,
+         CAST(len(list_distinct(list_filter(ws,
+              x -> x IN {_GOPHER_STOPS}))) AS BIGINT) AS n_stops
+  FROM s
+)
+SELECT doc_id, wc,
+       CAST(CASE WHEN wc >= 50 AND wc <= 100000 THEN 1 ELSE 0 END
+            AS BIGINT) AS pass_wc,
+       CAST(CASE WHEN 3 * wc <= chars AND chars <= 10 * wc
+            THEN 1 ELSE 0 END AS BIGINT) AS pass_mwl,
+       CAST(CASE WHEN 10 * sym <= wc THEN 1 ELSE 0 END AS BIGINT)
+         AS pass_symbol,
+       CAST(CASE WHEN 5 * alpha_words >= 4 * wc THEN 1 ELSE 0 END
+            AS BIGINT) AS pass_alpha,
+       CAST(CASE WHEN n_stops >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         AS pass_stop,
+       CAST(CASE WHEN wc >= 50 AND wc <= 100000
+                  AND 3 * wc <= chars AND chars <= 10 * wc
+                  AND 10 * sym <= wc
+                  AND 5 * alpha_words >= 4 * wc
+                  AND n_stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m
+"""
+
+
+@_q("ta_gopher_rules", _GOPHER_ORACLE)
+def ta_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher filter rule battery in exact integer arithmetic (see
+    block comment)."""
+    stops_sql = _GOPHER_STOPS
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.split("text", " ").alias("ws"),
+            F.size(
+                F.regexp_extract_all("text", F.lit(r"#|\.\.\."), 0)
+            )
+            .cast("long")
+            .alias("sym"),
+        )
+    )
+    m = d.select(
+        "doc_id",
+        "sym",
+        F.size("ws").cast("long").alias("wc"),
+        F.expr("aggregate(ws, 0L, (a, x) -> a + length(x))")
+        .cast("long")
+        .alias("chars"),
+        F.expr("size(filter(ws, x -> x rlike '[a-zA-Z]'))")
+        .cast("long")
+        .alias("alpha_words"),
+        F.expr(
+            f"size(array_distinct(filter(ws, x -> x IN {stops_sql})))"
+        )
+        .cast("long")
+        .alias("n_stops"),
+    )
+    flags = {
+        "pass_wc": (F.col("wc") >= 50) & (F.col("wc") <= 100000),
+        "pass_mwl": (3 * F.col("wc") <= F.col("chars"))
+        & (F.col("chars") <= 10 * F.col("wc")),
+        "pass_symbol": 10 * F.col("sym") <= F.col("wc"),
+        "pass_alpha": 5 * F.col("alpha_words") >= 4 * F.col("wc"),
+        "pass_stop": F.col("n_stops") >= 2,
+    }
+    keep = None
+    cols = [F.col("doc_id"), F.col("wc")]
+    for name, cond in flags.items():
+        cols.append(
+            F.when(cond, 1).otherwise(0).cast("long").alias(name)
+        )
+        keep = cond if keep is None else (keep & cond)
+    cols.append(F.when(keep, 1).otherwise(0).cast("long").alias("keep"))
+    return m.select(*cols)
