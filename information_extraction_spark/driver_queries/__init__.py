@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Cohen's kappa per predicate: chance-corrected agreement over
+    # a13's cells with an arithmetic n00 (closed annotated-unit
+    # universe; no unit-cross-join); exact BIGINT ppm.
+    "a23_cohen_kappa",
     # Gopher filter rule battery: published thresholds as integer
     # cross-multiplications, per-rule flags + keep decision; zero
     # shuffles (in-row higher-order aggregates only).

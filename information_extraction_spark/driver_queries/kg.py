@@ -5090,3 +5090,140 @@ def kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_pivots(
         triple_edges(triples), n_sources=2, max_hops=3
     )
+
+
+# --- A23: Cohen's kappa over the extractor pair -------------------------------
+#
+# a13 counts agreement cells, a21/a22 test marginal homogeneity; this
+# is the third standard inter-annotator statistic — CHANCE-CORRECTED
+# agreement (Cohen 1960), the number labeling teams actually quote.
+# Decision universe (closed, golden-derivable): the (conv, turn)
+# units where EITHER extractor detected ANY predicate — per predicate
+# each extractor made a yes/no call on every unit, so n00 = N -
+# n11 - n10 - n01 falls out arithmetically and no unit×predicate
+# cross-join is ever materialized. kappa = (po - pe)/(1 - pe)
+# restated integer-exact: kappa_ppm = ((n11+n00)·N - pe_num)·10^6
+# div (N² - pe_num) with pe_num = yes_r·yes_n + no_r·no_n — pure
+# BIGINT (N² ≤ 10^8 here; ppm product ≤ 10^14), greatest-guard on
+# the degenerate all-yes denominator. Scale: a13's co-keyed
+# detection join + ONE predicate-bounded rollup + a broadcast scalar.
+
+
+def _kappa_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    n = f"read_parquet('{_golden_path('nn', sf_dir)}/*.parquet')"
+    return f"""
+WITH r AS (
+  SELECT DISTINCT conv_id, turn_idx, predicate FROM {g}
+  WHERE CAST(regexp_extract(conv_id, '^doc(\\d+)\\.', 1) AS BIGINT)
+        % {_NN_DOC_MOD} = 0
+), nn AS (
+  SELECT DISTINCT conv_id, turn_idx, predicate FROM {n}
+), units AS (
+  SELECT CAST(count(*) AS BIGINT) AS nu FROM (
+    SELECT DISTINCT conv_id, turn_idx FROM (
+      SELECT conv_id, turn_idx FROM r
+      UNION ALL SELECT conv_id, turn_idx FROM nn))
+), j AS (
+  SELECT COALESCE(r.predicate, nn.predicate) AS predicate,
+         (r.conv_id IS NOT NULL) AS in_r,
+         (nn.conv_id IS NOT NULL) AS in_nn
+  FROM r FULL OUTER JOIN nn
+    ON r.conv_id = nn.conv_id AND r.turn_idx = nn.turn_idx
+   AND r.predicate = nn.predicate
+), cells AS (
+  SELECT predicate,
+         CAST(sum(CASE WHEN in_r AND in_nn THEN 1 ELSE 0 END) AS BIGINT)
+           AS n11,
+         CAST(sum(CASE WHEN in_r AND NOT in_nn THEN 1 ELSE 0 END)
+              AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN in_nn AND NOT in_r THEN 1 ELSE 0 END)
+              AS BIGINT) AS n01
+  FROM j GROUP BY 1
+), k AS (
+  SELECT predicate, n11, n10, n01, nu - n11 - n10 - n01 AS n00,
+         (n11 + n10) * (n11 + n01)
+           + (nu - n11 - n10) * (nu - n11 - n01) AS pe_num,
+         nu
+  FROM cells CROSS JOIN units
+)
+SELECT predicate, n11, n10, n01, CAST(n00 AS BIGINT) AS n00,
+       CAST(((n11 + n00) * nu - pe_num) * 1000000
+            // greatest(nu * nu - pe_num, 1) AS BIGINT) AS kappa_ppm
+FROM k
+"""
+
+
+@_q("a23_cohen_kappa", _kappa_oracle_sql("/root/testdata/sf0.01"))
+def a23_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate Cohen's kappa between the rule-based and NN
+    extractors in exact ppm (see block comment)."""
+    key = ["conv_id", "turn_idx", "predicate"]
+    rules = (
+        kg_extract_triples(spark, sf_dir)
+        .filter(
+            F.regexp_extract("conv_id", r"^doc(\d+)\.", 1).cast("long")
+            % _NN_DOC_MOD
+            == 0
+        )
+        .select(*key)
+        .distinct()
+        .withColumn("in_r", F.lit(True))
+        .localCheckpoint()  # feeds the unit universe AND the join
+    )
+    nn = (
+        kg_nn_extract(spark, sf_dir)
+        .select(*key)
+        .distinct()
+        .withColumn("in_nn", F.lit(True))
+        .localCheckpoint()
+    )
+    ORACLES["a23_cohen_kappa"] = _kappa_oracle_sql(sf_dir)
+    units = F.broadcast(
+        rules.select("conv_id", "turn_idx")
+        .unionAll(nn.select("conv_id", "turn_idx"))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("nu"))
+    )
+    j = rules.join(nn, key, "full_outer").select(
+        "predicate",
+        F.coalesce("in_r", F.lit(False)).alias("in_r"),
+        F.coalesce("in_nn", F.lit(False)).alias("in_nn"),
+    )
+    cells = j.groupBy("predicate").agg(
+        F.sum(F.when(F.col("in_r") & F.col("in_nn"), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when(F.col("in_r") & ~F.col("in_nn"), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when(F.col("in_nn") & ~F.col("in_r"), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+    )
+    k = cells.crossJoin(units).select(
+        "predicate",
+        "n11",
+        "n10",
+        "n01",
+        (F.col("nu") - F.col("n11") - F.col("n10") - F.col("n01")).alias(
+            "n00"
+        ),
+        (
+            (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+            + (F.col("nu") - F.col("n11") - F.col("n10"))
+            * (F.col("nu") - F.col("n11") - F.col("n01"))
+        ).alias("pe_num"),
+        "nu",
+    )
+    return k.select(
+        "predicate",
+        "n11",
+        "n10",
+        "n01",
+        F.col("n00").cast("long").alias("n00"),
+        F.expr(
+            "CAST(((n11 + n00) * nu - pe_num) * 1000000"
+            " div greatest(nu * nu - pe_num, 1L) AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
