@@ -38,6 +38,9 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Nearest-neighbor 4x4 image resize: byte-exact decode+resample
+    # proven against the generator formula at mapped coordinates.
+    "mm_resize",
     # Cohen's kappa per predicate: chance-corrected agreement over
     # a13's cells with an arithmetic n00 (closed annotated-unit
     # universe; no unit-cross-join); exact BIGINT ppm.

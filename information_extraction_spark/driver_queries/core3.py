@@ -2059,3 +2059,81 @@ def mm_conv_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ids.mapInPandas(build, schema=MEDIA)
     return conv3x3_edges(media, threshold=256)
+
+
+# --- mm_resize: nearest-neighbor resample to a fixed raster -------------------
+#
+# The spec's 'resize' verb as a value-checked pass: every image
+# resamples to a fixed 4x4 raster (the fixed-input-shape step before
+# an embedding model), cell (oy, ox) = source pixel
+# (oy*H div 4, ox*W div 4) — the integer floor mapping, exact for
+# down- AND up-sampling (fixture heights start at 3). The oracle
+# reconstructs each sampled pixel's three channel BYTES from the
+# make_bmp generator formula at the mapped coordinates (constructed
+# expectation — mm_conv_edges' pattern), so decode + bottom-up row
+# unflip + resample are all proven byte-exact, no image library on
+# either side. Scale: one narrow mapInPandas (decode + one numpy
+# fancy-index per payload), 16 rows per image, zero shuffles.
+
+_MM_RESIZE_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         4 + doc_id % 29 AS w,
+         3 + doc_id % 17 AS h,
+         doc_id AS seed,
+         (((4 + doc_id % 29) * 3 + 3) // 4) * 4 AS stride
+  FROM documents
+), cy AS (
+  SELECT media_id, w, h, seed, stride, unnest(range(0, 4)) AS oy FROM m
+), cell AS (
+  SELECT media_id, w, h, seed, stride, oy, unnest(range(0, 4)) AS ox
+  FROM cy
+), mapped AS (
+  SELECT media_id, oy, ox, seed,
+         (h - 1 - (oy * h // 4)) * stride + (ox * w // 4) * 3 AS base
+  FROM cell
+)
+SELECT media_id, CAST(oy AS BIGINT) AS oy, CAST(ox AS BIGINT) AS ox,
+       CAST((seed * 31 + base * 7) % 256 AS BIGINT) AS b,
+       CAST((seed * 31 + (base + 1) * 7) % 256 AS BIGINT) AS g,
+       CAST((seed * 31 + (base + 2) * 7) % 256 AS BIGINT) AS r
+FROM mapped
+"""
+
+
+@_q("mm_resize", _MM_RESIZE_ORACLE)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize to 4x4 over real BMP payloads
+    (operators/multimodal.resize_nearest; see block comment)."""
+    import pandas as pd
+
+    from information_extraction_spark.operators.multimodal import (
+        MEDIA,
+        make_bmp,
+        resize_nearest,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "image",
+                        "payload": bytearray(
+                            make_bmp(4 + mid % 29, 3 + mid % 17, seed=mid)
+                        ),
+                        "mime": "image/bmp",
+                        "source": "synthetic",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA.fields])
+
+    media = ids.mapInPandas(build, schema=MEDIA)
+    return resize_nearest(media, out=4)

@@ -558,3 +558,54 @@ def conv3x3_edges(media: DataFrame, threshold: int = 256) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in CONV3.fields])
 
     return media.mapInPandas(run, schema=CONV3)
+
+
+RESIZED = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("oy", T.LongType()),
+        T.StructField("ox", T.LongType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("g", T.LongType()),
+        T.StructField("r", T.LongType()),
+    ]
+)
+
+
+def resize_nearest(media: DataFrame, out: int = 4) -> DataFrame:
+    """Nearest-neighbor resample of decoded BMP payloads to a fixed
+    out×out raster — the resize step every image-curation pipeline
+    runs before batching into an embedding model (fixed input shape),
+    and the spec's 'resize' verb made pixel-exact: output cell
+    (oy, ox) samples source pixel (oy*H div out, ox*W div out) — the
+    floor mapping, integer-exact in both engines, correct for down-
+    AND up-sampling (the fixture corpus has H as small as 3). Emits
+    the sampled pixel's channel bytes (BGR as stored) per cell, so an
+    oracle can reconstruct every byte from the generator formula —
+    the decode+resample path is proven, not just shaped. Narrow
+    Arrow-batched mapInPandas, one numpy fancy-index per payload;
+    fan-out out² rows per image."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k.name: [] for k in RESIZED.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = bmp_pixels(bytes(payload))
+                hh, ww = px.shape[:2]
+                rows = np.arange(out) * hh // out
+                ccs = np.arange(out) * ww // out
+                sub = px[np.ix_(rows, ccs)].astype(np.int64)
+                for oy in range(out):
+                    for ox in range(out):
+                        cols["media_id"].append(int(mid))
+                        cols["oy"].append(oy)
+                        cols["ox"].append(ox)
+                        cols["b"].append(int(sub[oy, ox, 0]))
+                        cols["g"].append(int(sub[oy, ox, 1]))
+                        cols["r"].append(int(sub[oy, ox, 2]))
+            yield pd.DataFrame(
+                cols, columns=[f.name for f in RESIZED.fields]
+            )
+
+    return media.mapInPandas(run, schema=RESIZED)

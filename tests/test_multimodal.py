@@ -415,3 +415,42 @@ def test_spectral_windows_channel0_partial_and_per_sample_loop(spark):
     for w in (0, 1):
         p1, p2, p4 = (got[(2, w, k)][3] for k in (1, 2, 4))
         assert p2 > 100 * max(p1, p4)
+
+
+def test_resize_nearest_downsample_and_upsample(spark):
+    """Floor-mapping semantics pinned by hand on one 8x2 image that
+    exercises BOTH directions at once: H=2 -> 4 output rows duplicate
+    source rows (0,0,1,1 — upsample), W=8 -> 4 output cols stride the
+    source (0,2,4,6 — downsample); every sampled byte must equal
+    bmp_pixels' decode at the mapped coordinate."""
+    from information_extraction_spark.operators.multimodal import (
+        bmp_pixels,
+        make_bmp,
+        resize_nearest,
+        synthetic_media,
+    )
+
+    w, h, seed = 8, 2, 9
+    payload = make_bmp(w, h, seed=seed)
+    px = bmp_pixels(payload)
+
+    import pandas as pd
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), "image/bmp", "t")],
+        "media_id long, kind string, payload binary, mime string,"
+        " source string",
+    )
+    got = {
+        (r.oy, r.ox): (r.b, r.g, r.r)
+        for r in resize_nearest(media, out=4).collect()
+    }
+    assert len(got) == 16
+    for oy in range(4):
+        for ox in range(4):
+            sr, sc = oy * h // 4, ox * w // 4
+            assert got[(oy, ox)] == tuple(int(v) for v in px[sr, sc])
+    # upsample duplication: output rows 0,1 sample source row 0
+    assert got[(0, 0)] == got[(1, 0)]
+    # downsample stride: distinct source columns 0,2,4,6
+    assert len({got[(0, ox)] for ox in range(4)}) >= 2
