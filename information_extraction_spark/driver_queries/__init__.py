@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Reciprocal rank fusion of the BM25 and cosine rankers:
+    # integer-exact 10^6 div (60+rank) over the union candidate
+    # list; full-outer join of two bounded top-20 lists.
+    "ta_rrf_fusion",
     # Nearest-neighbor 4x4 image resize: byte-exact decode+resample
     # proven against the generator formula at mapped coordinates.
     "mm_resize",

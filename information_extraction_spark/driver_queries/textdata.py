@@ -5964,3 +5964,106 @@ def ta_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = cond if keep is None else (keep & cond)
     cols.append(F.when(keep, 1).otherwise(0).cast("long").alias("keep"))
     return m.select(*cols)
+
+
+# --- Reciprocal rank fusion (hybrid lexical + vector retrieval) -----------------
+#
+# Cormack, Clarke & Büttcher SIGIR'09 — the fusion step every hybrid
+# RAG retrieval stack runs over its BM25 and embedding rankers:
+# rrf(d) = Σ_legs 1/(k + rank_leg(d)), k=60 (the paper's constant).
+# Legs here are the two already-cataloged rankers — ta_bm25's top-20
+# for the corpus-derived 3-term query, and brute-force cosine top-20
+# against the vec_id=0 query vector (the ann_cosine_topk shape) —
+# fused over the union of their candidate lists with integer-exact
+# scores: rrf_ppm = Σ 10^6 div (60 + rank), absent legs contribute 0
+# and report rank 0. The ANN leg ranks the embedded subset (vec_id ⊆
+# doc_id space by the corpus contract); a doc ranked by only one leg
+# still fuses — RRF's defining property. Scale: both legs end in
+# bounded top-k (TakeOrdered), the fusion is a FULL OUTER join of
+# two 20-row lists — driver-sized by construction.
+
+_RRF_K = 60
+
+
+_RRF_ORACLE = f"""
+WITH bm AS (
+  SELECT doc_id, rk FROM ({_bm25_oracle_sql()})
+), qv AS (
+  SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+), au AS (
+  SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS xe,
+         CAST(unnest(qv.q) AS DOUBLE) AS xq
+  FROM embeddings e CROSS JOIN qv
+), ac AS (
+  SELECT vec_id,
+         round(sum(xe * xq)
+               / (sqrt(sum(xe * xe)) * sqrt(sum(xq * xq))), 4) AS cos4
+  FROM au GROUP BY vec_id
+), arank AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cos4 DESC, vec_id) AS BIGINT)
+           AS ark
+  FROM ac
+  QUALIFY ark <= 20
+)
+SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+       CAST(coalesce(b.rk, 0) AS BIGINT) AS bm25_rk,
+       CAST(coalesce(a.ark, 0) AS BIGINT) AS ann_rk,
+       CAST((CASE WHEN b.rk IS NULL THEN 0
+                  ELSE 1000000 // ({_RRF_K} + b.rk) END)
+          + (CASE WHEN a.ark IS NULL THEN 0
+                  ELSE 1000000 // ({_RRF_K} + a.ark) END) AS BIGINT)
+         AS rrf_ppm
+FROM bm b FULL OUTER JOIN arank a ON a.doc_id = b.doc_id
+"""
+
+
+@_q("ta_rrf_fusion", _RRF_ORACLE)
+def ta_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of the BM25 and cosine rankers (see block comment)."""
+    from pyspark.sql import Window
+
+    bm = ta_bm25(spark, sf_dir).select(
+        "doc_id", F.col("rk").cast("long").alias("rk")
+    )
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    qrow = e.filter(F.col("vec_id") == 0).collect()  # bounded: 1 row
+    qvec = F.array(*[F.lit(float(x)) for x in qrow[0]["embedding"]])
+    scored = e.select(
+        "vec_id",
+        F.round(
+            _dot(F.col("embedding"), qvec)
+            / (
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(_dot(qvec, qvec))
+            ),
+            4,
+        ).alias("cos4"),
+    )
+    arank = (
+        scored.orderBy(F.col("cos4").desc(), "vec_id")
+        .limit(20)
+        .withColumn(
+            "ark",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos4").desc(), "vec_id"))
+            .cast("long"),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "ark")
+    )
+    k = _RRF_K
+    return bm.join(arank, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("rk"), F.lit(0)).cast("long").alias("bm25_rk"),
+        F.coalesce(F.col("ark"), F.lit(0)).cast("long").alias("ann_rk"),
+        (
+            F.when(
+                F.col("rk").isNull(), 0
+            ).otherwise(F.expr(f"1000000 div ({k} + rk)"))
+            + F.when(
+                F.col("ark").isNull(), 0
+            ).otherwise(F.expr(f"1000000 div ({k} + ark)"))
+        )
+        .cast("long")
+        .alias("rrf_ppm"),
+    )
