@@ -285,6 +285,14 @@ def main() -> int:
         "ta_readability",
         "q27_grouping_sets",
         "ann_mmr_rerank",
+        "ta_k_anonymity",
+        "kg_truth_discovery",
+        "kg_betweenness",
+        "emb_nn_descent",
+        "ta_dsir",
+        "ta_gopher_rules",
+        "ta_rrf_fusion",
+        "mm_resize",
     ]
     if args.skip_queries:
         bench_queries = []

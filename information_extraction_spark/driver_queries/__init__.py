@@ -38,6 +38,9 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Beam search over the NN-Descent graph: fixed entry, 3 steps,
+    # beam 4; self-auditing true_rank + n_seen (34/500 touched).
+    "ann_graph_search",
     # Reciprocal rank fusion of the BM25 and cosine rankers:
     # integer-exact 10^6 div (60+rank) over the union candidate
     # list; full-outer join of two bounded top-20 lists.

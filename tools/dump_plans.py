@@ -30,6 +30,22 @@ PLAN_QUERIES = [
     ("dd_ngram_jaccard", "blocked all-pairs: equi-join on (lang, 20-char band)"),
     ("w1_stable_turn_order", "single shuffle satisfies both windows"),
     ("a1_micro_prf1", "eval join + global agg"),
+    (
+        "kg_truth_discovery",
+        "Sums fusion: per half-step ONE map-side-combined keyed agg "
+        "+ broadcast scalar max — no unpartitioned window, no "
+        "nested loop",
+    ),
+    (
+        "kg_betweenness",
+        "Brandes backward levels: per level one equi-join through "
+        "the closure + one (entity, pivot) sum",
+    ),
+    (
+        "emb_nn_descent",
+        "NN-Descent: bucketed init equi-joins + local join on the "
+        "pivot key — no unblocked self-join anywhere",
+    ),
     ("ta_quality", "explode + groupBy: partial aggregation map-side"),
     ("q1_pricing_summary", "filter pushdown must reach the parquet scan"),
     ("q3_shipping_priority", "3-table join: filtered dim broadcasts"),
