@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Aggregate IVM under a signed-multiplicity CDC delta with
+    # zero-weight group elimination; consistency-vs-recompute flag
+    # is the value-checked result.
+    "w31_ivm_retract",
     # Beam search over the NN-Descent graph: fixed entry, 3 steps,
     # beam 4; self-auditing true_rank + n_seen (34/500 touched).
     "ann_graph_search",

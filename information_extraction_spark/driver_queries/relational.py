@@ -3010,3 +3010,143 @@ def q27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
+
+
+# --- W31: incremental view maintenance with retractions -------------------------
+#
+# The DBSP / differential-dataflow contract a warehouse's maintained
+# aggregates live by: a view is kept current by merging a DELTA OF
+# SIGNED MULTIPLICITIES (+1 insert, -1 retraction) into its stored
+# partials — never by recomputing the base. w15_cdc_apply replays
+# key-level last-writer-wins; THIS maintains an *aggregate* under
+# corrections: base = events with event_id % 4 != 3, the CDC batch
+# inserts the %4==3 rows and RETRACTS the base rows with
+# event_id % 5 == 0 (late corrections). Per event_type the
+# maintained view merges n += Σmult, cents += Σ mult·cents, and a
+# group whose count reaches 0 is DELETED (Z-set zero-weight
+# elimination — the semantics naive "merge updates" implementations
+# get wrong). The query emits the maintained values NEXT TO a full
+# recompute of (base − retracted + inserted) with a `consistent`
+# flag — the IVM correctness statement itself is the value-checked
+# result. Exact cents BIGINT throughout. Scale: the delta aggregate
+# and the view merge are both map-side-combined shuffles on the
+# bounded event_type key; the base is scanned once for the stored
+# partials and once for the audit recompute (production drops the
+# audit leg).
+
+_IVM_ORACLE = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), base AS (
+  SELECT * FROM e WHERE event_id % 4 <> 3
+), vold AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sum_c
+  FROM base GROUP BY 1
+), delta AS (
+  SELECT event_type, CAST(1 AS BIGINT) AS mult, cents
+  FROM e WHERE event_id % 4 = 3
+  UNION ALL
+  SELECT event_type, CAST(-1 AS BIGINT) AS mult, cents
+  FROM base WHERE event_id % 5 = 0
+), dagg AS (
+  SELECT event_type, CAST(sum(mult) AS BIGINT) AS dn,
+         CAST(sum(mult * cents) AS BIGINT) AS dsum
+  FROM delta GROUP BY 1
+), vnew AS (
+  SELECT COALESCE(v.event_type, d.event_type) AS event_type,
+         CAST(coalesce(v.n, 0) AS BIGINT) AS n_old,
+         CAST(coalesce(d.dn, 0) AS BIGINT) AS dn,
+         CAST(coalesce(v.n, 0) + coalesce(d.dn, 0) AS BIGINT) AS n_new,
+         CAST(coalesce(v.sum_c, 0) + coalesce(d.dsum, 0) AS BIGINT)
+           AS sum_new_c
+  FROM vold v FULL OUTER JOIN dagg d ON d.event_type = v.event_type
+), truth AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sum_c
+  FROM (
+    SELECT * FROM base WHERE event_id % 5 <> 0
+    UNION ALL SELECT * FROM e WHERE event_id % 4 = 3)
+  GROUP BY 1
+)
+SELECT v.event_type, v.n_old, v.dn, v.n_new, v.sum_new_c,
+       CAST(CASE WHEN v.n_new = coalesce(t.n, 0)
+                  AND v.sum_new_c = coalesce(t.sum_c, 0)
+            THEN 1 ELSE 0 END AS BIGINT) AS consistent
+FROM vnew v LEFT JOIN truth t ON t.event_type = v.event_type
+WHERE v.n_new <> 0
+"""
+
+
+@_q("w31_ivm_retract", _IVM_ORACLE)
+def w31_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate IVM under a signed-multiplicity delta, with the
+    recompute-consistency audit in the result (see block comment)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    e = e.localCheckpoint()  # base, inserts, retracts, truth branch
+    base = e.filter(F.col("event_id") % 4 != 3)
+    vold = base.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_c"),
+    )
+    inserts = e.filter(F.col("event_id") % 4 == 3).select(
+        "event_type", F.lit(1).cast("long").alias("mult"), "cents"
+    )
+    retracts = base.filter(F.col("event_id") % 5 == 0).select(
+        "event_type", F.lit(-1).cast("long").alias("mult"), "cents"
+    )
+    dagg = (
+        inserts.unionAll(retracts)
+        .groupBy("event_type")
+        .agg(
+            F.sum("mult").cast("long").alias("dn"),
+            F.sum(F.col("mult") * F.col("cents"))
+            .cast("long")
+            .alias("dsum"),
+        )
+    )
+    vnew = vold.join(dagg, "event_type", "full_outer").select(
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("dn", F.lit(0)).cast("long").alias("dn"),
+        (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+        .cast("long")
+        .alias("n_new"),
+        (F.coalesce("sum_c", F.lit(0)) + F.coalesce("dsum", F.lit(0)))
+        .cast("long")
+        .alias("sum_new_c"),
+    )
+    truth = (
+        base.filter(F.col("event_id") % 5 != 0)
+        .unionAll(e.filter(F.col("event_id") % 4 == 3))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("t_n"),
+            F.sum("cents").cast("long").alias("t_sum"),
+        )
+    )
+    return (
+        vnew.join(truth, "event_type", "left")
+        .filter(F.col("n_new") != 0)
+        .select(
+            "event_type",
+            "n_old",
+            "dn",
+            "n_new",
+            "sum_new_c",
+            F.when(
+                (F.col("n_new") == F.coalesce("t_n", F.lit(0)))
+                & (F.col("sum_new_c") == F.coalesce("t_sum", F.lit(0))),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("consistent"),
+        )
+    )
