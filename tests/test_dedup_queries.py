@@ -471,3 +471,43 @@ def test_nn_descent_improves_init_and_ranks_densely(spark):
         assert sims == sorted(sims, reverse=True)
         new_edges += sum(1 for r in rs if r.from_init == 0)
     assert new_edges > 0  # the round actually improved the init
+
+
+def test_cdc_chunks_self_synchronize_after_edit(spark):
+    """CDC's defining property: prepending an edit shifts only the
+    chunks BEFORE the first post-edit boundary — the boundary rule
+    depends on the last 8 chars alone, so the shared suffix cuts
+    into identical chunks. Also pins the short-text (< window) and
+    tail-chunk rules."""
+    from information_extraction_spark.driver_queries.textdata import (
+        cdc_chunks,
+    )
+
+    import random
+
+    # A periodic text can legitimately produce zero boundaries (only
+    # ~period distinct windows exist); use a varied seeded text that
+    # is known to cut into 3 chunks.
+    rng = random.Random(11)
+    words = [
+        "alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa",
+    ]
+    base = " ".join(rng.choice(words) for _ in range(80))
+    edited = "zz zz " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "tiny")], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.chunk)
+    # chunks reassemble the text exactly (no gaps, no overlaps)
+    assert "".join(by_doc[1]) == base
+    assert "".join(by_doc[2]) == edited
+    # short text below the hash window -> one whole-text chunk
+    assert by_doc[3] == ["tiny"]
+    # self-synchronization: all but the first edited chunk coincide
+    # with base chunks (the edit is absorbed by the first boundary)
+    shared = set(by_doc[1]) & set(by_doc[2])
+    assert len(shared) >= len(by_doc[1]) - 1 > 0
