@@ -38,6 +38,9 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Orphan-file GC: uncommitted crashed-writer snapshot dirs swept
+    # per stage; committed data, claims and legacy dirs survive.
+    "w32_orphan_files",
     # Content-defined chunking dedup: self-synchronizing w=8 rolling
     # hash boundaries, in-row chunking, chunk-hash dedup rollup
     # (236 duplicated chunk keys at the gate scale).

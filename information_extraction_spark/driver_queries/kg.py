@@ -5227,3 +5227,125 @@ def a23_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(nu * nu - pe_num, 1L) AS BIGINT)"
         ).alias("kappa_ppm"),
     )
+
+
+# --- W32: orphan-file GC (Iceberg remove_orphan_files) ------------------------
+#
+# The OTHER maintenance leg next to w30's retention GC: a writer that
+# crashes between its data write and its manifest commit leaves a
+# fully-written snapshot directory no reader will ever reference —
+# invisible to expire_snapshots (which walks the manifest) and a pure
+# storage leak. This query stages TWO committed snapshots of a
+# per-language count, PLANTS a crashed-writer dir (`@snap99` with
+# real parquet inside, no manifest row) plus its id claim, then runs
+# CheckpointManager.remove_orphans and proves: the orphan dir is
+# physically gone, its claim SURVIVES (the crashed id is never
+# re-minted), and both committed snapshots still read_as_of with
+# exact values. The oracle recomputes both surviving universes from
+# documents plus the literal orphan count — pure SQL, no golden.
+# Scale: manifest and directory listing are metadata-sized; the only
+# data motion is the two bounded count stages.
+
+
+def _orphan_paths(sf_dir: str) -> tuple[str, str]:
+    base = _golden_path("orphan_files", sf_dir).replace(
+        ".parquet", "_ckpt"
+    )
+    return base, base + ".meta.json"
+
+
+def _write_orphan_history(spark: SparkSession, sf_dir: str) -> None:
+    """Stage 2 committed snapshots + 1 planted orphan, then GC —
+    write-once via the atomic meta sidecar (w30 pattern)."""
+    import json
+    import os
+
+    from information_extraction_spark.operators.checkpoint import (
+        CheckpointManager,
+    )
+
+    _ensure_golden_dir()
+    ckpt_dir, meta_path = _orphan_paths(sf_dir)
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as fh:
+                json.load(fh)
+            return
+        except ValueError:
+            os.unlink(meta_path)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = lambda df: df.groupBy("lang").agg(  # noqa: E731
+        F.count("*").cast("long").alias("n_docs")
+    )
+    for name, pred in [
+        ("half", F.col("doc_id") % 2 == 0),
+        ("all", F.lit(True)),
+    ]:
+        m = CheckpointManager(
+            spark, ckpt_dir, run_id="orun", params={"universe": name}
+        )
+        m.stage(counts(docs.filter(pred)), "lang_counts")
+    # Crashed writer: data landed, manifest append never happened.
+    gc = CheckpointManager(spark, ckpt_dir, run_id="orun", params={})
+    orphan_dir = os.path.join(ckpt_dir, "orun", "lang_counts@snap99")
+    counts(docs).coalesce(1).write.mode("overwrite").parquet(orphan_dir)
+    claims = os.path.join(ckpt_dir, "_snapshot_claims")
+    os.makedirs(claims, exist_ok=True)
+    with open(os.path.join(claims, "snap-99.claim"), "w"):
+        pass
+    removed = gc.remove_orphans("lang_counts")
+    if removed != [99]:
+        raise RuntimeError(f"unexpected orphan removal {removed}")
+    if os.path.isdir(orphan_dir):
+        raise RuntimeError("orphan dir must be gone")
+    if not os.path.isfile(os.path.join(claims, "snap-99.claim")):
+        raise RuntimeError("orphan id claim must survive GC")
+    # Idempotency: a second sweep finds nothing.
+    if gc.remove_orphans("lang_counts") != []:
+        raise RuntimeError("orphan GC must be idempotent")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"removed": removed}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, meta_path)
+
+
+_W32_ORACLE = """
+SELECT CAST(1 AS BIGINT) AS snapshot_id, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(1 AS BIGINT) AS n_orphans_removed
+FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS snapshot_id, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(1 AS BIGINT) AS n_orphans_removed
+FROM documents GROUP BY lang
+"""
+
+
+@_q("w32_orphan_files", _W32_ORACLE)
+def w32_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committed snapshots surviving the orphan sweep, read via
+    read_as_of, each row carrying the orphan-removal count (see
+    block comment)."""
+    from information_extraction_spark.operators.checkpoint import (
+        CheckpointManager,
+    )
+
+    _write_orphan_history(spark, sf_dir)
+    ckpt_dir, _ = _orphan_paths(sf_dir)
+    m = CheckpointManager(spark, ckpt_dir, run_id="orun", params={})
+    parts = [
+        m.read_as_of("lang_counts", sid).withColumn(
+            "snapshot_id", F.lit(sid).cast("long")
+        )
+        for sid in (1, 2)
+    ]
+    out = parts[0].unionByName(parts[1])
+    return out.select(
+        "snapshot_id",
+        "lang",
+        "n_docs",
+        F.lit(1).cast("long").alias("n_orphans_removed"),
+    )

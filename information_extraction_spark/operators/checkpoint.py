@@ -295,3 +295,44 @@ class CheckpointManager:
                 & (F.col("snapshot_id") == latest)
             ).collect()
         ]
+
+    def remove_orphans(self, stage: str) -> list[int]:
+        """Iceberg remove_orphan_files semantics at this emulation's
+        commit granularity: delete ``<stage>@snap<id>`` directories
+        under this run that have NO completion row in the manifest —
+        the debris a writer that crashed between data write and
+        manifest append leaves behind (exactly the failed-commit files
+        Iceberg's orphan GC targets). Committed snapshots, the legacy
+        bare stage dir (id 0), the manifest, and the id CLAIM files
+        are never touched — a claimed-but-orphaned id stays claimed,
+        so the crashed writer's id is not re-minted later. Production
+        note: a real deployment gates deletion on an older-than
+        horizon so an IN-FLIGHT commit isn't swept; this sandbox's
+        single-driver tests exercise the post-crash state, where the
+        horizon is moot. Idempotent; returns removed ids, ascending.
+        """
+        import re
+        import shutil
+
+        run_dir = os.path.join(self.base_dir, self.run_id)
+        if not os.path.isdir(run_dir):
+            return []
+        committed: set[int] = set()
+        c = self._completions(stage, match_params=False)
+        if c is not None:
+            committed = {
+                int(r["snapshot_id"])
+                for r in c.select("snapshot_id").distinct().collect()
+            }
+        pat = re.compile(re.escape(stage) + r"@snap(\d+)$")
+        removed = []
+        for name in os.listdir(run_dir):
+            m = pat.match(name)
+            if not m:
+                continue
+            sid = int(m.group(1))
+            if sid in committed:
+                continue
+            shutil.rmtree(os.path.join(run_dir, name))
+            removed.append(sid)
+        return sorted(removed)

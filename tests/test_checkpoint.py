@@ -317,3 +317,39 @@ def test_expire_snapshots_retention_gc(spark, tmp_dir):
     m6 = CheckpointManager(spark, base, run_id="h", params={"v": 9})
     m6.stage(spark.range(0, 3), "s")
     assert [sid for sid, _, _ in gc.snapshots("s")] == [3, 4, 6]
+
+
+def test_remove_orphans_scoped_and_safe(spark, tmp_dir):
+    """Orphan GC sweeps ONLY uncommitted @snap dirs of the named
+    stage: committed snapshots, another stage's orphan, the legacy
+    bare dir, and the orphan's id claim all survive."""
+    import os
+
+    from information_extraction_spark.operators.checkpoint import (
+        CheckpointManager,
+    )
+
+    base = os.path.join(tmp_dir, "ckpt_orphan")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    m = CheckpointManager(spark, base, run_id="r", params={"p": 1})
+    m.stage(df, "st")
+
+    run_dir = os.path.join(base, "r")
+    # legacy bare dir (pre-snapshot layout, id 0) — must be ignored
+    df.write.mode("overwrite").parquet(os.path.join(run_dir, "st"))
+    # orphans: one for st, one for another stage
+    df.write.parquet(os.path.join(run_dir, "st@snap7"))
+    df.write.parquet(os.path.join(run_dir, "other@snap3"))
+    claims = os.path.join(base, "_snapshot_claims")
+    os.makedirs(claims, exist_ok=True)
+    open(os.path.join(claims, "snap-7.claim"), "w").close()
+
+    assert m.remove_orphans("st") == [7]
+    assert not os.path.isdir(os.path.join(run_dir, "st@snap7"))
+    assert os.path.isdir(os.path.join(run_dir, "st@snap1"))  # committed
+    assert os.path.isdir(os.path.join(run_dir, "st"))  # legacy
+    assert os.path.isdir(os.path.join(run_dir, "other@snap3"))  # scoped
+    assert os.path.isfile(os.path.join(claims, "snap-7.claim"))
+    assert m.remove_orphans("st") == []  # idempotent
+    # committed data still readable after the sweep
+    assert m.read_as_of("st", 1).count() == 2
