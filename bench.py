@@ -293,6 +293,9 @@ def main() -> int:
         "ta_gopher_rules",
         "ta_rrf_fusion",
         "mm_resize",
+        "ann_graph_search",
+        "w31_ivm_retract",
+        "dd_cdc_chunks",
     ]
     if args.skip_queries:
         bench_queries = []

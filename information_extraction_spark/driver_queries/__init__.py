@@ -38,6 +38,9 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Turn-level code-switching profile: integer-exact langid per
+    # turn + lag-window switch counting per conversation.
+    "ta_code_switch",
     # Orphan-file GC: uncommitted crashed-writer snapshot dirs swept
     # per stage; committed data, claims and legacy dirs survive.
     "w32_orphan_files",

@@ -6363,3 +6363,97 @@ def dd_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occ") >= 2)
     )
+
+
+# --- Code-switching profile over conversation turns ----------------------------
+#
+# The transcripts-native language QA ta_langid can't see: language
+# identified PER TURN (the langid stop-ratio rule restated as the
+# integer cross-multiplication 100·stops >= 8·words — no float ratio
+# anywhere), then per conversation: how many turns, how many
+# consecutive-turn language SWITCHES, switches per transition in ppm,
+# and the distinct-language count. High switch_ppm conversations are
+# the code-switching / mixed-scrape transcripts a curation pipeline
+# routes to language-specific handling instead of a single-language
+# bucket. Scale: the turn table is the standard transcripts
+# derivation; lang is in-row, the switch flag is one lag over the
+# (conv, turn) keyed window, the rollup one map-side-combined
+# shuffle on conv_id.
+
+_CODE_SWITCH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws,
+         CAST(ceil(len(string_split(coalesce(text, ''), ' ')) / 12.0)
+              AS BIGINT) AS n_turns
+  FROM documents
+), turns AS (
+  SELECT doc_id, n_turns, unnest(range(0, n_turns)) AS k, ws FROM t
+), lt AS (
+  SELECT doc_id, n_turns, k,
+         CASE WHEN len(list_filter(ws[k * 12 + 1 : (k + 1) * 12],
+                                   w -> w IN {_STOPWORDS})) * 100
+                   >= 8 * len(ws[k * 12 + 1 : (k + 1) * 12])
+              THEN 'en' ELSE 'other' END AS lang
+  FROM turns
+), sw AS (
+  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_switches
+  FROM lt a JOIN lt b
+    ON b.doc_id = a.doc_id AND b.k = a.k + 1 AND b.lang <> a.lang
+  GROUP BY 1
+), ag AS (
+  SELECT doc_id, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM lt GROUP BY 1
+)
+SELECT 'doc' || CAST(t.doc_id AS VARCHAR) || '.0' AS conv_id,
+       t.n_turns,
+       COALESCE(sw.n_switches, 0) AS n_switches,
+       CAST(COALESCE(sw.n_switches, 0) * 1000000
+            // greatest(t.n_turns - 1, 1) AS BIGINT) AS switch_ppm,
+       ag.n_langs
+FROM t JOIN ag USING (doc_id) LEFT JOIN sw USING (doc_id)
+"""
+
+
+@_q("ta_code_switch", _CODE_SWITCH_ORACLE)
+def ta_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation turn-level language-switch profile (see block
+    comment)."""
+    from pyspark.sql import Window
+
+    from information_extraction_spark.sources.from_documents import (
+        transcripts_from_documents,
+    )
+
+    stops_sql = _STOPWORDS
+    turns = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.split("text", " ").alias("ws")
+    )
+    lt = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            F.expr(f"size(filter(ws, w -> w IN {stops_sql})) * 100")
+            >= F.expr("8 * size(ws)"),
+            "en",
+        )
+        .otherwise("other")
+        .alias("lang"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flagged = lt.withColumn(
+        "sw",
+        F.when(
+            F.lag("lang").over(w).isNotNull()
+            & (F.lag("lang").over(w) != F.col("lang")),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum("sw").cast("long").alias("n_switches"),
+        F.expr(
+            "CAST(sum(sw) * 1000000 div greatest(count(*) - 1, 1L)"
+            " AS BIGINT)"
+        ).alias("switch_ppm"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
