@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # SentencePiece unigram-EM trainer: integer micro-nat Viterbi
+    # E-steps, add-one char coverage M-step; oracle = the whole
+    # trainer as ~40 chained MATERIALIZED CTEs.
+    "p20_unigram_em",
     # Turn-level code-switching profile: integer-exact langid per
     # turn + lag-window switch counting per conversation.
     "ta_code_switch",

@@ -2137,3 +2137,217 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ids.mapInPandas(build, schema=MEDIA)
     return resize_nearest(media, out=4)
+
+
+# --- P20: unigram-LM tokenizer training (SentencePiece EM) --------------------
+#
+# Completes the tokenizer-TRAINING family next to p18/p19's BPE:
+# Kudo 2018's unigram trainer in the repo's exact-arithmetic form —
+# seed candidate pieces (all substrings, length <= 4), scores =
+# round(ln(count/total)·10^6) BIGINT micro-nats quantized BEFORE any
+# DP sum, one full EM round (E0 Viterbi re-segmentation -> M-step
+# piece re-count with the ADD-ONE-PER-CHARACTER coverage guarantee
+# (the E1 DP must always have an admissible arc — measured: without
+# it E1 throws on corpora whose M-step drops an interior substring)
+# -> E1), reporting every vocabulary word's final segmentation. 15
+# of 31 corpus words end multi-piece at the gate scale (the length-4
+# piece cap is what forces real segmentation on this short-word
+# corpus). The oracle restates the ENTIRE trainer — candidate
+# counts, both score tables, BOTH Viterbi passes as 8 unrolled
+# chars-remaining DP levels with (score DESC, length DESC)
+# tie-breaks, and both path walks — as ~40 chained MATERIALIZED
+# CTEs (materialization load-bearing: the cumulative DP tables are
+# referenced by up to 4 later levels each, and naive inlining is
+# exponential — the ann_mmr_rerank lesson).
+#
+# Scale shape (the SentencePiece production layout): the WORD table
+# is the distributed side (one map-side-combined count shuffle, then
+# an embarrassingly parallel per-word O(len·L) DP in an Arrow
+# batch); the PIECE table is vocab-bounded metadata that broadcasts
+# into the kernel — collected here exactly as a trainer holds its
+# piece table in memory, with seed top-K pruning as the documented
+# knob when the candidate table itself needs bounding.
+
+_P20_MAXLEN = 8   # corpus max word length (asserted in the query)
+_P20_MAXPL = 4    # piece-length cap; forces segmentation of long words
+
+
+def _p20_dp_chain(tag: str, sc: str) -> str:
+    out = [f""",
+acc{tag}0 AS (SELECT word, 0 AS d, CAST(0 AS BIGINT) AS best, 0 AS pl
+              FROM wc)"""]
+    for d in range(1, _P20_MAXLEN + 1):
+        mp = min(_P20_MAXPL, d)
+        out.append(f""",
+lv{tag}{d} AS MATERIALIZED (
+  SELECT word, {d} AS d, best, pl FROM (
+    SELECT w.word, sc.s + pr.best AS best, p.pl,
+           row_number() OVER (PARTITION BY w.word
+             ORDER BY sc.s + pr.best DESC, p.pl DESC) AS rn
+    FROM wc w
+    JOIN (VALUES (1),(2),(3),(4)) p(pl) ON p.pl <= {mp}
+    JOIN acc{tag}{d - 1} pr ON pr.word = w.word AND pr.d = {d} - p.pl
+    JOIN {sc} sc ON sc.piece = substring(w.word, w.len - {d} + 1, p.pl)
+    WHERE w.len >= {d})
+  WHERE rn = 1
+), acc{tag}{d} AS MATERIALIZED (
+  SELECT * FROM acc{tag}{d - 1} UNION ALL SELECT * FROM lv{tag}{d}
+)""")
+    return "".join(out)
+
+
+def _p20_walk_chain(tag: str) -> str:
+    out = [f""",
+walk{tag}0 AS (SELECT word, cnt, len, len AS d FROM wc)"""]
+    for k in range(1, _P20_MAXLEN + 1):
+        out.append(f""",
+walk{tag}{k} AS MATERIALIZED (
+  SELECT w.word, w.cnt, w.len, w.d - r.pl AS d,
+         {k} AS k, substring(w.word, w.len - w.d + 1, r.pl) AS piece
+  FROM walk{tag}{k - 1} w JOIN acc{tag}{_P20_MAXLEN} r
+    ON r.word = w.word AND r.d = w.d
+  WHERE w.d > 0
+)""")
+    unions = " UNION ALL ".join(
+        f"SELECT word, cnt, k, piece FROM walk{tag}{k}"
+        for k in range(1, _P20_MAXLEN + 1)
+    )
+    out.append(f""",
+pieces{tag} AS MATERIALIZED ({unions})""")
+    return "".join(out)
+
+
+def _p20_oracle_sql() -> str:
+    return f"""
+WITH wc AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(length(word) AS BIGINT) AS len
+  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL)
+  WHERE word <> '' GROUP BY 1
+), wpos AS MATERIALIZED (
+  SELECT word, cnt, len, unnest(range(1, len + 1)) AS i FROM wc
+), cand0 AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM (
+    SELECT substring(word, CAST(i AS INT), CAST(pl AS INT)) AS piece, cnt
+    FROM wpos, (VALUES (1),(2),(3),(4)) p(pl)
+    WHERE i + pl - 1 <= len) GROUP BY 1
+), sc0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(round(ln(CAST(n AS DOUBLE) / (SELECT sum(n) FROM cand0))
+                    * 1000000) AS BIGINT) AS s
+  FROM cand0
+){_p20_dp_chain("a", "sc0")}{_p20_walk_chain("a")},
+used AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM piecesa GROUP BY 1
+), chars AS (
+  SELECT DISTINCT substring(word, CAST(i AS INT), 1) AS piece FROM wpos
+), cand1 AS MATERIALIZED (
+  SELECT COALESCE(u.piece, c.piece) AS piece,
+         COALESCE(u.n, 0)
+           + CASE WHEN c.piece IS NOT NULL THEN 1 ELSE 0 END AS n
+  FROM used u FULL OUTER JOIN chars c ON c.piece = u.piece
+), sc1 AS MATERIALIZED (
+  SELECT piece,
+         CAST(round(ln(CAST(n AS DOUBLE) / (SELECT sum(n) FROM cand1))
+                    * 1000000) AS BIGINT) AS s
+  FROM cand1
+){_p20_dp_chain("b", "sc1")}{_p20_walk_chain("b")}
+SELECT word, cnt, CAST(count(*) AS BIGINT) AS n_pieces,
+       string_agg(piece, '|' ORDER BY k) AS seg
+FROM piecesb GROUP BY word, cnt
+"""
+
+
+@_q("p20_unigram_em", _p20_oracle_sql())
+def p20_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One unigram-LM EM round over the corpus vocabulary; output =
+    every word's post-EM Viterbi segmentation (see block comment)."""
+    import math
+
+    import pandas as pd
+
+    from information_extraction_spark.kernels.tokenizer import (
+        unigram_viterbi,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()  # E0, M and E1 all read it
+    )
+    max_len = wc.agg(F.max(F.length("word"))).collect()[0][0]
+    if max_len > _P20_MAXLEN:
+        raise ValueError(
+            f"corpus word length {max_len} exceeds the oracle's"
+            f" {_P20_MAXLEN}-level DP unroll"
+        )
+    # Candidate seed counts: in-row substring expansion, one bounded
+    # piece-key shuffle, then the vocab-bounded piece table collects
+    # (the trainer's in-memory model; top-K seed pruning is the knob
+    # at larger vocabularies).
+    pieces = F.expr(
+        f"flatten(transform(sequence(1, length(word)),"
+        f" i -> transform(sequence(1, least({_P20_MAXPL},"
+        f"   length(word) - i + 1)),"
+        f" pl -> struct(substring(word, i, pl) AS piece, cnt AS cnt))))"
+    )
+
+    def collect_scores(cand_df: DataFrame) -> dict:
+        rows = cand_df.collect()
+        total = sum(r["n"] for r in rows)
+        return {
+            r["piece"]: round(math.log(r["n"] / total) * 1_000_000)
+            for r in rows
+        }
+
+    cand0 = (
+        wc.select(F.explode(pieces).alias("p"))
+        .groupBy(F.col("p.piece").alias("piece"))
+        .agg(F.sum("p.cnt").cast("long").alias("n"))
+    )
+    s0 = collect_scores(cand0)
+
+    def seg_udf(scores: dict):
+        def run(batches):
+            for pdf in batches:
+                out = {"word": [], "cnt": [], "k": [], "piece": []}
+                for w, c in zip(pdf["word"], pdf["cnt"]):
+                    for k, piece in enumerate(
+                        unigram_viterbi(str(w), scores, _P20_MAXPL), 1
+                    ):
+                        out["word"].append(w)
+                        out["cnt"].append(int(c))
+                        out["k"].append(k)
+                        out["piece"].append(piece)
+                yield pd.DataFrame(out)
+
+        return run
+
+    schema = "word string, cnt long, k int, piece string"
+    seg0 = wc.mapInPandas(seg_udf(s0), schema=schema)
+    used = seg0.groupBy("piece").agg(F.sum("cnt").cast("long").alias("n"))
+    chars = (
+        wc.select(
+            F.explode(F.split("word", "(?!^)(?=.)")).alias("piece")
+        )
+        .filter(F.col("piece") != "")
+        .distinct()
+        .withColumn("cn", F.lit(1).cast("long"))
+    )
+    cand1 = used.join(chars, "piece", "full_outer").select(
+        "piece",
+        (
+            F.coalesce("n", F.lit(0)) + F.coalesce("cn", F.lit(0))
+        ).alias("n"),
+    )
+    s1 = collect_scores(cand1)
+    seg1 = wc.mapInPandas(seg_udf(s1), schema=schema)
+    return seg1.groupBy("word", "cnt").agg(
+        F.count("*").cast("long").alias("n_pieces"),
+        F.concat_ws("|", F.array_sort(F.collect_list(F.struct("k", "piece")))
+                    .getField("piece")).alias("seg"),
+    )

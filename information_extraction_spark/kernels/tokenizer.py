@@ -267,3 +267,42 @@ def segment_text(text: str):
                 continue
             out.append((token, "x"))
         return out
+
+
+def unigram_viterbi(
+    word: str, scores: dict[str, int], max_piece: int = 4
+) -> list[str]:
+    """Viterbi segmentation under an INTEGER micro-nat unigram piece
+    model — the E-step of SentencePiece's unigram trainer (Kudo 2018)
+    in the repo's exact-arithmetic form: piece scores are
+    round(ln(p)·10^6) BIGINTs quantized BEFORE any DP sum, so the DP
+    compares integers only and a SQL restatement agrees bit-for-bit
+    (dp_segment is the float/jieba-shaped sibling; THIS one is the
+    cross-engine-provable trainer kernel). State d = characters
+    remaining; best[d] = max over piece lengths pl <= max_piece of
+    score(piece) + best[d - pl], ties to the LONGER piece. Pieces
+    absent from the model are inadmissible — callers guarantee
+    coverage (every single char scored)."""
+    n = len(word)
+    best = [0] * (n + 1)
+    choice = [0] * (n + 1)
+    for d in range(1, n + 1):
+        bb = None
+        for pl in range(1, min(max_piece, d) + 1):
+            piece = word[n - d : n - d + pl]
+            s = scores.get(piece)
+            if s is None:
+                continue
+            cand = (s + best[d - pl], pl)
+            if bb is None or cand > bb:
+                bb = cand
+        if bb is None:
+            raise ValueError(f"no admissible piece at {word!r} d={d}")
+        best[d], choice[d] = bb
+    out = []
+    d = n
+    while d > 0:
+        pl = choice[d]
+        out.append(word[n - d : n - d + pl])
+        d -= pl
+    return out
