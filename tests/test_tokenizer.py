@@ -163,3 +163,21 @@ def test_dp_segment_max_word_len_bounds_candidates():
     freq = {"abcdef": 100, "ab": 1, "cd": 1, "ef": 1}
     assert dp_segment("abcdef", freq, max_word_len=2) == ["ab", "cd", "ef"]
     assert dp_segment("abcdef", freq) == ["abcdef"]
+
+
+def test_unigram_viterbi_integer_dp_and_ties():
+    """Hand-worked integer DP: scores chosen so 'ab|c' and 'a|bc' tie
+    on total score — the (score, piece-length) max must prefer the
+    LONGER FIRST piece; whole-word and missing-piece behavior pinned."""
+    import pytest as _pytest
+
+    from information_extraction_spark.kernels.tokenizer import (
+        unigram_viterbi,
+    )
+
+    sc = {"a": -10, "b": -10, "c": -10, "ab": -15, "bc": -15, "abc": -40}
+    assert unigram_viterbi("abc", sc) == ["ab", "c"]  # tie -> longer first
+    assert unigram_viterbi("abc", {**sc, "abc": -20}) == ["abc"]
+    assert unigram_viterbi("a", sc) == ["a"]
+    with _pytest.raises(ValueError):
+        unigram_viterbi("ax", sc)  # no admissible arc at 'x'
