@@ -38,6 +38,9 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # ANALYZE-style per-column stats: single-column pruned scans,
+    # KMV ndv sketch next to the exact audit, 4-row dim output.
+    "w33_analyze_stats",
     # SentencePiece unigram-EM trainer: integer micro-nat Viterbi
     # E-steps, add-one char coverage M-step; oracle = the whole
     # trainer as ~40 chained MATERIALIZED CTEs.

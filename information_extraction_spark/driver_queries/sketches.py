@@ -925,3 +925,101 @@ def a20_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pt.join(F.broadcast(ci), "lang").select(
         "lang", "mean_ppm", "lo_ppm", "hi_ppm"
     )
+
+
+# --- W33: optimizer-stats collection (ANALYZE TABLE) ----------------------------
+#
+# The maintenance job every CBO depends on — per-column table stats:
+# row/null counts, EXACT ndv, a KMV-sketch ndv estimate with its
+# honest error (the sketch is what a 100 TB ANALYZE actually
+# computes; the exact ndv here is the audit), and min/max. One
+# bounded stats row per profiled column. KMV rule: with fewer than
+# K=256 distinct hashes the sketch IS exact (est = n_hashes), else
+# est = (K-1)·2^48 div kth_hash — a12's estimator over the portable
+# h48. Scale shape: each column's pass is a SINGLE-COLUMN pruned
+# scan (ReadSchema carries one field — exactly how a real ANALYZE
+# parallelizes by column), a map-side-combined agg for
+# n/null/min/max/exact-ndv, and a bottom-K TakeOrdered for the
+# sketch; the output is a 4-row dim.
+
+_W33_COLS = [
+    ("l_orderkey", "BIGINT"),
+    ("l_partkey", "BIGINT"),
+    ("l_suppkey", "BIGINT"),
+    ("l_returnflag", "VARCHAR"),
+]
+
+
+def _w33_oracle_sql() -> str:
+    parts = []
+    for col, _t_ in _W33_COLS:
+        h = _h48_sql(f"CAST(t.{col} AS VARCHAR)")
+        parts.append(f"""
+SELECT '{col}' AS col_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+       (SELECT CAST(count(*) - count({col}) AS BIGINT) FROM lineitem)
+         AS n_null,
+       (SELECT CAST(count(DISTINCT {col}) AS BIGINT) FROM lineitem)
+         AS ndv_exact,
+       k.n_hashes, k.kth_hash,
+       CASE WHEN k.n_hashes < {_KMV_K} THEN k.n_hashes
+            ELSE CAST({_KMV_NUM} // k.kth_hash AS BIGINT) END AS ndv_est,
+       (SELECT CAST(min({col}) AS VARCHAR) FROM lineitem) AS min_val,
+       (SELECT CAST(max({col}) AS VARCHAR) FROM lineitem) AS max_val
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_hashes,
+         CAST(max(h) AS BIGINT) AS kth_hash
+  FROM (SELECT h FROM (
+          SELECT DISTINCT {h} AS h FROM lineitem t
+          WHERE t.{col} IS NOT NULL)
+        ORDER BY h LIMIT {_KMV_K})
+) k""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@_q("w33_analyze_stats", _w33_oracle_sql())
+def w33_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column stats with a KMV ndv sketch next to
+    the exact audit (see block comment)."""
+    li = _t(spark, sf_dir, "lineitem")
+    outs = []
+    for col, _typ in _W33_COLS:
+        one = li.select(col)  # single-column pruned scan per pass
+        base = one.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            (F.count("*") - F.count(col)).cast("long").alias("n_null"),
+            F.countDistinct(col).cast("long").alias("ndv_exact"),
+            F.min(col).cast("string").alias("min_val"),
+            F.max(col).cast("string").alias("max_val"),
+        )
+        kth = (
+            one.filter(F.col(col).isNotNull())
+            .select(_h48(F.col(col).cast("string")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_K)
+            .agg(
+                F.count("*").cast("long").alias("n_hashes"),
+                F.max("h").cast("long").alias("kth_hash"),
+            )
+        )
+        outs.append(
+            base.crossJoin(kth).select(
+                F.lit(col).alias("col_name"),
+                "n_rows",
+                "n_null",
+                "ndv_exact",
+                "n_hashes",
+                "kth_hash",
+                F.expr(
+                    f"CASE WHEN n_hashes < {_KMV_K} THEN n_hashes"
+                    f" ELSE CAST({_KMV_NUM} div kth_hash AS BIGINT) END"
+                ).alias("ndv_est"),
+                "min_val",
+                "max_val",
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out
