@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # McNemar power analysis: required annotation pairs per
+    # predicate at alpha=.05/power .8; Acklam z literals, one
+    # identically-grouped double expression, -1 zero-effect sentinel.
+    "a24_power_analysis",
     # ANALYZE-style per-column stats: single-column pruned scans,
     # KMV ndv sketch next to the exact audit, 4-row dim output.
     "w33_analyze_stats",

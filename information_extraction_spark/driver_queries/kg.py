@@ -5349,3 +5349,152 @@ def w32_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.lit(1).cast("long").alias("n_orphans_removed"),
     )
+
+
+# --- A24: power analysis for the McNemar gate --------------------------------
+#
+# a21 decides whether today's extractor disagreement is significant;
+# THIS answers the labeling team's follow-up — "how many annotated
+# units until the gate has 80% power?" Connor 1987's paired-test
+# normal approximation per predicate: with discordance psi = (b+c)/N
+# and effect delta = (b-c)/N, required pairs =
+# ceil((z_{.975}·sqrt(psi) + z_{.8}·sqrt(psi - delta²))² / delta²).
+# z quantiles come from the repo's Acklam inverse-normal
+# (functions/stats.py, a22's discipline) and are embedded as the
+# SAME 6dp literals in the Spark plan and the oracle — neither
+# engine evaluates erf. Doubles appear ONLY in this one identically-
+# grouped expression (same products, same order), so both engines
+# produce the identical IEEE value and the identical ceil; b == c
+# slots (zero observed effect) report the -1 sentinel.
+# powered_now = 1 marks predicates whose CURRENT N already suffices
+# — the gate's actionable output. Scale: pure arithmetic over the
+# a23 cells rollup (predicate-bounded) + the broadcast unit scalar.
+
+_Z_A2 = 1.959964  # Phi^-1(0.975), Acklam (stats.py), pinned 6dp
+_Z_B = 0.841621   # Phi^-1(0.8)
+
+
+def _power_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    n = f"read_parquet('{_golden_path('nn', sf_dir)}/*.parquet')"
+    return f"""
+WITH r AS (
+  SELECT DISTINCT conv_id, turn_idx, predicate FROM {g}
+  WHERE CAST(regexp_extract(conv_id, '^doc(\\d+)\\.', 1) AS BIGINT)
+        % {_NN_DOC_MOD} = 0
+), nn AS (
+  SELECT DISTINCT conv_id, turn_idx, predicate FROM {n}
+), units AS (
+  SELECT CAST(count(*) AS BIGINT) AS nu FROM (
+    SELECT DISTINCT conv_id, turn_idx FROM (
+      SELECT conv_id, turn_idx FROM r
+      UNION ALL SELECT conv_id, turn_idx FROM nn))
+), j AS (
+  SELECT COALESCE(r.predicate, nn.predicate) AS predicate,
+         (r.conv_id IS NOT NULL) AS in_r,
+         (nn.conv_id IS NOT NULL) AS in_nn
+  FROM r FULL OUTER JOIN nn
+    ON r.conv_id = nn.conv_id AND r.turn_idx = nn.turn_idx
+   AND r.predicate = nn.predicate
+), cells AS (
+  SELECT predicate,
+         CAST(sum(CASE WHEN in_r AND NOT in_nn THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(sum(CASE WHEN in_nn AND NOT in_r THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM j GROUP BY 1
+), base AS (
+  SELECT predicate, b, c, nu,
+         CAST(b + c AS DOUBLE) / nu AS psi,
+         CAST(b - c AS DOUBLE) / nu AS delta
+  FROM cells CROSS JOIN units
+)
+SELECT predicate, b, c, nu AS n_pairs,
+       CAST((b + c) * 1000000 // nu AS BIGINT) AS psi_ppm,
+       CAST((b - c) * 1000000 // nu AS BIGINT) AS delta_ppm,
+       CASE WHEN b = c THEN CAST(-1 AS BIGINT)
+            ELSE CAST(ceil(
+              ({_Z_A2} * sqrt(psi) + {_Z_B} * sqrt(psi - delta * delta))
+              * ({_Z_A2} * sqrt(psi) + {_Z_B} * sqrt(psi - delta * delta))
+              / (delta * delta)) AS BIGINT) END AS required_pairs,
+       CAST(CASE WHEN b <> c AND nu >= ceil(
+              ({_Z_A2} * sqrt(psi) + {_Z_B} * sqrt(psi - delta * delta))
+              * ({_Z_A2} * sqrt(psi) + {_Z_B} * sqrt(psi - delta * delta))
+              / (delta * delta)) THEN 1 ELSE 0 END AS BIGINT)
+         AS powered_now
+FROM base
+"""
+
+
+@_q("a24_power_analysis", _power_oracle_sql("/root/testdata/sf0.01"))
+def a24_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate required-sample-size for the McNemar gate at
+    alpha=0.05 / power 0.8 (see block comment)."""
+    key = ["conv_id", "turn_idx", "predicate"]
+    rules = (
+        kg_extract_triples(spark, sf_dir)
+        .filter(
+            F.regexp_extract("conv_id", r"^doc(\d+)\.", 1).cast("long")
+            % _NN_DOC_MOD
+            == 0
+        )
+        .select(*key)
+        .distinct()
+        .withColumn("in_r", F.lit(True))
+        .localCheckpoint()
+    )
+    nn = (
+        kg_nn_extract(spark, sf_dir)
+        .select(*key)
+        .distinct()
+        .withColumn("in_nn", F.lit(True))
+        .localCheckpoint()
+    )
+    ORACLES["a24_power_analysis"] = _power_oracle_sql(sf_dir)
+    units = F.broadcast(
+        rules.select("conv_id", "turn_idx")
+        .unionAll(nn.select("conv_id", "turn_idx"))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("nu"))
+    )
+    j = rules.join(nn, key, "full_outer").select(
+        "predicate",
+        F.coalesce("in_r", F.lit(False)).alias("in_r"),
+        F.coalesce("in_nn", F.lit(False)).alias("in_nn"),
+    )
+    cells = j.groupBy("predicate").agg(
+        F.sum(F.when(F.col("in_r") & ~F.col("in_nn"), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(F.col("in_nn") & ~F.col("in_r"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    base = cells.crossJoin(units).withColumn(
+        "psi", F.expr("CAST(b + c AS DOUBLE) / nu")
+    ).withColumn("delta", F.expr("CAST(b - c AS DOUBLE) / nu"))
+    req = (
+        f"ceil(({_Z_A2} * sqrt(psi) + {_Z_B} * sqrt(psi - delta * delta))"
+        f" * ({_Z_A2} * sqrt(psi) + {_Z_B} * sqrt(psi - delta * delta))"
+        f" / (delta * delta))"
+    )
+    return base.select(
+        "predicate",
+        "b",
+        "c",
+        F.col("nu").alias("n_pairs"),
+        F.expr("CAST((b + c) * 1000000 div nu AS BIGINT)").alias(
+            "psi_ppm"
+        ),
+        F.expr("CAST((b - c) * 1000000 div nu AS BIGINT)").alias(
+            "delta_ppm"
+        ),
+        F.expr(
+            f"CASE WHEN b = c THEN CAST(-1 AS BIGINT)"
+            f" ELSE CAST({req} AS BIGINT) END"
+        ).alias("required_pairs"),
+        F.expr(
+            f"CAST(CASE WHEN b <> c AND nu >= {req} THEN 1 ELSE 0 END"
+            f" AS BIGINT)"
+        ).alias("powered_now"),
+    )
