@@ -38,6 +38,9 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Binary-quantization retrieval: two-word sign-bit packing,
+    # Hamming coarse top-32, exact rerank, brute-force audit.
+    "emb_binary_quantize",
     # McNemar power analysis: required annotation pairs per
     # predicate at alpha=.05/power .8; Acklam z literals, one
     # identically-grouped double expression, -1 zero-effect sentinel.

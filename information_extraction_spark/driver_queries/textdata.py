@@ -6457,3 +6457,179 @@ def ta_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("switch_ppm"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+# --- Binary quantization retrieval (sign bits + Hamming + rerank) ---------------
+#
+# The 64x-memory-compression retrieval scheme modern vector stores
+# ship next to PQ (ann_pq_adc) and Matryoshka (ann_prefix_rerank):
+# each 64-dim embedding collapses to 64 SIGN BITS packed into two
+# 32-bit words (two words, not one 64-bit value — bit 63 would land
+# in the BIGINT sign bit and engines differ on signed-shift
+# semantics; two half-words keep every shift in positive territory
+# on both engines); coarse search ranks by Hamming distance
+# (bit_count(w0 XOR w0') + bit_count(w1 XOR w1')) over the packed
+# words only, takes the top-32, and an exact-cosine rerank of that
+# bounded pool emits the top-10. Self-auditing like
+# ann_graph_search: every answer row carries its brute-force
+# true_rank (broadcast better-than count) — the recall a 1-bit/dim
+# index gives up is visible in the result, not hidden. Scale: the
+# packed index is 8 bytes/vector; coarse ranking is a narrow scan +
+# TakeOrdered, the rerank pool is 32 rows, nothing shuffles wide.
+
+_BQ_COARSE = 32
+_BQ_K = 10
+
+
+def _bq_pack_sql(col: str, lo: int) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(0, 32), d ->"
+        f" CASE WHEN {col}[d + {lo} + 1] > 0"
+        f" THEN CAST(1 AS BIGINT) << d ELSE 0 END)) AS BIGINT)"
+    )
+
+
+_BQ_ORACLE = f"""
+WITH qid AS (SELECT max(vec_id) AS qid FROM embeddings),
+pk AS (
+  SELECT vec_id,
+         {_bq_pack_sql("embedding", 0)} AS w0,
+         {_bq_pack_sql("embedding", 32)} AS w1
+  FROM embeddings
+), qp AS (
+  SELECT p.w0 AS qw0, p.w1 AS qw1 FROM pk p, qid WHERE p.vec_id = qid.qid
+), ham AS (
+  SELECT pk.vec_id,
+         CAST(bit_count(xor(pk.w0, qp.qw0))
+              + bit_count(xor(pk.w1, qp.qw1)) AS BIGINT) AS ham
+  FROM pk CROSS JOIN qp
+), coarse AS (
+  SELECT vec_id, ham FROM ham ORDER BY ham, vec_id LIMIT {_BQ_COARSE}
+), qv AS (
+  SELECT e.embedding AS q FROM embeddings e, qid WHERE e.vec_id = qid.qid
+), cu AS (
+  SELECT c.vec_id, c.ham, CAST(unnest(e.embedding) AS DOUBLE) AS xe,
+         CAST(unnest(qv.q) AS DOUBLE) AS xq
+  FROM coarse c JOIN embeddings e USING (vec_id) CROSS JOIN qv
+), sc AS (
+  SELECT vec_id, ham,
+         round(sum(xe * xq)
+               / (sqrt(sum(xe * xe)) * sqrt(sum(xq * xq))), 4) AS cos4
+  FROM cu GROUP BY vec_id, ham
+), su AS (
+  SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS xe,
+         CAST(unnest(qv.q) AS DOUBLE) AS xq
+  FROM embeddings e CROSS JOIN qv
+), allsc AS (
+  SELECT vec_id,
+         round(sum(xe * xq)
+               / (sqrt(sum(xe * xe)) * sqrt(sum(xq * xq))), 4) AS cos4
+  FROM su GROUP BY vec_id
+), ans AS (
+  SELECT vec_id, ham, cos4, row_number() OVER (
+    ORDER BY cos4 DESC, vec_id) AS rn
+  FROM sc
+)
+SELECT a.vec_id, CAST(a.rn AS BIGINT) AS rank, a.ham, a.cos4,
+       CAST(1 + (SELECT count(*) FROM allsc t
+                 WHERE t.cos4 > a.cos4
+                    OR (t.cos4 = a.cos4 AND t.vec_id < a.vec_id))
+            AS BIGINT) AS true_rank
+FROM ans a WHERE a.rn <= {_BQ_K}
+"""
+
+
+@_q("emb_binary_quantize", _BQ_ORACLE)
+def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit binary quantization retrieval with exact rerank and
+    brute-force audit (see block comment)."""
+    from pyspark.sql import Window
+
+    e = _spread(spark, _emb(spark, sf_dir), "vec_id").select(
+        "vec_id", "embedding"
+    )
+
+    def pack(lo: int):
+        return F.expr(
+            f"CAST(aggregate(sequence(0, 31), 0L, (a, d) ->"
+            f" a + IF(element_at(embedding, CAST(d + {lo} + 1 AS INT))"
+            f" > CAST(0 AS DOUBLE),"
+            f" shiftleft(CAST(1 AS BIGINT), CAST(d AS INT)), 0L))"
+            f" AS BIGINT)"
+        )
+
+    pk = e.select(
+        "vec_id", pack(0).alias("w0"), pack(32).alias("w1")
+    ).localCheckpoint()  # packed index scanned twice (query + coarse)
+    qid = pk.agg(F.max("vec_id")).collect()[0][0]  # bounded scalar
+    qrow = pk.filter(F.col("vec_id") == qid).collect()[0]
+    qw0, qw1 = int(qrow["w0"]), int(qrow["w1"])
+    coarse = (
+        pk.select(
+            "vec_id",
+            (
+                F.expr(f"bit_count(w0 ^ {qw0}L)")
+                + F.expr(f"bit_count(w1 ^ {qw1}L)")
+            )
+            .cast("long")
+            .alias("ham"),
+        )
+        .orderBy("ham", "vec_id")
+        .limit(_BQ_COARSE)
+    )
+    qvec_row = e.filter(F.col("vec_id") == qid).collect()[0]
+    qvec = F.array(*[F.lit(float(x)) for x in qvec_row["embedding"]])
+
+    def cos(df):
+        return F.round(
+            _dot(F.col("embedding"), qvec)
+            / (
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(_dot(qvec, qvec))
+            ),
+            4,
+        )
+
+    sc = (
+        F.broadcast(coarse)
+        .join(e, "vec_id")
+        .select("vec_id", "ham", cos(e).alias("cos4"))
+    )
+    ans = (
+        sc.orderBy(F.col("cos4").desc(), "vec_id")
+        .limit(_BQ_K)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos4").desc(), "vec_id"))
+            .cast("long"),
+        )
+    )
+    allsc = e.select("vec_id", cos(e).alias("cos4")).localCheckpoint()
+    a = ans.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cos4").alias("a_cos4"),
+        "rank",
+        "ham",
+    )
+    better = (
+        F.broadcast(a)
+        .join(
+            allsc,
+            (F.col("cos4") > F.col("a_cos4"))
+            | (
+                (F.col("cos4") == F.col("a_cos4"))
+                & (F.col("vec_id") < F.col("a_id"))
+            ),
+            "left",
+        )
+        .groupBy("a_id", "a_cos4", "rank", "ham")
+        .agg(F.count("vec_id").cast("long").alias("n_better"))
+    )
+    return better.select(
+        F.col("a_id").alias("vec_id"),
+        "rank",
+        "ham",
+        F.col("a_cos4").alias("cos4"),
+        (F.col("n_better") + 1).cast("long").alias("true_rank"),
+    )
