@@ -38,6 +38,9 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # ACL push PPR: frontier-proportional rounds, integer ppb with
+    # dust accounting — settled+residual+dust == 10^9 exactly.
+    "kg_ppr_push",
     # Binary-quantization retrieval: two-word sign-bit packing,
     # Hamming coarse top-32, exact rerank, brute-force audit.
     "emb_binary_quantize",

@@ -5498,3 +5498,91 @@ def a24_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AS BIGINT)"
         ).alias("powered_now"),
     )
+
+
+# --- Push-style personalized PageRank with conservation certificate -----------
+#
+# kg_pagerank_personalized runs the POWER method (touches every
+# edge every iteration); this is the LOCAL alternative production
+# graph systems use for seed-centric queries — Andersen-Chung-Lang
+# push, synchronous deterministic variant, exact ppb integers with
+# division dust accumulated instead of silently dropped, so
+# settled + residual + dust == 10^9 EXACTLY after any round count.
+# The `conserved` flag in every row IS that arithmetic certificate,
+# and residual+dust bounds the distance to the true PPR vector (the
+# ACL guarantee). Scale shape in operators/graph.ppr_push: per-round
+# work proportional to the pusher FRONTIER, not the graph.
+
+
+def _ppr_push_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    rounds = []
+    for t in range(3):
+        rounds.append(f"""
+, push{t} AS MATERIALIZED (
+  SELECT s.node, s.p, s.r, d.deg FROM st{t} s
+  JOIN deg d ON d.src = s.node WHERE s.r > 1000
+), st{t + 1} AS MATERIALIZED (
+  SELECT node, CAST(sum(p) AS BIGINT) AS p, CAST(sum(r) AS BIGINT) AS r
+  FROM (
+    SELECT node, p, r FROM st{t} WHERE r <= 1000
+    UNION ALL
+    SELECT node, p + (r * 15) // 100, CAST(0 AS BIGINT) FROM push{t}
+    UNION ALL
+    SELECT u.dst, CAST(0 AS BIGINT),
+           (pu.r - (pu.r * 15) // 100) // pu.deg
+    FROM push{t} pu JOIN u ON u.src = pu.node
+  ) GROUP BY 1
+), dust{t} AS (
+  SELECT CAST(coalesce(sum((r - (r * 15) // 100) % deg), 0) AS BIGINT)
+    AS d
+  FROM push{t}
+)""")
+    return f"""
+WITH e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+  WHERE subject <> object
+), u AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM u GROUP BY 1
+), sd AS (
+  SELECT src AS seed FROM deg ORDER BY deg DESC, src LIMIT 1
+), st0 AS (
+  SELECT seed AS node, CAST(0 AS BIGINT) AS p,
+         CAST(1000000000 AS BIGINT) AS r
+  FROM sd
+){"".join(rounds)}
+, tot AS (
+  SELECT CAST(sum(p) AS BIGINT) AS settled,
+         CAST(sum(r) AS BIGINT) AS resid
+  FROM st3
+), dustall AS (
+  SELECT d0.d + d1.d + d2.d AS dust FROM dust0 d0, dust1 d1, dust2 d2
+), top AS (
+  SELECT node, p, r,
+         row_number() OVER (ORDER BY p DESC, node) AS rank
+  FROM st3
+)
+SELECT CAST(rank AS BIGINT) AS rank, node AS entity, p AS p_ppb,
+       r AS r_ppb, tot.settled AS total_settled,
+       tot.resid AS total_residual, dustall.dust AS total_dust,
+       CAST(CASE WHEN tot.settled + tot.resid + dustall.dust
+                      = 1000000000 THEN 1 ELSE 0 END AS BIGINT)
+         AS conserved
+FROM top, tot, dustall WHERE rank <= 20
+"""
+
+
+@_q("kg_ppr_push", _ppr_push_oracle_sql("/root/testdata/sf0.01"))
+def kg_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous ACL push PPR, 3 rounds, exact-ppb conservation
+    certificate (operators/graph.ppr_push)."""
+    from information_extraction_spark.operators.graph import (
+        ppr_push,
+        triple_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_ppr_push"] = _ppr_push_oracle_sql(sf_dir)
+    return ppr_push(triple_edges(triples), rounds=3)
