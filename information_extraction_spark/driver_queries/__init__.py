@@ -38,6 +38,9 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # TPC-H Q9 profit rollup: both dims broadcast-prune the fact
+    # before the single orderkey shuffle; per-line BIGINT cents.
+    "q26_profit_by_nation_year",
     # ACL push PPR: frontier-proportional rounds, integer ppb with
     # dust accounting — settled+residual+dust == 10^9 exactly.
     "kg_ppr_push",

@@ -18,6 +18,12 @@ ORACLES = {}
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
+        # Within-module duplicate guard: dict assignment is silently
+        # last-wins, so a re-used name would overwrite an existing
+        # query (and its oracle) without any error — the cross-module
+        # guard in __init__ can't see it. Raise at import time.
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name in module: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

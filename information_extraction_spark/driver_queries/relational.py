@@ -24,6 +24,12 @@ ORACLES = {}
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
+        # Within-module duplicate guard: dict assignment is silently
+        # last-wins, so a re-used name would overwrite an existing
+        # query (and its oracle) without any error — the cross-module
+        # guard in __init__ can't see it. Raise at import time.
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name in module: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -3149,4 +3155,67 @@ def w31_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("consistent"),
         )
+    )
+
+
+# --- Q9 shape: profit by nation and order year ------------------------------------
+#
+# TPC-H Q9 without a partsupp table: per-line profit = discounted
+# revenue minus a 90%-of-retail unit-cost proxy, rolled up by the
+# supplier's nation and the ORDER year (which is why orders joins at
+# all — the year lives there). Join order matters at scale: the two
+# dimension joins (part filter '%widget%', supplier→nation) broadcast
+# and prune the fact FIRST — the widget filter alone drops ~87% of
+# lineitem — and only then does the one wide shuffle (l_orderkey ⋈
+# orders) run over the survivors. Both profit terms quantize to
+# BIGINT cents per line before any aggregation, so partial aggs are
+# exact and the engines agree bit-for-bit.
+
+_Q26_ORACLE = """
+SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)
+           - CAST(round(l.l_quantity * p.p_retailprice * 90) AS BIGINT)
+       ) / 100.0 AS profit
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+@_q("q26_profit_by_nation_year", _Q26_ORACLE)
+def q26_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    profit_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long") - F.round(
+        F.col("l_quantity") * F.col("p_retailprice") * 90
+    ).cast("long")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("profit_cents", profit_cents)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", "o_year")
+        .agg((F.sum("profit_cents") / F.lit(100.0)).alias("profit"))
     )

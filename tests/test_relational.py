@@ -1530,3 +1530,81 @@ def test_q25_share_is_case_over_one_market(spark, tmp_path):
     z = rows[1996]
     assert z["market_revenue"] == 100.0
     assert z["mkt_share"] == 0.0
+
+
+# --- Q2 correlated-min / Q9 profit (TPC-H sweep completion) -----------------------
+
+
+def _write_tpch_min(spark, tmp_path, lineitem_rows):
+    """Minimal 5-table TPC-H fixture. lineitem_rows:
+    (orderkey, partkey, suppkey, qty, extprice)."""
+    base = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "EUROPE"), (1, "ASIA")], "r_regionkey int, r_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/region.parquet")
+    spark.createDataFrame(
+        [(0, "NATION_0", 0), (1, "NATION_1", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/nation.parquet")
+    # suppliers 1,2 in EUROPE; supplier 3 in ASIA
+    spark.createDataFrame(
+        [(1, "S1", 0, 0.0), (2, "S2", 0, 0.0), (3, "S3", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/supplier.parquet")
+    spark.createDataFrame(
+        [
+            (10, "p10", "Brand#1", "STANDARD", 5, 900.0),
+            (11, "p11", "Brand#1", "STANDARD", 20, 900.0),  # size filter
+            (12, "p12", "Brand#1", "PROMO", 5, 900.0),  # type filter
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/part.parquet")
+    spark.createDataFrame(
+        [
+            (ok, pk, sk, 1, float(q), float(ep), 0.0, 0.0, "N", "O",
+             dt.datetime(2000, 1, 1))
+            for ok, pk, sk, q, ep in lineitem_rows
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/lineitem.parquet")
+    return base
+
+
+def test_q26_profit_sign_and_year(spark, tmp_path):
+    """Profit = rev cents − 90%%-retail cost cents, grouped by the
+    ORDER year (not ship year). One widget line: qty 2 at 2000.00
+    rev, cost 2*900*0.9 = 1620 → profit 380; non-widget parts drop."""
+    from information_extraction_spark.driver_queries.relational import (
+        q26_profit_by_nation_year,
+    )
+
+    base = _write_tpch_min(
+        spark,
+        tmp_path,
+        [(1, 10, 1, 2, 2000.0), (2, 12, 1, 1, 999.0)],
+    )
+    # rename part 10 to a widget, part 12 stays non-widget
+    spark.createDataFrame(
+        [
+            (10, "red widget", "Brand#1", "STANDARD", 5, 900.0),
+            (12, "blue bolt", "Brand#1", "PROMO", 5, 900.0),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/part.parquet")
+    spark.createDataFrame(
+        [(1, 1, "F", 0.0, dt.datetime(1997, 6, 1), "1-URGENT"),
+         (2, 1, "F", 0.0, dt.datetime(1998, 6, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/orders.parquet")
+    rows = [
+        (r.n_name, r.o_year, r.profit)
+        for r in q26_profit_by_nation_year(spark, base).collect()
+    ]
+    assert rows == [("NATION_0", 1997, 380.0)]
