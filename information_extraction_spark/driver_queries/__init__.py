@@ -38,6 +38,18 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Two-sample KS drift gate: exact sup-CDF distance over the
+    # bounded value-domain histogram, cross-multiplied BIGINT CDFs,
+    # squared-ppm 0.05 decision — no sqrt, no float CDF.
+    "a25_ks_drift",
+    # Chi-square independence of lang × source with zero-cell
+    # contributions over the bounded marginal cross join; Cramér's
+    # V² in ppm — exact BIGINT floor-div rescales.
+    "a26_chi2_independence",
+    # Spearman rho over (value, doc_id) total-order ranks; ranks =
+    # bounded-histogram offset + per-value row_number (never a
+    # global row_number); oracle = one global ROW_NUMBER.
+    "a27_spearman",
     # TPC-H Q9 profit rollup: both dims broadcast-prune the fact
     # before the single orderkey shuffle; per-line BIGINT cents.
     "q26_profit_by_nation_year",

@@ -1029,3 +1029,306 @@ def w33_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         out = out.unionByName(df)
     return out
+
+
+# --- A25: two-sample Kolmogorov-Smirnov drift gate ---------------------------------
+#
+# KS distance between the n_chars distributions of the English and
+# non-English document populations — the distribution-level drift
+# gate a corpus-mixing pipeline runs before accepting a new source
+# (mean/quantile monitors miss shape changes; KS is the standard
+# whole-CDF statistic). Computed EXACTLY and distributedly via the
+# a18 histogram argument: the only input-sized exchange is one
+# map-side-combined groupBy to the (n_chars, cnt_en, cnt_other)
+# histogram, bounded by the value DOMAIN regardless of row count;
+# the running CDFs are windows over that bounded histogram. The
+# sup-distance compare is the pure-BIGINT cross-multiplication
+# |cum_a·n_b − cum_b·n_a| (never a float CDF), its location ks_at
+# is the SMALLEST value attaining the sup (struct-max tie rule), and
+# the alpha=0.05 large-sample decision D > 1.358·sqrt((na+nb)/na/nb)
+# is restated squared in ppm² — both engines evaluate the identical
+# floor-div threshold, no sqrt anywhere.
+
+_A25_ORACLE = """
+WITH hist AS (
+  SELECT n_chars,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM documents GROUP BY 1
+), cum AS (
+  SELECT n_chars,
+         CAST(sum(ca) OVER (ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_b
+  FROM hist
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+  FROM hist
+), diffs AS (
+  SELECT c.n_chars, abs(c.cum_a * t.n_b - c.cum_b * t.n_a) AS dnum,
+         t.n_a, t.n_b
+  FROM cum c CROSS JOIN tot t
+), best AS (
+  SELECT max(dnum) AS d_num, max(n_a) AS n_a, max(n_b) AS n_b FROM diffs
+)
+SELECT b.n_a, b.n_b, b.d_num,
+       CAST(b.d_num * 1000000 // (b.n_a * b.n_b) AS BIGINT) AS d_ppm,
+       CAST(min(d.n_chars) AS BIGINT) AS ks_at,
+       CAST(CASE WHEN (b.d_num * 1000000 // (b.n_a * b.n_b))
+                      * (b.d_num * 1000000 // (b.n_a * b.n_b))
+                 > 1844164 * (b.n_a + b.n_b) * 1000000 // (b.n_a * b.n_b)
+            THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+FROM best b JOIN diffs d ON d.dnum = b.d_num
+GROUP BY b.n_a, b.n_b, b.d_num
+"""
+
+
+@_q("a25_ks_drift", _A25_ORACLE)
+def a25_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    hist = d.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+        .cast("long")
+        .alias("cb"),
+    )
+    # Documented single-partition window over the BOUNDED histogram
+    # (value-domain cardinality), not over the input — a18's rule.
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "n_chars",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+    )
+    tot = hist.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "n_chars",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("dnum"),
+        "n_a",
+        "n_b",
+    )
+    # sup + its smallest location in ONE aggregate: struct-max on
+    # (dnum, -n_chars) — larger dnum wins, then smaller n_chars.
+    best = diffs.agg(
+        F.max(F.struct(F.col("dnum"), (-F.col("n_chars")).alias("neg"))).alias(
+            "m"
+        ),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    ).select(
+        "n_a",
+        "n_b",
+        F.col("m.dnum").alias("d_num"),
+        F.expr("d_num * 1000000 div (n_a * n_b)").alias("d_ppm"),
+        (-F.col("m.neg")).cast("long").alias("ks_at"),
+    )
+    return best.select(
+        "n_a",
+        "n_b",
+        "d_num",
+        "d_ppm",
+        "ks_at",
+        F.expr(
+            "CAST(CASE WHEN d_ppm * d_ppm"
+            " > 1844164 * (n_a + n_b) * 1000000 div (n_a * n_b)"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_05"),
+    )
+
+
+# --- A26: chi-square independence of lang × source ---------------------------------
+#
+# Pearson chi-square over the full lang × source contingency table —
+# the "is this corpus property independent of its provenance" audit
+# (a skewed lang-by-source association means per-source language
+# filters, not a global mix). Zero cells CONTRIBUTE (expected > 0
+# there), so the cell universe is the cross join of the two bounded
+# marginal dims with observed counts left-joined in — never an
+# input-sized cross product. Arithmetic is exact-BIGINT with the
+# floor-div rescale num·1000 div (rs·cs) BEFORE the second multiply
+# (keeps every intermediate < 2^63 at any corpus scale where counts
+# fit BIGINT); the double floor-div loses < 1 milli-unit per cell
+# identically in both engines. Cramér's V is emitted SQUARED in ppm
+# (v²·10⁶) — the no-cross-engine-sqrt rule.
+
+_A26_ORACLE = """
+WITH obs AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+), rl AS (
+  SELECT lang, CAST(sum(o) AS BIGINT) AS rs FROM obs GROUP BY 1
+), cs_ AS (
+  SELECT source, CAST(sum(o) AS BIGINT) AS cs FROM obs GROUP BY 1
+), n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT rl.lang, cs_.source, rl.rs, cs_.cs, coalesce(obs.o, 0) AS o
+  FROM rl CROSS JOIN cs_
+  LEFT JOIN obs ON obs.lang = rl.lang AND obs.source = cs_.source
+), contrib AS (
+  SELECT abs(c.o * n.n - c.rs * c.cs) AS num, c.rs, c.cs, n.n
+  FROM cells c CROSS JOIN n
+)
+SELECT CAST(max(n) AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM rl) AS BIGINT) AS n_langs,
+       CAST((SELECT count(*) FROM cs_) AS BIGINT) AS n_sources,
+       CAST(((SELECT count(*) FROM rl) - 1)
+            * ((SELECT count(*) FROM cs_) - 1) AS BIGINT) AS dof,
+       CAST(sum((num * (num * 1000 // (rs * cs))) // n) AS BIGINT)
+         AS chi2_milli,
+       CAST(sum((num * (num * 1000 // (rs * cs))) // n) * 1000000
+            // (1000 * max(n) * least((SELECT count(*) FROM rl) - 1,
+                                      (SELECT count(*) FROM cs_) - 1))
+         AS BIGINT) AS cramers_v2_ppm
+FROM contrib
+"""
+
+
+@_q("a26_chi2_independence", _A26_ORACLE)
+def a26_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count("*").cast("long").alias("o"))
+    rl = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("rs"))
+    cs = obs.groupBy("source").agg(F.sum("o").cast("long").alias("cs"))
+    n = obs.agg(F.sum("o").cast("long").alias("n"))
+    cells = (
+        rl.crossJoin(F.broadcast(cs))
+        .join(obs, ["lang", "source"], "left")
+        .select("lang", "rs", "cs", F.coalesce("o", F.lit(0)).alias("o"))
+        .crossJoin(F.broadcast(n))
+    )
+    contrib = cells.select(
+        F.abs(F.col("o") * F.col("n") - F.col("rs") * F.col("cs")).alias(
+            "num"
+        ),
+        "rs",
+        "cs",
+        "n",
+    ).select(
+        F.expr("(num * ((num * 1000) div (rs * cs))) div n").alias("c_milli"),
+        "n",
+    )
+    nl = rl.agg(F.count("*").cast("long").alias("n_langs"))
+    ns = cs.agg(F.count("*").cast("long").alias("n_sources"))
+    return (
+        contrib.agg(
+            F.max("n").alias("n_docs"),
+            F.sum("c_milli").cast("long").alias("chi2_milli"),
+        )
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "n_docs",
+            "n_langs",
+            "n_sources",
+            ((F.col("n_langs") - 1) * (F.col("n_sources") - 1))
+            .cast("long")
+            .alias("dof"),
+            "chi2_milli",
+            F.expr(
+                "chi2_milli * 1000000 div (1000 * n_docs"
+                " * least(n_langs - 1, n_sources - 1))"
+            ).alias("cramers_v2_ppm"),
+        )
+    )
+
+
+# --- A27: Spearman rank correlation (distributed exact ranks) ----------------------
+#
+# Spearman rho between two per-document size metrics (n_chars and
+# whitespace token count) — the monotone-association check that
+# decides whether one cheap metric can proxy the other in curation
+# filters. Ranks are over the TOTAL order (value, doc_id), so rho is
+# exactly 1 − 6·Σd²/(n(n²−1)) with no tie-correction term, and the
+# entire statistic is exact BIGINT except the single final division.
+# The scale-honest ranking NEVER runs a global row_number over the
+# input: per metric, the rank is (count of rows with smaller value)
+# + (row_number within the equal-value partition by doc_id) — the
+# first term a cumsum over the bounded value-domain histogram
+# (a18/a25 argument), the second a window partitioned by value. The
+# ORACLE ranks with one global ROW_NUMBER — an independent
+# formulation whose agreement proves the decomposition.
+
+_A27_ORACLE = """
+WITH m AS (
+  SELECT doc_id, n_chars AS x,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+  FROM documents
+), rx AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY x, doc_id) AS r FROM m
+), ry AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY y, doc_id) AS r FROM m
+), d AS (
+  SELECT rx.r - ry.r AS d
+  FROM rx JOIN ry ON rx.doc_id = ry.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(d * d) AS BIGINT) AS sum_d2,
+       1.0 - 6.0 * sum(d * d)
+           / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE) AS rho
+FROM d
+"""
+
+
+@_q("a27_spearman", _A27_ORACLE)
+def a27_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        F.size(F.split("text", " ")).cast("long").alias("y"),
+    )
+
+    def ranked(col: str) -> DataFrame:
+        hist = m.groupBy(col).agg(F.count("*").cast("long").alias("cnt"))
+        woff = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = hist.select(
+            col,
+            F.coalesce(F.sum("cnt").over(woff), F.lit(0))
+            .cast("long")
+            .alias("offset"),
+        )
+        wv = Window.partitionBy(col).orderBy("doc_id")
+        return (
+            m.join(F.broadcast(offsets), col)
+            .select(
+                "doc_id",
+                (F.col("offset") + F.row_number().over(wv))
+                .cast("long")
+                .alias(f"r_{col}"),
+            )
+        )
+
+    joined = ranked("x").join(ranked("y"), "doc_id")
+    return joined.select(
+        (F.col("r_x") - F.col("r_y")).alias("d")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sum_d2"),
+    ).select(
+        "n",
+        "sum_d2",
+        (
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.col("sum_d2")
+            / (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("double")
+        ).alias("rho"),
+    )

@@ -287,3 +287,105 @@ def test_calibration_bins_hand_computed(spark, tmp_path):
     assert got[9]["n"] == 1 and got[9]["n_pos"] == 1
     assert got[9]["conf_ppm"] == 1200000  # clamped bin keeps exact conf
     assert got[2]["acc_ppm"] == 0
+
+
+# --- A25 / A26 / A27: distribution statistics ------------------------------------
+
+
+def _write_docs_full(spark, tmp_path, rows):
+    """rows: (doc_id, text, lang, source, n_chars)."""
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_ks_planted_shift_rejects(spark, tmp_path):
+    """A fully-separated pair of distributions (en all at length 10,
+    others all at 1000, 30 docs each) has D = 1 and must REJECT at
+    0.05; the sup location is the last en value (10)."""
+    from information_extraction_spark.driver_queries.sketches import (
+        a25_ks_drift,
+    )
+
+    rows = [(i, "t", "en", "s", 10) for i in range(30)] + [
+        (100 + i, "t", "de", "s", 1000) for i in range(30)
+    ]
+    sf = _write_docs_full(spark, tmp_path, rows)
+    r = a25_ks_drift(spark, sf).collect()[0]
+    assert (r.n_a, r.n_b) == (30, 30)
+    assert r.d_num == 30 * 30 and r.d_ppm == 1000000
+    assert r.ks_at == 10
+    assert r.reject_05 == 1
+
+
+def test_ks_identical_distributions_accept(spark, tmp_path):
+    """Identical en/other distributions: D = 0, accept, and the sup
+    location ties resolve to the smallest value."""
+    from information_extraction_spark.driver_queries.sketches import (
+        a25_ks_drift,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "t", "en", "s", 10 + (i % 3)))
+        rows.append((1000 + i, "t", "fr", "s", 10 + (i % 3)))
+    sf = _write_docs_full(spark, tmp_path, rows)
+    r = a25_ks_drift(spark, sf).collect()[0]
+    assert r.d_num == 0 and r.reject_05 == 0
+    assert r.ks_at == 10
+
+
+def test_chi2_perfect_dependence_and_independence(spark, tmp_path):
+    """A 2×2 with lang determined by source has chi2 = n and
+    V² = 1 (1e6 ppm); a perfectly balanced 2×2 has chi2 = 0."""
+    from information_extraction_spark.driver_queries.sketches import (
+        a26_chi2_independence,
+    )
+
+    dep = [(i, "t", "en", "s1", 1) for i in range(10)] + [
+        (100 + i, "t", "de", "s2", 1) for i in range(10)
+    ]
+    sf = _write_docs_full(spark, tmp_path / "dep", dep)
+    r = a26_chi2_independence(spark, sf).collect()[0]
+    assert (r.n_langs, r.n_sources, r.dof) == (2, 2, 1)
+    assert r.chi2_milli == 20000  # chi2 == n == 20
+    assert r.cramers_v2_ppm == 1000000
+
+    ind = []
+    for i in range(5):
+        for lang in ("en", "de"):
+            for src in ("s1", "s2"):
+                ind.append((len(ind), "t", lang, src, 1))
+    sf2 = _write_docs_full(spark, tmp_path / "ind", ind)
+    r2 = a26_chi2_independence(spark, sf2).collect()[0]
+    assert r2.chi2_milli == 0 and r2.cramers_v2_ppm == 0
+
+
+def test_spearman_perfect_and_inverse(spark, tmp_path):
+    """Monotone-increasing word counts with n_chars give rho = 1
+    (sum_d2 = 0); reversing the word counts gives rho = -1."""
+    from information_extraction_spark.driver_queries.sketches import (
+        a27_spearman,
+    )
+
+    inc = [
+        (i, " ".join(["w"] * (i + 1)), "en", "s", 10 * (i + 1))
+        for i in range(6)
+    ]
+    sf = _write_docs_full(spark, tmp_path / "inc", inc)
+    r = a27_spearman(spark, sf).collect()[0]
+    assert (r.n, r.sum_d2) == (6, 0) and r.rho == 1.0
+
+    dec = [
+        (i, " ".join(["w"] * (6 - i)), "en", "s", 10 * (i + 1))
+        for i in range(6)
+    ]
+    sf2 = _write_docs_full(spark, tmp_path / "dec", dec)
+    r2 = a27_spearman(spark, sf2).collect()[0]
+    assert r2.sum_d2 == 70  # n(n²−1)/3 → rho exactly −1
+    assert r2.rho == -1.0
