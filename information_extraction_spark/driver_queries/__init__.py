@@ -38,6 +38,13 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Synchronous Louvain move phase from singletons: exact-BIGINT
+    # scaled gains 2m·w_ij − deg_i·deg_j, strict-positivity move,
+    # smallest-neighbor ties; oracle decorrelates the struct-argmax.
+    "kg_louvain_move",
+    # Directed triad census over the asymmetric edge set: FFL vs
+    # cyclic closed triads, middle-role hub cap, closure ppm.
+    "kg_motif_census",
     # Two-sample KS drift gate: exact sup-CDF distance over the
     # bounded value-domain histogram, cross-multiplied BIGINT CDFs,
     # squared-ppm 0.05 decision — no sqrt, no float CDF.

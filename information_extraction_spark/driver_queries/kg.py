@@ -5592,3 +5592,153 @@ def kg_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = kg_extract_triples(spark, sf_dir)
     ORACLES["kg_ppr_push"] = _ppr_push_oracle_sql(sf_dir)
     return ppr_push(triple_edges(triples), rounds=3)
+
+
+# --- KG-LOUVAIN: synchronous Louvain move phase --------------------------------
+#
+# The modularity-OPTIMIZING community step the catalog measured
+# (kg_modularity) but never ran: from singletons every node
+# simultaneously joins the argmax-gain neighbor community when the
+# exact scaled gain 2m·w_ij − deg_i·deg_j is positive. See
+# operators/graph.louvain_move for the determinism contract (the
+# synchronous variant; sequential Louvain is visit-order-dependent
+# and can never agree across engines). The oracle decorrelates the
+# struct-argmax as max-gain + join-back + min-neighbor — an
+# independent formulation of the same tie rule.
+
+
+def _louvain_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+  WHERE subject <> object
+), canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+), mm AS (
+  SELECT CAST(count(*) AS BIGINT) AS m FROM canon
+), u AS (
+  SELECT a AS src, b AS dst FROM canon
+  UNION ALL SELECT b, a FROM canon
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM u GROUP BY 1
+), cand AS (
+  SELECT u.src AS i, u.dst AS j,
+         CAST(2 * mm.m - di.d * dj.d AS BIGINT) AS gain
+  FROM u CROSS JOIN mm
+  JOIN deg di ON di.src = u.src
+  JOIN deg dj ON dj.src = u.dst
+), best AS (
+  SELECT i, max(gain) AS best_gain FROM cand GROUP BY 1
+), pick AS (
+  SELECT c.i, b.best_gain, min(c.j) AS j
+  FROM cand c JOIN best b ON c.i = b.i AND c.gain = b.best_gain
+  GROUP BY c.i, b.best_gain
+)
+SELECT i AS entity,
+       CASE WHEN best_gain > 0 THEN j ELSE i END AS community,
+       CAST(best_gain AS BIGINT) AS best_gain,
+       CAST(CASE WHEN best_gain > 0 THEN 1 ELSE 0 END AS BIGINT) AS moved
+FROM pick
+"""
+
+
+@_q("kg_louvain_move", _louvain_oracle_sql("/root/testdata/sf0.01"))
+def kg_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous Louvain move phase from singletons over the
+    undirected entity graph (operators/graph.louvain_move): exact
+    BIGINT modularity gains, strict-positivity move rule, smallest-
+    neighbor ties."""
+    from information_extraction_spark.operators.graph import (
+        louvain_move,
+        triple_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_louvain_move"] = _louvain_oracle_sql(sf_dir)
+    return louvain_move(triple_edges(triples))
+
+
+# --- KG-MOTIF: directed triad census over mention precedence -------------------
+#
+# Feed-forward (transitive) vs cyclic closed triads — but NOT over
+# the subject→object edges: that graph is strictly bipartite here
+# (subjects and objects are disjoint name spaces; measured zero
+# directed 2-paths — a census over it is structurally degenerate).
+# The directed graph with real composition is MENTION PRECEDENCE
+# (operators/graph.precedence_edges): a → b when a's first mention
+# precedes b's within some conversation. Cross-conversation
+# disagreement produces reciprocal edges, removed by the census's
+# asymmetric filter (66% of precedence pairs are contested at the
+# gate scale — the census counts only uncontested order). FFLs =
+# transitively consistent narrative order; cycles = global order
+# violations assembled from three conversations none of which
+# disagrees pairwise — the signal a timeline builder must resolve.
+
+
+def _motif_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH men AS (
+  SELECT conv_id, subject AS e, min(turn_idx) AS t FROM {g} GROUP BY 1, 2
+  UNION ALL
+  SELECT conv_id, object AS e, min(turn_idx) AS t FROM {g} GROUP BY 1, 2
+), fm AS (
+  SELECT conv_id, e, min(t) AS t FROM men GROUP BY 1, 2
+), keep AS (
+  SELECT conv_id FROM fm GROUP BY 1 HAVING count(*) <= 64
+), prec AS (
+  SELECT DISTINCT a.e AS src, b.e AS dst
+  FROM fm a
+  JOIN fm b ON a.conv_id = b.conv_id AND a.t < b.t
+  JOIN keep k ON k.conv_id = a.conv_id
+), asym AS (
+  SELECT p.src, p.dst FROM prec p
+  WHERE NOT EXISTS (SELECT 1 FROM prec r
+                    WHERE r.src = p.dst AND r.dst = p.src)
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT src AS n FROM asym UNION ALL SELECT dst FROM asym)
+  GROUP BY 1
+), mid AS (
+  SELECT n FROM deg WHERE d <= 256
+), w AS (
+  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+  FROM asym w1
+  JOIN mid ON mid.n = w1.dst
+  JOIN asym w2 ON w2.src = w1.dst
+  WHERE w1.src <> w2.dst
+), ffl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM w
+  WHERE EXISTS (SELECT 1 FROM asym x WHERE x.src = w.a AND x.dst = w.c)
+), cyc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM w
+  WHERE a < b AND a < c
+    AND EXISTS (SELECT 1 FROM asym x WHERE x.src = w.c AND x.dst = w.a)
+), nw AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM w
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM asym) AS n_edges_asym,
+       nw.n AS n_wedges, ffl.n AS n_ffl, cyc.n AS n_cycle,
+       CAST(CASE WHEN nw.n > 0
+                 THEN (ffl.n + cyc.n) * 1000000 // nw.n
+                 ELSE 0 END AS BIGINT) AS closure_ppm
+FROM ffl, cyc, nw
+"""
+
+
+@_q("kg_motif_census", _motif_oracle_sql("/root/testdata/sf0.01"))
+def kg_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed triad census (FFL vs cycle) over the asymmetric
+    mention-precedence graph (operators/graph.motif_census over
+    precedence_edges)."""
+    from information_extraction_spark.operators.graph import (
+        motif_census,
+        precedence_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_motif_census"] = _motif_oracle_sql(sf_dir)
+    return motif_census(
+        precedence_edges(triples, max_conv_entities=64), max_mid_deg=256
+    )

@@ -1969,3 +1969,176 @@ def ppr_push(
         F.lit(dust).cast("long").alias("total_dust"),
         F.lit(conserved).cast("long").alias("conserved"),
     )
+
+
+def louvain_move(edges: DataFrame) -> DataFrame:
+    """One SYNCHRONOUS Louvain move phase (Blondel et al. 2008) from
+    the singleton partition over the undirected simple graph — the
+    modularity-OPTIMIZING community step next to label_propagation's
+    majority vote and modularity's passive measurement.
+
+    From singletons, moving node i into neighbor j's community has
+    exact modularity gain ΔQ = w_ij/m − deg_i·deg_j/(2m²); scaled by
+    the positive constant 2m² this is the pure-BIGINT
+    gain = 2m·w_ij − deg_i·deg_j (w_ij = 1 on a simple graph). Every
+    node simultaneously picks the argmax-gain neighbor (ties → the
+    LEXICOGRAPHICALLY SMALLEST neighbor) and moves only when the gain
+    is strictly positive — the synchronous variant is deterministic
+    and order-independent, which classic sequential Louvain (whose
+    result depends on visit order) can never be across engines.
+
+    Provable round-1 property (pinned in test_graph): from
+    singletons EVERY node moves — Σ_{j∈N(i)} d_j ≤ 2m − d_i, so the
+    average neighbor degree is < 2m/d_i and the argmin-degree
+    neighbor always has positive gain. The strict-positivity guard
+    is therefore not binding in round 1; it is the invariant later
+    rounds (where Σ_tot grows past single degrees) rely on, kept
+    here so the move rule is stated once, correctly.
+
+    Scale shape: degree joins co-keyed on the edge endpoints, gain is
+    edge-wise narrow arithmetic, the argmax is ONE map-side-combined
+    min(struct) aggregate on the node key; m is a bounded scalar.
+    Returns (entity, community, best_gain, moved).
+    """
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    canon = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    m = canon.count()  # bounded scalar (one long)
+    u = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = u.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    di = deg.select(F.col("src").alias("i"), F.col("d").alias("d_i"))
+    dj = deg.select(F.col("src").alias("j"), F.col("d").alias("d_j"))
+    cand = (
+        u.select(F.col("src").alias("i"), F.col("dst").alias("j"))
+        .join(di, "i")
+        .join(dj, "j")
+        .select(
+            "i",
+            "j",
+            (F.lit(2 * m) - F.col("d_i") * F.col("d_j"))
+            .cast("long")
+            .alias("gain"),
+        )
+    )
+    # argmax gain, tie -> smallest neighbor: min over (-gain, j).
+    best = cand.groupBy("i").agg(
+        F.min(F.struct((-F.col("gain")).alias("ng"), F.col("j"))).alias("m")
+    )
+    return best.select(
+        F.col("i").alias("entity"),
+        F.when(-F.col("m.ng") > 0, F.col("m.j"))
+        .otherwise(F.col("i"))
+        .alias("community"),
+        (-F.col("m.ng")).cast("long").alias("best_gain"),
+        F.when(-F.col("m.ng") > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("moved"),
+    )
+
+
+def motif_census(edges: DataFrame, max_mid_deg: int = 256) -> DataFrame:
+    """Directed 3-node motif census over the ASYMMETRIC edge set
+    (edges whose reverse also exists are removed — reciprocal pairs
+    make triad roles ambiguous; Milo et al. 2002's census discipline):
+    wedges a→b→c (a≠c), transitive triangles (a→b, b→c, a→c — the
+    feed-forward redundancy pattern: an inference shortcut already
+    asserted) and cyclic triangles (a→b, b→c, c→a — the pattern that
+    flags contradiction risk for asymmetric predicates). Each
+    transitive triad has a unique (source, middle, sink) labeling in
+    an asymmetric graph; each 3-cycle is counted once at its
+    lexicographically smallest rotation head.
+
+    Scale shape: the wedge self-join keys on the middle node, so its
+    fan-out is in_deg·out_deg of that node — ``max_mid_deg`` caps the
+    middle role (hub entities produce quadratic wedge volume and name
+    no specific motif risk; same hub-cap discipline as
+    linking.jaccard_neighbor_pairs, identically applied by the
+    oracle). Closing edges join on the (endpoint, endpoint) key.
+    Returns one row: n_edges_asym, n_wedges, n_ffl, n_cycle,
+    closure_ppm = (n_ffl + n_cycle)·10⁶ div n_wedges.
+    """
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    asym = e.join(rev, ["src", "dst"], "left_anti").localCheckpoint()
+    deg = (
+        asym.select(F.col("src").alias("n"))
+        .unionAll(asym.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    mid_ok = deg.filter(F.col("d") <= max_mid_deg).select("n")
+    n_edges = asym.count()
+    w1 = asym.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    w2 = asym.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = (
+        w1.join(mid_ok.select(F.col("n").alias("b")), "b")
+        .join(w2, "b")
+        .filter(F.col("a") != F.col("c"))
+    )
+    n_wedges = wedges.count()
+    closing = asym.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    n_ffl = wedges.join(closing, ["a", "c"], "left_semi").count()
+    back = asym.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    n_cycle = (
+        wedges.join(back, ["a", "c"], "left_semi")
+        .filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        .count()
+    )
+    spark = edges.sparkSession
+    closure = (
+        (n_ffl + n_cycle) * 1_000_000 // n_wedges if n_wedges else 0
+    )
+    return spark.createDataFrame(
+        [(n_edges, n_wedges, n_ffl, n_cycle, closure)],
+        "n_edges_asym long, n_wedges long, n_ffl long, n_cycle long,"
+        " closure_ppm long",
+    )
+
+
+def precedence_edges(triples: DataFrame, max_conv_entities: int = 64) -> DataFrame:
+    """Directed mention-precedence graph: entity a → b when a's FIRST
+    mention precedes b's first mention within some conversation. The
+    subject→object graph is strictly bipartite on this corpus
+    (subjects and objects are disjoint name spaces — measured: zero
+    directed 2-paths), so any path/motif analysis needs a directed
+    graph with real composition; narrative precedence is the
+    transcript-native one, and disagreements ACROSS conversations
+    (a before b somewhere, b before a elsewhere) surface as
+    reciprocal edges for motif_census's asymmetric filter to drop —
+    contested precedence is exactly what a triad census must not
+    count as structure.
+
+    Scale shape: first-mention rollup is one map-side-combined
+    shuffle on (conv_id, entity); the pair fan-out is a per-conv
+    self-join capped at ``max_conv_entities`` entities per
+    conversation (comention_pairs' hub discipline — a monster
+    conversation contributes quadratic pairs and no per-pair
+    evidence); the distinct edge set is one more shuffle.
+    """
+    men = (
+        triples.select("conv_id", F.col("subject").alias("e"), "turn_idx")
+        .unionAll(
+            triples.select("conv_id", F.col("object").alias("e"), "turn_idx")
+        )
+        .groupBy("conv_id", "e")
+        .agg(F.min("turn_idx").alias("t"))
+    )
+    keep = (
+        men.groupBy("conv_id")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_conv_entities)
+        .select("conv_id")
+    )
+    fm = men.join(keep, "conv_id")
+    a = fm.select("conv_id", F.col("e").alias("src"), F.col("t").alias("ta"))
+    b = fm.select("conv_id", F.col("e").alias("dst"), F.col("t").alias("tb"))
+    return (
+        a.join(b, "conv_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .select("src", "dst")
+        .distinct()
+    )

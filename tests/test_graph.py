@@ -1413,3 +1413,125 @@ def test_betweenness_pivots_bridge_and_diamond(spark):
         "c": (500_000, 2),
         "d": (500_000, 2),
     }
+
+
+# --- Louvain move phase / motif census / precedence edges -------------------------
+
+
+def test_louvain_move_path_graph_hand_trace(spark):
+    """Path a-b-c-d: 2m = 6; every node's argmax-gain neighbor is its
+    degree-1 end (gain 4 beats the interior's 2), producing the two
+    end-pairings {a,b} and {c,d} — hand-checked gains — and the moved
+    partition strictly improves modularity over singletons."""
+    from information_extraction_spark.operators.graph import (
+        louvain_move,
+        modularity,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {
+        r.entity: (r.community, r.best_gain, r.moved)
+        for r in louvain_move(edges).collect()
+    }
+    assert got == {
+        "a": ("b", 4, 1),
+        "b": ("a", 4, 1),
+        "c": ("d", 4, 1),
+        "d": ("c", 4, 1),
+    }
+    # The move table records "joins j's community"; as a partition,
+    # mutual selections merge — canonical label = min(entity, target).
+    labels = spark.createDataFrame(
+        [(e, min(e, c)) for e, (c, _, _) in got.items()],
+        "entity string, community string",
+    )
+    singleton = spark.createDataFrame(
+        [(e, e) for e in got], "entity string, community string"
+    )
+    q_moved = sum(r.q_num for r in modularity(edges, labels).collect())
+    q_single = sum(
+        r.q_num for r in modularity(edges, singleton).collect()
+    )
+    assert q_moved > q_single
+
+
+def test_louvain_move_tie_and_round1_theorem(spark):
+    """Equal-gain neighbors resolve to the lexicographically smallest
+    (star center picks 'x' over 'y'); and the round-1 theorem — from
+    singletons the average neighbor degree is < 2m/d_i, so EVERY node
+    has a positive-gain neighbor and moved == 1 for all — holds on a
+    denser mixed graph too."""
+    from information_extraction_spark.operators.graph import louvain_move
+
+    star = spark.createDataFrame(
+        [("e", "x"), ("e", "y")], "src string, dst string"
+    )
+    got = {r.entity: r for r in louvain_move(star).collect()}
+    assert got["e"].community == "x" and got["e"].best_gain == 2
+
+    dense = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+         ("e", "c"), ("a", "d")],
+        "src string, dst string",
+    )
+    assert all(r.moved == 1 for r in louvain_move(dense).collect())
+
+
+def test_motif_census_hand_graph(spark):
+    """One FFL, one 3-cycle, one reciprocal pair (must vanish), and a
+    hub over the middle-degree cap (its wedges must not count):
+    4 wedges, 1 FFL, 1 cycle, closure 500000 ppm."""
+    from information_extraction_spark.operators.graph import motif_census
+
+    edges = (
+        [("a", "b"), ("b", "c"), ("a", "c")]  # FFL
+        + [("x", "y"), ("y", "z"), ("z", "x")]  # cycle
+        + [("p", "q"), ("q", "p")]  # reciprocal — removed
+        + [("s1", "h"), ("s2", "h")]  # hub in-edges
+        + [("h", f"l{i}") for i in range(5)]  # hub out-edges (deg 7 > 3)
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = motif_census(df, max_mid_deg=3).collect()[0]
+    assert (r.n_edges_asym, r.n_wedges, r.n_ffl, r.n_cycle) == (13, 4, 1, 1)
+    assert r.closure_ppm == 500_000
+
+
+def test_precedence_edges_order_and_contest(spark):
+    """First-mention order within a conversation yields precedence
+    edges (first turn = min over subject AND object roles); a second
+    conversation reversing two entities creates the reciprocal pair;
+    the per-conv entity cap excludes monster conversations
+    entirely."""
+    from information_extraction_spark.operators.graph import (
+        precedence_edges,
+    )
+
+    rows = [
+        # conv1 first mentions: A and A2 at turn 0, B at 1, C at 2
+        ("c1", 0, "A", "p", "A2"),
+        ("c1", 1, "B", "p", "A2"),
+        ("c1", 2, "C", "p", "A2"),
+        # conv2 first mentions: B and B2 at 0, A at 1 -> B before A,
+        # the reciprocal of conv1's A before B
+        ("c2", 0, "B", "p", "B2"),
+        ("c2", 1, "A", "p", "B2"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, subject string,"
+        " predicate string, object string"
+    )
+    e = {(r.src, r.dst) for r in precedence_edges(t).collect()}
+    assert ("A", "B") in e and ("B", "A") in e  # contested order
+    assert ("A", "C") in e and ("B", "C") in e
+    assert ("A2", "B") in e and ("A", "A2") not in e  # tie at turn 0
+    assert ("B2", "A") in e and ("B", "B2") not in e
+
+    # cap 3: conv1 (4 entities: A, A2, B, C) is excluded wholesale;
+    # conv2 (3 entities: B, B2, A) survives.
+    capped = {
+        (r.src, r.dst)
+        for r in precedence_edges(t, max_conv_entities=3).collect()
+    }
+    assert capped == {("B", "A"), ("B2", "A")}
