@@ -38,6 +38,14 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Interpolated Kneser-Ney bigram smoothing: continuation counts,
+    # d=3/4 cleared to exact-BIGINT ppm, one floor-div per term;
+    # bounded top-40 TakeOrdered output.
+    "ta_kn_smoothing",
+    # VAD segmentation over the audio energy windows: per-media mean
+    # gate as a cross-multiplication + gaps-and-islands rollup, all
+    # keyed on media_id; oracle nests the generator-formula energies.
+    "mm_vad_segments",
     # Synchronous Louvain move phase from singletons: exact-BIGINT
     # scaled gains 2m·w_ij − deg_i·deg_j, strict-positivity move,
     # smallest-neighbor ties; oracle decorrelates the struct-argmax.

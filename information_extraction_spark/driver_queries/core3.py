@@ -2357,3 +2357,102 @@ def p20_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", F.array_sort(F.collect_list(F.struct("k", "piece")))
                     .getField("piece")).alias("seg"),
     )
+
+
+# --- MM-VAD: voice-activity segments over the energy windows -----------------------
+#
+# The composition a speech-curation pipeline actually ships: the
+# per-window energies (mm_audio_energy's value-checked feature) gate
+# at each media's own mean (relative gate — absolute thresholds
+# break across recordings with different gain; strict >, restated as
+# the cross-multiplication energy·n_windows > sum_energy so nothing
+# divides) and consecutive active windows compress into segments via
+# gaps-and-islands (operators/multimodal.vad_segments). The oracle
+# nests mm_audio_energy's constructed-expectation energy CTE — every
+# PCM sample recomputed from the make_wav generator formula — then
+# restates gate + islands + rollup in SQL.
+
+_MM_VAD_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         50 + doc_id % 101 AS n_frames,
+         1 + (doc_id // 5) % 2 AS channels
+  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1
+), j AS (
+  SELECT media_id, channels,
+         unnest(range(0, n_frames * channels)) AS s
+  FROM m
+), v AS (
+  SELECT media_id,
+         CAST(s // (25 * channels) AS BIGINT) AS window_idx,
+         ((media_id * 17 + (2 * s) * 13) % 256)
+           + 256 * ((media_id * 17 + (2 * s + 1) * 13) % 256) AS raw
+  FROM j
+), e AS (
+  SELECT media_id, window_idx,
+         CAST(sum(CASE WHEN raw >= 32768
+                  THEN (raw - 65536) * (raw - 65536)
+                  ELSE raw * raw END) AS BIGINT) AS energy
+  FROM v GROUP BY 1, 2
+), tot AS (
+  SELECT media_id, CAST(sum(energy) AS BIGINT) AS sum_e,
+         CAST(count(*) AS BIGINT) AS n_w
+  FROM e GROUP BY 1
+), act AS (
+  SELECT e.media_id, e.window_idx, e.energy,
+         e.window_idx - row_number() OVER (
+           PARTITION BY e.media_id ORDER BY e.window_idx) AS grp
+  FROM e JOIN tot USING (media_id)
+  WHERE e.energy * tot.n_w > tot.sum_e
+)
+SELECT media_id,
+       CAST(min(window_idx) AS BIGINT) AS seg_start,
+       CAST(max(window_idx) AS BIGINT) AS seg_end,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(energy) AS BIGINT) AS seg_energy
+FROM act GROUP BY media_id, grp
+"""
+
+
+@_q("mm_vad_segments", _MM_VAD_ORACLE)
+def mm_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from information_extraction_spark.operators.multimodal import (
+        MEDIA,
+        audio_energy_windows,
+        make_wav,
+        vad_segments,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 1))
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "audio",
+                        "payload": bytearray(
+                            make_wav(
+                                50 + mid % 101,
+                                sample_rate=8000 + (mid % 8) * 1000,
+                                channels=1 + (mid // 5) % 2,
+                                seed=mid,
+                            )
+                        ),
+                        "mime": None,
+                        "source": "synthetic",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA.fields])
+
+    media = ids.mapInPandas(build, schema=MEDIA)
+    return vad_segments(audio_energy_windows(media, window_frames=25))

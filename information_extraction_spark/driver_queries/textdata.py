@@ -6639,3 +6639,99 @@ def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_cos4").alias("cos4"),
         (F.col("n_better") + 1).cast("long").alias("true_rank"),
     )
+
+
+# --- TA-KN: interpolated Kneser-Ney bigram smoothing -------------------------------
+#
+# The smoothing family ta_bigram_lm's add-one does not cover — and
+# the one modern LM evaluation actually uses. Kneser-Ney's insight
+# is the CONTINUATION count: a word's unigram backoff weight is how
+# many distinct contexts it follows (N1+(•w)), not how often it
+# occurs ("Francisco" is frequent but only ever follows "San", so it
+# gets almost no backoff mass). With discount d = 3/4:
+#
+#   P_KN(w2|w1) = max(c12 − d, 0)/c1
+#               + d·N1+(w1•)/c1 · N1+(•w2)/N_types
+#
+# restated in exact BIGINT ppm with d = 3/4 cleared through both
+# terms: (max(4·c12 − 3, 0)·10⁶) div (4·c1)
+#      + (3·N1+(w1•)·N1+(•w2)·10⁶) div (4·c1·N_types)
+# — one floor division per term, identical in both engines. Scale
+# shape: one shuffle to the bigram-type table, then c1 and N1+(w1•)
+# in the SAME prev-keyed aggregate, the continuation count one
+# cur-keyed aggregate, N_types a broadcast scalar; output = the
+# top-40 bigrams by (count DESC, prev, cur) — a bounded TakeOrdered.
+
+_KN_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), bgp AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t
+), bg AS (
+  SELECT ws[i] AS prev, ws[i + 1] AS cur FROM bgp
+), c2 AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT prev, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1p_fwd
+  FROM c2 GROUP BY 1
+), cont AS (
+  SELECT cur, CAST(count(*) AS BIGINT) AS n1p_bwd FROM c2 GROUP BY 1
+), nt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_types FROM c2
+)
+SELECT c2.prev, c2.cur, c2.c12, c1.c1, c1.n1p_fwd, cont.n1p_bwd,
+       CAST(greatest(4 * c2.c12 - 3, 0) * 1000000 // (4 * c1.c1)
+            + 3 * c1.n1p_fwd * cont.n1p_bwd * 1000000
+              // (4 * c1.c1 * nt.n_types) AS BIGINT) AS p_kn_ppm
+FROM c2 JOIN c1 USING (prev) JOIN cont USING (cur) CROSS JOIN nt
+ORDER BY c2.c12 DESC, c2.prev, c2.cur
+LIMIT 40
+"""
+
+
+@_q("ta_kn_smoothing", _KN_ORACLE)
+def ta_kn_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", F.split("text", " ").alias("ws"))
+    pairs = F.when(
+        F.size("ws") >= 2,
+        F.expr(
+            "transform(sequence(0, size(ws) - 2),"
+            " i -> struct(ws[i] AS prev, ws[i + 1] AS cur))"
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bg = t.select(F.explode(pairs).alias("p")).select(
+        F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    c2 = bg.groupBy("prev", "cur").agg(
+        F.count("*").cast("long").alias("c12")
+    )
+    c1 = c2.groupBy("prev").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1p_fwd"),
+    )
+    cont = c2.groupBy("cur").agg(
+        F.count("*").cast("long").alias("n1p_bwd")
+    )
+    nt = c2.agg(F.count("*").cast("long").alias("n_types"))
+    return (
+        c2.join(c1, "prev")
+        .join(cont, "cur")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "prev",
+            "cur",
+            "c12",
+            "c1",
+            "n1p_fwd",
+            "n1p_bwd",
+            F.expr(
+                "CAST(greatest(4 * c12 - 3, 0) * 1000000 div (4 * c1)"
+                " + 3 * n1p_fwd * n1p_bwd * 1000000"
+                "   div (4 * c1 * n_types) AS BIGINT)"
+            ).alias("p_kn_ppm"),
+        )
+        .orderBy(F.col("c12").desc(), "prev", "cur")
+        .limit(40)
+    )

@@ -609,3 +609,45 @@ def resize_nearest(media: DataFrame, out: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=RESIZED)
+
+
+def vad_segments(energy: DataFrame) -> DataFrame:
+    """Voice-activity segmentation over ``audio_energy_windows``
+    output — the step between the energy feature and a transcription
+    queue: windows strictly above their OWN media's mean energy are
+    active (the relative gate: absolute thresholds break across
+    recordings with different gain), and consecutive active windows
+    compress into segments via gaps-and-islands (w13's discipline:
+    group key = window_idx − row_number over the per-media order).
+
+    Exact-integer active rule: energy·n_windows > sum_energy — the
+    cross-multiplied form of energy > mean, no division anywhere.
+    Scale shape: the mean join, the islands window and the segment
+    rollup are all keyed/partitioned on media_id — one exchange
+    satisfies every stage; no global windows, no driver state.
+    Returns (media_id, seg_start, seg_end, n_windows, seg_energy).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tot = energy.groupBy("media_id").agg(
+        F.sum("energy").alias("sum_e"),
+        F.count("*").alias("n_w"),
+    )
+    act = energy.join(tot, "media_id").filter(
+        F.col("energy") * F.col("n_w") > F.col("sum_e")
+    )
+    w = Window.partitionBy("media_id").orderBy("window_idx")
+    return (
+        act.withColumn(
+            "grp", F.col("window_idx") - F.row_number().over(w)
+        )
+        .groupBy("media_id", "grp")
+        .agg(
+            F.min("window_idx").cast("long").alias("seg_start"),
+            F.max("window_idx").cast("long").alias("seg_end"),
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum("energy").cast("long").alias("seg_energy"),
+        )
+        .drop("grp")
+    )

@@ -793,3 +793,34 @@ def test_nb_classify_smoothing_oov_and_prior_only(spark, tmp_path):
     assert got[3]["pred_lang"] == "en"
     assert got[3]["score_u"] == prior
     assert got[3]["correct"] == 0
+
+
+def test_kn_smoothing_hand_corpus(spark, tmp_path):
+    """Corpus 'a b a b a c': hand-computed interpolated KN with
+    d = 3/4 — P(b|a) = 1.25/3 + (0.75*2/3)*(1/3), each term floored
+    once in ppm; continuation counts distinguish b (follows only a)
+    from a (follows only b)."""
+    import os
+
+    from information_extraction_spark.driver_queries.textdata import (
+        ta_kn_smoothing,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a c", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {
+        (r.prev, r.cur): (
+            r.c12, r.c1, r.n1p_fwd, r.n1p_bwd, r.p_kn_ppm
+        )
+        for r in ta_kn_smoothing(spark, str(tmp_path)).collect()
+    }
+    # bigrams: (a,b) x2, (b,a) x2, (a,c) x1; n_types = 3
+    assert got[("a", "b")] == (2, 3, 2, 1, 416666 + 166666)
+    assert got[("b", "a")] == (2, 2, 1, 1, 625000 + 125000)
+    assert got[("a", "c")] == (1, 3, 2, 1, 83333 + 166666)

@@ -454,3 +454,32 @@ def test_resize_nearest_downsample_and_upsample(spark):
     assert got[(0, 0)] == got[(1, 0)]
     # downsample stride: distinct source columns 0,2,4,6
     assert len({got[(0, ox)] for ox in range(4)}) >= 2
+
+
+def test_vad_segments_islands_and_strict_gate(spark):
+    """Hand-built energy windows: media 1 has mean 25 over
+    [10, 40, 40, 10, 60]; actives are idx 1,2 (run) and 4 (singleton)
+    -> two segments; a window EXACTLY at the mean (media 2, all
+    equal) is inactive under the strict gate -> no segments."""
+    from information_extraction_spark.operators.multimodal import (
+        vad_segments,
+    )
+
+    rows = [
+        (1, 0, 25, 10),
+        (1, 1, 25, 40),
+        (1, 2, 25, 40),
+        (1, 3, 25, 10),
+        (1, 4, 25, 60),
+        # media 2: all windows equal -> energy * n == sum, never >
+        (2, 0, 25, 7),
+        (2, 1, 25, 7),
+    ]
+    e = spark.createDataFrame(
+        rows, "media_id long, window_idx long, n_samples long, energy long"
+    )
+    got = sorted(
+        (r.media_id, r.seg_start, r.seg_end, r.n_windows, r.seg_energy)
+        for r in vad_segments(e).collect()
+    )
+    assert got == [(1, 1, 2, 2, 80), (1, 4, 4, 1, 60)]
