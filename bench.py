@@ -296,6 +296,14 @@ def main() -> int:
         "ann_graph_search",
         "w31_ivm_retract",
         "dd_cdc_chunks",
+        "q26_profit_by_nation_year",
+        "kg_louvain_move",
+        "kg_motif_census",
+        "a25_ks_drift",
+        "a26_chi2_independence",
+        "a27_spearman",
+        "ta_kn_smoothing",
+        "mm_vad_segments",
     ]
     if args.skip_queries:
         bench_queries = []

@@ -602,6 +602,35 @@ PLAN_QUERIES = [
         "keyed self-join — assertion volume never reaches the pair "
         "stage; fan-out bounded by slot version count squared",
     ),
+    (
+        "q26_profit_by_nation_year",
+        "TPC-H Q9 shape: widget part filter and supplier→nation dim "
+        "both BROADCAST and prune lineitem BEFORE the single "
+        "orderkey shuffle; per-line profit cents computed in-row",
+    ),
+    (
+        "kg_motif_census",
+        "precedence triad census: first-mention rollup one shuffle "
+        "on (conv, entity); capped per-conv pair self-join; wedge "
+        "join keyed on the capped middle node; FFL/cycle closures "
+        "as LEFT equi-join flags on the endpoint pair folded into "
+        "ONE aggregate — single job, no cross product except the "
+        "intentional 1-row edge-count broadcast",
+    ),
+    (
+        "kg_louvain_move",
+        "Louvain move phase: degree joins co-keyed on the edge "
+        "endpoints, gain edge-wise narrow arithmetic, argmax ONE "
+        "map-side-combined min(struct) aggregate on the node key — "
+        "no window over the node table",
+    ),
+    (
+        "a25_ks_drift",
+        "two-sample KS: input touched by ONE map-side-combined "
+        "groupBy to the value-domain histogram; the running-CDF "
+        "window and sup aggregate run over the bounded histogram "
+        "(documented single-partition window over bounded rows)",
+    ),
 ]
 
 
