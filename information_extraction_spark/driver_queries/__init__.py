@@ -38,6 +38,11 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Streaming Misra-Gries heavy hitters: <=k counters + cumulative
+    # subtrahend as the error certificate; batch order pinned by
+    # staggered file mtimes; oracle replays the 4 merges as CTEs and
+    # audits counter <= exact <= counter + Sigma-t.
+    "st_mg_topk",
     # Interpolated Kneser-Ney bigram smoothing: continuation counts,
     # d=3/4 cleared to exact-BIGINT ppm, one floor-div per term;
     # bounded top-40 TakeOrdered output.

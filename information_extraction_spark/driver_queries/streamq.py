@@ -1038,3 +1038,160 @@ def st_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
+
+
+# --- Streaming Misra-Gries heavy hitters --------------------------------------
+#
+# The counter-based mergeable summary next to st_cms_merge's
+# hash-based one: at most k = 8 (word, cnt) counters survive however
+# much text streams past, with the cumulative subtrahend Σt riding
+# the state as its error certificate (counters only UNDERCOUNT, by
+# at most Σt). Unlike the CMS, an MG merge is batch-ORDER-sensitive,
+# so the query pins the sequence: the four doc_id%4 slices are
+# staged as single files with STAGGERED MODIFICATION TIMES and the
+# file source processes oldest-first — the oracle replays the
+# identical four merges as chained CTEs and then audits every
+# surviving counter against the exact corpus counts (both
+# inequalities: counter ≤ exact ≤ counter + Σt). On this 31-word
+# near-uniform vocabulary the pruning is maximally load-bearing —
+# t > 0 on every merge, and the bound is TIGHT (exact = counter + Σt
+# for the top word at the gate scale).
+
+_ST_MG_K = 8
+
+
+def _mg_oracle_sql(k: int = _ST_MG_K) -> str:
+    blocks = []
+    prev = None
+    for b in range(4):
+        if prev is None:
+            blocks.append(f"""
+c{b} AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok WHERE b = {b} GROUP BY 1
+)""")
+        else:
+            blocks.append(f"""
+c{b} AS (
+  SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    SELECT word, cnt FROM {prev}
+    UNION ALL
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok WHERE b = {b} GROUP BY 1)
+  GROUP BY word
+)""")
+        blocks.append(f"""
+r{b} AS (
+  SELECT word, cnt,
+         row_number() OVER (ORDER BY cnt DESC, word) AS rn
+  FROM c{b}
+), t{b} AS (
+  SELECT coalesce(max(CASE WHEN rn = {k + 1} THEN cnt END), 0) AS t
+  FROM r{b}
+), s{b} AS (
+  SELECT word, cnt - t{b}.t AS cnt
+  FROM r{b}, t{b} WHERE cnt - t{b}.t > 0
+)""")
+        prev = f"s{b}"
+    body = ",".join(blocks)
+    return f"""
+WITH tok AS (
+  SELECT doc_id % 4 AS b, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),{body},
+dt AS (
+  SELECT CAST(t0.t + t1.t + t2.t + t3.t AS BIGINT) AS d_total
+  FROM t0, t1, t2, t3
+), ex AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS exact FROM tok GROUP BY 1
+)
+SELECT s3.word, CAST(s3.cnt AS BIGINT) AS counter, ex.exact, dt.d_total,
+       CAST(CASE WHEN s3.cnt <= ex.exact THEN 1 ELSE 0 END AS BIGINT)
+         AS lower_ok,
+       CAST(CASE WHEN ex.exact <= s3.cnt + dt.d_total THEN 1 ELSE 0 END
+            AS BIGINT) AS upper_ok
+FROM s3 JOIN ex USING (word) CROSS JOIN dt
+"""
+
+
+@_q("st_mg_topk", _mg_oracle_sql())
+def st_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import time as _time
+
+    from information_extraction_spark.streaming.ingest import (
+        MG_DECREMENT_KEY,
+        latest_state,
+        start_streaming_mg_merge,
+    )
+
+    run_dir = tempfile.mkdtemp(prefix="ie_stream_mg_")
+    try:
+        src = os.path.join(run_dir, "src")
+        os.makedirs(src)
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        # Four doc_id%4 slices staged oldest-first: the file source
+        # sorts by modification time, so the merge sequence the
+        # oracle replays is pinned — MG is order-sensitive where the
+        # CMS is additive.
+        base = _time.time() - 3600
+        for b in range(4):
+            tmp = os.path.join(run_dir, f"tmp{b}")
+            d.filter(F.col("doc_id") % 4 == b).select(
+                "doc_id", "text"
+            ).coalesce(1).write.parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"b{b}.parquet")
+            shutil.copyfile(part, dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_streaming_mg_merge(
+            spark,
+            stream,
+            os.path.join(run_dir, "state"),
+            os.path.join(run_dir, "ckpt"),
+            k=_ST_MG_K,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        state = latest_state(spark, os.path.join(run_dir, "state"))
+        rows = state.collect()
+        state = spark.createDataFrame(rows, state.schema)
+        d_total = state.filter(
+            F.col("word") == MG_DECREMENT_KEY
+        ).select(F.col("cnt").alias("d_total"))
+        counters = state.filter(F.col("word") != MG_DECREMENT_KEY)
+        exact = (
+            d.select(F.explode(F.split("text", " ")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").cast("long").alias("exact"))
+        )
+        return (
+            counters.join(exact, "word")
+            .crossJoin(F.broadcast(d_total))
+            .select(
+                "word",
+                F.col("cnt").alias("counter"),
+                "exact",
+                "d_total",
+                F.when(F.col("cnt") <= F.col("exact"), 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("lower_ok"),
+                F.when(
+                    F.col("exact") <= F.col("cnt") + F.col("d_total"), 1
+                )
+                .otherwise(0)
+                .cast("long")
+                .alias("upper_ok"),
+            )
+        )
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

@@ -521,3 +521,104 @@ def read_cdc_state(spark: SparkSession, state_dir: str) -> DataFrame:
         F.col("value").alias("current_value"),
         F.col("sec").alias("updated_sec"),
     )
+
+
+MG_DECREMENT_KEY = " decrement "  # contains spaces — whitespace-split
+# tokens can never collide with it, so the cumulative-decrement
+# accumulator can ride inside the counter table itself and share the
+# exactly-once versioned-commit machinery unchanged.
+
+
+def merge_mg_batch(
+    spark: SparkSession,
+    batch_counts: DataFrame,
+    state_dir: str,
+    epoch_id: int,
+    k: int = 8,
+) -> None:
+    """One epoch's Misra-Gries merge — the counter-based heavy-hitter
+    summary next to the hash-based CMS (st_cms_merge): state is AT
+    MOST k (word, cnt) counters plus the decrement accumulator, and
+    one merge step is: sum the committed counters with the batch's
+    exact word counts, find t = the (k+1)-th largest combined count
+    (0 when ≤ k survive), subtract t from every counter, drop the
+    non-positive. The subtrahend t is a VALUE picked at an ordered
+    rank, so boundary ties cannot make it ambiguous — the merge is
+    deterministic, which the CMS's additivity gets for free and MG
+    has to earn.
+
+    The accumulated Σt rides as the reserved ``MG_DECREMENT_KEY`` row
+    and is the summary's error certificate: counters only ever
+    UNDERCOUNT, by at most Σt — st_mg_topk's audit checks both
+    inequalities against the exact counts. Scale shape: the merge
+    input is (≤ k+1 state rows) ∪ (batch vocabulary counts) — one
+    map-side-combined word aggregate; the rank runs over that
+    bounded table; the state written back is ≤ k+1 rows however much
+    text has streamed past."""
+    from pyspark.sql import Window
+
+    def merge(merged_in: DataFrame) -> DataFrame:
+        summed = merged_in.groupBy("word").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
+        d_prev = summed.filter(F.col("word") == MG_DECREMENT_KEY)
+        counters = summed.filter(F.col("word") != MG_DECREMENT_KEY)
+        w = Window.orderBy(F.col("cnt").desc(), "word")
+        ranked = counters.withColumn("rn", F.row_number().over(w))
+        t_row = (
+            ranked.filter(F.col("rn") == k + 1)
+            .select(F.col("cnt").alias("t"))
+        )
+        t = (
+            spark.createDataFrame([(0,)], "t long")
+            .unionByName(t_row)
+            .agg(F.max("t").alias("t"))
+        )
+        kept = (
+            ranked.crossJoin(F.broadcast(t))
+            .filter(F.col("cnt") - F.col("t") > 0)
+            .select("word", (F.col("cnt") - F.col("t")).alias("cnt"))
+        )
+        d_new = (
+            d_prev.select("cnt")
+            .unionByName(t.select(F.col("t").alias("cnt")))
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .select(F.lit(MG_DECREMENT_KEY).alias("word"), "cnt")
+        )
+        return kept.unionByName(d_new)
+
+    merge_versioned_batch(spark, batch_counts, state_dir, epoch_id, merge)
+
+
+def start_streaming_mg_merge(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    state_dir: str,
+    checkpoint_path: str,
+    k: int = 8,
+):
+    """foreachBatch streaming Misra-Gries maintenance: each
+    micro-batch contributes its exact word counts, and the versioned
+    state merge keeps at most ``k`` counters (merge_mg_batch). After
+    the stream drains, the state must equal the sequential MG replay
+    over the same batch sequence — st_mg_topk value-checks exactly
+    that, with the batch sequence pinned by file modification times
+    (the file source processes oldest-first)."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        counts = (
+            batch_df.select(
+                F.explode(F.split(F.col("text"), " ")).alias("word")
+            )
+            .groupBy("word")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        merge_mg_batch(spark, counts, state_dir, epoch_id, k=k)
+
+    return (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )

@@ -522,3 +522,42 @@ def test_cdc_upsert_tombstone_survives_and_resurrects(spark, tmp_path):
     assert set(rows) == {1, 2}
     assert rows[1]["current_type"] == "signup"
     assert rows[1]["updated_sec"] == 300
+
+
+def test_mg_merge_prune_decrement_and_replay(spark, tmp_path):
+    """Hand-driven Misra-Gries epochs at k = 2: epoch 0 prunes with
+    t = the 3rd-largest count (value picked at an ordered rank, so
+    the boundary tie between 'b' and 'c' cannot change it); epoch 1
+    re-sums with the surviving counters and prunes again; the
+    decrement accumulator carries Sigma-t; a replayed epoch is a
+    no-op; and state never exceeds k counters + the reserved row."""
+    import os
+
+    from information_extraction_spark.streaming.ingest import (
+        MG_DECREMENT_KEY,
+        latest_state,
+        merge_mg_batch,
+    )
+
+    state = os.path.join(str(tmp_path), "state")
+    # epoch 0: a=5, b=3, c=3 -> ranked a,b,c; t = cnt at rank 3 = 3
+    # (the b/c tie sits at the boundary; the VALUE is 3 either way).
+    # survivors: a=2 (b and c both drop); D = 3.
+    b0 = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 3)], "word string, cnt long"
+    )
+    merge_mg_batch(spark, b0, state, epoch_id=0, k=2)
+    got0 = {r["word"]: r["cnt"] for r in latest_state(spark, state).collect()}
+    assert got0 == {"a": 2, MG_DECREMENT_KEY: 3}
+
+    # epoch 1: batch c=4, d=1 -> combined a=2, c=4, d=1; t = 1;
+    # survivors a=1, c=3; D = 3 + 1 = 4.
+    b1 = spark.createDataFrame(
+        [("c", 4), ("d", 1)], "word string, cnt long"
+    )
+    merge_mg_batch(spark, b1, state, epoch_id=1, k=2)
+    # replayed epoch must not re-merge
+    merge_mg_batch(spark, b1, state, epoch_id=1, k=2)
+    got1 = {r["word"]: r["cnt"] for r in latest_state(spark, state).collect()}
+    assert got1 == {"a": 1, "c": 3, MG_DECREMENT_KEY: 4}
+    assert len(got1) <= 2 + 1
