@@ -281,6 +281,76 @@ def main() -> int:
     )
     batch_cms.unpersist()
     cms_stream_state.unpersist()
+    # --- Streaming Misra-Gries heavy-hitter leg ----------------------
+    # Counter-based summary (<= k counters + decrement accumulator);
+    # batch ORDER matters, so the four doc_id%4 slices stage with
+    # staggered mtimes (oldest-first pickup). Exit gated on full
+    # equality vs an independent pure-Python sequential MG replay
+    # over the same batch sequence.
+    import glob as _glob
+
+    from information_extraction_spark.streaming.ingest import (
+        MG_DECREMENT_KEY,
+        start_streaming_mg_merge,
+    )
+
+    mg_k = 8
+    mg_src = os.path.join(base, "src_mg")
+    os.makedirs(mg_src)
+    mg_base_t = time.time() - 3600
+    batch_counts_py = []
+    for b in range(4):
+        tmp = os.path.join(base, f"mg_tmp{b}")
+        sl = docs.filter(F.col("doc_id") % 4 == b).select("doc_id", "text")
+        sl.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(mg_src, f"b{b}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (mg_base_t + 60 * b, mg_base_t + 60 * b))
+        batch_counts_py.append(
+            {
+                r["word"]: r["c"]
+                for r in sl.select(
+                    F.explode(F.split("text", " ")).alias("word")
+                )
+                .groupBy("word")
+                .agg(F.count("*").alias("c"))
+                .collect()
+            }
+        )
+    mg_state_dir = os.path.join(base, "state_mg")
+    mg_stream = (
+        spark.readStream.schema(spark.read.parquet(mg_src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(mg_src)
+    )
+    t0 = time.time()
+    q5 = start_streaming_mg_merge(
+        spark, mg_stream, mg_state_dir, os.path.join(base, "ckpt_mg"), k=mg_k
+    )
+    try:
+        q5.processAllAvailable()
+        mg_sec = time.time() - t0
+    finally:
+        q5.stop()
+    mg_got = {
+        r["word"]: r["cnt"]
+        for r in latest_state(spark, mg_state_dir).collect()
+    }
+    mg_want: dict = {}
+    mg_d = 0
+    for bc in batch_counts_py:
+        comb = dict(mg_want)
+        for w, c in bc.items():
+            comb[w] = comb.get(w, 0) + c
+        vals = sorted(comb.values(), reverse=True)
+        t = vals[mg_k] if len(vals) > mg_k else 0
+        mg_d += t
+        mg_want = {w: c - t for w, c in comb.items() if c - t > 0}
+    mg_want[MG_DECREMENT_KEY] = mg_d
+    mg_parity = mg_got == mg_want
+    n_mg_counters = len(mg_got) - 1
+
     n_pairs = len(streamed_pairs)
 
     md = f"""# Streaming ingest throughput — tools/stream_bench.py
@@ -359,6 +429,21 @@ how much text has streamed past.
 | docs/sec | {n_docs / cms_sec:.0f} |
 | occupied (seed, bucket) counters | {n_cms_rows} |
 | state equals the batch CMS (full row equality) | {cms_parity} |
+
+## Streaming Misra-Gries heavy hitters (counter summary)
+
+The documents table staged as 4 doc_id%4 slices with staggered
+mtimes (MG merges are order-sensitive; the file source processes
+oldest-first); state is at most k={mg_k} counters + the cumulative
+decrement however much text streams past
+(streaming/ingest.merge_mg_batch).
+
+| metric | value |
+|---|---|
+| end-to-end drain | {mg_sec:.2f}s |
+| docs/sec | {n_docs / mg_sec:.0f} |
+| surviving counters | {n_mg_counters} |
+| state equals the sequential pure-Python MG replay | {mg_parity} |
 """
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
@@ -373,6 +458,7 @@ how much text has streamed past.
             and support_parity
             and join_parity
             and cms_parity
+            and mg_parity
         )
         else 1
     )
