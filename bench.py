@@ -304,6 +304,7 @@ def main() -> int:
         "a27_spearman",
         "ta_kn_smoothing",
         "mm_vad_segments",
+        "kg_louvain_levels",
     ]
     if args.skip_queries:
         bench_queries = []

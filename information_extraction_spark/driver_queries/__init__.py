@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Two-level Louvain: pointer-graph CC communities, aggregated
+    # graph, level-2 argmax where strict positivity finally binds
+    # (3 of 5 supernodes move, 2 stay on negative gains).
+    "kg_louvain_levels",
     # Streaming Misra-Gries heavy hitters: <=k counters + cumulative
     # subtrahend as the error certificate; batch order pinned by
     # staggered file mtimes; oracle replays the 4 merges as CTEs and

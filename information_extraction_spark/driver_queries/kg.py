@@ -5742,3 +5742,122 @@ def kg_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return motif_census(
         precedence_edges(triples, max_conv_entities=64), max_mid_deg=256
     )
+
+
+# --- KG-LOUVAIN-2: full two-level Louvain pass ---------------------------------
+#
+# The level the round-1 theorem hides: on the AGGREGATED community
+# graph the strict-positivity guard finally binds (3 of 5 supernodes
+# move, 2 stay on negative gains at the gate scale). Level-1
+# communities = connected components of the move-phase pointer
+# graph; the oracle nests the full move-phase chain, closes the
+# pointers with a recursive min-label CTE (the
+# linking.connected_components contract), aggregates, and replays
+# the level-2 argmax. See operators/graph.louvain_levels.
+
+
+def _louvain_levels_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+  WHERE subject <> object
+), canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+), mm AS (
+  SELECT CAST(count(*) AS BIGINT) AS m FROM canon
+), u AS (
+  SELECT a AS src, b AS dst FROM canon
+  UNION ALL SELECT b, a FROM canon
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM u GROUP BY 1
+), cand AS (
+  SELECT u.src AS i, u.dst AS j,
+         CAST(2 * mm.m - di.d * dj.d AS BIGINT) AS gain
+  FROM u CROSS JOIN mm
+  JOIN deg di ON di.src = u.src
+  JOIN deg dj ON dj.src = u.dst
+), best AS (
+  SELECT i, max(gain) AS best_gain FROM cand GROUP BY 1
+), pick AS (
+  SELECT c.i, b.best_gain, min(c.j) AS j
+  FROM cand c JOIN best b ON c.i = b.i AND c.gain = b.best_gain
+  GROUP BY c.i, b.best_gain
+), pe AS (
+  SELECT i AS pa, CASE WHEN best_gain > 0 THEN j ELSE i END AS pb
+  FROM pick
+  WHERE i <> CASE WHEN best_gain > 0 THEN j ELSE i END
+), und AS (
+  SELECT pa, pb FROM pe UNION SELECT pb, pa FROM pe
+), nodes AS (
+  SELECT DISTINCT src AS n FROM u
+), reach(n, l) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT u2.pb, r.l FROM reach r JOIN und u2 ON u2.pa = r.n
+), lab AS (
+  SELECT n AS entity, min(l) AS community FROM reach GROUP BY 1
+), ag AS (
+  SELECT la.community AS ca, lb.community AS cb
+  FROM canon
+  JOIN lab la ON canon.a = la.entity
+  JOIN lab lb ON canon.b = lb.entity
+), inter AS (
+  SELECT least(ca, cb) AS c, greatest(ca, cb) AS d,
+         CAST(count(*) AS BIGINT) AS w
+  FROM ag WHERE ca <> cb GROUP BY 1, 2
+), intra AS (
+  SELECT ca AS c, CAST(count(*) AS BIGINT) AS iw
+  FROM ag WHERE ca = cb GROUP BY 1
+), undw AS (
+  SELECT c, d, w FROM inter
+  UNION ALL SELECT d, c, w FROM inter
+), extdeg AS (
+  SELECT c, CAST(sum(w) AS BIGINT) AS ext FROM undw GROUP BY 1
+), members AS (
+  SELECT community AS c, CAST(count(*) AS BIGINT) AS n_members
+  FROM lab GROUP BY 1
+), sig AS (
+  SELECT m2.c, m2.n_members,
+         CAST(coalesce(e2.ext, 0) + 2 * coalesce(i2.iw, 0) AS BIGINT)
+           AS sigma,
+         CAST(coalesce(i2.iw, 0) AS BIGINT) AS intra_edges
+  FROM members m2
+  LEFT JOIN extdeg e2 USING (c)
+  LEFT JOIN intra i2 USING (c)
+), g2 AS (
+  SELECT undw.c, undw.d,
+         CAST(2 * mm.m * undw.w - sc.sigma * sd.sigma AS BIGINT) AS gain
+  FROM undw CROSS JOIN mm
+  JOIN sig sc ON sc.c = undw.c
+  JOIN sig sd ON sd.c = undw.d
+), b2 AS (
+  SELECT c, max(gain) AS best_gain FROM g2 GROUP BY 1
+), p2 AS (
+  SELECT g2.c, b2.best_gain, min(g2.d) AS d
+  FROM g2 JOIN b2 ON g2.c = b2.c AND g2.gain = b2.best_gain
+  GROUP BY g2.c, b2.best_gain
+)
+SELECT s.c AS community, s.n_members, s.sigma, s.intra_edges,
+       CASE WHEN coalesce(p2.best_gain, 0) > 0 THEN p2.d ELSE s.c END
+         AS target,
+       CAST(coalesce(p2.best_gain, 0) AS BIGINT) AS best_gain,
+       CAST(CASE WHEN coalesce(p2.best_gain, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS moved
+FROM sig s LEFT JOIN p2 ON p2.c = s.c
+"""
+
+
+@_q("kg_louvain_levels", _louvain_levels_oracle_sql("/root/testdata/sf0.01"))
+def kg_louvain_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level Louvain: move phase → pointer-graph CC → aggregated
+    graph → level-2 move decision where the positivity guard binds
+    (operators/graph.louvain_levels)."""
+    from information_extraction_spark.operators.graph import (
+        louvain_levels,
+        triple_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_louvain_levels"] = _louvain_levels_oracle_sql(sf_dir)
+    return louvain_levels(triple_edges(triples))

@@ -1535,3 +1535,39 @@ def test_precedence_edges_order_and_contest(spark):
         for r in precedence_edges(t, max_conv_entities=3).collect()
     }
     assert capped == {("B", "A"), ("B2", "A")}
+
+
+def test_louvain_levels_stay_and_single_community(spark):
+    """Two triangles joined by one bridge: round-1 pointers close
+    into the two triangles; on the aggregated graph the merge gain
+    is 2m·1 − 7·7 = −35 < 0 — both supernodes STAY (the positivity
+    guard binding, which round 1 provably cannot show). A 3-path
+    collapses to ONE community: no inter edges, target = self,
+    best_gain = 0."""
+    from information_extraction_spark.operators.graph import louvain_levels
+
+    tri2 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("x", "y"), ("y", "z"), ("x", "z"),
+         ("a", "x")],
+        "src string, dst string",
+    )
+    got = {
+        r.community: (r.n_members, r.sigma, r.intra_edges, r.target,
+                      r.best_gain, r.moved)
+        for r in louvain_levels(tri2).collect()
+    }
+    assert got == {
+        "a": (3, 7, 3, "a", -35, 0),
+        "x": (3, 7, 3, "x", -35, 0),
+    }
+
+    path3 = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got2 = [
+        (r.community, r.n_members, r.sigma, r.intra_edges, r.target,
+         r.best_gain, r.moved)
+        for r in louvain_levels(path3).collect()
+    ]
+    assert got2 == [("a", 3, 4, 2, "a", 0, 0)]
