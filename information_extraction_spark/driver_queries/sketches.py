@@ -1266,7 +1266,7 @@ _A27_ORACLE = """
 WITH m AS (
   SELECT doc_id, n_chars AS x,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS y
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), rx AS (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY x, doc_id) AS r FROM m
 ), ry AS (
@@ -1287,7 +1287,11 @@ FROM d
 def a27_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = _t(spark, sf_dir, "documents")
+    # The table contract allows NULL text; a NULL y would sort FIRST
+    # in the offset window but LAST in the oracle's ROW_NUMBER (DuckDB
+    # nulls_last) and then drop at the equi-join — rank every non-null
+    # doc over the same filtered universe in both engines instead.
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     m = d.select(
         "doc_id",
         F.col("n_chars").alias("x"),

@@ -1116,34 +1116,21 @@ FROM s3 JOIN ex USING (word) CROSS JOIN dt
 
 @_q("st_mg_topk", _mg_oracle_sql())
 def st_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob as _glob
-    import time as _time
-
     from information_extraction_spark.streaming.ingest import (
         MG_DECREMENT_KEY,
         latest_state,
+        stage_ordered_slices,
         start_streaming_mg_merge,
     )
 
     run_dir = tempfile.mkdtemp(prefix="ie_stream_mg_")
     try:
         src = os.path.join(run_dir, "src")
-        os.makedirs(src)
         d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        # Four doc_id%4 slices staged oldest-first: the file source
-        # sorts by modification time, so the merge sequence the
-        # oracle replays is pinned — MG is order-sensitive where the
-        # CMS is additive.
-        base = _time.time() - 3600
-        for b in range(4):
-            tmp = os.path.join(run_dir, f"tmp{b}")
-            d.filter(F.col("doc_id") % 4 == b).select(
-                "doc_id", "text"
-            ).coalesce(1).write.parquet(tmp)
-            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"b{b}.parquet")
-            shutil.copyfile(part, dst)
-            os.utime(dst, (base + 60 * b, base + 60 * b))
+        # Four doc_id%4 slices staged oldest-first (shared helper —
+        # the merge sequence the oracle replays is pinned; MG is
+        # order-sensitive where the CMS is additive).
+        stage_ordered_slices(d.select("doc_id", "text"), src, n_slices=4)
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)

@@ -565,14 +565,16 @@ def merge_mg_batch(
         counters = summed.filter(F.col("word") != MG_DECREMENT_KEY)
         w = Window.orderBy(F.col("cnt").desc(), "word")
         ranked = counters.withColumn("rn", F.row_number().over(w))
-        t_row = (
-            ranked.filter(F.col("rn") == k + 1)
-            .select(F.col("cnt").alias("t"))
-        )
-        t = (
-            spark.createDataFrame([(0,)], "t long")
-            .unionByName(t_row)
-            .agg(F.max("t").alias("t"))
+        # The oracle's exact shape: coalesce(max(CASE WHEN rn = k+1
+        # THEN cnt END), 0) — one aggregate, no per-epoch driver-side
+        # DataFrame on the streaming hot path.
+        t = ranked.agg(
+            F.coalesce(
+                F.max(F.when(F.col("rn") == k + 1, F.col("cnt"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("t")
         )
         kept = (
             ranked.crossJoin(F.broadcast(t))
@@ -622,3 +624,38 @@ def start_streaming_mg_merge(
         .option("checkpointLocation", checkpoint_path)
         .start()
     )
+
+
+def stage_ordered_slices(
+    df: DataFrame,
+    src_dir: str,
+    n_slices: int = 4,
+    key_col: str = "doc_id",
+) -> None:
+    """Stage ``df`` as ``n_slices`` single-file parquet slices
+    (``key_col % n_slices``) with STAGGERED MODIFICATION TIMES so a
+    file-source stream (maxFilesPerTrigger=1, oldest-first pickup)
+    processes them in slice order — the batch-sequence pin every
+    ORDER-SENSITIVE state merge needs (Misra-Gries; the additive CMS
+    doesn't care). Single implementation shared by the st_mg_topk
+    catalog query and tools/stream_bench.py so the pinned-order
+    discipline cannot silently diverge between the gate and the
+    bench."""
+    import glob as _glob
+    import os
+    import shutil
+    import time as _time
+
+    os.makedirs(src_dir, exist_ok=True)
+    base = _time.time() - 3600
+    parent = os.path.dirname(src_dir.rstrip("/"))
+    for b in range(n_slices):
+        tmp = os.path.join(parent, f"_slice_tmp{b}")
+        df.filter(F.col(key_col) % n_slices == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"b{b}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (base + 60 * b, base + 60 * b))
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -287,26 +287,18 @@ def main() -> int:
     # staggered mtimes (oldest-first pickup). Exit gated on full
     # equality vs an independent pure-Python sequential MG replay
     # over the same batch sequence.
-    import glob as _glob
-
     from information_extraction_spark.streaming.ingest import (
         MG_DECREMENT_KEY,
+        stage_ordered_slices,
         start_streaming_mg_merge,
     )
 
     mg_k = 8
     mg_src = os.path.join(base, "src_mg")
-    os.makedirs(mg_src)
-    mg_base_t = time.time() - 3600
+    stage_ordered_slices(docs.select("doc_id", "text"), mg_src, n_slices=4)
     batch_counts_py = []
     for b in range(4):
-        tmp = os.path.join(base, f"mg_tmp{b}")
         sl = docs.filter(F.col("doc_id") % 4 == b).select("doc_id", "text")
-        sl.coalesce(1).write.parquet(tmp)
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(mg_src, f"b{b}.parquet")
-        shutil.copyfile(part, dst)
-        os.utime(dst, (mg_base_t + 60 * b, mg_base_t + 60 * b))
         batch_counts_py.append(
             {
                 r["word"]: r["c"]
