@@ -4248,7 +4248,7 @@ WITH RECURSIVE toks AS (
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
               AS BIGINT) AS pos
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), pack AS (
   SELECT lang, doc_id, n_tokens, pos,
          n_tokens AS fill, CAST(1 AS BIGINT) AS bin_id
@@ -4286,10 +4286,19 @@ def ta_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-fit sequence packing per lang shard (see block comment);
     an oversize document (> capacity) seals the open bin and sits
     alone in its own, the successor always opens a fresh bin."""
-    toks = _docs(spark, sf_dir).select(
-        "lang",
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    # NULL text has nothing to pack (and a NULL token count crashes
+    # the fold as NaN; the oracle's recursive CASE is equally
+    # undefined on NULL) — exclude it identically on both engines.
+    toks = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "lang",
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias(
+                "n_tokens"
+            ),
+        )
     )
     return toks.groupBy("lang").applyInPandas(
         _pack_fold, "lang string, doc_id long, bin_id long, n_tokens long"

@@ -824,3 +824,33 @@ def test_kn_smoothing_hand_corpus(spark, tmp_path):
     assert got[("a", "b")] == (2, 3, 2, 1, 416666 + 166666)
     assert got[("b", "a")] == (2, 2, 1, 1, 625000 + 125000)
     assert got[("a", "c")] == (1, 3, 2, 1, 83333 + 166666)
+
+
+def test_seq_packing_skips_null_text(spark, tmp_path):
+    """The documents contract allows NULL text; packing excludes it
+    identically on both engines (a NULL token count crashed the fold
+    as NaN before — found by the full-catalog NULL-injection sweep).
+    Non-null docs pack exactly as if the NULL rows were absent."""
+    import os
+
+    from information_extraction_spark.driver_queries.textdata import (
+        ta_seq_packing,
+    )
+
+    rows = [
+        (1, "a b c", "en", "s", 5),
+        (2, None, "en", "s", 0),
+        (3, "d e", "en", "s", 3),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.bin_id, r.n_tokens)
+        for r in ta_seq_packing(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (1, 3), 3: (1, 2)}  # doc 2 absent, bin unbroken
