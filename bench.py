@@ -305,6 +305,7 @@ def main() -> int:
         "ta_kn_smoothing",
         "mm_vad_segments",
         "kg_louvain_levels",
+        "ta_seat_alloc",
     ]
     if args.skip_queries:
         bench_queries = []

@@ -38,6 +38,10 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # Hamilton largest-remainder budget apportionment across language
+    # strata: pure-BIGINT quotas, remainder ranking over the bounded
+    # stratum table, Σseats == budget certificate; R=2 at gate scale.
+    "ta_seat_alloc",
     # Two-level Louvain: pointer-graph CC communities, aggregated
     # graph, level-2 argmax where strict positivity finally binds
     # (3 of 5 supernodes move, 2 stay on negative gains).

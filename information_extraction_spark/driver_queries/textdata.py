@@ -6744,3 +6744,101 @@ def ta_kn_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c12").desc(), "prev", "cur")
         .limit(40)
     )
+
+
+# --- TA-ALLOC: largest-remainder sampling-budget apportionment ---------------------
+#
+# The EXACT-count companion to ta_weighted_sample / ta_domain_mix's
+# rate-based samplers: given an annotation / eval budget of B = 97
+# units, apportion them across the language strata proportionally to
+# stratum size with Hamilton's largest-remainder method — floor the
+# exact quotas B·N_h div N, then hand the R = B − Σfloor leftover
+# seats to the largest remainders (ties → lexicographic lang). Pure
+# BIGINT end to end (the quota never materializes as a fraction),
+# and every row carries the Σseats == B certificate the apportionment
+# must satisfy by construction — the arithmetic analogue of
+# kg_ppr_push's conservation flag. B = 97 is deliberately prime-ish:
+# floors under-allocate (R = 2 at the gate scale) so the remainder
+# ranking is load-bearing, not decorative.
+#
+# Scale shape: one map-side-combined count per stratum (bounded dim),
+# a broadcast 1-row total, and the remainder ranking is a window over
+# the bounded stratum table. Known-theory caveat documented: Hamilton
+# apportionment is monotone for a FIXED stratum set but suffers the
+# Alabama paradox under budget growth — a budget sweep must rerun the
+# whole allocation, not increment it.
+
+_SEAT_BUDGET = 97
+
+_SEAT_ALLOC_ORACLE = f"""
+WITH h AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM h
+), q AS (
+  SELECT h.lang, h.n_docs,
+         {_SEAT_BUDGET} * h.n_docs // t.n AS base,
+         {_SEAT_BUDGET} * h.n_docs % t.n AS rem
+  FROM h CROSS JOIN t
+), r AS (
+  SELECT CAST({_SEAT_BUDGET} - sum(base) AS BIGINT) AS leftover FROM q
+), ranked AS (
+  SELECT q.*, row_number() OVER (ORDER BY rem DESC, lang) AS rk
+  FROM q
+)
+SELECT ranked.lang, ranked.n_docs,
+       CAST(ranked.base AS BIGINT) AS base,
+       CAST(ranked.rem AS BIGINT) AS rem,
+       CAST(CASE WHEN ranked.rk <= r.leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS extra,
+       CAST(ranked.base
+            + CASE WHEN ranked.rk <= r.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS seats,
+       CAST({_SEAT_BUDGET} AS BIGINT) AS budget
+FROM ranked CROSS JOIN r
+"""
+
+
+@_q("ta_seat_alloc", _SEAT_ALLOC_ORACLE)
+def ta_seat_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    h = (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    t = h.agg(F.sum("n_docs").cast("long").alias("n"))
+    q = h.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"{_SEAT_BUDGET} * n_docs div n").alias("base"),
+        (F.lit(_SEAT_BUDGET) * F.col("n_docs") % F.col("n")).alias("rem"),
+    )
+    r = q.agg(
+        (F.lit(_SEAT_BUDGET) - F.sum("base")).cast("long").alias("leftover")
+    )
+    # Window over the BOUNDED stratum table (language cardinality).
+    w = Window.orderBy(F.col("rem").desc(), "lang")
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(r))
+        .select(
+            "lang",
+            "n_docs",
+            "base",
+            "rem",
+            F.when(F.col("rk") <= F.col("leftover"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("extra"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("seats"),
+            F.lit(_SEAT_BUDGET).cast("long").alias("budget"),
+        )
+    )

@@ -854,3 +854,36 @@ def test_seq_packing_skips_null_text(spark, tmp_path):
         for r in ta_seq_packing(spark, str(tmp_path)).collect()
     }
     assert got == {1: (1, 3), 3: (1, 2)}  # doc 2 absent, bin unbroken
+
+
+def test_seat_alloc_remainder_ties_and_exact_budget(spark, tmp_path):
+    """Hamilton apportionment: B=97 over strata sized 1:1:1 gives
+    base 32 each (97*1 div 3), remainders all tied at 1 -> the ONE
+    leftover seat goes to the lexicographically first lang; seats
+    always sum exactly to the budget."""
+    import os
+
+    from information_extraction_spark.driver_queries.textdata import (
+        ta_seat_alloc,
+    )
+
+    rows = []
+    for i, lang in enumerate(["de", "en", "fr"]):
+        rows.append((i, "t", lang, "s", 1))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {
+        r.lang: (r.base, r.rem, r.extra, r.seats)
+        for r in ta_seat_alloc(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "de": (32, 1, 1, 33),  # tie -> lexicographically first
+        "en": (32, 1, 0, 32),
+        "fr": (32, 1, 0, 32),
+    }
+    assert sum(v[3] for v in got.values()) == 97
