@@ -38,6 +38,9 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # MODIFIED this round: NULL-text docs now excluded identically on
+    # both engines (the fold crashed on int(NaN) before).
+    "ta_seq_packing",
     # Hamilton largest-remainder budget apportionment across language
     # strata: pure-BIGINT quotas, remainder ranking over the bounded
     # stratum table, Σseats == budget certificate; R=2 at gate scale.

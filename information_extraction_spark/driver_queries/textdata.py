@@ -6784,19 +6784,22 @@ WITH h AS (
 ), r AS (
   SELECT CAST({_SEAT_BUDGET} - sum(base) AS BIGINT) AS leftover FROM q
 ), ranked AS (
-  SELECT q.*, row_number() OVER (ORDER BY rem DESC, lang) AS rk
+  SELECT q.*, row_number() OVER (ORDER BY rem DESC, lang NULLS LAST) AS rk
   FROM q
+), alloc AS (
+  SELECT ranked.lang, ranked.n_docs,
+         CAST(ranked.base AS BIGINT) AS base,
+         CAST(ranked.rem AS BIGINT) AS rem,
+         CAST(CASE WHEN ranked.rk <= r.leftover THEN 1 ELSE 0 END
+              AS BIGINT) AS extra
+  FROM ranked CROSS JOIN r
 )
-SELECT ranked.lang, ranked.n_docs,
-       CAST(ranked.base AS BIGINT) AS base,
-       CAST(ranked.rem AS BIGINT) AS rem,
-       CAST(CASE WHEN ranked.rk <= r.leftover THEN 1 ELSE 0 END AS BIGINT)
-         AS extra,
-       CAST(ranked.base
-            + CASE WHEN ranked.rk <= r.leftover THEN 1 ELSE 0 END
-            AS BIGINT) AS seats,
-       CAST({_SEAT_BUDGET} AS BIGINT) AS budget
-FROM ranked CROSS JOIN r
+SELECT lang, n_docs, base, rem, extra,
+       CAST(base + extra AS BIGINT) AS seats,
+       CAST({_SEAT_BUDGET} AS BIGINT) AS budget,
+       CAST(CASE WHEN sum(base + extra) OVER () = {_SEAT_BUDGET}
+                 THEN 1 ELSE 0 END AS BIGINT) AS conserved
+FROM alloc
 """
 
 
@@ -6804,10 +6807,16 @@ FROM ranked CROSS JOIN r
 def ta_seat_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # The stratum table is bounded (language cardinality) but feeds
+    # FOUR consumers (t, the leftover aggregate, the main plan, and
+    # the conservation window) — localCheckpoint it once so the
+    # "one rollup + broadcast total" shape in the block comment is
+    # literally true, not 4 rescans of documents.
     h = (
         _docs(spark, sf_dir)
         .groupBy("lang")
         .agg(F.count("*").cast("long").alias("n_docs"))
+        .localCheckpoint()
     )
     t = h.agg(F.sum("n_docs").cast("long").alias("n"))
     q = h.crossJoin(F.broadcast(t)).select(
@@ -6819,26 +6828,40 @@ def ta_seat_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = q.agg(
         (F.lit(_SEAT_BUDGET) - F.sum("base")).cast("long").alias("leftover")
     )
-    # Window over the BOUNDED stratum table (language cardinality).
-    w = Window.orderBy(F.col("rem").desc(), "lang")
-    return (
+    # Windows over the BOUNDED stratum table (language cardinality).
+    # The lang tie key pins NULLS LAST explicitly: Spark's ascending
+    # default is nulls-first, DuckDB's is nulls-last — the a27 null-
+    # ordering divergence class, closed before a NULL-lang stratum
+    # can ever tie at the leftover boundary.
+    w = Window.orderBy(F.col("rem").desc(), F.col("lang").asc_nulls_last())
+    alloc = (
         q.withColumn("rk", F.row_number().over(w))
         .crossJoin(F.broadcast(r))
-        .select(
-            "lang",
-            "n_docs",
-            "base",
-            "rem",
+        .withColumn(
+            "extra",
             F.when(F.col("rk") <= F.col("leftover"), 1)
             .otherwise(0)
-            .cast("long")
-            .alias("extra"),
-            (
-                F.col("base")
-                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("seats"),
-            F.lit(_SEAT_BUDGET).cast("long").alias("budget"),
+            .cast("long"),
         )
+        .withColumn("seats", (F.col("base") + F.col("extra")).cast("long"))
+    )
+    # The certificate is COMPUTED, not asserted: a leftover bug
+    # written identically into both engines would pass the oracle
+    # gate, but sum(seats) != budget surfaces it in the result
+    # (kg_ppr_push's conservation-flag discipline, for real).
+    wc = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return alloc.select(
+        "lang",
+        "n_docs",
+        "base",
+        "rem",
+        "extra",
+        "seats",
+        F.lit(_SEAT_BUDGET).cast("long").alias("budget"),
+        F.when(F.sum("seats").over(wc) == _SEAT_BUDGET, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("conserved"),
     )

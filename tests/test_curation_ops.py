@@ -887,3 +887,6 @@ def test_seat_alloc_remainder_ties_and_exact_budget(spark, tmp_path):
         "fr": (32, 1, 0, 32),
     }
     assert sum(v[3] for v in got.values()) == 97
+    # the conservation certificate is computed, not a literal
+    rows = ta_seat_alloc(spark, str(tmp_path)).collect()
+    assert all(r.conserved == 1 for r in rows)
