@@ -38,6 +38,12 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # MODIFIED this round (NULL-lang audit): scope/shard keys
+    # coalesce NULL lang to a '(none)' sentinel on both engines.
+    "a17_hll_mergeable",
+    # MODIFIED this round (NULL-lang audit): the pivot margin is the
+    # per-source count of ALL rows, not the sum of pinned buckets.
+    "q8_pivot",
     # MODIFIED this round: NULL-text docs now excluded identically on
     # both engines (the fold crashed on int(NaN) before).
     "ta_seq_packing",

@@ -325,16 +325,20 @@ def q8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same aggregate.
         .agg(F.count(F.lit(1)).cast("long"))
     )
-    total = sum(
-        (F.coalesce(F.col(g), F.lit(0)) for g in _LANGS), F.lit(0)
+    # total = ALL rows of the source group (the oracle's count(*)),
+    # NOT the sum of the pinned pivot columns — a lang outside the
+    # pinned list (incl. NULL) is absent from every pivot bucket but
+    # still belongs to the margin. Separate bounded-dim agg + join.
+    totals = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("total")
     )
-    return wide.select(
+    return wide.join(totals, "source").select(
         "source",
         *[
             F.coalesce(F.col(g), F.lit(0)).cast("long").alias(f"n_{g}")
             for g in _LANGS
         ],
-        total.cast("long").alias("total"),
+        "total",
     )
 
 

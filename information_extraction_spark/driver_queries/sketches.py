@@ -546,7 +546,7 @@ def a16_sampled_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _A17_ORACLE = f"""
 WITH sh AS (
-  SELECT lang, unnest(list_transform(
+  SELECT coalesce(lang, '(none)') AS lang, unnest(list_transform(
            range(1, greatest(length(text) - 4, 0) + 1),
            i -> substring(text, CAST(i AS INT), 5))) AS s
   FROM documents
@@ -600,8 +600,12 @@ def a17_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions = F.when(
         F.length("text") >= 5, F.sequence(F.lit(1), F.length("text") - 4)
     ).otherwise(F.array().cast("array<int>"))
+    # lang is nullable; a NULL scope crashes the driver-side sorted()
+    # merge and would vanish at the est/exact equi-join — coalesce to
+    # a sentinel no 2-letter code can collide with, both engines.
     sh = docs.withColumn("pos", F.explode(positions)).select(
-        "lang", F.expr("substring(text, pos, 5)").alias("s")
+        F.coalesce("lang", F.lit("(none)")).alias("lang"),
+        F.expr("substring(text, pos, 5)").alias("s"),
     )
     h = _h48(F.col("s"))
     w = (h / F.lit(64)).cast("long")

@@ -4244,10 +4244,10 @@ _SEQ_PACK_CAPACITY = 256
 
 _SEQ_PACK_ORACLE = f"""
 WITH RECURSIVE toks AS (
-  SELECT lang, doc_id,
+  SELECT coalesce(lang, '(none)') AS lang, doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
-              AS BIGINT) AS pos
+         CAST(row_number() OVER (PARTITION BY coalesce(lang, '(none)')
+              ORDER BY doc_id) AS BIGINT) AS pos
   FROM documents WHERE text IS NOT NULL
 ), pack AS (
   SELECT lang, doc_id, n_tokens, pos,
@@ -4293,7 +4293,11 @@ def ta_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .filter(F.col("text").isNotNull())
         .select(
-            "lang",
+            # NULL lang shards under a sentinel: Spark groups a NULL
+            # key fine, but the oracle's recursive join on lang can
+            # never extend a NULL partition (NULL <> NULL) — the
+            # coalesce keeps both engines on the same shard rule.
+            F.coalesce("lang", F.lit("(none)")).alias("lang"),
             "doc_id",
             F.size(F.split(F.col("text"), " ")).cast("long").alias(
                 "n_tokens"
