@@ -1058,7 +1058,7 @@ WITH hist AS (
   SELECT n_chars,
          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
          CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cb
-  FROM documents GROUP BY 1
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
 ), cum AS (
   SELECT n_chars,
          CAST(sum(ca) OVER (ORDER BY n_chars
@@ -1077,16 +1077,29 @@ WITH hist AS (
   FROM cum c CROSS JOIN tot t
 ), best AS (
   SELECT max(dnum) AS d_num, max(n_a) AS n_a, max(n_b) AS n_b FROM diffs
+), scored AS (
+  -- chained quotient/remainder ppm: floor(x*10^6/g) computed as
+  -- (x//g)*10^6 + ((x%g)*10^3//g)*10^3 + (((x%g)*10^3%g)*10^3//g),
+  -- exact while g = n_a*n_b <= 2^63/1000 (~9.2e15, ~10^8 docs/side)
+  SELECT n_a, n_b, d_num,
+         (d_num // (n_a * n_b)) * 1000000
+         + ((d_num % (n_a * n_b)) * 1000 // (n_a * n_b)) * 1000
+         + (((d_num % (n_a * n_b)) * 1000 % (n_a * n_b)) * 1000
+            // (n_a * n_b)) AS d_ppm,
+         ((1844164 * (n_a + n_b)) // (n_a * n_b)) * 1000000
+         + (((1844164 * (n_a + n_b)) % (n_a * n_b)) * 1000
+            // (n_a * n_b)) * 1000
+         + ((((1844164 * (n_a + n_b)) % (n_a * n_b)) * 1000 % (n_a * n_b))
+            * 1000 // (n_a * n_b)) AS thr_ppm2
+  FROM best
 )
-SELECT b.n_a, b.n_b, b.d_num,
-       CAST(b.d_num * 1000000 // (b.n_a * b.n_b) AS BIGINT) AS d_ppm,
+SELECT s.n_a, s.n_b, s.d_num,
+       CAST(s.d_ppm AS BIGINT) AS d_ppm,
        CAST(min(d.n_chars) AS BIGINT) AS ks_at,
-       CAST(CASE WHEN (b.d_num * 1000000 // (b.n_a * b.n_b))
-                      * (b.d_num * 1000000 // (b.n_a * b.n_b))
-                 > 1844164 * (b.n_a + b.n_b) * 1000000 // (b.n_a * b.n_b)
-            THEN 1 ELSE 0 END AS BIGINT) AS reject_05
-FROM best b JOIN diffs d ON d.dnum = b.d_num
-GROUP BY b.n_a, b.n_b, b.d_num
+       CAST(CASE WHEN s.d_ppm * s.d_ppm > s.thr_ppm2 THEN 1 ELSE 0 END
+            AS BIGINT) AS reject_05
+FROM scored s JOIN diffs d ON d.dnum = s.d_num
+GROUP BY s.n_a, s.n_b, s.d_num, s.d_ppm, s.thr_ppm2
 """
 
 
@@ -1094,7 +1107,11 @@ GROUP BY b.n_a, b.n_b, b.d_num
 def a25_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = _t(spark, sf_dir, "documents")
+    # NULL n_chars would form a histogram bucket whose cumulative-sum
+    # window ordering differs across engines (Spark NULLS FIRST vs
+    # DuckDB NULLS LAST) — a doc of unknown length has no place in an
+    # n_chars CDF; drop it identically on both engines.
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
     hist = d.groupBy("n_chars").agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
         .cast("long")
@@ -1137,18 +1154,32 @@ def a25_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         F.col("m.dnum").alias("d_num"),
-        F.expr("d_num * 1000000 div (n_a * n_b)").alias("d_ppm"),
+        # chained quotient/remainder ppm (see oracle): exact while
+        # n_a*n_b <= 2^63/1000 (~9.2e15, ~10^8 docs per side) — the
+        # same bound the cross-multiplied CDF compare already needs.
+        F.expr(
+            "(d_num div (n_a * n_b)) * 1000000"
+            " + ((d_num % (n_a * n_b)) * 1000 div (n_a * n_b)) * 1000"
+            " + (((d_num % (n_a * n_b)) * 1000 % (n_a * n_b)) * 1000"
+            "    div (n_a * n_b))"
+        ).alias("d_ppm"),
+        F.expr(
+            "((1844164 * (n_a + n_b)) div (n_a * n_b)) * 1000000"
+            " + (((1844164 * (n_a + n_b)) % (n_a * n_b)) * 1000"
+            "    div (n_a * n_b)) * 1000"
+            " + ((((1844164 * (n_a + n_b)) % (n_a * n_b)) * 1000"
+            "     % (n_a * n_b)) * 1000 div (n_a * n_b))"
+        ).alias("thr_ppm2"),
         (-F.col("m.neg")).cast("long").alias("ks_at"),
     )
     return best.select(
         "n_a",
         "n_b",
         "d_num",
-        "d_ppm",
+        F.col("d_ppm").cast("long").alias("d_ppm"),
         "ks_at",
         F.expr(
-            "CAST(CASE WHEN d_ppm * d_ppm"
-            " > 1844164 * (n_a + n_b) * 1000000 div (n_a * n_b)"
+            "CAST(CASE WHEN d_ppm * d_ppm > thr_ppm2"
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("reject_05"),
     )
@@ -1163,15 +1194,22 @@ def a25_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # there), so the cell universe is the cross join of the two bounded
 # marginal dims with observed counts left-joined in — never an
 # input-sized cross product. Arithmetic is exact-BIGINT with the
-# floor-div rescale num·1000 div (rs·cs) BEFORE the second multiply
-# (keeps every intermediate < 2^63 at any corpus scale where counts
-# fit BIGINT); the double floor-div loses < 1 milli-unit per cell
-# identically in both engines. Cramér's V is emitted SQUARED in ppm
-# (v²·10⁶) — the no-cross-engine-sqrt rule.
+# floor-div rescale num·1000 div (rs·cs) BEFORE the second multiply;
+# the double floor-div loses < 1 milli-unit per cell identically in
+# both engines. Headroom bound (honest): num = |o·n − rs·cs| can
+# reach ~n², so num·1000 (and the num·quotient product) stays < 2^63
+# only while n_docs ≲ 9.6e7 (~10^8 docs). Beyond that, both engines
+# would need 128-bit intermediates (DuckDB HUGEINT / Spark
+# DECIMAL(38,0)) — a documented migration, not a silent wrap: Spark
+# (non-ANSI) wraps while DuckDB errors, so exceeding the bound is a
+# loud cross-engine divergence by construction. Cramér's V is emitted
+# SQUARED in ppm (v²·10⁶) — the no-cross-engine-sqrt rule.
 
 _A26_ORACLE = """
 WITH obs AS (
-  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  SELECT coalesce(lang, '(none)') AS lang,
+         coalesce(source, '(none)') AS source,
+         CAST(count(*) AS BIGINT) AS o
   FROM documents GROUP BY 1, 2
 ), rl AS (
   SELECT lang, CAST(sum(o) AS BIGINT) AS rs FROM obs GROUP BY 1
@@ -1204,7 +1242,19 @@ FROM contrib
 @_q("a26_chi2_independence", _A26_ORACLE)
 def a26_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    obs = d.groupBy("lang", "source").agg(F.count("*").cast("long").alias("o"))
+    # NULL-lang/source strata must keep their observed cells: the
+    # cells left-join below is non-null-safe, so a NULL key would read
+    # o=0 while rs/cs/n still count those docs (inflating chi2
+    # identically in neither engine). Coalesce to the '(none)'
+    # sentinel on BOTH engines before grouping.
+    obs = (
+        d.select(
+            F.coalesce("lang", F.lit("(none)")).alias("lang"),
+            F.coalesce("source", F.lit("(none)")).alias("source"),
+        )
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
     rl = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("rs"))
     cs = obs.groupBy("source").agg(F.sum("o").cast("long").alias("cs"))
     n = obs.agg(F.sum("o").cast("long").alias("n"))
@@ -1270,7 +1320,7 @@ _A27_ORACLE = """
 WITH m AS (
   SELECT doc_id, n_chars AS x,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS y
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
 ), rx AS (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY x, doc_id) AS r FROM m
 ), ry AS (
@@ -1291,11 +1341,15 @@ FROM d
 def a27_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    # The table contract allows NULL text; a NULL y would sort FIRST
-    # in the offset window but LAST in the oracle's ROW_NUMBER (DuckDB
-    # nulls_last) and then drop at the equi-join — rank every non-null
-    # doc over the same filtered universe in both engines instead.
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # The table contract allows NULL text AND NULL n_chars; a NULL
+    # rank key would sort FIRST in the offset window but LAST in the
+    # oracle's ROW_NUMBER (DuckDB nulls_last) and then drop at the
+    # non-null-safe histogram-offset equi-join — rank every doc over
+    # the same NULL-free universe in both engines instead (both rank
+    # columns filtered identically here and in the oracle WHERE).
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
     m = d.select(
         "doc_id",
         F.col("n_chars").alias("x"),

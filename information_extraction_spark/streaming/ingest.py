@@ -654,7 +654,17 @@ def stage_ordered_slices(
         df.filter(F.col(key_col) % n_slices == b).coalesce(1).write.mode(
             "overwrite"
         ).parquet(tmp)
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        parts = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        if not parts:
+            # An empty slice (skewed/small corpus: no doc_id with this
+            # residue) can legally produce a parquet dir with no part
+            # file. Skip it — the staged batch sequence stays
+            # deterministic because slice order is pinned by mtime,
+            # and an absent batch merges the same state as an empty
+            # one for every order-sensitive merge we stage (MG/CMS).
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
+        part = parts[0]
         dst = os.path.join(src_dir, f"b{b}.parquet")
         shutil.copyfile(part, dst)
         os.utime(dst, (base + 60 * b, base + 60 * b))

@@ -389,3 +389,54 @@ def test_spearman_perfect_and_inverse(spark, tmp_path):
     r2 = a27_spearman(spark, sf2).collect()[0]
     assert r2.sum_d2 == 70  # n(n²−1)/3 → rho exactly −1
     assert r2.rho == -1.0
+
+
+def test_null_injected_strata_close_divergence(spark, tmp_path):
+    """Round-5 ADVICE regressions: NULL n_chars docs drop out of the
+    a25 CDF and the a27 ranking identically on both engines, and a
+    NULL lang/source stratum KEEPS its observed cells in a26 (the
+    '(none)' sentinel) instead of reading o=0 while the marginals
+    still count it. Pinned by comparing against the clean-corpus
+    result: a25/a27 must be unchanged by NULL-n_chars rows; a26 on a
+    lang-independent corpus must stay chi2=0 even when one 'lang' is
+    NULL."""
+    from information_extraction_spark.driver_queries.sketches import (
+        a25_ks_drift,
+        a26_chi2_independence,
+        a27_spearman,
+    )
+
+    base = [(i, "t", "en", "s", 10) for i in range(30)] + [
+        (100 + i, "t", "de", "s", 1000) for i in range(30)
+    ]
+    clean = _write_docs_full(spark, tmp_path / "clean", base)
+    r_clean = a25_ks_drift(spark, clean).collect()[0]
+
+    injected = base + [(200 + i, "t", "de", "s", None) for i in range(5)]
+    dirty = _write_docs_full(spark, tmp_path / "dirty", injected)
+    r_dirty = a25_ks_drift(spark, dirty).collect()[0]
+    assert r_clean == r_dirty  # NULL n_chars never enters the CDF
+
+    # a26: 2 langs x 2 sources, perfectly independent counts, but one
+    # "lang" is NULL -> sentinel stratum; chi2 must still be exactly 0
+    # and the NULL stratum must be COUNTED (n_langs = 2, not 1).
+    ind = []
+    k = 0
+    for lang in ("en", None):
+        for src in ("s1", "s2"):
+            for _ in range(4):
+                ind.append((k, "t", lang, src, 1))
+                k += 1
+    sf2 = _write_docs_full(spark, tmp_path / "ind", ind)
+    r2 = a26_chi2_independence(spark, sf2).collect()[0]
+    assert (r2.n_docs, r2.n_langs, r2.n_sources) == (16, 2, 2)
+    assert r2.chi2_milli == 0 and r2.cramers_v2_ppm == 0
+
+    # a27: monotone corpus + NULL-n_chars rows -> rho still exactly 1
+    inc = [
+        (i, " ".join(["w"] * (i + 1)), "en", "s", 10 * (i + 1))
+        for i in range(6)
+    ] + [(50, "w w", "en", "s", None)]
+    sf3 = _write_docs_full(spark, tmp_path / "inc", inc)
+    r3 = a27_spearman(spark, sf3).collect()[0]
+    assert (r3.n, r3.sum_d2, r3.rho) == (6, 0, 1.0)

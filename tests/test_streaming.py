@@ -561,3 +561,43 @@ def test_mg_merge_prune_decrement_and_replay(spark, tmp_path):
     got1 = {r["word"]: r["cnt"] for r in latest_state(spark, state).collect()}
     assert got1 == {"a": 1, "c": 3, MG_DECREMENT_KEY: 4}
     assert len(got1) <= 2 + 1
+
+
+def test_stage_ordered_slices_skips_empty_slice(spark, tmp_path):
+    """A residue class with no doc_id may produce a parquet dir with
+    no part file (skewed/small corpora); the stager must skip it, not
+    IndexError, and still stage the non-empty slices in pinned mtime
+    order (round-5 ADVICE, streaming/ingest.py)."""
+    import glob
+    import os
+
+    from information_extraction_spark.streaming.ingest import (
+        stage_ordered_slices,
+    )
+
+    # skewed-but-nonempty slices still stage (possibly as empty files)
+    df = spark.createDataFrame(
+        [(4 * i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    src = os.path.join(str(tmp_path), "src")
+    stage_ordered_slices(df, src, n_slices=4)
+    staged = sorted(glob.glob(os.path.join(src, "b*.parquet")))
+    assert "b0.parquet" in [os.path.basename(p) for p in staged]
+    assert spark.read.parquet(os.path.join(src, "b0.parquet")).count() == 8
+
+    # the IndexError repro: a ZERO-partition DataFrame writes no
+    # part-*.parquet at all; the stager must skip, not raise
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    empty = spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)
+    src2 = os.path.join(str(tmp_path), "src2")
+    stage_ordered_slices(empty, src2, n_slices=2)  # must not IndexError
+    for p in glob.glob(os.path.join(src2, "b*.parquet")):
+        assert spark.read.parquet(p).count() == 0
