@@ -721,12 +721,39 @@ ORACLES = {
 }
 
 
-def current_oracle(name: str) -> str | None:
-    """Live per-module oracle lookup. The aggregated ORACLES above is
-    a snapshot taken at import; the flagship queries re-point their
-    oracle SQL at the just-written per-sf golden when they run, so a
-    checker that wants the post-run oracle must read it live."""
+def current_oracle(name: str, sf_dir: str | None = None) -> str | None:
+    """Oracle lookup. With ``sf_dir``, golden-based oracles resolve
+    through their PURE template (independent of whether the query has
+    run); without it, fall back to the live per-module dict — the
+    aggregated ORACLES above is a snapshot taken at import, which the
+    flagship queries re-point at the just-written per-sf golden when
+    they run."""
+    if sf_dir is not None:
+        for mod in _MODULES:
+            tmpl = getattr(mod, "ORACLE_TEMPLATES", {}).get(name)
+            if tmpl is not None:
+                return tmpl(sf_dir)
     for mod in _MODULES:
         if name in mod.ORACLES:
             return mod.ORACLES[name]
     return None
+
+
+def materialize_oracles(sf_dir: str) -> dict[str, str]:
+    """PURE (catalog, sf_dir) -> oracle-SQL mapping: the static
+    import-time oracles overlaid with every golden-based template
+    materialized for ``sf_dir``. Returns the identical dict whether
+    or not any query has executed (asserted by
+    tests/test_consolidation_parity.py) — the round-5 fix for the
+    call-order coupling where ``oracle_sql()`` depended on which
+    queries had re-pointed their oracle."""
+    out = dict(ORACLES)
+    for mod in _MODULES:
+        for name, tmpl in getattr(mod, "ORACLE_TEMPLATES", {}).items():
+            if name not in QUERIES:
+                raise ValueError(f"template for unknown query: {name}")
+            out[name] = tmpl(sf_dir)
+    return {
+        **{k: out[k] for k in _CHANGED_THIS_ROUND if k in out},
+        **out,
+    }

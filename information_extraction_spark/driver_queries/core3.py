@@ -2456,3 +2456,8 @@ def mm_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ids.mapInPandas(build, schema=MEDIA)
     return vad_segments(audio_energy_windows(media, window_frames=25))
+
+
+# Pure oracle template (see kg.ORACLE_TEMPLATES): same SQL the
+# p3_dp_segment runtime re-point installs, derived only from sf_dir.
+ORACLE_TEMPLATES = {"p3_dp_segment": _p3dp_oracle_sql}

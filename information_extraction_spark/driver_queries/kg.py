@@ -5861,3 +5861,87 @@ def kg_louvain_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = kg_extract_triples(spark, sf_dir)
     ORACLES["kg_louvain_levels"] = _louvain_levels_oracle_sql(sf_dir)
     return louvain_levels(triple_edges(triples))
+
+
+# --- Pure oracle templates (round-5 verdict item: oracle_sql purity) --------
+# name -> callable(sf_dir) building the SAME SQL string the query's
+# runtime re-point installs, with no filesystem or execution
+# dependency. driver_queries.materialize_oracles() composes these so
+# oracle_sql() is a pure function of (catalog, sf_dir) regardless of
+# whether any query has run. The runtime re-points above stay (they
+# serve post-run live lookups at arbitrary sf), but they are no
+# longer the only way to obtain a golden-based oracle.
+ORACLE_TEMPLATES = {
+    "kg_extract_triples": lambda sf: _oracle_sqls(sf)[0],
+    "kg_spo_lists": lambda sf: _oracle_sqls(sf)[1],
+    "kg_degree_topk": lambda sf: _graph_oracle_sqls(sf)[0],
+    "kg_pred_cooccur": lambda sf: _graph_oracle_sqls(sf)[1],
+    "kg_two_hop": lambda sf: _graph_oracle_sqls(sf)[2],
+    "kg_pagerank": lambda sf: _graph_oracle_sqls(sf)[3],
+    "kg_nn_extract": _nn_oracle_sql,
+    "kg_neg_sampling": _neg_oracle_sql,
+    "kg_triple_support": _support_oracle_sql,
+    "kg_incremental_merge": _merge_oracle_sql,
+    "kg_functional_resolve": _resolve_oracle_sql,
+    "kg_pred_profile": _profile_oracle_sql,
+    "kg_provenance": _provenance_oracle_sql,
+    "kg_graph_pred_scan": _graph_scan_oracle_sql,
+    "kg_incremental_er": _incremental_er_oracle_sql,
+    "kg_conv_dedup": _conv_dedup_oracle_sql,
+    "kg_type_infer": _type_infer_oracle_sql,
+    "kg_er_candidates": _er_oracle_sql,
+    "kg_temporal_extent": _temporal_oracle_sql,
+    "kg_temporal_conflict": _temporal_conflict_oracle_sql,
+    "kg_slot_changes": _slot_changes_oracle_sql,
+    "kg_role_yield": _role_yield_oracle_sql,
+    "kg_conv_stats": _conv_stats_oracle_sql,
+    "kg_er_merge": _er_merge_oracle_sql,
+    "kg_cardinality_check": _cardinality_oracle_sql,
+    "kg_type_violations": _type_violations_oracle_sql,
+    "kg_neighbor_sample": _neighbor_sample_oracle_sql,
+    "kg_pagerank_personalized": _ppr_oracle_sql,
+    "kg_hits": _hits_oracle_sql,
+    "w9_time_travel": _time_travel_oracle_sql,
+    "kg_graph_diff": _graph_diff_oracle_sql,
+    "kg_label_propagation": _lpa_oracle_sql,
+    "kg_bfs_distances": _bfs_oracle_sql,
+    "w11_compaction": _compaction_oracle_sql,
+    "kg_resource_alloc": _ra_oracle_sql,
+    "a13_extractor_agreement": _agreement_oracle_sql,
+    "a21_mcnemar": _mcnemar_oracle_sql,
+    "a22_bh_fdr": _bh_fdr_oracle_sql,
+    "kg_rule_mining": _rule_mining_oracle_sql,
+    "kg_rule_apply": _rule_apply_oracle_sql,
+    "kg_comention": _comention_oracle_sql,
+    "kg_kcore": _kcore_oracle_sql,
+    "kg_gcn_agg": _sage_oracle_sql,
+    "kg_conductance": _conductance_oracle_sql,
+    "kg_landmark_dist": _landmark_oracle_sql,
+    "kg_transe_score": _transe_oracle_sql,
+    "kg_triangles": _triangles_oracle_sql,
+    "kg_jaccard_neighbors": _jaccard_nb_oracle_sql,
+    "kg_pred_implication": _pred_implication_oracle_sql,
+    "kg_metapath_profile": _metapath_oracle_sql,
+    "kg_ontology_closure": _ontology_oracle_sql,
+    "kg_forget_propagate": _forget_oracle_sql,
+    "w24_schema_evolve": _evolve_oracle_sql,
+    "kg_embedding_eval": _embeval_oracle_sql,
+    "kg_random_walks": _walks_oracle_sql,
+    "kg_er_sorted_neighborhood": _sn_oracle_sql,
+    "kg_er_blocking_audit": _er_audit_oracle_sql,
+    "kg_star_join": _star_oracle_sql,
+    "kg_skipgram_pairs": _skipgram_oracle_sql,
+    "kg_degree_distribution": _degree_dist_oracle_sql,
+    "kg_sssp_weighted": _sssp_oracle_sql,
+    "kg_modularity": _modularity_oracle_sql,
+    "kg_wl_kernel": _wl_oracle_sql,
+    "kg_path_counts": _sp_counts_oracle_sql,
+    "kg_truth_discovery": _truth_oracle_sql,
+    "kg_betweenness": _betweenness_oracle_sql,
+    "a23_cohen_kappa": _kappa_oracle_sql,
+    "a24_power_analysis": _power_oracle_sql,
+    "kg_ppr_push": _ppr_push_oracle_sql,
+    "kg_louvain_move": _louvain_oracle_sql,
+    "kg_motif_census": _motif_oracle_sql,
+    "kg_louvain_levels": _louvain_levels_oracle_sql,
+}

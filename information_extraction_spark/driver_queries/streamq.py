@@ -1182,3 +1182,19 @@ def st_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
+
+
+# Pure oracle templates (see kg.ORACLE_TEMPLATES): the two streaming
+# queries whose oracles are golden-based re-points of kg oracles.
+def _st_support_template(sf_dir: str) -> str:
+    from information_extraction_spark.driver_queries.kg import (
+        _support_oracle_sql,
+    )
+
+    return _support_oracle_sql(sf_dir)
+
+
+ORACLE_TEMPLATES = {
+    "st_extract_triples": lambda sf: _kg_oracle_sqls(sf)[0],
+    "st_support_merge": _st_support_template,
+}

@@ -83,10 +83,11 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
-        # Read the oracle AFTER running the query: the flagship
-        # queries re-point their oracle at the per-sf golden they
-        # just materialized.
-        oracle = current_oracle(name)
+        # Resolve golden-based oracles through the PURE (name, sf_dir)
+        # template — call-order independent since round 5. The query
+        # still runs first because executing the oracle needs the
+        # golden parquet the Spark query materializes.
+        oracle = current_oracle(name, sf_dir)
         if oracle is not None and "ie_spark_golden" in oracle:
             import re as _re
 
