@@ -38,6 +38,24 @@ for mod in _MODULES:
 # stale green row from a prior round is not evidence for code that
 # changed since (VERDICT r03 #1). Update this list each round.
 _CHANGED_THIS_ROUND = [
+    # --- ROUND 5 ---
+    # NEW: Louvain to convergence (guarded-star contraction, exact
+    # per-level modularity certificate, unrolled 8-level oracle).
+    "kg_louvain_full",
+    # NEW: PNG IHDR / JPEG SOFn header-level dimensions without
+    # codec libraries (stub narrowed to compressed audio/video).
+    "mm_png_jpeg_dims",
+    # MODIFIED (round-5 advice): NULL n_chars dropped from the CDF
+    # identically on both engines; chained quotient/remainder ppm
+    # rescale for BIGINT headroom.
+    "a25_ks_drift",
+    # MODIFIED (round-5 advice): NULL lang/source strata coalesced to
+    # the '(none)' sentinel so their observed cells count.
+    "a26_chi2_independence",
+    # MODIFIED (round-5 advice): NULL n_chars filtered identically in
+    # engine and oracle before ranking.
+    "a27_spearman",
+    # --- ROUND 4 ---
     # MODIFIED this round (NULL-lang audit): scope/shard keys
     # coalesce NULL lang to a '(none)' sentinel on both engines.
     "a17_hll_mergeable",

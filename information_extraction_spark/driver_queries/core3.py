@@ -2461,3 +2461,86 @@ def mm_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure oracle template (see kg.ORACLE_TEMPLATES): same SQL the
 # p3_dp_segment runtime re-point installs, derived only from sf_dir.
 ORACLE_TEMPLATES = {"p3_dp_segment": _p3dp_oracle_sql}
+
+
+# --- PNG/JPEG header-level dimensions WITHOUT codec libraries
+# (round-5 verdict #6): PNG width/height live in the IHDR chunk and
+# JPEG's in the SOFn marker — both pure-Python parseable
+# (operators/multimodal.parse_png/parse_jpeg). Payloads are REAL
+# format-conformant bytes (CRC-correct PNG chunks, marker-walked
+# JPEG) built deterministically from doc_id; the oracle recomputes
+# the dimensions arithmetically from the same formulas (the
+# constructed-expectation pattern of mm_codec_features). n_bytes is
+# deliberately NOT emitted: the PNG IDAT length is a zlib-compressed
+# size, not SQL arithmetic.
+
+_MM_PNGJPEG_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 57
+            ELSE 16 + doc_id % 241 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 5 + (doc_id // 2) % 31
+            ELSE 9 + (doc_id // 4) % 123 END AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_frames
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@_q("mm_png_jpeg_dims", _MM_PNGJPEG_ORACLE)
+def mm_png_jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG/JPEG payloads → native header parse (no fake path,
+    no codec library): a narrow mapInPandas builds format-conformant
+    bytes per media_id, extract_features(deterministic_fake=False)
+    decodes them via the IHDR / SOFn walks."""
+    import pandas as pd
+
+    from information_extraction_spark.operators.multimodal import (
+        MEDIA,
+        extract_features,
+        make_jpeg,
+        make_png,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    payload = make_png(
+                        8 + mid % 57, 5 + (mid // 2) % 31, seed=mid
+                    )
+                else:
+                    payload = make_jpeg(
+                        16 + mid % 241, 9 + (mid // 4) % 123, seed=mid
+                    )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "image",
+                        "payload": bytearray(payload),
+                        "mime": None,
+                        "source": "synthetic",
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA.fields]
+            )
+
+    media = ids.mapInPandas(build, schema=MEDIA)
+    feats = extract_features(media, deterministic_fake=False)
+    return feats.select(
+        "media_id",
+        F.when(F.col("media_id") % 2 == 0, F.lit("png"))
+        .otherwise(F.lit("jpeg"))
+        .alias("fmt"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )

@@ -5945,3 +5945,211 @@ ORACLE_TEMPLATES = {
     "kg_motif_census": _motif_oracle_sql,
     "kg_louvain_levels": _louvain_levels_oracle_sql,
 }
+
+
+# --- KG-LOUVAIN-FULL: Louvain to convergence with certificate ------------------
+#
+# Completes the kg_louvain_move (one phase) / kg_louvain_levels (two
+# levels) family: guarded-star contraction looped until no community
+# has a positive-gain neighbor, with an exact-BIGINT per-level
+# modularity certificate q_after = q_before + Σ ΔQ asserted in the
+# q_cert column. The synchronous pointer-CLOSURE merge is provably
+# non-monotone (see operators/graph.louvain_converge docstring); the
+# disjoint-star variant keeps monotonicity a theorem, which is what
+# makes a convergence loop certifiable across two engines. The
+# oracle unrolls _LOUVAIN_FULL_LEVELS level blocks (post-convergence
+# blocks are stable identity no-ops) and emits rows up to the first
+# no-move level — exactly the rows the engine loop executes.
+
+_LOUVAIN_FULL_LEVELS = 8
+
+
+def _louvain_full_level_sql(p: int) -> str:
+    n = p + 1
+    return f""", gain{n} AS MATERIALIZED (
+  SELECT u.c, u.d,
+         CAST(2 * mm.m * u.w - sc.sigma * sd.sigma AS BIGINT) AS gain
+  FROM undw{p} u CROSS JOIN mm
+  JOIN sigt{p} sc ON sc.c = u.c
+  JOIN sigt{p} sd ON sd.c = u.d
+), bst{n} AS (
+  SELECT c, max(gain) AS bg FROM gain{n} GROUP BY 1
+), ptr{n} AS MATERIALIZED (
+  SELECT g.c, b.bg, min(g.d) AS d
+  FROM gain{n} g JOIN bst{n} b ON g.c = b.c AND g.gain = b.bg
+  WHERE b.bg > 0 GROUP BY g.c, b.bg
+), mu{n} AS MATERIALIZED (
+  SELECT p1.c AS a, p1.d AS b
+  FROM ptr{n} p1 JOIN ptr{n} p2 ON p1.d = p2.c AND p2.d = p1.c
+  WHERE p1.c < p1.d
+), ctr{n} AS MATERIALIZED (
+  SELECT DISTINCT d AS c FROM ptr{n} p
+  WHERE NOT EXISTS (SELECT 1 FROM mu{n} m WHERE m.b = p.d)
+), sat{n} AS MATERIALIZED (
+  SELECT p.c, p.d, p.bg FROM ptr{n} p
+  WHERE NOT EXISTS (SELECT 1 FROM ctr{n} x WHERE x.c = p.c)
+    AND EXISTS (SELECT 1 FROM ctr{n} y WHERE y.c = p.d)
+), memb{n} AS MATERIALIZED (
+  SELECT d AS grp, c AS node FROM sat{n}
+  UNION ALL
+  SELECT DISTINCT d AS grp, d AS node FROM sat{n}
+), gsig{n} AS (
+  SELECT mb.grp, CAST(sum(s.sigma) AS BIGINT) AS ssum,
+         CAST(sum(s.sigma * s.sigma) AS BIGINT) AS ssq
+  FROM memb{n} mb JOIN sigt{p} s ON s.c = mb.node GROUP BY 1
+), gwin{n} AS (
+  SELECT ma.grp, CAST(sum(u.w) AS BIGINT) AS w_in
+  FROM undw{p} u
+  JOIN memb{n} ma ON ma.node = u.c
+  JOIN memb{n} mb2 ON mb2.node = u.d AND mb2.grp = ma.grp
+  WHERE u.c < u.d GROUP BY 1
+), gdec{n} AS MATERIALIZED (
+  SELECT g.grp,
+         CAST(4 * mm.m * coalesce(w.w_in, 0)
+              - (g.ssum * g.ssum - g.ssq) AS BIGINT) AS dq_full
+  FROM gsig{n} g CROSS JOIN mm
+  LEFT JOIN gwin{n} w ON w.grp = g.grp
+), gbp{n} AS (
+  SELECT s.d AS grp, min(s.c) AS c, s.bg
+  FROM sat{n} s
+  JOIN (SELECT d, max(bg) AS mb FROM sat{n} GROUP BY 1) t
+    ON t.d = s.d AND s.bg = t.mb
+  GROUP BY s.d, s.bg
+), moves{n} AS MATERIALIZED (
+  SELECT s.c AS node, s.d AS nc
+  FROM sat{n} s JOIN gdec{n} gd ON gd.grp = s.d
+  WHERE gd.dq_full > 0
+  UNION ALL
+  SELECT bp.c AS node, bp.grp AS nc
+  FROM gbp{n} bp JOIN gdec{n} gd ON gd.grp = bp.grp
+  WHERE gd.dq_full <= 0
+), dq{n} AS (
+  SELECT CAST(coalesce(sum(CASE WHEN gd.dq_full > 0 THEN gd.dq_full
+                           ELSE 2 * bp.bg END), 0) AS BIGINT) AS dq,
+         CAST(coalesce(sum(CASE WHEN gd.dq_full > 0 THEN 0 ELSE 1 END), 0)
+              AS BIGINT) AS n_fallback
+  FROM gdec{n} gd LEFT JOIN gbp{n} bp ON bp.grp = gd.grp
+), lab{n} AS MATERIALIZED (
+  SELECT cm.c AS c, coalesce(mv.nc, cm.c) AS nc
+  FROM comm{p} cm LEFT JOIN moves{n} mv ON mv.node = cm.c
+), nm{n} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_moved FROM moves{n}
+), comm{n} AS MATERIALIZED (
+  SELECT DISTINCT nc AS c FROM lab{n}
+), intra{n} AS MATERIALIZED (
+  SELECT nc AS c, CAST(sum(v) AS BIGINT) AS iw FROM (
+    SELECT l.nc AS nc, i.iw AS v
+    FROM intra{p} i JOIN lab{n} l ON l.c = i.c
+    UNION ALL
+    SELECT la.nc, u.w
+    FROM undw{p} u
+    JOIN lab{n} la ON la.c = u.c
+    JOIN lab{n} lb ON lb.c = u.d
+    WHERE la.nc = lb.nc AND u.c < u.d
+  ) GROUP BY 1
+), undw{n} AS MATERIALIZED (
+  SELECT la.nc AS c, lb.nc AS d, CAST(sum(u.w) AS BIGINT) AS w
+  FROM undw{p} u
+  JOIN lab{n} la ON la.c = u.c
+  JOIN lab{n} lb ON lb.c = u.d
+  WHERE la.nc <> lb.nc GROUP BY 1, 2
+)"""
+
+
+def _louvain_full_state_sql(k: int) -> str:
+    return f""", sigt{k} AS MATERIALIZED (
+  SELECT cm.c,
+         CAST(coalesce(e2.ext, 0) + 2 * coalesce(i2.iw, 0) AS BIGINT)
+           AS sigma,
+         CAST(coalesce(i2.iw, 0) AS BIGINT) AS iw
+  FROM comm{k} cm
+  LEFT JOIN (SELECT c, CAST(sum(w) AS BIGINT) AS ext
+             FROM undw{k} GROUP BY 1) e2 ON e2.c = cm.c
+  LEFT JOIN intra{k} i2 ON i2.c = cm.c
+), q{k} AS (
+  SELECT CAST(4 * mm.m * coalesce(sum(iw), 0)
+              - sum(sigma * sigma) AS BIGINT) AS q
+  FROM sigt{k} CROSS JOIN mm GROUP BY mm.m
+)"""
+
+
+def _louvain_full_oracle_sql(sf_dir: str) -> str:
+    g = f"read_parquet('{_golden_path('triples', sf_dir)}/*.parquet')"
+    levels = _LOUVAIN_FULL_LEVELS
+    parts = [f"""
+WITH e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM {g}
+  WHERE subject <> object
+), canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+), mm AS (
+  SELECT CAST(count(*) AS BIGINT) AS m FROM canon
+), undw0 AS (
+  SELECT a AS c, b AS d, CAST(1 AS BIGINT) AS w FROM canon
+  UNION ALL SELECT b, a, CAST(1 AS BIGINT) FROM canon
+), intra0 AS (
+  SELECT a AS c, CAST(0 AS BIGINT) AS iw FROM canon WHERE 1 = 0
+), comm0 AS (
+  SELECT DISTINCT c FROM (
+    SELECT a AS c FROM canon UNION ALL SELECT b AS c FROM canon)
+)"""]
+    for k in range(levels + 1):
+        parts.append(_louvain_full_state_sql(k))
+        if k < levels:
+            parts.append(_louvain_full_level_sql(k))
+    rows = "\n  UNION ALL\n".join(
+        f"""  SELECT {k} AS lvl,
+         (SELECT n_moved FROM nm{k}) AS n_moved,
+         (SELECT CAST(count(*) AS BIGINT) FROM comm{k}) AS n_communities,
+         (SELECT q FROM q{k - 1}) AS q_before,
+         (SELECT q FROM q{k}) AS q_after,
+         (SELECT dq FROM dq{k}) AS dq_pred,
+         (SELECT n_fallback FROM dq{k}) AS n_fallback"""
+        for k in range(1, levels + 1)
+    )
+    parts.append(f""", summary AS (
+{rows}
+)
+SELECT CAST(lvl AS BIGINT) AS lvl, n_moved, n_communities,
+       q_before, q_after,
+       CAST(CASE WHEN q_after = q_before + dq_pred
+                  AND q_after >= q_before
+            THEN 1 ELSE 0 END AS BIGINT) AS q_cert,
+       n_fallback
+FROM summary s
+WHERE NOT EXISTS (SELECT 1 FROM summary s2
+                  WHERE s2.lvl < s.lvl AND s2.n_moved = 0)
+ORDER BY lvl""")
+    return "".join(parts)
+
+
+@_q("kg_louvain_full", _louvain_full_oracle_sql("/root/testdata/sf0.01"))
+def kg_louvain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain to convergence over the undirected entity graph
+    (operators/graph.louvain_converge): guarded-star contraction,
+    exact-BIGINT per-level modularity certificate, rows emitted per
+    executed level including the converged no-move level."""
+    from information_extraction_spark.operators.graph import (
+        louvain_converge,
+        triple_edges,
+    )
+
+    triples = kg_extract_triples(spark, sf_dir)
+    ORACLES["kg_louvain_full"] = _louvain_full_oracle_sql(sf_dir)
+    rows, _memb = louvain_converge(
+        triple_edges(triples), max_levels=_LOUVAIN_FULL_LEVELS
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r["lvl"], r["n_moved"], r["n_communities"], r["q_before"],
+                r["q_after"], r["q_cert"], r["n_fallback"],
+            )
+            for r in rows
+        ],
+        "lvl long, n_moved long, n_communities long, q_before long,"
+        " q_after long, q_cert long, n_fallback long",
+    )
+
+
+ORACLE_TEMPLATES["kg_louvain_full"] = _louvain_full_oracle_sql

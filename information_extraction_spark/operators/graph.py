@@ -2325,3 +2325,339 @@ def louvain_levels(edges: DataFrame) -> DataFrame:
             .alias("moved"),
         )
     )
+
+
+def _stats_cut(df: DataFrame, path: str) -> DataFrame:
+    """Materialize ``df`` to parquet and re-read it: truncates lineage
+    like localCheckpoint AND resets the leaf's size estimate to the
+    REAL on-disk bytes. localCheckpoint's LogicalRDD inherits the
+    optimizer's *estimated* stats; join estimates multiply, so in a
+    loop whose per-level plan references each state frame several
+    times the estimate's bit-length grows geometrically — by level
+    5-6 Catalyst's SizeInBytesOnlyStatsPlanVisitor spends minutes in
+    BigInteger.multiply (found live in louvain_converge: 55 s of pure
+    planner arithmetic at level 5, level 6 never finished). Only a
+    real materialization re-grounds the estimate."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _louvain_state_stats(comm, undw, intra, m: int):
+    """(sigma, iw) per community + the exact-BIGINT scaled modularity
+    Q·4m² = 4m·Σiw_c − Σσ_c² in ONE bounded aggregate (q, n_comms)."""
+    ext = undw.groupBy("c").agg(F.sum("w").cast("long").alias("ext"))
+    sig = (
+        comm.join(ext, "c", "left")
+        .join(intra, "c", "left")
+        .select(
+            "c",
+            (
+                F.coalesce("ext", F.lit(0))
+                + 2 * F.coalesce("iw", F.lit(0))
+            )
+            .cast("long")
+            .alias("sigma"),
+            F.coalesce("iw", F.lit(0)).cast("long").alias("iw"),
+        )
+        .localCheckpoint()
+    )
+    row = sig.agg(
+        (
+            F.lit(4 * m) * F.coalesce(F.sum("iw"), F.lit(0))
+            - F.sum(F.col("sigma") * F.col("sigma"))
+        )
+        .cast("long")
+        .alias("q"),
+        F.count("*").cast("long").alias("n_comms"),
+    ).collect()[0]
+    return sig, int(row.q), int(row.n_comms)
+
+
+def louvain_converge(edges: DataFrame, max_levels: int = 8):
+    """Louvain to CONVERGENCE with a provable per-level modularity
+    certificate — the round-5 completion of louvain_move (one phase)
+    and louvain_levels (two levels).
+
+    The synchronous pointer-closure merge (louvain_levels) is NOT
+    monotone: simultaneous moves plus connected-component chaining
+    can overshoot and *decrease* Q (observed live: level-2 Q fell
+    8422910 → 7629016 at sf0.001). This operator instead contracts
+    GUARDED STARS each level:
+
+    - every community points to its argmax-positive-gain neighbor
+      (exact BIGINT gain 2m·W_cd − σ_c·σ_d, ties → smallest id);
+    - pointer RECEIVERS are immovable centers, EXCEPT the larger
+      member of each mutual-best pair, which is demoted to satellite
+      (otherwise both members are centers, no satellite exists, and
+      the level stalls while positive gains remain — found live on
+      the two-triangle fixture); a star = a live center plus the
+      non-center communities pointing at it whose target is that
+      center (stars are disjoint — a satellite points to exactly one
+      center, centers never move, pointers at demoted nodes wait a
+      level);
+    - each star's exact merged ΔQ·4m² = 4m·W_in − ((Σσ)² − Σσ²) is
+      computed from its internal edge weight and sigmas; if positive
+      the whole star merges, otherwise ONLY the center + best-gain
+      satellite pair merges (pair ΔQ = 2·gain > 0 always);
+    - disjoint merges make level ΔQ exactly additive, so
+      q_after = q_before + Σ ΔQ is asserted per level (the q_cert
+      column) and monotonicity is a THEOREM, not an observation.
+
+    Termination: gain symmetry (gain(c,d) = gain(d,c)) means any
+    positive gain anywhere gives some community a positive pointer;
+    the set of pointing nodes is closed under ptr (a pointed-at node
+    sees the same positive gain back), so the pointer graph contains
+    a cycle, every pointer cycle is a 2-cycle (equal gains around a
+    longer cycle contradict the lexicographic tie-break), and a
+    2-cycle is a mutual pair whose demotion yields ≥1 satellite →
+    ≥1 merge (full star or fallback pair) — strict community-count
+    decrease per level, so the loop reaches "no positive pointer"
+    (a pairwise-merge local optimum) in < n levels; max_levels
+    bounds the unrolled oracle, not the algorithm (observed: 7
+    levels at sf0.001, 6 at sf0.01).
+
+    Scale shape: state (undw/intra/comm/sigma) is community-sized
+    and localCheckpointed per level; gains are one co-keyed join
+    per endpoint + one min(struct) aggregate; star stats are two
+    membership joins; per level the driver collects THREE bounded
+    rows (merge stats, move count, q/n_comms) — loop control, each
+    O(1). The only input-sized work is the initial canonical-edge
+    derivation, shared via _louvain_canon.
+
+    Returns (summary_rows, membership): summary_rows a list of dicts
+    (lvl, n_moved, n_communities, q_before, q_after, q_cert,
+    n_fallback) for each executed level including the converged
+    no-move level; membership the final (entity, community)
+    DataFrame.
+    """
+    import tempfile
+
+    canon, m = _louvain_canon(edges)
+    scratch = tempfile.mkdtemp(prefix="ie_louvain_state_")
+    undw = _stats_cut(
+        canon.select(F.col("a").alias("c"), F.col("b").alias("d"))
+        .unionAll(canon.select(F.col("b").alias("c"), F.col("a").alias("d")))
+        .withColumn("w", F.lit(1).cast("long")),
+        f"{scratch}/undw0",
+    )
+    comm = _stats_cut(undw.select("c").distinct(), f"{scratch}/comm0")
+    intra = comm.filter(F.lit(False)).select(
+        "c", F.lit(0).cast("long").alias("iw")
+    )
+    membership = comm.select(
+        F.col("c").alias("entity"), F.col("c").alias("community")
+    ).localCheckpoint()
+    sig, q, _n0 = _louvain_state_stats(comm, undw, intra, m)
+    rows = []
+    for lvl in range(1, max_levels + 1):
+        sc = sig.select(F.col("c"), F.col("sigma").alias("sig_c"))
+        sd = sig.select(F.col("c").alias("d"), F.col("sigma").alias("sig_d"))
+        gain = (
+            undw.join(sc, "c")
+            .join(sd, "d")
+            .select(
+                "c",
+                "d",
+                (F.lit(2 * m) * F.col("w") - F.col("sig_c") * F.col("sig_d"))
+                .cast("long")
+                .alias("gain"),
+            )
+        )
+        # argmax positive gain, tie -> smallest d: min(struct(-g, d))
+        ptr = (
+            gain.groupBy("c")
+            .agg(F.min(F.struct((-F.col("gain")).alias("ng"), "d")).alias("b"))
+            .select(
+                "c",
+                F.col("b.d").alias("d"),
+                (-F.col("b.ng")).cast("long").alias("bg"),
+            )
+            .filter(F.col("bg") > 0)
+            .localCheckpoint()
+        )
+        # Mutual-best pairs would make BOTH endpoints centers (each is
+        # pointed-to), leaving no satellite and stalling the level
+        # even while positive gains exist — demote the LARGER member
+        # of every mutual pair to satellite status. Centers are then
+        # pointed-to-and-not-demoted; satellites must target a live
+        # center (a pointer at a demoted node waits a level).
+        rev = ptr.select(F.col("d").alias("c"), F.col("c").alias("d"))
+        mutual = ptr.select("c", "d").join(rev, ["c", "d"], "left_semi")
+        demoted = (
+            mutual.filter(F.col("c") < F.col("d"))
+            .select(F.col("d").alias("c"))
+            .distinct()
+        )
+        ctr = (
+            ptr.select(F.col("d").alias("c"))
+            .distinct()
+            .join(demoted, "c", "left_anti")
+            .localCheckpoint()
+        )
+        sat = (
+            ptr.join(ctr, "c", "left_anti")
+            .join(ctr.select(F.col("c").alias("d")), "d", "left_semi")
+            .localCheckpoint()
+        )
+        memb = sat.select(F.col("d").alias("grp"), F.col("c").alias("node")).unionAll(
+            sat.select("d").distinct().select(
+                F.col("d").alias("grp"), F.col("d").alias("node")
+            )
+        )
+        gsig = memb.join(
+            sig.select(F.col("c").alias("node"), "sigma"), "node"
+        ).groupBy("grp").agg(
+            F.sum("sigma").cast("long").alias("ssum"),
+            F.sum(F.col("sigma") * F.col("sigma")).cast("long").alias("ssq"),
+        )
+        gwin = (
+            undw.filter(F.col("c") < F.col("d"))
+            .join(memb.select(F.col("node").alias("c"), "grp"), "c")
+            .join(
+                memb.select(F.col("node").alias("d"), F.col("grp").alias("g2")),
+                "d",
+            )
+            .filter(F.col("grp") == F.col("g2"))
+            .groupBy("grp")
+            .agg(F.sum("w").cast("long").alias("w_in"))
+        )
+        gdec = (
+            gsig.join(gwin, "grp", "left")
+            .select(
+                "grp",
+                (
+                    F.lit(4 * m) * F.coalesce("w_in", F.lit(0))
+                    - (F.col("ssum") * F.col("ssum") - F.col("ssq"))
+                )
+                .cast("long")
+                .alias("dq_full"),
+            )
+            .localCheckpoint()
+        )
+        # fallback pair per rejected star: best-gain satellite, tie min c
+        gbp = (
+            sat.groupBy(F.col("d").alias("grp"))
+            .agg(F.min(F.struct((-F.col("bg")).alias("nb"), "c")).alias("b"))
+            .select(
+                "grp",
+                F.col("b.c").alias("c"),
+                (-F.col("b.nb")).cast("long").alias("bg"),
+            )
+        )
+        stats = (
+            gdec.join(gbp, "grp", "left")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("dq_full") > 0, F.col("dq_full")).otherwise(
+                            2 * F.col("bg")
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("dq"),
+                F.coalesce(
+                    F.sum(F.when(F.col("dq_full") > 0, 0).otherwise(1)),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_fallback"),
+            )
+            .collect()[0]
+        )
+        moves = (
+            sat.join(gdec.filter(F.col("dq_full") > 0), sat.d == F.col("grp"))
+            .select(F.col("c").alias("node"), F.col("d").alias("nc"))
+            .unionAll(
+                gbp.join(
+                    gdec.filter(F.col("dq_full") <= 0), "grp"
+                ).select(F.col("c").alias("node"), F.col("grp").alias("nc"))
+            )
+            .localCheckpoint()
+        )
+        n_moved = moves.count()
+        if n_moved == 0:
+            rows.append(
+                dict(
+                    lvl=lvl,
+                    n_moved=0,
+                    n_communities=_n_last if rows else _n0,
+                    q_before=q,
+                    q_after=q,
+                    q_cert=1,
+                    n_fallback=0,
+                )
+            )
+            break
+        lab = (
+            comm.join(moves.withColumnRenamed("node", "c"), "c", "left")
+            .select("c", F.coalesce("nc", F.col("c")).alias("nc"))
+            .localCheckpoint()
+        )
+        la = lab.select(F.col("c"), F.col("nc").alias("na"))
+        lb = lab.select(F.col("c").alias("d"), F.col("nc").alias("nb"))
+        # Level-crossing state is PARQUET-spilled, not localCheckpointed:
+        # the checkpoint leaf inherits the optimizer's ESTIMATED stats,
+        # and in this join-heavy loop those estimates compound level
+        # over level until Catalyst's sizeInBytes BigInt reaches 10^7+
+        # bits and the planner spends minutes in BigInteger.multiply
+        # (observed live at level 5-6). The parquet round-trip
+        # (_stats_cut) re-grounds the leaf estimate in real on-disk
+        # bytes, so planner arithmetic stays O(1) per level at ANY
+        # depth — and materializing per-level state is the shape an
+        # iterative graph op wants on a cluster anyway.
+        new_intra = _stats_cut(
+            intra.join(lab, "c")
+            .select(F.col("nc").alias("c"), F.col("iw").alias("v"))
+            .unionAll(
+                undw.filter(F.col("c") < F.col("d"))
+                .join(la, "c")
+                .join(lb, "d")
+                .filter(F.col("na") == F.col("nb"))
+                .select(F.col("na").alias("c"), F.col("w").alias("v"))
+            )
+            .groupBy("c")
+            .agg(F.sum("v").cast("long").alias("iw")),
+            f"{scratch}/intra{lvl % 2}",
+        )
+        new_undw = _stats_cut(
+            undw.join(la, "c")
+            .join(lb, "d")
+            .filter(F.col("na") != F.col("nb"))
+            .groupBy(F.col("na").alias("c"), F.col("nb").alias("d"))
+            .agg(F.sum("w").cast("long").alias("w")),
+            f"{scratch}/undw{lvl % 2 + 1}",
+        )
+        comm = _stats_cut(
+            lab.select(F.col("nc").alias("c")).distinct(),
+            f"{scratch}/comm{lvl % 2 + 1}",
+        )
+        membership = (
+            membership.join(
+                lab.withColumnRenamed("c", "community"), "community"
+            )
+            .select("entity", F.col("nc").alias("community"))
+            .localCheckpoint()
+        )
+        intra, undw = new_intra, new_undw
+        sig, q_after, n_comms = _louvain_state_stats(comm, undw, intra, m)
+        rows.append(
+            dict(
+                lvl=lvl,
+                n_moved=int(n_moved),
+                n_communities=n_comms,
+                q_before=q,
+                q_after=q_after,
+                q_cert=int(q_after == q + int(stats.dq) and q_after >= q),
+                n_fallback=int(stats.n_fallback),
+            )
+        )
+        _n_last = n_comms
+        q = q_after
+    import shutil
+
+    # membership/summary are eagerly materialized (localCheckpoint /
+    # collected dicts); the parquet scratch is no longer referenced.
+    shutil.rmtree(scratch, ignore_errors=True)
+    return rows, membership

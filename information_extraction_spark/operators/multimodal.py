@@ -104,10 +104,71 @@ def parse_wav(payload: bytes) -> tuple[int, int, int]:
     return sample_rate, channels, n_frames
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png(payload: bytes) -> tuple[int, int]:
+    """(width, height) from a PNG's IHDR chunk — pure-Python, no
+    codec library: the 8-byte signature is followed by the IHDR
+    chunk (the spec REQUIRES it first), whose first 8 body bytes are
+    width and height as big-endian uint32 (offsets 16 and 20).
+    Pixel-level decode would additionally need only stdlib zlib
+    (IDAT is a zlib stream) — not required for dimensions."""
+    if len(payload) < 24 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    length, ctype = struct.unpack_from(">I4s", payload, 8)
+    if ctype != b"IHDR" or length < 13:
+        raise ValueError("PNG first chunk is not a valid IHDR")
+    width, height = struct.unpack_from(">II", payload, 16)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid PNG dimensions {width}x{height}")
+    return width, height
+
+
+def parse_jpeg(payload: bytes) -> tuple[int, int]:
+    """(width, height) from a JPEG's SOFn marker — pure-Python
+    marker walk: segments are (0xFF, marker, uint16 BE length);
+    standalone markers (SOI, RSTn, TEM) carry no length; the frame
+    header SOFn (0xC0-0xCF except DHT 0xC4 / JPG 0xC8 / DAC 0xCC)
+    stores precision(1), height(2 BE), width(2 BE) at body start.
+    Declared lengths are untrusted: truncation raises ValueError."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    off = 2
+    while off + 2 <= len(payload):
+        if payload[off] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[off + 1]
+        if marker == 0xFF:  # fill byte
+            off += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            off += 2
+            continue
+        if off + 4 > len(payload):
+            raise ValueError("JPEG segment truncated")
+        seglen = struct.unpack_from(">H", payload, off + 2)[0]
+        if seglen < 2:
+            raise ValueError("JPEG bad segment length")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if off + 9 > len(payload) or seglen < 7:
+                raise ValueError("JPEG SOF truncated")
+            height, width = struct.unpack_from(">HH", payload, off + 5)
+            if width <= 0 or height <= 0:
+                raise ValueError(
+                    f"invalid JPEG dimensions {width}x{height}"
+                )
+            return width, height
+        if marker == 0xDA:  # SOS: entropy data follows, SOF must precede
+            break
+        off += 2 + seglen
+    raise ValueError("JPEG has no SOFn frame header")
+
+
 def _decode_payload(payload: bytes, kind: str, deterministic_fake: bool):
-    """Dispatch on magic bytes: BMP and WAV parse natively (header
-    formats are public and pure-Python parseable); anything else is
-    the stub. Returns (width, height, n_frames, sample_rate,
+    """Dispatch on magic bytes: BMP, WAV, PNG and JPEG parse natively
+    (header formats are public and pure-Python parseable); anything
+    else is the stub. Returns (width, height, n_frames, sample_rate,
     channels)."""
     if len(payload) >= 2 and payload[:2] == b"BM":
         w, h = parse_bmp(payload)
@@ -115,12 +176,19 @@ def _decode_payload(payload: bytes, kind: str, deterministic_fake: bool):
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, ch, frames = parse_wav(payload)
         return None, None, frames, rate, ch
+    if len(payload) >= 8 and payload[:8] == _PNG_SIG:
+        w, h = parse_png(payload)
+        return w, h, 1, None, None
+    if len(payload) >= 2 and payload[:2] == b"\xff\xd8":
+        w, h = parse_jpeg(payload)
+        return w, h, 1, None, None
     if not deterministic_fake:
         raise NotImplementedError(
-            "no native decoder for this payload (only BMP and WAV "
-            "headers parse without codec libraries, which this "
-            "environment lacks); pass deterministic_fake=True or plug "
-            "in a real decoder"
+            "no native decoder for this payload (BMP/WAV/PNG/JPEG "
+            "headers parse without codec libraries; PIXEL decode of "
+            "compressed audio/video formats — MP3, MP4, Vorbis — "
+            "needs codec libraries this environment lacks); pass "
+            "deterministic_fake=True or plug in a real decoder"
         )
     h = hashlib.md5(payload or b"").digest()
     width = 16 + h[0] % 240
@@ -208,6 +276,68 @@ def make_wav(
         + bytes((seed * 17 + i * 13) % 256 for i in range(data_size))
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
+    """A real format-conformant 8-bit RGB PNG (signature, CRC-correct
+    IHDR/IDAT/IEND, filter-0 scanlines zlib-compressed via stdlib)
+    with deterministic pixel bytes."""
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00"
+        + bytes((seed * 13 + y * 7 + x) % 256 for x in range(width * 3))
+        for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+    """A format-conformant baseline JPEG header sequence (SOI, JFIF
+    APP0, DQT, SOF0 with the real dimensions, DHT, SOS) followed by
+    deterministic entropy bytes (all < 0xFF, so no marker collision)
+    and EOI. Dimension parsing — the supported operation — needs only
+    the marker walk to SOF0."""
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    dqt = b"\x00" + bytes(1 + (seed * 7 + i) % 255 for i in range(64))
+    sof0 = (
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"\x01\x22\x00\x02\x11\x00\x03\x11\x00"
+    )
+    dht = b"\x00" + bytes([1] + [0] * 15) + b"\x00"
+    sos = b"\x03\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00"
+    entropy = bytes((seed * 11 + i * 5) % 255 for i in range(32))
+    return (
+        b"\xff\xd8"
+        + _jpeg_seg(0xE0, app0)
+        + _jpeg_seg(0xDB, dqt)
+        + _jpeg_seg(0xC0, sof0)
+        + _jpeg_seg(0xC4, dht)
+        + _jpeg_seg(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:

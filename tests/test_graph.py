@@ -1571,3 +1571,67 @@ def test_louvain_levels_stay_and_single_community(spark):
         for r in louvain_levels(path3).collect()
     ]
     assert got2 == [("a", 3, 4, 2, "a", 0, 0)]
+
+
+def test_louvain_converge_two_triangles_hand_trace(spark):
+    """Two triangles {a,b,c} / {d,e,f} bridged by c-d (m = 7).
+
+    Hand trace: level 1 pointers a<->b mutual (gain 10), c->a (tie
+    a/b -> a), d->e (tie e/f -> e), e<->f mutual (gain 10); without
+    mutual-pair demotion EVERY pointed node is a center and the level
+    stalls with positive gains live — the bug this fixture pins.
+    With demotion (b and f demoted): stars {a,b,c} and {e,f,d},
+    exact group dq = 4*7*3 - ((2+2+3)^2 - (4+4+9)) = 84 - 32 = 52
+    each; q0 = -34, q1 = -34 + 104 = 70. Level 2: the two
+    super-communities have w=1, sigma=7 each -> gain 2*7*1 - 49 < 0,
+    no pointer, converged. Final partition = the two triangles."""
+    from information_extraction_spark.operators.graph import (
+        louvain_converge,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")],
+        "src string, dst string",
+    )
+    rows, memb = louvain_converge(edges, max_levels=8)
+    assert [
+        (r["lvl"], r["n_moved"], r["n_communities"], r["q_before"],
+         r["q_after"], r["q_cert"], r["n_fallback"])
+        for r in rows
+    ] == [
+        (1, 4, 2, -34, 70, 1, 0),
+        (2, 0, 2, 70, 70, 1, 0),
+    ]
+    got = {r.entity: r.community for r in memb.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "d": "e", "e": "e", "f": "e"}
+
+
+def test_louvain_converge_q_monotone_on_seeded_graph(spark):
+    """A 40-node seeded random graph: every executed level must carry
+    a green certificate (q_after = q_before + predicted dq AND
+    q_after >= q_before) and the loop must end in a no-move level
+    within the bound — the monotone-convergence contract that the
+    synchronous pointer-closure variant (louvain_levels) provably
+    lacks."""
+    import random
+
+    from information_extraction_spark.operators.graph import (
+        louvain_converge,
+    )
+
+    rng = random.Random(11)
+    pairs = set()
+    while len(pairs) < 90:
+        x, y = rng.randrange(40), rng.randrange(40)
+        if x != y:
+            pairs.add((f"n{min(x, y):02d}", f"n{max(x, y):02d}"))
+    edges = spark.createDataFrame(
+        sorted(pairs), "src string, dst string"
+    )
+    rows, _ = louvain_converge(edges, max_levels=10)
+    assert all(r["q_cert"] == 1 for r in rows)
+    assert rows[-1]["n_moved"] == 0
+    qs = [rows[0]["q_before"]] + [r["q_after"] for r in rows]
+    assert qs == sorted(qs)

@@ -483,3 +483,40 @@ def test_vad_segments_islands_and_strict_gate(spark):
         for r in vad_segments(e).collect()
     )
     assert got == [(1, 1, 2, 2, 80), (1, 4, 4, 1, 60)]
+
+
+def test_png_jpeg_header_parse_roundtrip_and_truncation():
+    """PNG IHDR / JPEG SOFn dimension parse (round-5: no codec
+    library needed for header-level dims): round-trips the
+    format-conformant builders, rejects truncation and wrong magic
+    as ValueError (never struct.error), and the fake-path stub now
+    fires only for genuinely compressed formats."""
+    import pytest
+
+    from information_extraction_spark.operators.multimodal import (
+        _decode_payload,
+        make_jpeg,
+        make_png,
+        parse_jpeg,
+        parse_png,
+    )
+
+    for w, h, s in [(1, 1, 0), (8, 5, 3), (241, 123, 7), (300, 2, 9)]:
+        assert parse_png(make_png(w, h, s)) == (w, h)
+        assert parse_jpeg(make_jpeg(w, h, s)) == (w, h)
+    assert _decode_payload(make_png(12, 9, 2), "image", False) == (
+        12, 9, 1, None, None,
+    )
+    assert _decode_payload(make_jpeg(33, 21, 2), "image", False) == (
+        33, 21, 1, None, None,
+    )
+    with pytest.raises(ValueError):
+        parse_png(make_png(4, 4)[:20])  # truncated before dims
+    with pytest.raises(ValueError):
+        parse_png(b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIDAT" + b"z" * 12)
+    with pytest.raises(ValueError):
+        parse_jpeg(make_jpeg(4, 4)[:6])  # truncated inside APP0
+    with pytest.raises(ValueError):
+        parse_jpeg(b"\xff\xd8\xff\xda\x00\x0a" + b"\x00" * 10)  # SOS first
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"\x00\x01\x02\x03" * 8, "video", False)
