@@ -4,6 +4,11 @@ schema (sorted column names), and order-insensitive values.
 
 Usage: python tools/check_oracles.py [sf_dir] [name_filter...]
                                      [--skip=substr ...]
+                                     [--sweep-out=FILE]
+
+--sweep-out writes a durable per-query JSON artifact (pass, rows,
+seconds, check mode, git head) — commit it as SWEEP_r{N}.json each
+session so the full-catalog claim is auditable without a rerun.
 
 --skip excludes queries whose name contains the substring — for
 oracle-scale limitations (e.g. dd_dup_clusters' all-pairs recursive
@@ -51,7 +56,14 @@ def main() -> int:
     skips = [
         a.split("=", 1)[1] for a in sys.argv[2:] if a.startswith("--skip=")
     ]
-    filters = [a for a in sys.argv[2:] if not a.startswith("--skip=")]
+    sweep_out = None
+    for a in sys.argv[2:]:
+        if a.startswith("--sweep-out="):
+            sweep_out = a.split("=", 1)[1]
+    filters = [
+        a for a in sys.argv[2:]
+        if not a.startswith("--skip=") and not a.startswith("--sweep-out=")
+    ]
 
     from information_extraction_spark.driver_queries import (
         QUERIES,
@@ -70,6 +82,16 @@ def main() -> int:
     import time
 
     failures = 0
+    sweep: dict[str, dict] = {}
+
+    def record(name, ok, rows, t0, mode):
+        sweep[name] = {
+            "pass": bool(ok),
+            "rows": int(rows),
+            "seconds": round(time.time() - t0, 2),
+            "mode": mode,
+        }
+
     for name, fn in sorted(QUERIES.items()):
         if filters and not any(f in name for f in filters):
             continue
@@ -81,6 +103,7 @@ def main() -> int:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            record(name, False, -1, t0, "spark-error")
             failures += 1
             continue
         # Resolve golden-based oracles through the PURE (name, sf_dir)
@@ -102,6 +125,7 @@ def main() -> int:
                     f"{missing[0]} — run the Spark query first (it "
                     f"materializes the golden for this sf_dir)"
                 )
+                record(name, False, len(got), t0, "golden-absent")
                 failures += 1
                 continue
         if oracle is None:
@@ -109,11 +133,13 @@ def main() -> int:
                 f"ok   {name}: rows-only ({len(got)} rows)"
                 f" [{time.time() - t0:.1f}s]"
             )
+            record(name, True, len(got), t0, "rows-only")
             continue
         try:
             exp = con.execute(oracle).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0]}")
+            record(name, False, len(got), t0, "duckdb-error")
             failures += 1
             continue
         problems = []
@@ -132,13 +158,44 @@ def main() -> int:
                 problems.append(f"values differ, e.g. {diff}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
+            record(name, False, len(got), t0, "value-mismatch")
             failures += 1
         else:
             print(
                 f"ok   {name}: {len(got)} rows match oracle"
                 f" [{time.time() - t0:.1f}s]"
             )
+            record(name, True, len(got), t0, "value-checked")
     print(f"\n{failures} failures")
+    if sweep_out:
+        # Durable full-sweep artifact (round-5 verdict #1): the repo
+        # carries its own auditable per-query proof instead of
+        # ephemeral /tmp logs.
+        import json as _json
+        import subprocess as _sp
+
+        try:
+            head = _sp.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))),
+            ).stdout.strip()
+        except OSError:
+            head = None
+        doc = {
+            "sf_dir": sf_dir,
+            "git_head": head,
+            "n_queries": len(sweep),
+            "n_pass": sum(1 for v in sweep.values() if v["pass"]),
+            "n_fail": failures,
+            "skips": skips,
+            "filters": filters,
+            "queries": dict(sorted(sweep.items())),
+        }
+        with open(sweep_out, "w") as fh:
+            _json.dump(doc, fh, indent=1)
+        print(f"sweep artifact written to {sweep_out}")
     return 1 if failures else 0
 
 
