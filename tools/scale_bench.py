@@ -79,9 +79,12 @@ def main() -> int:
     r_4n_full = None
     for trial in range(3):
         r_n_i = run_bench(n, sf_dir, replicate, skip_queries=True)
-        r_4n_i = run_bench(
-            n4, sf_dir, replicate, skip_queries=trial > 0
-        )
+        # skip_queries on EVERY leg since round 5: bench.py now times
+        # the whole 281-query catalog, which at a pinned 8 cores is
+        # an hour of work irrelevant to the N->4N e2e scaling ratio;
+        # full-catalog timings live in the unpinned bench JSON
+        # (BENCH_r{N}.json / BENCH/R5_LOCAL.json).
+        r_4n_i = run_bench(n4, sf_dir, replicate, skip_queries=True)
         if r_4n_full is None:
             r_4n_full = r_4n_i
         pairs.append((r_n_i, r_4n_i))
@@ -164,8 +167,9 @@ binding targets are triple P/R ≥ 0.95 vs reference-semantics goldens
 (enforced by tests/test_evaluation.py) and the scaling efficiency
 above.
 
-Per-query seconds at {n4} cores — measured in TRIAL 0's full run (a
-separate measurement from the median pair above, labeled as such):
+Per-query e2e seconds at {n4} cores (trial 0; since round 5 the
+scaling legs run --skip-queries — full-catalog per-query timings
+live in the unpinned bench JSON, BENCH_r{{N}}.json / BENCH/R5_LOCAL.json):
 
 ```json
 {json.dumps(r_4n_full["queries"], indent=2)}
