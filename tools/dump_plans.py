@@ -26,6 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PLAN_QUERIES = [
     ("kg_extract_triples", "end-to-end extraction DAG (the flagship)"),
     ("j1_broadcast_dim_join", "50-row schema dim must broadcast"),
+    (
+        "mm_png_jpeg_dims",
+        "native PNG/JPEG header decode: one narrow mapInPandas over "
+        "the id scan, zero exchanges before the parse",
+    ),
     ("dd_minhash_lsh", "shingle → minhash → band self-join"),
     ("dd_ngram_jaccard", "blocked all-pairs: equi-join on (lang, 20-char band)"),
     ("w1_stable_turn_order", "single shuffle satisfies both windows"),
