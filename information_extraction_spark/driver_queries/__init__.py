@@ -55,6 +55,10 @@ _CHANGED_THIS_ROUND = [
     # MODIFIED (round-5 advice): NULL n_chars filtered identically in
     # engine and oracle before ranking.
     "a27_spearman",
+    # MODIFIED (round-5 sf0.1 sweep finding): rev4*10^6 overflowed
+    # BIGINT at sf0.1 — chained quotient/remainder ppm + div-form
+    # threshold on both engines.
+    "q11_revenue_share",
     # --- ROUND 4 ---
     # MODIFIED this round (NULL-lang audit): scope/shard keys
     # coalesce NULL lang to a '(none)' sentinel on both engines.

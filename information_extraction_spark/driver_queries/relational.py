@@ -1942,9 +1942,16 @@ WITH pt AS (
   SELECT CAST(sum(rev4) AS BIGINT) AS total4 FROM pt
 )
 SELECT pt.p_type, pt.rev4,
-       (pt.rev4 * 1000000) // t.total4 AS share_ppm
+       -- chained quotient/remainder ppm (a25 discipline): rev4*10^6
+       -- overflowed BIGINT at sf0.1 (rev4 ~1e13 after the 10^4 cent
+       -- quantization); exact while total4 <= 2^63/1000 (~9.2e15,
+       -- ~sf40 at this quantization — beyond that the quantized
+       -- revenue itself needs DECIMAL)
+       ((pt.rev4 % t.total4) * 1000 // t.total4) * 1000
+       + (((pt.rev4 % t.total4) * 1000 % t.total4) * 1000 // t.total4)
+         AS share_ppm
 FROM pt, t
-WHERE pt.rev4 * 200 > t.total4
+WHERE pt.rev4 > t.total4 // 200
 """
 
 
@@ -1967,11 +1974,20 @@ def q11_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = pt.agg(F.sum("rev4").cast("long").alias("total4"))
     return (
         pt.crossJoin(F.broadcast(total))
-        .filter(F.col("rev4") * 200 > F.col("total4"))
+        # div-form threshold: rev4*200 > total4 <=> rev4 > total4 div
+        # 200 for positive BIGINTs, without the *200 headroom cost
+        .filter(F.col("rev4") > F.expr("total4 div 200"))
         .select(
             "p_type",
             "rev4",
-            F.expr("(rev4 * 1000000) div total4").alias("share_ppm"),
+            # chained quotient/remainder ppm — rev4*10^6 overflowed
+            # at sf0.1 (found by the round-5 full sf0.1 sweep; ANSI
+            # Spark threw where non-ANSI would have wrapped silently)
+            F.expr(
+                "((rev4 % total4) * 1000 div total4) * 1000"
+                " + (((rev4 % total4) * 1000 % total4) * 1000"
+                "    div total4)"
+            ).alias("share_ppm"),
         )
     )
 

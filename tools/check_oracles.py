@@ -73,6 +73,18 @@ def main() -> int:
 
     spark = get_spark(app_name="oracle-check", master="local[8]")
     con = duckdb.connect()
+    # Fail FAST on oracle-scale blowups instead of eating the host:
+    # an unbounded DuckDB run of a quadratic-ish oracle (dd_dup_
+    # clusters' recursive closure, emb_ktruss's nested within-cluster
+    # kNN) reached 104 GB RSS at sf0.1 before being killed. A capped
+    # run turns that into a prompt duckdb-error FAIL, which is the
+    # honest outcome for "the ORACLE formulation does not scale to
+    # this sf" (the engine side is unaffected).
+    con.execute(
+        "SET memory_limit = '"
+        + os.environ.get("ORACLE_DUCKDB_MEM", "24GB")
+        + "'"
+    )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
