@@ -82,7 +82,18 @@ def main() -> int:
     # this sf" (the engine side is unaffected).
     con.execute(
         "SET memory_limit = '"
-        + os.environ.get("ORACLE_DUCKDB_MEM", "24GB")
+        + os.environ.get("ORACLE_DUCKDB_MEM", "48GB")
+        + "'"
+    )
+    # Bounded spill: emb_ktruss's oracle legitimately peaks over
+    # 24 GB at sf0.01 (passes in ~105 s uncapped), so the cap is
+    # 48 GB with a size-bounded temp dir — big enough for every
+    # in-scale oracle, small enough that a quadratic blowup still
+    # dies in minutes, not after filling the disk.
+    con.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
+    con.execute(
+        "SET max_temp_directory_size = '"
+        + os.environ.get("ORACLE_DUCKDB_SPILL", "40GB")
         + "'"
     )
     for t in TABLES:
