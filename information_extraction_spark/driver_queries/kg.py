@@ -6137,7 +6137,9 @@ def kg_louvain_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = kg_extract_triples(spark, sf_dir)
     ORACLES["kg_louvain_full"] = _louvain_full_oracle_sql(sf_dir)
     rows, _memb = louvain_converge(
-        triple_edges(triples), max_levels=_LOUVAIN_FULL_LEVELS
+        triple_edges(triples),
+        max_levels=_LOUVAIN_FULL_LEVELS,
+        track_membership=False,
     )
     return spark.createDataFrame(
         [

@@ -2373,7 +2373,10 @@ def _louvain_state_stats(comm, undw, intra, m: int):
     return sig, int(row.q), int(row.n_comms)
 
 
-def louvain_converge(edges: DataFrame, max_levels: int = 8):
+def louvain_converge(
+    edges: DataFrame, max_levels: int = 8,
+    track_membership: bool = True,
+):
     """Louvain to CONVERGENCE with a provable per-level modularity
     certificate — the round-5 completion of louvain_move (one phase)
     and louvain_levels (two levels).
@@ -2428,7 +2431,9 @@ def louvain_converge(edges: DataFrame, max_levels: int = 8):
     (lvl, n_moved, n_communities, q_before, q_after, q_cert,
     n_fallback) for each executed level including the converged
     no-move level; membership the final (entity, community)
-    DataFrame.
+    DataFrame (None when ``track_membership=False`` — a
+    certificate-only caller like kg_louvain_full skips the per-level
+    membership join + checkpoint, ~2 fewer actions per level).
     """
     import tempfile
 
@@ -2444,9 +2449,13 @@ def louvain_converge(edges: DataFrame, max_levels: int = 8):
     intra = comm.filter(F.lit(False)).select(
         "c", F.lit(0).cast("long").alias("iw")
     )
-    membership = comm.select(
-        F.col("c").alias("entity"), F.col("c").alias("community")
-    ).localCheckpoint()
+    membership = (
+        comm.select(
+            F.col("c").alias("entity"), F.col("c").alias("community")
+        ).localCheckpoint()
+        if track_membership
+        else None
+    )
     sig, q, _n0 = _louvain_state_stats(comm, undw, intra, m)
     rows = []
     for lvl in range(1, max_levels + 1):
@@ -2488,11 +2497,13 @@ def louvain_converge(edges: DataFrame, max_levels: int = 8):
             .select(F.col("d").alias("c"))
             .distinct()
         )
+        # no checkpoint: ctr re-derives in one narrow pass from the
+        # CHECKPOINTED ptr for each of its two consumers — cheaper
+        # than one more eager materialization per level
         ctr = (
             ptr.select(F.col("d").alias("c"))
             .distinct()
             .join(demoted, "c", "left_anti")
-            .localCheckpoint()
         )
         sat = (
             ptr.join(ctr, "c", "left_anti")
@@ -2633,13 +2644,14 @@ def louvain_converge(edges: DataFrame, max_levels: int = 8):
             lab.select(F.col("nc").alias("c")).distinct(),
             f"{scratch}/comm{lvl % 2 + 1}",
         )
-        membership = (
-            membership.join(
-                lab.withColumnRenamed("c", "community"), "community"
+        if track_membership:
+            membership = (
+                membership.join(
+                    lab.withColumnRenamed("c", "community"), "community"
+                )
+                .select("entity", F.col("nc").alias("community"))
+                .localCheckpoint()
             )
-            .select("entity", F.col("nc").alias("community"))
-            .localCheckpoint()
-        )
         intra, undw = new_intra, new_undw
         sig, q_after, n_comms = _louvain_state_stats(comm, undw, intra, m)
         rows.append(
